@@ -1,13 +1,611 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{charCount, cleanThinking, exactAvg, exactStddevPop, exactSum,
+  r4, squeezeWhitespace, tokenCount, truncateTokens}
+import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family of SURVEY.md §2 has at least one `queries` entry;
+  * entries whose semantics are ANSI-SQL-expressible carry a DuckDB oracle
+  * in `oracleSql` (column names and value rounding are kept bit-compatible
+  * between the Spark plan and the SQL). Summarization pipelines run the
+  * deterministic extractive scalar and are checked rows-only plus by
+  * ScalaTest golden fixtures.
+  */
 object SparkEntry {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipelines.mapReduce(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ relational
+
+  /** G2/G5/G9: grouped pricing summary over lineitem (sums/avgs/counts).
+    * Decimal-exact sums: double summation is order-dependent, oracle is not.
+    */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(exactSum(col("l_quantity"))).as("sum_qty"),
+        r4(exactSum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r4(exactAvg(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1: multi-way equi-join revenue rollup; dims broadcast (region/nation
+    * are tiny forever; customer joins via shuffle — AQE may still broadcast
+    * it at small SF).
+    */
+  private def j1Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+    val customer = tbl(spark, dir, "customer")
+    val nation = broadcast(tbl(spark, dir, "nation"))
+    val region = broadcast(tbl(spark, dir, "region"))
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(r4(exactSum(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** J2: left-semi (EXISTS). */
+  private def j2Semi(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .join(tbl(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** J3/S6: left-anti (NOT EXISTS) — the incremental-recompute set. */
+  private def j3Anti(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .join(tbl(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), r4(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** P5/O2: global top-N with deterministic tie-break. */
+  private def p5Top(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), r4(col("o_totalprice")).as("total_price"))
+
+  /** O3: windowed running aggregate + row_number (ordering made total by
+    * the (shipdate, orderkey, linenumber) key so results are deterministic).
+    */
+  private def o3Window(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        r4(sum(col("l_quantity").cast("decimal(38,10)")).over(wRows).cast("double"))
+          .as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** G3 (cumsum form): token-budget bin assignment as a pure window — the
+    * SQL-expressible approximation of greedy packing (exact greedy is
+    * `binpack_greedy`, checked by ScalaTest; SURVEY.md §7.4.2).
+    */
+  private def g3BinpackCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = tbl(spark, dir, "lineitem").select(
+      col("l_orderkey").as("doc_id"),
+      col("l_linenumber").as("chunk_idx"),
+      floor(col("l_quantity")).cast("long").as("n_tokens"))
+    CorpusOps.binPackCumsum(chunks, 50L)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** G1/G4: ordered collect per group, concatenated (the reduce-input
+    * assembly of the map-reduce strategy, on relational data).
+    */
+  private def g1Collect(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+          x => x.cast("string")), ",").as("line_numbers"))
+      .orderBy(col("l_orderkey"))
+
+  /** G6: mean/std/min/max metric block (population std, like numpy's
+    * default in the reference eval).
+    */
+  private def g6Stats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(exactAvg(col("l_extendedprice"))).as("mean_price"),
+        r4(exactStddevPop(col("l_extendedprice"))).as("std_price"),
+        r4(min(col("l_extendedprice"))).as("min_price"),
+        r4(max(col("l_extendedprice"))).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** G7: bucket histogram with percentages. */
+  private def g7Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("o_totalprice") >= 300000.0, "high")
+      .when(col("o_totalprice") >= 150000.0, "moderate")
+      .otherwise("low")
+    tbl(spark, dir, "orders")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", r4(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy())))
+      .orderBy(col("bucket"))
+  }
+
+  /** G8: argmax per group with deterministic tie-break. */
+  private def g8Argmax(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").desc)
+    tbl(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_custkey").as("best_custkey"),
+        r4(col("c_acctbal")).as("best_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ------------------------------------------------------------------ text
+
+  /** F1: cleaner (thinking-tag strip + whitespace squeeze). */
+  private def f1Clean(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        squeezeWhitespace(cleanThinking(col("text"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** F2/F4/C4: token/char counts + chunk-count estimate. */
+  private def f2TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        charCount(col("text")).as("n_chars"),
+        greatest(lit(1L), floor(tokenCount(col("text")) / 50.0).cast("long"))
+          .as("est_chunks"))
+      .orderBy(col("doc_id"))
+
+  /** C3: token truncation (first 20 whitespace tokens). */
+  private def c3Truncate(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), truncateTokens(col("text"), 20).as("head20"))
+      .orderBy(col("doc_id"))
+
+  /** C1 (fixed-stride form): chunk explode with exact SQL semantics
+    * (size 120 chars, stride 100). The pipeline's recursive splitter is
+    * ScalaTest-checked; this entry oracles the explode/carry machinery.
+    */
+  private def c1ChunkFixed(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / 100.0).cast("int")),
+          k => col("text").substr(k * 100 + 1, lit(120)))).as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // ----------------------------------------------------------------- dedup
+
+  /** DD1: exact duplicate groups (hash groupBy). */
+  private def dd1ExactDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(tbl(spark, dir, "documents"))
+      .orderBy(col("text_md5"))
+
+  /** DD2: MinHash signatures (md5-derived, 8 hashes over 3-gram shingles). */
+  private def dd2MinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignature(tbl(spark, dir, "documents"), "text", 3, 8)
+      .orderBy(col("doc_id"))
+
+  /** DD3: MinHash LSH candidate pairs (4 bands x 2 rows). */
+  private def dd3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", 3, 4, 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** DD4: word-3-gram Jaccard near-dup pairs (threshold 0.5). */
+  private def dd4Jaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** DD5: SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
+  private def dd5Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ------------------------------------------------------------ similarity
+
+  /** SS1: brute-force cosine top-5 for query vectors (vec_id < 5). */
+  private def ss1CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SS2: LSH-bucketed approximate top-5 (the 100 TB path; rows-only check
+    * — hyperplane banding is not reasonably SQL-expressible).
+    */
+  private def ss2LshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(emb, queries, 5, 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  /** TA1: quality-score gates. */
+  private def ta1Quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** TA2: stopword-vote language ID. */
+  private def ta2LangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** TA3: BPE-ish token statistics. */
+  private def ta3TokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- events
+
+  /** The events table is written with TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark only reads via the legacy nanos-as-long conf; `ts` then
+    * arrives as a LongType of epoch-nanos and `ts div 1000` (integer div —
+    * a double division would lose precision above 2^53) recovers micros.
+    */
+  private def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+  }
+
+  /** EV1: tumbling-window aggregate (batch form of the streaming agg). */
+  private def ev1EventWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsTbl(spark, dir)
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** EV2: gap-based sessionization (30-minute inactivity boundary). */
+  private def ev2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsTbl(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("is_new")).over(cum).as("session_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ------------------------------------------------------- joins on corpus
+
+  /** S2/J1: paired scan — documents with their embedding row. */
+  private def s2Paired(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .join(tbl(spark, dir, "embeddings").select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("n_chars"), col("label"))
+      .orderBy(col("doc_id"))
+
+  /** S6: docs lacking an embedding (the to-compute set). */
+  private def s6Incremental(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(col("doc_id"))
+      .join(tbl(spark, dir, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left_anti")
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ multimodal
+
+  /** MM1: opaque binary column plumbing — payload bytes + checksum + a
+    * clearly-STUBBED deterministic "decode" (width/height derived from the
+    * checksum; real decoders slot into the same schema per-partition).
+    */
+  private def mm1BinaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val digest = md5(payload)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        digest.as("payload_md5"),
+        // STUB decode: pretend the first md5 bytes are image dims
+        (conv(substring(digest, 1, 4), 16, 10).cast("long") % 1920).as("width"),
+        (conv(substring(digest, 5, 4), 16, 10).cast("long") % 1080).as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- pipelines
+
+  /** Non-SQL-expressible ops (rows-only driver check + ScalaTest goldens). */
+  private def binpackGreedy(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = tbl(spark, dir, "lineitem").select(
+      col("l_orderkey").as("doc_id"),
+      col("l_linenumber").as("chunk_idx"),
+      lit("x").as("text"),
+      floor(col("l_quantity")).cast("long").as("n_tokens"))
+    CorpusOps.binPack(chunks, 50L).toDF
+      .select(col("doc_id"), col("chunk_idx"), col("bin"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "j1_join_revenue" -> (j1Revenue(_, _)),
+    "j2_semi_join" -> (j2Semi(_, _)),
+    "j3_anti_join" -> (j3Anti(_, _)),
+    "p5_top_orders" -> (p5Top(_, _)),
+    "o3_window_running" -> (o3Window(_, _)),
+    "g3_binpack_cumsum" -> (g3BinpackCumsum(_, _)),
+    "g1_collect_ordered" -> (g1Collect(_, _)),
+    "g6_metric_stats" -> (g6Stats(_, _)),
+    "g7_histogram" -> (g7Histogram(_, _)),
+    "g8_argmax" -> (g8Argmax(_, _)),
+    "f1_clean_text" -> (f1Clean(_, _)),
+    "f2_token_counts" -> (f2TokenCounts(_, _)),
+    "c3_truncate" -> (c3Truncate(_, _)),
+    "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
+    "dd1_exact_dups" -> (dd1ExactDups(_, _)),
+    "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
+    "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
+    "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
+    "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
+    "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
+    "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
+    "ta1_quality" -> (ta1Quality(_, _)),
+    "ta2_lang_id" -> (ta2LangId(_, _)),
+    "ta3_token_stats" -> (ta3TokenStats(_, _)),
+    "ev1_event_window" -> (ev1EventWindow(_, _)),
+    "ev2_sessionize" -> (ev2Sessionize(_, _)),
+    "s2_paired_scan" -> (s2Paired(_, _)),
+    "s6_incremental" -> (s6Incremental(_, _)),
+    "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
+    "g3_binpack_greedy" -> (binpackGreedy(_, _)),
+    "pipe_truncated" -> (Pipelines.truncated(_, _)),
+    "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
+    "pipe_critique" -> (Pipelines.critique(_, _)),
+    "pipe_iterative" -> (Pipelines.iterative(_, _)),
+    "pipe_hierarchical" -> (Pipelines.hierarchical(_, _)),
+    "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
+    "eval_summary_stats" -> (Pipelines.evalStats(_, _)))
+
+  // --------------------------------------------------------------- oracles
+
+  /** DuckDB token-count expression matching [[graft.functions.tokenCount]]. */
+  private val tokSql =
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  private def exactSumSql(e: String) =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         round(${exactSumSql("l_quantity")}, 4) AS sum_qty,
+         round(${exactSumSql("l_extendedprice")}, 4) AS sum_base_price,
+         round(${exactSumSql("l_extendedprice * (1 - l_discount)")}, 4) AS sum_disc_price,
+         round(${exactSumSql("l_quantity")} / COUNT(*), 4) AS avg_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j1_join_revenue" ->
+      s"""SELECT r_name AS region_name, n_name AS nation_name,
+         round(${exactSumSql("o_totalprice")}, 4) AS revenue, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j2_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "p5_top_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total_price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "o3_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER w AS rn,
+         round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER w AS DOUBLE), 4) AS running_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY l_suppkey, rn""",
+    "g3_binpack_cumsum" ->
+      """SELECT l_orderkey AS doc_id, l_linenumber AS chunk_idx,
+         CAST(floor(l_quantity) AS BIGINT) AS n_tokens,
+         CAST(floor((SUM(CAST(floor(l_quantity) AS BIGINT)) OVER w - CAST(floor(l_quantity) AS BIGINT)) / 50.0) AS INT) AS bin
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, CAST(floor(l_quantity) AS BIGINT)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY doc_id, chunk_idx""",
+    "g1_collect_ordered" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+         string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "g6_metric_stats" ->
+      s"""SELECT l_returnflag,
+         round(${exactSumSql("l_extendedprice")} / COUNT(*), 4) AS mean_price,
+         round(sqrt(greatest(
+           (${exactSumSql("l_extendedprice * l_extendedprice")}
+            - ${exactSumSql("l_extendedprice")} * ${exactSumSql("l_extendedprice")} / CAST(COUNT(*) AS DOUBLE))
+           / CAST(COUNT(*) AS DOUBLE), 0.0)), 4) AS std_price,
+         round(MIN(l_extendedprice), 4) AS min_price,
+         round(MAX(l_extendedprice), 4) AS max_price,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "g7_histogram" ->
+      """SELECT bucket, n, round(n * 100.0 / SUM(n) OVER (), 4) AS pct FROM (
+           SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+                       WHEN o_totalprice >= 150000.0 THEN 'moderate'
+                       ELSE 'low' END AS bucket, COUNT(*) AS n
+           FROM orders GROUP BY 1) ORDER BY bucket""",
+    "g8_argmax" ->
+      """SELECT c_mktsegment, c_custkey AS best_custkey, round(c_acctbal, 4) AS best_acctbal
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey DESC) AS rn FROM customer)
+         WHERE rn = 1 ORDER BY c_mktsegment""",
+    "f1_clean_text" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+         FROM documents ORDER BY doc_id""",
+    "f2_token_counts" ->
+      s"""SELECT doc_id, $tokSql AS n_tokens, length(text) AS n_chars,
+         greatest(1, CAST(floor($tokSql / 50.0) AS BIGINT)) AS est_chunks
+         FROM documents ORDER BY doc_id""",
+    "c3_truncate" ->
+      """SELECT doc_id, array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS head20
+         FROM documents ORDER BY doc_id""",
+    "c1_chunk_fixed" ->
+      """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
+         FROM documents, LATERAL UNNEST(generate_series(0, CAST(floor((length(text)-1)/100.0) AS BIGINT))) AS t(k)
+         WHERE length(text) > 0 ORDER BY doc_id, chunk_idx""",
+    "dd1_exact_dups" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS dup_count,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
+    "dd2_minhash_sig" -> minhashSigSql,
+    "dd4_jaccard_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+             round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+           FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "ss1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ta1_quality" -> qualitySql,
+    "ta2_lang_id" -> langIdSql,
+    "ta3_token_stats" ->
+      s"""SELECT doc_id, $tokSql AS ws_tokens,
+         len(regexp_extract_all(text, '[\\p{L}]+')) AS alpha_runs,
+         len(regexp_extract_all(text, '[0-9]+')) AS digit_runs,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS punct_marks,
+         len(regexp_extract_all(text, '[\\p{L}]+')) + len(regexp_extract_all(text, '[0-9]+'))
+           + len(regexp_extract_all(text, '[[:punct:]]')) AS bpe_estimate
+         FROM documents ORDER BY doc_id""",
+    "ev1_event_window" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         round(${exactSumSql("value")}, 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ev2_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM e ORDER BY user_id, event_id""",
+    "s2_paired_scan" ->
+      """SELECT d.doc_id, d.n_chars, e.label FROM documents d
+         JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""",
+    "s6_incremental" ->
+      """SELECT doc_id FROM documents
+         WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = doc_id)
+         ORDER BY doc_id""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+         CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,
+         CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS height
+         FROM documents ORDER BY doc_id""")
+
+  /** md5-derived minhash: h_i = min over distinct 3-gram shingles of
+    * (first 15 md5 hex chars of "s<i>:<shingle>" as int).
+    */
+  private def minhashSigSql: String = {
+    val shingleCte =
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k))"""
+    val mins = (0 until 8).map { i =>
+      s"MIN(CAST(('0x' || substr(md5('s$i:' || shingle), 1, 15)) AS BIGINT)) AS mh_$i"
+    }.mkString(", ")
+    s"$shingleCte SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  private def qualitySql: String = {
+    val en = TextAnalysis.StopwordMarkers("en").map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       $tokSql AS n_tokens,
+       length(text) AS n_chars,
+       round(CASE WHEN $tokSql = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / $tokSql END, 4) AS avg_word_len,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END, 4) AS punct_ratio,
+       round(CASE WHEN $tokSql = 0 THEN 0.0
+         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$en], x))) * 1.0 / $tokSql END, 4) AS stopword_ratio,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+         ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text) END, 4) AS upper_ratio
+       FROM documents ORDER BY doc_id"""
+  }
+
+  private def langIdSql: String = {
+    val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted
+    def hits(l: String) = {
+      val words = TextAnalysis.StopwordMarkers(l).map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$words], x)))"
+    }
+    val hitCols = langs.map(l => s"${hits(l)} AS hits_$l").mkString(", ")
+    val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val caseExpr = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'und' $caseExpr END AS lang_pred,
+       ${langs.map(l => s"hits_$l").mkString(", ")}
+       FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM documents)
+       ORDER BY doc_id"""
+  }
 }

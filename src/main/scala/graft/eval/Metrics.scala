@@ -1,0 +1,81 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosineSimilarity, exactAvg, exactStddevPop, r4}
+import graft.functions.udfs
+import graft.llm.{Embedder, HashingTfEmbedder}
+
+/** Evaluation layer (SURVEY.md §2.9, §3.2).
+  *
+  * The reference's semantic-eval entry point is literally one relational
+  * query: scan gen + ref dirs -> inner join on filename -> per-pair metric
+  * columns -> mean/std/min/max aggregate -> JSON sink
+  * (evaluate/evaluate_summaries_semantic.py:521-696). That is exactly the
+  * shape here; metrics are columns, aggregates are built-ins.
+  */
+object Metrics {
+
+  /** M1+M3+M5: per-pair metric rows. Input: (doc_id, gen, ref). */
+  def pairMetrics(pairs: DataFrame, embedder: Embedder = HashingTfEmbedder(64)): DataFrame = {
+    val embedUdf = udf((t: String) => if (t == null) Array.empty[Float] else embedder.embed(t))
+    val rouge = udfs.rougeStruct(col("gen"), col("ref"))
+    pairs
+      .withColumn("rouge", rouge)
+      .select(
+        col("doc_id"),
+        cosineSimilarity(embedUdf(col("gen")), embedUdf(col("ref")))
+          .as("semantic_similarity"),
+        col("rouge.rouge1_f").as("rouge1_f"),
+        col("rouge.rouge2_f").as("rouge2_f"),
+        col("rouge.rougeL_f").as("rougeL_f"))
+  }
+
+  /** G6: mean/std/min/max per metric (population std — the reference uses
+    * numpy's default, evaluate/evaluate_summaries_semantic.py:600-617).
+    * Output long-format: (metric, mean, std, min, max).
+    */
+  def summaryStats(metrics: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        r4(exactAvg(col(c))).as(s"${c}__mean"),
+        r4(exactStddevPop(col(c))).as(s"${c}__std"),
+        r4(min(col(c))).as(s"${c}__min"),
+        r4(max(col(c))).as(s"${c}__max"))
+    }
+    val wide = metrics.agg(aggs.head, aggs.tail: _*)
+    // unpivot to long format (one stack expression — single pass)
+    val stackExpr = cols.map { c =>
+      s"'$c', `${c}__mean`, `${c}__std`, `${c}__min`, `${c}__max`"
+    }.mkString(s"stack(${cols.size}, ", ", ", ") as (metric, mean, std, min, max)")
+    wide.selectExpr(stackExpr)
+  }
+
+  /** G7: similarity-bucket histogram with percentages (reference:
+    * evaluate/evaluate_summaries_semantic.py:661-671 — [0.7,inf) high,
+    * [0.4,0.7) moderate, (-inf,0.4) low).
+    */
+  def similarityHistogram(metrics: DataFrame, simCol: String = "semantic_similarity")
+      : DataFrame = {
+    val bucket = when(col(simCol) >= 0.7, "high")
+      .when(col(simCol) >= 0.4, "moderate")
+      .otherwise("low")
+    metrics
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        r4(col("n") * 100.0 / sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())))
+  }
+
+  /** G8: best-model argmax per metric with deterministic tie-break on model
+    * name (reference: run_full_evaluation_pipeline.py:909-921).
+    */
+  def bestModelPerMetric(stats: DataFrame, metricCol: String = "metric",
+      modelCol: String = "model", valueCol: String = "mean"): DataFrame =
+    stats.groupBy(col(metricCol))
+      .agg(max_by(col(modelCol), struct(col(valueCol), col(modelCol)))
+        .as("best_model"),
+        max(col(valueCol)).as("best_value"))
+}

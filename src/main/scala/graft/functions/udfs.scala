@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.core.{Rouge, Splitter, Text}
+
+/** UDF-backed functions — only for logic built-ins can't express
+  * (recursive splitting, LCS dynamic programming). Each wraps a pure
+  * function from `graft.core` so the algorithm itself is unit-tested
+  * without Spark.
+  */
+object udfs {
+
+  /** C2: recursive token-aware split => ARRAY<STRING> of chunks. */
+  def recursiveSplitUdf(chunkSize: Int, overlap: Int, byTokens: Boolean = true)
+      : Column => Column = {
+    val lengthFn: String => Int = if (byTokens) Text.tokenCount else (_.length)
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else Splitter.recursiveSplit(text, chunkSize, overlap,
+        Splitter.DefaultSeparators, lengthFn).toArray
+    }
+    (c: Column) => f(c)
+  }
+
+  /** C1: single-separator character split => ARRAY<STRING>. */
+  def characterSplitUdf(chunkSize: Int, overlap: Int, separator: String = "\n\n")
+      : Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else Splitter.characterSplit(text, chunkSize, overlap, separator).toArray
+    }
+    (c: Column) => f(c)
+  }
+
+  /** M1: ROUGE-1/2/L F1 as STRUCT<rouge1_f, rouge2_f, rougeL_f>. */
+  val rougeAll = udf { (cand: String, ref: String) =>
+    if (cand == null || ref == null) (0.0, 0.0, 0.0)
+    else Rouge.all(cand, ref)
+  }
+
+  def rougeStruct(cand: Column, ref: Column): Column =
+    rougeAll(cand, ref).cast("struct<rouge1_f:double,rouge2_f:double,rougeL_f:double>")
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import graft.core.Text
+
+/** The reference's core scalar is an LLM call over HTTP (SURVEY.md §2.8 F6;
+  * reference: runners/run_summarization_ollama_mapreduce.py:37-49). We keep
+  * it behind a trait so the engine is testable/deterministic by default and
+  * an HTTP-backed implementation can slot in per-partition (SURVEY.md §7.3).
+  *
+  * Implementations MUST be deterministic given (text, maxTokens) unless
+  * explicitly documented otherwise — every oracle and golden test depends
+  * on it (SURVEY.md §5).
+  */
+trait Summarizer extends Serializable {
+  /** Produce a summary of `text` of at most `maxTokens` whitespace tokens. */
+  def summarize(text: String, maxTokens: Int): String
+}
+
+/** Deterministic extractive summarizer (the default scalar).
+  *
+  * Scores each sentence by the sum of corpus-free term frequencies of its
+  * tokens within the input (classic TF extractive scoring), normalized by
+  * sqrt(sentence length) to avoid long-sentence bias; selects the highest
+  * scoring sentences (ties broken by earlier position), then emits the
+  * selected sentences in their ORIGINAL order, truncated to the token
+  * budget. Pure function of the input — byte-stable across runs/partitions.
+  */
+object ExtractiveSummarizer extends Summarizer {
+  override def summarize(text: String, maxTokens: Int): String = {
+    val sents = Text.sentences(text)
+    if (sents.isEmpty) return ""
+    val tf = scala.collection.mutable.HashMap.empty[String, Int]
+    val sentToks = sents.map(Text.metricTokens)
+    sentToks.foreach(_.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1)))
+    val scored = sents.indices.map { i =>
+      val toks = sentToks(i)
+      val raw = toks.iterator.map(tf(_).toDouble).sum
+      val norm = if (toks.isEmpty) 0.0 else raw / math.sqrt(toks.length.toDouble)
+      (i, norm)
+    }
+    // highest score first, earlier sentence wins ties
+    val byScore = scored.sortBy { case (i, s) => (-s, i) }
+    val picked = scala.collection.mutable.BitSet.empty
+    var budget = maxTokens
+    byScore.foreach { case (i, _) =>
+      val n = Text.tokenCount(sents(i))
+      if (budget > 0 && (picked.isEmpty || n <= budget)) {
+        picked += i
+        budget -= n
+      }
+    }
+    val out = sents.indices.filter(picked).map(sents).mkString(" ")
+    Text.truncateTokens(out, maxTokens)
+  }
+}
+
+/** Lead-K summarizer: first maxTokens tokens. The simplest deterministic
+  * baseline (mirrors the reference's Q1 "truncated" spirit).
+  */
+object LeadSummarizer extends Summarizer {
+  override def summarize(text: String, maxTokens: Int): String =
+    Text.truncateTokens(Text.cleanThinkingFlat(text), maxTokens)
+}
+
+/** Identity (tests): returns the cleaned input, truncated. */
+object IdentitySummarizer extends Summarizer {
+  override def summarize(text: String, maxTokens: Int): String =
+    Text.truncateTokens(text, maxTokens)
+}
+
+/** Deterministic judge for the critique strategy (SURVEY.md §2.3 Q3;
+  * reference: runners/run_summarization_ollama_mapreduce_critique.py:118-201).
+  * The reference's critique is an LLM verdict string, gated on a
+  * "no issues" substring (:253-255). The deterministic stand-in flags a
+  * summary when it retains too little of the source vocabulary.
+  */
+trait Judge extends Serializable {
+  /** Returns a critique string; must contain [[Judge.NoIssues]] iff the
+    * summary passes.
+    */
+  def critique(summary: String, source: String): String
+}
+
+object Judge {
+  val NoIssues = "no issues"
+}
+
+final case class CoverageJudge(minCoverage: Double = 0.25) extends Judge {
+  override def critique(summary: String, source: String): String = {
+    val sumToks = Text.metricTokens(summary).toSet
+    val srcToks = Text.metricTokens(source).toSet
+    if (srcToks.isEmpty || summary.trim.isEmpty) return "empty summary"
+    val cov = srcToks.count(sumToks.contains).toDouble / srcToks.size
+    if (cov >= minCoverage) Judge.NoIssues
+    else f"low source coverage: $cov%.3f < $minCoverage%.3f"
+  }
+}

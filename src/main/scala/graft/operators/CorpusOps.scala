@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{BinPack, BinnedChunk, Chunk, PipelineConfig}
+import graft.functions.udfs
+
+/** Corpus-level relational operators (SURVEY.md §2.1, §2.4, §2.5).
+  *
+  * All transforms are DataFrame -> DataFrame so Catalyst sees one logical
+  * plan end to end (pushdown + pruning through every step). Parallelism is
+  * doc x chunk: `chunkDocs` explodes to one row per chunk, which is exactly
+  * the reference's `Send` fan-out (runners/run_summarization_ollama_mapreduce.py:109-112)
+  * expressed as partition parallelism.
+  */
+object CorpusOps {
+
+  /** S1: corpus scan from the parquet documents table: (doc_id, text). */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+
+  /** S1 (directory variant): one row per *.txt file — whole file as one
+    * value, keyed by filename stem (reference:
+    * run_full_evaluation_pipeline.py:417-444). At 100 TB this is the raw
+    * ingest path: `wholetext` keeps one file per row and the file listing
+    * is split across executors.
+    */
+  def docsFromTextDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt") // P2: extension filter at the source
+      .text(dir)
+      .select(
+        graft.functions.fileStem(input_file_name()).as("doc_name"),
+        col("value").as("text"))
+
+  /** C1/C2: explode documents into ordered chunks:
+    * (doc_id, chunk_idx, text, n_tokens). Chunk order is carried explicitly
+    * (SURVEY.md §1.3 — reduce prompts join summaries in chunk order).
+    */
+  def chunkDocs(docs: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val splitFn = udfs.recursiveSplitUdf(cfg.chunkSize, cfg.chunkOverlap, cfg.byTokens)
+    docs
+      .select(col("doc_id"), posexplode(splitFn(col("text"))).as(Seq("chunk_idx", "text")))
+      .withColumn("n_tokens", graft.functions.tokenCount(col("text")))
+  }
+
+  /** G3 exact greedy bin-packing per document (reference
+    * `split_list_of_docs`, runners/run_summarization_ollama_mapreduce.py:131-133).
+    * Runs as a per-doc `flatMapGroups` fold — the greedy reset cannot be a
+    * window cumsum (SURVEY.md §7.4.2). State per group is one doc's chunk
+    * list (bounded by doc size / chunk size), so executors never hold more
+    * than a few KB per key; the shuffle is one hash partitioning on doc_id.
+    */
+  def binPack(chunks: DataFrame, budget: Long): Dataset[BinnedChunk] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+        col("text"), col("n_tokens").cast("long"))
+      .as[Chunk]
+      .groupByKey(_.doc_id)
+      .flatMapGroups { (docId: Long, it: Iterator[Chunk]) =>
+        val sorted = it.toVector.sortBy(c => (c.chunk_idx, c.n_tokens))
+        BinPack.pack[Chunk](sorted, _.n_tokens, budget).map { case (c, bin) =>
+          BinnedChunk(docId, bin, c.chunk_idx, c.text, c.n_tokens)
+        }.iterator
+      }
+  }
+
+  /** G3 (approximate, SQL-oracle-able): window cumulative-sum bin assignment
+    * bin = floor((cumsum - n_tokens) / budget). Kept alongside the exact
+    * greedy version because it needs no per-group fold (pure window — stays
+    * in codegen) and IS expressible in ANSI SQL for the DuckDB oracle.
+    */
+  def binPackCumsum(chunks: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // n_tokens is a secondary sort key so the ordering is total even when
+    // chunk_idx has duplicates (rows tying on both keys are identical in
+    // every output column, so the cumsum is well-defined either way).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"), col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks.withColumn("bin",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("int"))
+  }
+
+  /** G1+G4: collapse each (doc_id, bin) group to one text blob, pieces
+    * joined in chunk order with "\n\n" (reference:
+    * runners/run_summarization_ollama_mapreduce.py:121). Partial aggregation
+    * (map-side combine) applies: collect_list of (idx, text) structs, sorted
+    * after the shuffle, so each group's payload crosses the wire once.
+    */
+  def concatBins(binned: DataFrame, sep: String = "\n\n"): DataFrame =
+    binned.groupBy(col("doc_id"), col("bin"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
+            s => s.getField("text")),
+          sep).as("text"),
+        sum(col("n_tokens")).as("n_tokens_in"),
+        min(col("chunk_idx")).as("first_chunk_idx"))
+
+  /** S6: incremental recompute set — docs whose output does not exist yet
+    * (left-anti join) and the already-done ones (left-semi) for downstream
+    * eval (reference: run_full_evaluation_pipeline.py:422-431).
+    */
+  def incrementalSplit(docs: DataFrame, existing: DataFrame): (DataFrame, DataFrame) = {
+    val todo = docs.join(existing, Seq("doc_id"), "left_anti")
+    val done = docs.join(existing, Seq("doc_id"), "left_semi")
+    (todo, done)
+  }
+}

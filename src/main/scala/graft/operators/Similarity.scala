@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosineSimilarity, dotProduct, l2Norm, r4}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — the vector-similarity primitive grown from the
+  * reference's embed-cosine metric (SURVEY.md §2.9 M3, §7.4.8).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, rank per query. Correctness baseline; linear
+  *    scan of the corpus, never quadratic.
+  *  - [[lshTopK]]: sign-random-projection LSH — bucket both sides on the
+  *    hyperplane sign bits, join within buckets (with multi-probe via
+  *    several tables), rerank exactly inside buckets. The 100 TB path:
+  *    candidate generation is an equi-join on compact keys.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col("vec_id"), col("embedding").as("emb_c"))
+      .crossJoin(broadcast(
+        queries.select(col("query_id"), col("embedding").as("emb_q"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        r4(cosineSimilarity(col("emb_q"), col("emb_c"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc) // deterministic ties
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): hash-derived value in [-1, 1). Seeds are static so plans are
+    * reproducible across runs and engines.
+    */
+  private def planeComponent(table: Int, plane: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, d))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** Sign-LSH bucket key for one table: `planes` sign bits packed to long. */
+  private def lshKey(emb: Column, dim: Int, table: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        element_at(emb, d + 1).cast("double") * lit(planeComponent(table, p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: `tables` independent sign-projection
+    * tables of `planes` bits each; candidates = bucket collisions in any
+    * table; exact cosine rerank inside candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      tables: Int = 8, planes: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def keyed(df: DataFrame, idCol: String): DataFrame =
+      (0 until tables).map { t =>
+        df.select(col(idCol), col("embedding"),
+          lit(t).as("tbl"), lshKey(col("embedding"), dim, t, planes).as("bkt"))
+      }.reduce(_ unionByName _)
+    val c = keyed(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val q = keyed(queries.select(col("query_id"), col("embedding")), "query_id")
+      .withColumnRenamed("embedding", "emb_q")
+    val cands = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("emb_q"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cands
+      .select(col("query_id"), col("vec_id"),
+        r4(cosineSimilarity(col("emb_q"), col("embedding"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs cosine above a threshold between two (small) labeled sets —
+    * the generated-vs-reference semantic-similarity join from the eval
+    * layer, exposed as a standalone operator.
+    */
+  def cosineJoin(left: DataFrame, right: DataFrame, threshold: Double): DataFrame =
+    left.select(col("vec_id").as("left_id"), col("embedding").as("emb_l"))
+      .join(right.select(col("vec_id").as("right_id"), col("embedding").as("emb_r")))
+      .select(col("left_id"), col("right_id"),
+        r4(cosineSimilarity(col("emb_l"), col("emb_r"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{charCount, r4, tokenCount}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All built from
+  * codegen'd built-ins (no UDFs) so they run at scan speed and push down.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language for the n-gram/stopword-vote language
+    * heuristic. Tiny, high-precision function-word lists.
+    */
+  val StopwordMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que"),
+    "vi" -> Seq("và", "là", "của", "các", "một", "trong", "được", "có"))
+
+  private def markerHits(textArr: Column, lang: String): Column =
+    size(filter(textArr, t => StopwordMarkers(lang).map(m => t === lit(m))
+      .reduce(_ || _))).cast("long")
+
+  /** Language-ID heuristic: count stopword-marker hits per language over
+    * the token array; predict the language with the most hits
+    * (deterministic tie-break by language code), 'und' when nothing hits.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val langs = StopwordMarkers.keys.toSeq.sorted
+    val withHits = docs.withColumn("__toks", arr)
+      .select((col("doc_id") +: langs.map(l =>
+        markerHits(col("__toks"), l).as(s"hits_$l"))): _*)
+    // argmax with deterministic tie-break: languages are scanned in
+    // ascending code order and the first one matching the max hit count
+    // wins (filter preserves array order)
+    val pairs = array(langs.map(l => struct(col(s"hits_$l").as("hits"), lit(l).as("lang"))): _*)
+    val maxHits = greatest(langs.map(l => col(s"hits_$l")): _*)
+    val winner = when(maxHits <= 0, lit("und")).otherwise(
+      element_at(filter(pairs, p => p.getField("hits") === maxHits), 1).getField("lang"))
+    withHits.withColumn("lang_pred", winner)
+      .select((col("doc_id") +: col("lang_pred") +: langs.map(l => col(s"hits_$l"))): _*)
+  }
+
+  /** Quality-scoring columns: token/char counts, mean word length,
+    * punctuation ratio, stopword ratio, uppercase ratio — the standard
+    * cheap quality gates of a pretraining data pipeline.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = charCount(t)
+    val stopArr = StopwordMarkers("en")
+    val toks = split(lower(trim(t)), "\\s+")
+    val nStop = size(filter(toks, x => stopArr.map(m => x === lit(m)).reduce(_ || _)))
+    val nPunct = nChar - charCount(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nUpper = nChar - charCount(regexp_replace(t, "[A-Z]", ""))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nChar.as("n_chars"),
+      r4(when(nTok === 0, 0.0).otherwise(
+        charCount(regexp_replace(t, "\\s", "")).cast("double") / nTok))
+        .as("avg_word_len"),
+      r4(when(nChar === 0, 0.0).otherwise(nPunct.cast("double") / nChar)).as("punct_ratio"),
+      r4(when(nTok === 0, 0.0).otherwise(nStop.cast("double") / nTok)).as("stopword_ratio"),
+      r4(when(nChar === 0, 0.0).otherwise(nUpper.cast("double") / nChar)).as("upper_ratio"))
+  }
+
+  /** BPE-ish subword token estimate: count alpha runs, digit runs and
+    * punctuation marks separately (a cheap regex proxy for subword
+    * tokenizer counts), plus the whitespace word count.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def countMatches(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("ws_tokens"),
+      countMatches("[\\p{L}]+").as("alpha_runs"),
+      countMatches("[0-9]+").as("digit_runs"),
+      countMatches("[\\p{Punct}]").as("punct_marks"),
+      (countMatches("[\\p{L}]+") + countMatches("[0-9]+") +
+        countMatches("[\\p{Punct}]")).as("bpe_estimate"))
+  }
+
+  /** Document fingerprint: 64-bit rolling (polynomial) hash of the
+    * normalized token stream — stable content identity that ignores
+    * whitespace differences.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        var h = 1469598103934665603L // FNV-ish offset
+        graft.core.Text.metricTokens(text).foreach { tok =>
+          var i = 0
+          while (i < tok.length) { h = (h ^ tok.charAt(i)) * 1099511628211L; i += 1 }
+          h = (h ^ ' ') * 1099511628211L
+        }
+        h
+      }
+    }
+    docs.select(col("doc_id"), fp(col(textCol)).as("fingerprint"))
+  }
+}
