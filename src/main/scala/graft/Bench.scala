@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query at SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{name:sec,...}}.
-  * Each query is forced with a full-result count (not collect — results
-  * stay distributed). A warm-up pass on the flagship aggregate amortizes
-  * JVM/codegen startup out of the per-query numbers.
+  * Each query is forced with a noop-format write: every column of every
+  * row is actually computed (a bare count() lets Catalyst prune pure
+  * projections down to a scan row-count, silently benchmarking nothing),
+  * while results stay distributed — no collect. A warm-up pass on the
+  * flagship aggregate amortizes JVM/codegen startup out of the per-query
+  * numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,13 +25,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // warm-up: JVM + parquet footer caches + codegen
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    try force(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

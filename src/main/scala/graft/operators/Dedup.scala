@@ -23,6 +23,33 @@ object Dedup {
   private def md5Long(c: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"s$seed:"), c)), 1, 15), 16, 10).cast("long")
 
+  /** First 60 bits of md5("s<seed>:" ++ s) as a long — bit-identical to
+    * [[md5Long]] (15 hex nibbles == first 8 digest bytes >>> 4) but computed
+    * on raw digest bytes, skipping the hex-string render + base-16 reparse.
+    */
+  private def md5LongJvm(md: java.security.MessageDigest, seed: Int, s: String): Long = {
+    md.reset()
+    val d = md.digest(("s" + seed + ":" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
+  /** All ordered pairs (i<j) from a sorted array column, expanded with
+    * higher-order functions (stays in codegen; no UDF, no self-join). The
+    * pair-generation pattern: bucket -> collect members -> local pair
+    * expansion is ONE shuffle over the input, vs a self-join's two full
+    * evaluations of the (expensive) upstream plus a distributed join.
+    * Quadratic only in per-bucket membership — the same blow-up a
+    * bucket-join would have, but without recomputing the inputs.
+    */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(
+        slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Exact duplicate groups by full-text hash: returns one row per
     * duplicated text with the canonical (min) doc_id, the duplicate count
     * and the member ids. One hash-aggregate; at 100 TB this is the cheapest
@@ -42,12 +69,42 @@ object Dedup {
     */
   def minhashSignature(docs: DataFrame, textCol: String, shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val shingles = array_distinct(wordNgrams(lower(col(textCol)), shingleSize))
-    val sig = (0 until numHashes).map { i =>
-      array_min(transform(col("shingles"), s => md5Long(s, i))).as(s"mh_$i")
+    // One UDF pass computes every hash over every shingle. The equivalent
+    // Column expression (numHashes x array_min(transform(shingles, md5 ->
+    // hex -> conv))) produces identical values but renders a hex string and
+    // reparses it base-16 per (shingle, hash) — measured ~10x slower on the
+    // bench corpus. Semantics (and the DuckDB oracle) are unchanged:
+    // h_i = min over distinct word-shingles of first-60-bits(md5("s<i>:" ++ s)).
+    val n = shingleSize
+    val sigUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val t = text.toLowerCase.trim
+        val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+        val shingles: Iterator[String] =
+          if (toks.isEmpty) Iterator.empty
+          else if (toks.length < n) Iterator(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" "))
+        val distinct = shingles.toSet
+        if (distinct.isEmpty) null
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val mins = Array.fill(numHashes)(Long.MaxValue)
+          distinct.foreach { s =>
+            var i = 0
+            while (i < numHashes) {
+              val v = md5LongJvm(md, i, s)
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          mins
+        }
+      }
     }
-    docs.withColumn("shingles", shingles)
-      .select(col("doc_id") +: sig: _*)
+    docs.withColumn("sig", sigUdf(col(textCol)))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** MinHash + LSH near-duplicate candidate pairs: band the signature
@@ -60,17 +117,22 @@ object Dedup {
       shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minhashSignature(docs, textCol, shingleSize, numHashes)
-    // long format: (doc_id, band, band_key)
-    val bandRows = (0 until bands).map { b =>
+    // long format: (doc_id, band, band_key) — ALL band keys from one
+    // projection + posexplode, not a `bands`-way union: each union branch
+    // would re-run the whole signature subtree (shingling + md5 minhashes),
+    // multiplying the dominant cost by `bands` per join side.
+    val bandKeys = array((0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("_", parts: _*)).as("band_key"))
-    }.reduce(_ unionByName _)
-    val a = bandRows.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bandRows.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      md5(concat_ws("_", parts: _*))
+    }: _*)
+    val bandRows = sigs
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    bandRows.groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   /** SimHash (64-bit) per document: weighted sign-sum of token-hash bits,
@@ -112,19 +174,20 @@ object Dedup {
       : DataFrame = {
     require(maxHamming <= 3, "blocking with 4 blocks guarantees k<=3 only")
     val hashes = simhash(docs, textCol)
-    val blocks = (0 until 4).map { blk =>
-      hashes.select(col("doc_id"), lit(blk).as("blk"),
-        shiftrightunsigned(col("simhash"), blk * 16).bitwiseAND(lit(0xffffL)).as("blk_key"),
-        col("simhash"))
-    }.reduce(_ unionByName _)
-    val a = blocks.select(col("blk"), col("blk_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = blocks.select(col("blk"), col("blk_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("blk", "blk_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // one projection + posexplode (not a 4-way union — see minhashLshPairs)
+    val blockKeys = array((0 until 4).map { blk =>
+      shiftrightunsigned(col("simhash"), blk * 16).bitwiseAND(lit(0xffffL))
+    }: _*)
+    val blocks = hashes
+      .select(col("doc_id"), col("simhash"), posexplode(blockKeys).as(Seq("blk", "blk_key")))
+    // carry the hash through the bucket as a (doc_id, simhash) struct so the
+    // Hamming verify needs no join back to the hash table
+    blocks.groupBy(col("blk"), col("blk_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -141,9 +204,13 @@ object Dedup {
         explode(array_distinct(wordNgrams(lower(col(textCol)), shingleSize)))
           .as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("x").join(sh.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // docs sharing a shingle meet in its bucket; pairs expand locally
+    // (see pairCombinations) and one more aggregate counts shared shingles
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     // sizes is O(corpus) rows — NOT broadcastable at scale; shuffle join on
     // doc id (AQE will broadcast on small inputs by itself)

@@ -46,15 +46,33 @@ object Similarity {
     (h.toDouble / Int.MaxValue)
   }
 
-  /** Sign-LSH bucket key for one table: `planes` sign bits packed to long. */
-  private def lshKey(emb: Column, dim: Int, table: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeComponent(table, p, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+  /** All `tables` sign-LSH bucket keys in one pass over the vector. A UDF
+    * (not an unrolled Column expression): the unrolled form is
+    * dim x planes x tables ~ 6k expression nodes per side, which bloats the
+    * plan to tens of MiB of task binary and dominates wall time with
+    * codegen; the UDF closure carries the hyperplanes as one small array.
+    */
+  private def lshKeysUdf(dim: Int, tables: Int, planes: Int) = {
+    val hp = Array.tabulate(tables, planes, dim)((t, p, d) => planeComponent(t, p, d))
+    udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val v = emb.toArray
+        val n = math.min(dim, v.length)
+        Array.tabulate(tables) { t =>
+          var key = 0L
+          var p = 0
+          while (p < planes) {
+            var dot = 0.0
+            var d = 0
+            while (d < n) { dot += v(d) * hp(t)(p)(d); d += 1 }
+            if (dot >= 0) key |= (1L << p)
+            p += 1
+          }
+          key
+        }
+      }
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** LSH-bucketed approximate top-k: `tables` independent sign-projection
@@ -64,11 +82,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 8, planes: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keysOf = lshKeysUdf(dim, tables, planes)
     def keyed(df: DataFrame, idCol: String): DataFrame =
-      (0 until tables).map { t =>
-        df.select(col(idCol), col("embedding"),
-          lit(t).as("tbl"), lshKey(col("embedding"), dim, t, planes).as("bkt"))
-      }.reduce(_ unionByName _)
+      df.select(col(idCol), col("embedding"),
+        posexplode(keysOf(col("embedding"))).as(Seq("tbl", "bkt")))
     val c = keyed(corpus.select(col("vec_id"), col("embedding")), "vec_id")
     val q = keyed(queries.select(col("query_id"), col("embedding")), "query_id")
       .withColumnRenamed("embedding", "emb_q")

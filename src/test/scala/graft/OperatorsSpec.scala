@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BinPack, PipelineConfig}
+import graft.operators.{CorpusOps, Dedup, Similarity, TreeOps}
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def chunksDf = Seq(
+    // (doc_id, chunk_idx, text, n_tokens) — deliberately out of order
+    (1L, 2, "c", 5L), (1L, 0, "a", 3L), (1L, 1, "b", 3L),
+    (2L, 0, "x", 10L), (2L, 1, "y", 1L))
+    .toDF("doc_id", "chunk_idx", "text", "n_tokens")
+
+  test("G3 distributed binPack matches the pure greedy packer per doc") {
+    val got = CorpusOps.binPack(chunksDf, 6L).collect()
+      .map(b => (b.doc_id, b.chunk_idx) -> b.bin).toMap
+    // doc 1 ordered weights (3,3,5): greedy -> bins (0,0,1)
+    val expect1 = BinPack.greedyBins(Seq(3L, 3L, 5L), 6L)
+    assert(Seq(got(1L -> 0), got(1L -> 1), got(1L -> 2)) == expect1)
+    // doc 2 ordered weights (10,1): 10 overflows alone -> (0,1)
+    assert(Seq(got(2L -> 0), got(2L -> 1)) == BinPack.greedyBins(Seq(10L, 1L), 6L))
+  }
+
+  test("G3 binPackCumsum assigns floor(exclusive-cumsum / budget)") {
+    val got = CorpusOps.binPackCumsum(chunksDf, 6L)
+      .select("doc_id", "chunk_idx", "bin").as[(Long, Int, Int)].collect().toSet
+    // doc1 exclusive cumsums: 0,3,6 -> bins 0,0,1 ; doc2: 0,10 -> 0,1
+    assert(got == Set((1L, 0, 0), (1L, 1, 0), (1L, 2, 1), (2L, 0, 0), (2L, 1, 1)))
+  }
+
+  test("G1/G4 concatBins joins chunk texts in chunk order") {
+    val binned = CorpusOps.binPack(chunksDf, 100L).toDF
+    val got = CorpusOps.concatBins(binned)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "a\n\nb\n\nc") // restored order despite shuffled input
+    assert(got(2L) == "x\n\ny")
+  }
+
+  test("C1/C2 chunkDocs: contiguous chunk_idx from 0, token counts attached") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val cfg = PipelineConfig(chunkSize = 4, chunkOverlap = 0, byTokens = true)
+    val rows = CorpusOps.chunkDocs(docs, cfg)
+      .select("chunk_idx", "n_tokens").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == rows.indices.toSeq)
+    assert(rows.forall(_._2 <= 4))
+    assert(rows.map(_._2).sum == 10) // zero overlap -> tokens partition exactly
+  }
+
+  test("S6 incrementalSplit: anti/semi split covers the corpus") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val existing = Seq(2L, 4L).toDF("doc_id")
+    val (todo, done) = CorpusOps.incrementalSplit(docs, existing)
+    assert(todo.as[Long].collect().toSet == Set(1L, 3L))
+    assert(done.as[Long].collect().toSet == Set(2L, 4L))
+  }
+
+  test("DD1 exact duplicates groups by full-text hash") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "unique")).toDF("doc_id", "text")
+    val got = Dedup.exactDuplicates(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("canonical_doc_id") == 1L)
+    assert(r.getAs[Long]("dup_count") == 2L)
+    assert(r.getAs[String]("member_ids") == "1,2")
+  }
+
+  test("DD4 n-gram Jaccard: identical docs pair at 1.0, disjoint absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "z y x w v u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("DD3 MinHash LSH: identical docs collide in every band") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs).as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("DD5 SimHash: identical docs at Hamming 0; unrelated docs filtered") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "entirely different vocabulary about spark catalyst tungsten shuffles"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs).select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("SS1 brute-force top-k ranks by cosine with deterministic ties") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("query_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((10L, 1), (11L, 2))) // exact match first
+  }
+
+  test("SS2 LSH top-k: self-similar corpus finds the exact duplicate vector") {
+    val vecs = (0 until 20).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f; (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((100L, { val v = Array.fill(8)(0f); v(0) = 1f; v }))
+      .toDF("query_id", "embedding")
+    val got = Similarity.lshTopK(corpus, queries, 3, 8, tables = 4, planes = 4)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= 0.0 - 1e-9))
+    assert(got.maxBy(_._2)._2 == 1.0) // an identical direction is in some bucket
+  }
+
+  test("S3 parseTree: recursive JSON to pre-order adjacency rows") {
+    val json =
+      """{"type":"Document","text":"root","children":[
+        |  {"type":"Header","text":"h1","children":[
+        |    {"type":"Paragraph","text":"p1"},{"type":"Paragraph","text":"p2"}]},
+        |  {"type":"Header","text":"h2","children":[{"type":"Paragraph","text":"p3"}]}
+        |]}""".stripMargin
+    val jsons = Seq((7L, json)).toDF("doc_id", "json")
+    val nodes = TreeOps.fromJsonStrings(spark, jsons).collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("parent_id"),
+        r.getAs[Int]("depth"), r.getAs[String]("node_type"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    assert(nodes.length == 6)
+    assert(nodes(0) == (0L, -1L, 0, "Document", "root"))
+    assert(nodes(1) == (1L, 0L, 1, "Header", "h1"))
+    assert(nodes(2) == (2L, 1L, 2, "Paragraph", "p1"))
+    assert(nodes(5) == (5L, 4L, 2, "Paragraph", "p3"))
+  }
+
+  test("TreeOps.synthesize: one header per sentence group, paragraphs per sentence") {
+    val docs = Seq((1L, "s1. s2. s3. s4.")).toDF("doc_id", "text")
+    val nodes = TreeOps.synthesize(docs, sentencesPerSection = 2).collect()
+    assert(nodes.count(_.getAs[String]("node_type") == "Document") == 1)
+    assert(nodes.count(_.getAs[String]("node_type") == "Header") == 2)
+    assert(nodes.count(_.getAs[String]("node_type") == "Paragraph") == 4)
+  }
+}

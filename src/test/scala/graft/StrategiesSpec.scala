@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PipelineConfig, Text}
+import graft.eval.Metrics
+import graft.llm.{ExtractiveSummarizer, IdentitySummarizer}
+import graft.operators.TreeOps
+import graft.strategy.{Hierarchical, Strategies}
+
+class StrategiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val cfg = PipelineConfig(
+    chunkSize = 6, chunkOverlap = 0, tokenMax = 10,
+    maxSummaryTokens = 4, maxCollapseRounds = 10,
+    maxCritiqueIterations = 2, byTokens = true)
+
+  private def docs: DataFrame = Seq(
+    (1L, "alpha beta gamma. delta epsilon zeta. eta theta iota. kappa lambda mu."),
+    (2L, "one two three. four five six."),
+    (3L, "single short doc."))
+    .toDF("doc_id", "text")
+
+  private def strategies(s: graft.llm.Summarizer = ExtractiveSummarizer) =
+    new Strategies(s, cfg = cfg)
+
+  test("Q1 truncated: one summary per doc, within budget") {
+    val out = strategies().truncated(docs).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val s = r.getAs[String]("summary")
+      assert(s.nonEmpty)
+      assert(Text.tokenCount(s) <= cfg.maxSummaryTokens)
+    }
+  }
+
+  test("Q2 map-reduce: one summary per doc, deterministic across runs") {
+    val a = strategies().mapReduce(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("summary")).toMap
+    val b = strategies().mapReduce(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("summary")).toMap
+    assert(a == b)
+    assert(a.keySet == Set(1L, 2L, 3L))
+    assert(a.values.forall(_.nonEmpty))
+  }
+
+  test("Q3 critique: one summary per doc, none empty") {
+    val out = strategies().mapReduceCritique(docs).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("summary").nonEmpty))
+  }
+
+  test("Q4 iterative: sequential fold semantics (identity summarizer witnesses the fold order)") {
+    // with chunkSize >= doc tokens there is exactly one chunk, so the fold
+    // returns summarize(chunk_0) — with identity, the doc text itself
+    val bigCfg = cfg.copy(chunkSize = 100, maxSummaryTokens = 100)
+    val out = new Strategies(IdentitySummarizer, cfg = bigCfg)
+      .iterative(Seq((5L, "exact text preserved")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(5L) == "exact text preserved")
+  }
+
+  test("Q4 iterative: one summary per doc on multi-chunk docs") {
+    val out = strategies().iterative(docs).as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_.nonEmpty))
+  }
+
+  test("Q5 hierarchical: synthesized tree collapses to one summary per doc") {
+    val out = new Hierarchical(ExtractiveSummarizer, cfg)
+      .summarize(TreeOps.synthesize(docs))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_.nonEmpty))
+  }
+
+  test("collapse loop terminates and respects the token budget shape") {
+    // long doc forces at least one collapse round at tokenMax=10
+    val long = Seq((9L, ("word " * 60).trim)).toDF("doc_id", "text")
+    val out = strategies().mapReduce(long).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("summary").nonEmpty)
+  }
+
+  test("M1/M3/M5 pairMetrics: identical pair scores 1.0 on rouge and cosine") {
+    val pairs = Seq((1L, "same summary text", "same summary text"),
+      (2L, "alpha beta", "gamma delta")).toDF("doc_id", "gen", "ref")
+    val m = Metrics.pairMetrics(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(math.abs(m(1L).getAs[Double]("rouge1_f") - 1.0) < 1e-9)
+    assert(math.abs(m(1L).getAs[Double]("semantic_similarity") - 1.0) < 1e-6)
+    assert(m(2L).getAs[Double]("rouge1_f") == 0.0)
+  }
+
+  test("G6 summaryStats: long-format mean/std/min/max (population std)") {
+    val metrics = Seq((1L, 0.2), (2L, 0.4), (3L, 0.6)).toDF("doc_id", "m")
+    val s = Metrics.summaryStats(metrics, Seq("m")).collect().head
+    assert(s.getAs[String]("metric") == "m")
+    assert(math.abs(s.getAs[Double]("mean") - 0.4) < 1e-9)
+    // population std of {0.2,0.4,0.6} = sqrt(2/75) = 0.1633
+    assert(math.abs(s.getAs[Double]("std") - 0.1633) < 1e-4)
+    assert(s.getAs[Double]("min") == 0.2 && s.getAs[Double]("max") == 0.6)
+  }
+
+  test("G7 similarityHistogram buckets and percentages") {
+    val metrics = Seq(0.9, 0.8, 0.5, 0.1).toDF("semantic_similarity")
+    val got = Metrics.similarityHistogram(metrics).collect()
+      .map(r => r.getAs[String]("bucket") -> (r.getAs[Long]("n"), r.getAs[Double]("pct")))
+      .toMap
+    assert(got("high") == (2L, 50.0))
+    assert(got("moderate") == (1L, 25.0))
+    assert(got("low") == (1L, 25.0))
+  }
+
+  test("G8 bestModelPerMetric: argmax with deterministic tie-break") {
+    val stats = Seq(
+      ("rouge1", "model_a", 0.5), ("rouge1", "model_b", 0.7),
+      ("rouge2", "model_a", 0.3), ("rouge2", "model_b", 0.3))
+      .toDF("metric", "model", "mean")
+    val got = Metrics.bestModelPerMetric(stats).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[String]("best_model")).toMap
+    assert(got("rouge1") == "model_b")
+    assert(got("rouge2") == "model_b") // tie -> lexicographically larger model
+  }
+}
