@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{charCount, cleanThinking, exactAvg, exactStddevPop, exactSum,
   r4, squeezeWhitespace, tokenCount, truncateTokens}
-import graft.operators.{CorpusOps, Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -303,6 +303,34 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** EV3: gap sessionization via the stateful streaming operator
+    * (flatMapGroupsWithState) run in batch mode — one implementation serves
+    * both execution modes, and the batch run is held to the SAME oracle as
+    * the window-based ev2.
+    */
+  private def ev3SessionizeState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val ev = eventsTbl(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("ts div 1000").as("ts_us"))
+      .as[EventStreams.SessionEvent]
+    EventStreams.sessionize(ev, 30).toDF()
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** EV4: the streaming windowed aggregate run in batch (watermark is a
+    * no-op); window bounds projected flat for the oracle.
+    */
+  private def ev4StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.EventStreams.windowedAgg(ev, "1 hour", "30 minutes")
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), r4(col("total_value")).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------- joins on corpus
 
   /** S2/J1: paired scan — documents with their embedding row. */
@@ -338,6 +366,20 @@ object SparkEntry {
         (conv(substring(digest, 5, 4), 16, 10).cast("long") % 1080).as("height"))
       .orderBy(col("doc_id"))
   }
+
+  /** MM2: typed metadata decode over the binary payload via the
+    * per-partition decoder (STUB codec, real mapPartitions plumbing); the
+    * stub is md5-derived so the whole path has an exact SQL oracle.
+    */
+  private def mm2DecodeMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.withPayload(tbl(spark, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** MM3: frame sampling (every 10th frame) — one row per sampled frame. */
+  private def mm3FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.withPayload(tbl(spark, dir, "documents")), 10)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 
   // ------------------------------------------------------------- pipelines
 
@@ -383,9 +425,13 @@ object SparkEntry {
     "ta3_token_stats" -> (ta3TokenStats(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
+    "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
+    "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
+    "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
+    "mm3_frame_sample" -> (mm3FrameSample(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
@@ -548,6 +594,28 @@ object SparkEntry {
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM e ORDER BY user_id, event_id""",
+    "ev3_sessionize_state" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM e ORDER BY user_id, event_id""",
+    "ev4_stream_window" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+         round(${exactSumSql("value")}, 4) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "mm2_decode_meta" ->
+      """SELECT doc_id,
+         ['jpeg','png','wav','mp4'][(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 4) + 1] AS format,
+         16 + CAST(('0x' || substr(md5(text), 3, 4)) AS INT) % 1904 AS width,
+         16 + CAST(('0x' || substr(md5(text), 7, 4)) AS INT) % 1064 AS height,
+         1 + CAST(('0x' || substr(md5(text), 11, 2)) AS INT) % 120 AS n_frames,
+         octet_length(encode(text)) AS n_bytes
+         FROM documents ORDER BY doc_id""",
     "s2_paired_scan" ->
       """SELECT d.doc_id, d.n_chars, e.label FROM documents d
          JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""",

@@ -3,7 +3,7 @@ package graft.eval
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSimilarity, exactAvg, exactStddevPop, r4}
+import graft.functions.{cosineSimilarityF, exactAvg, exactStddevPop, r4}
 import graft.functions.udfs
 import graft.llm.{Embedder, HashingTfEmbedder}
 
@@ -25,7 +25,7 @@ object Metrics {
       .withColumn("rouge", rouge)
       .select(
         col("doc_id"),
-        cosineSimilarity(embedUdf(col("gen")), embedUdf(col("ref")))
+        cosineSimilarityF(embedUdf(col("gen")), embedUdf(col("ref")))
           .as("semantic_similarity"),
         col("rouge.rouge1_f").as("rouge1_f"),
         col("rouge.rouge2_f").as("rouge2_f"),

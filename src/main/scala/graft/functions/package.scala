@@ -70,10 +70,22 @@ package object functions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** M3: cosine similarity of two vector columns (0.0 when either is zero). */
+  /** M3: cosine similarity of two vector columns (0.0 when either is zero).
+    * Works for any numeric element type via higher-order functions.
+    */
   def cosineSimilarity(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** M3 (native): same values as [[cosineSimilarity]] for ARRAY<FLOAT>
+    * inputs, computed by the codegen'd [[VecCosine]] expression — the hot
+    * path for ANN scoring where the HOF form's per-element lambda dispatch
+    * and zipped intermediate array dominate.
+    */
+  def cosineSimilarityF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
   }
 
   // ---------------------------------------------- deterministic aggregates

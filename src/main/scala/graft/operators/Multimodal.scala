@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata (builder-prompt requirement beyond the reference).
+  *
+  * The Spark side — schema, partition-wise decoder lifecycle, batch shape,
+  * frame-sample explode — is real and tested; the actual codec is STUBBED
+  * behind [[MediaDecoder]] (no image/audio libraries in this container).
+  * A real decoder (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) implements the
+  * same trait and is constructed once per partition in [[decodeMeta]] /
+  * [[sampleFrames]] — the `mapPartitions` boundary is exactly where a
+  * native handle (codec context, subprocess) would live.
+  */
+object Multimodal {
+
+  /** Typed metadata a decoder yields for one payload. */
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, n_frames: Int, n_bytes: Long)
+
+  final case class DecodedRow(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_frames: Int, n_bytes: Long)
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Per-partition decoder. `open()` is called once per partition before
+    * the first payload and may allocate native resources; implementations
+    * must be Serializable (shipped to executors) and deterministic.
+    */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decode(payload: Array[Byte]): MediaMeta
+    def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte]
+  }
+
+  /** STUB decoder — deterministic pseudo-metadata derived from an md5 of
+    * the payload (`???`-equivalent that still lets every downstream stage
+    * run and be tested byte-stably). Replace with a codec-backed
+    * implementation for real media; nothing else changes.
+    */
+  object StubDecoder extends MediaDecoder {
+    private def digest(payload: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(payload)
+    override def decode(payload: Array[Byte]): MediaMeta = {
+      val d = digest(payload)
+      def u(i: Int): Int = d(i) & 0xff
+      val formats = Array("jpeg", "png", "wav", "mp4")
+      MediaMeta(
+        format = formats(u(0) % formats.length),
+        width = 16 + ((u(1) << 8 | u(2)) % 1904),
+        height = 16 + ((u(3) << 8 | u(4)) % 1064),
+        n_frames = 1 + u(5) % 120,
+        n_bytes = payload.length.toLong)
+    }
+    override def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
+      digest(payload ++ BigInt(frameIdx).toByteArray) // stand-in frame bytes
+  }
+
+  /** Attach a BINARY payload column derived from a string column — the
+    * testdata has no true media files, so text bytes stand in; with real
+    * data this is `spark.read.format("binaryFile")`'s `content` column.
+    */
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Decode typed metadata per payload. One decoder instance per partition
+    * (open/close around the iterator), rows streamed — no per-row codec
+    * setup, no partition-sized materialization.
+    */
+  def decodeMeta(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        val out = it.map { case (id, payload) =>
+          val m = decoder.decode(payload)
+          DecodedRow(id, m.format, m.width, m.height, m.n_frames, m.n_bytes)
+        }
+        new Iterator[DecodedRow] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) decoder.close()
+            h
+          }
+          override def next(): DecodedRow = out.next()
+        }
+      }(Encoders.product[DecodedRow])
+      .toDF()
+  }
+
+  /** Sample every `stride`-th frame of each payload (video frame-sampling
+    * shape): metadata decides the frame count, frames extract lazily per
+    * row. Output explodes to one row per sampled frame — partition
+    * parallelism scales with total frames, not documents.
+    */
+  def sampleFrames(media: DataFrame, stride: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        it.flatMap { case (id, payload) =>
+          val m = decoder.decode(payload)
+          (0 until m.n_frames by stride).iterator
+            .map(f => FrameRow(id, f, decoder.extractFrame(payload, f)))
+        }
+      }(Encoders.product[FrameRow])
+      .toDF()
+  }
+}

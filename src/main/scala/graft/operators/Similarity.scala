@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSimilarity, dotProduct, l2Norm, r4}
+import graft.functions.{cosineSimilarityF, r4}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]) — the vector-similarity primitive grown from the
@@ -30,7 +30,7 @@ object Similarity {
         queries.select(col("query_id"), col("embedding").as("emb_q"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        r4(cosineSimilarity(col("emb_q"), col("emb_c"))).as("cosine"))
+        r4(cosineSimilarityF(col("emb_q"), col("emb_c"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc) // deterministic ties
     scored.withColumn("rank", row_number().over(w))
@@ -97,7 +97,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     cands
       .select(col("query_id"), col("vec_id"),
-        r4(cosineSimilarity(col("emb_q"), col("embedding"))).as("cosine"))
+        r4(cosineSimilarityF(col("emb_q"), col("embedding"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -110,6 +110,6 @@ object Similarity {
     left.select(col("vec_id").as("left_id"), col("embedding").as("emb_l"))
       .join(right.select(col("vec_id").as("right_id"), col("embedding").as("emb_r")))
       .select(col("left_id"), col("right_id"),
-        r4(cosineSimilarity(col("emb_l"), col("emb_r"))).as("cosine"))
+        r4(cosineSimilarityF(col("emb_l"), col("emb_r"))).as("cosine"))
       .filter(col("cosine") >= threshold)
 }

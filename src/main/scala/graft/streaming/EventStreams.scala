@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference is pure batch; its only incremental behavior is
+  * skip-if-exists (S6). These operators are the streaming growth path the
+  * builder prompt asks for: the same event-table semantics as the batch
+  * queries (ev1/ev2), expressed so ONE implementation serves both modes —
+  * `windowedAgg` is mode-agnostic DataFrame code (watermark is a no-op in
+  * batch), and `sessionize` is a `flatMapGroupsWithState` that Spark runs
+  * per-group-with-state in streaming and per-group-once in batch.
+  *
+  * Scale: state per key is O(1) (one rolling session counter + last-seen
+  * timestamp); watermarks bound both the window-agg state store and late
+  * data. Shuffle is one hash partitioning on the group key per mode.
+  */
+object EventStreams {
+
+  /** ts_us = event time in epoch microseconds (Catalyst's native timestamp
+    * precision; a java.sql.Timestamp field would floor to milliseconds and
+    * diverge from the batch window query at sub-ms gaps).
+    */
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+
+  final case class SessionState(lastSessionId: Long, lastEventUs: Long)
+
+  final case class SessionedEvent(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Open a parquet directory as a file stream with an explicit schema
+    * (streaming readers cannot infer).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** EV1 (streaming form): watermarked tumbling-window counts/sums per
+    * event type. In batch mode `withWatermark` is a no-op and this computes
+    * exactly the ev1 aggregate shape.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+      // decimal-exact sum: float summation is partition-order-dependent,
+      // and streaming merges partials in arrival order (graft.functions.exactSum)
+      .agg(count(lit(1)).as("n"), graft.functions.exactSum(col("value")).as("total_value"))
+
+  /** EV2 (stateful form): gap-based sessionization via
+    * flatMapGroupsWithState. Session ids are 1-based per user and increment
+    * whenever the gap to the previous event exceeds `gapMinutes` — the
+    * same semantics as the batch window-cumsum query (ev2_sessionize), so
+    * the batch run of this operator is checkable against the same SQL
+    * oracle.
+    *
+    * Within one invocation events are sorted by (ts, event_id); across
+    * micro-batches ordering is the watermark's responsibility (late events
+    * beyond the watermark are the stream's correctness boundary, as in any
+    * event-time sessionizer).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int)
+      : Dataset[SessionedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def assign(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionedEvent] = {
+      val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+      val out = ordered.map { e =>
+        val isNew = st.lastEventUs == Long.MinValue || e.ts_us - st.lastEventUs > gapUs
+        val sid = if (isNew) st.lastSessionId + 1 else st.lastSessionId
+        st = SessionState(sid, e.ts_us)
+        SessionedEvent(userId, e.event_id, sid)
+      }
+      if (out.nonEmpty) state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
+  }
+
+  /** Streaming exact-dedup: keep the first occurrence of each content hash,
+    * with state bounded by the watermark (duplicates arriving later than
+    * the delay are the accepted trade-off at unbounded scale).
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("text_md5")
+}

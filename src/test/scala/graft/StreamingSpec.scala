@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionedEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+
+  test("sessionize carries state across micro-batches (streaming mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart -> one session
+      input.addData(SessionEvent(1L, 1L, us(0)), SessionEvent(1L, 2L, us(10)))
+      q.processAllAvailable()
+      // batch 2: 20 min after the last event -> SAME session (state carried);
+      // then a 90-min gap -> new session
+      input.addData(SessionEvent(1L, 3L, us(30)), SessionEvent(1L, 4L, us(120)))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out").as[SessionedEvent].collect()
+        .map(e => e.event_id -> e.session_id).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize batch mode matches the window-cumsum formulation") {
+    import spark.implicits._
+    val events = Seq(
+      SessionEvent(1L, 1L, us(0)), SessionEvent(1L, 2L, us(10)),
+      SessionEvent(1L, 3L, us(120)), // 110-min gap -> session 2
+      SessionEvent(2L, 4L, us(5))).toDS()
+    val got = EventStreams.sessionize(events, 30).collect()
+      .map(e => (e.user_id, e.event_id) -> e.session_id).toMap
+    assert(got == Map((1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (2L, 4L) -> 1L))
+  }
+
+  test("windowedAgg over a stream: tumbling hour windows, exact sums") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(df, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData((t(1, 10), "click", 1.5), (t(1, 40), "click", 2.5), (t(2, 5), "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(col("win.start").cast("string"), col("event_type"), col("n"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        ("2026-01-01 01:00:00", "click", 2L, 4.0),
+        ("2026-01-01 02:00:00", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps first occurrence per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.dedupStream(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+      input.addData((t0, 1L, "same"), (t0, 2L, "same"), (t0, 3L, "other"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(got.size == 2)
+      assert(got.contains(3L))
+      assert(got.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+}
