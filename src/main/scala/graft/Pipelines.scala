@@ -62,4 +62,13 @@ object Pipelines {
   def evalStats(spark: SparkSession, dir: String): DataFrame =
     Metrics.summaryStats(pairMetrics(spark, dir),
       Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f"))
+
+  /** M4 judge pass over the same gen/ref pairing as [[pairMetrics]]. */
+  def judgeScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val gen = strategies().mapReduce(d).withColumnRenamed("summary", "gen")
+    val ref = d.select(col("doc_id"),
+      udf((t: String) => LeadSummarizer.summarize(t, 12)).apply(col("text")).as("ref"))
+    Metrics.judgeMetrics(gen.join(ref, "doc_id")).orderBy(col("doc_id"))
+  }
 }

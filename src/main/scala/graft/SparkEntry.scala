@@ -229,6 +229,11 @@ object SparkEntry {
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DD6: embedding-cosine near-dup pairs (exact, native VecCosine). */
+  private def dd6EmbeddingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(tbl(spark, dir, "embeddings"), 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ------------------------------------------------------------ similarity
 
   /** SS1: brute-force cosine top-5 for query vectors (vec_id < 5). */
@@ -418,6 +423,7 @@ object SparkEntry {
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
+    "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ta1_quality" -> (ta1Quality(_, _)),
@@ -439,7 +445,8 @@ object SparkEntry {
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
     "pipe_hierarchical" -> (Pipelines.hierarchical(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
-    "eval_summary_stats" -> (Pipelines.evalStats(_, _)))
+    "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
+    "eval_judge_scores" -> (Pipelines.judgeScores(_, _)))
 
   // --------------------------------------------------------------- oracles
 
@@ -540,6 +547,16 @@ object SparkEntry {
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
     "dd2_minhash_sig" -> minhashSigSql,
+    "dd6_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE cosine >= 0.45 ORDER BY id_a, id_b""",
     "dd4_jaccard_pairs" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

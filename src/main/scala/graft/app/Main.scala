@@ -1,0 +1,130 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+import graft.core.PipelineConfig
+import graft.eval.Metrics
+import graft.llm.ExtractiveSummarizer
+import graft.operators.{CorpusOps, Sinks, TreeOps}
+import graft.strategy.{Hierarchical, Strategies}
+
+/** CLI mirroring the reference's three entry points (SURVEY.md §3):
+  *
+  *   pipeline --approach <truncated|mapreduce|critique|iterative|hierarchical>
+  *            --docs <parquet path | text dir> --out <dir>
+  *            [--chunk-size N] [--overlap N] [--token-max N] [--summary-tokens N]
+  *            [--write-files]
+  *   evaluate --gen <summaries parquet> --ref <summaries parquet> --report <file.json>
+  *
+  * `--docs` accepts either a parquet table (doc_id, text) or a directory of
+  * *.txt files (scanned with wholetext + filename-stem ids, the reference's
+  * corpus layout). Summaries always land as a parquet table `summaries/`
+  * under --out; --write-files additionally emits one <doc_id>.txt per doc.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "pipeline" :: rest => runPipeline(parseOpts(rest))
+    case "evaluate" :: rest => runEvaluate(parseOpts(rest))
+    case _ =>
+      System.err.println(
+        "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
+          "       graft evaluate --gen PATH --ref PATH --report FILE")
+      sys.exit(2)
+  }
+
+  private def parseOpts(args: List[String]): Map[String, String] = {
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case key :: value :: tail if key.startsWith("--") && !value.startsWith("--") =>
+          loop(tail, acc + (key.drop(2) -> value))
+        case key :: tail if key.startsWith("--") =>
+          loop(tail, acc + (key.drop(2) -> "true"))
+        case Nil => acc
+        case other :: _ => throw new IllegalArgumentException(s"unexpected arg: $other")
+      }
+    loop(args, Map.empty)
+  }
+
+  /** getOrCreate, remembering whether the session was ours to stop — a
+    * pre-existing host session (tests, notebooks) is left running.
+    */
+  private def session(): (SparkSession, Boolean) = {
+    val preexisting = SparkSession.getDefaultSession
+      .exists(s => !s.sparkContext.isStopped)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+    (spark, !preexisting)
+  }
+
+  private def loadDocs(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path).isDirectory &&
+        !new java.io.File(path, "_SUCCESS").exists() &&
+        new java.io.File(path).listFiles().exists(_.getName.endsWith(".txt")))
+      CorpusOps.docsFromTextDir(spark, path)
+        .withColumn("doc_id", xxhash64(col("doc_name")))
+    else spark.read.parquet(path).select(col("doc_id").cast("long"), col("text"))
+
+  private[app] def runPipeline(opts: Map[String, String]): Unit = {
+    val approach = opts.getOrElse("approach", "mapreduce")
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val cfg = PipelineConfig(
+      chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(400),
+      chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(40),
+      tokenMax = opts.get("token-max").map(_.toInt).getOrElse(600),
+      maxSummaryTokens = opts.get("summary-tokens").map(_.toInt).getOrElse(120))
+    val (spark, owned) = session()
+    try {
+      val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
+      val strategies = new Strategies(ExtractiveSummarizer, cfg = cfg)
+      val summaries = approach match {
+        case "truncated" => strategies.truncated(docs)
+        case "mapreduce" => strategies.mapReduce(docs)
+        case "critique" => strategies.mapReduceCritique(docs)
+        case "iterative" => strategies.iterative(docs)
+        case "hierarchical" =>
+          new Hierarchical(ExtractiveSummarizer, cfg).summarize(TreeOps.synthesize(docs))
+        case other => sys.error(s"unknown approach: $other")
+      }
+      Sinks.writeSummaryTable(summaries, s"$out/summaries")
+      if (opts.contains("write-files"))
+        Sinks.writeSummaryFiles(
+          spark.read.parquet(s"$out/summaries"), s"$out/files")
+      println(s"[graft] $approach summaries -> $out/summaries")
+    } finally if (owned) spark.stop()
+  }
+
+  private[app] def runEvaluate(opts: Map[String, String]): Unit = {
+    val report = opts.getOrElse("report", sys.error("--report required"))
+    val (spark, owned) = session()
+    try {
+      def summariesOf(path: String, alias: String): DataFrame = {
+        val df = spark.read.parquet(path)
+        val textCol = Seq("summary", "text").find(df.columns.contains)
+          .getOrElse(sys.error(s"$path has no summary/text column"))
+        df.select(col("doc_id").cast("long"), col(textCol).as(alias))
+      }
+      val pairs = summariesOf(opts.getOrElse("gen", sys.error("--gen required")), "gen")
+        .join(summariesOf(opts.getOrElse("ref", sys.error("--ref required")), "ref"),
+          "doc_id") // J1: inner equi-join on the shared key
+      val metrics = Metrics.pairMetrics(pairs)
+      val stats = Metrics.summaryStats(metrics,
+        Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f"))
+      val hist = Metrics.similarityHistogram(metrics)
+      Sinks.writeJsonReport(stats, hist, metrics.orderBy("doc_id"), report)
+      println(s"[graft] evaluation report -> $report")
+    } finally if (owned) spark.stop()
+  }
+}

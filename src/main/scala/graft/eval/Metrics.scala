@@ -52,6 +52,33 @@ object Metrics {
     wide.selectExpr(stackExpr)
   }
 
+  /** M4: per-pair judge verdicts (the G-Eval shape: an LLM-rubric judge in
+    * the reference, the deterministic [[graft.llm.CoverageJudge]] by
+    * default) with per-case failure isolation — a judge that throws yields
+    * a null verdict instead of failing the query (reference isolates G-Eval
+    * failures per case, evaluate/evaluate_summaries_semantic.py:318-376).
+    * Input: (doc_id, gen, ref). Output: (doc_id, verdict, passed).
+    */
+  def judgeMetrics(pairs: DataFrame,
+      judge: graft.llm.Judge = graft.llm.CoverageJudge()): DataFrame = {
+    val judgeUdf = udf { (gen: String, ref: String) =>
+      try {
+        val verdict = judge.critique(gen, ref)
+        Option((verdict, verdict.contains(graft.llm.Judge.NoIssues)))
+      } catch { case _: Exception => None }
+    }
+    pairs.withColumn("j", judgeUdf(col("gen"), col("ref")))
+      .select(col("doc_id"), col("j._1").as("verdict"), col("j._2").as("passed"))
+  }
+
+  /** M4 aggregate: pass rate + isolated-failure count. */
+  def judgeStats(judged: DataFrame): DataFrame =
+    judged.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"),
+      sum(when(col("verdict").isNull, 1L).otherwise(0L)).as("n_failures"),
+      r4(exactAvg(when(col("passed"), 1.0).otherwise(0.0))).as("pass_rate"))
+
   /** G7: similarity-bucket histogram with percentages (reference:
     * evaluate/evaluate_summaries_semantic.py:661-671 — [0.7,inf) high,
     * [0.4,0.7) moderate, (-inf,0.4) low).

@@ -192,6 +192,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
+    * cosine >= `minCosine`, scored by the native [[graft.functions.VecCosine]]
+    * expression. This exact form is O(n^2) — the correctness baseline and
+    * oracle target. At corpus scale, prefilter candidates with the sign-LSH
+    * bucketing of [[Similarity.lshTopK]] (bucket-collision pairs -> exact
+    * cosine verify), which replaces the cartesian with an equi-join.
+    */
+  def embeddingCosinePairs(emb: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.r4(
+          graft.functions.cosineSimilarityF(col("emb_a"), col("emb_b"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** N-gram Jaccard near-dup pairs above `minJaccard`: explode distinct
     * shingles, self-join on the shingle (only docs sharing a shingle meet),
     * count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output sinks (SURVEY.md §2.1 S4/S5).
+  *
+  * The reference writes one `<fname>.txt` per summary immediately after
+  * generation (runners/run_summarization_ollama_mapreduce.py:269-271) and a
+  * nested JSON report at the end (evaluate/evaluate_summaries_semantic.py:674-696).
+  * Spark-idiomatic equivalents: the summary TABLE is the primary output
+  * (parquet, partition-parallel); per-doc text files exist for drop-in
+  * compatibility and stream from executors (foreachPartition), never
+  * collecting to the driver. The report is a single tiny row — aggregates —
+  * so a driver-side JSON render is the right tool.
+  */
+object Sinks {
+
+  /** S4 (idiomatic): summaries as a parquet table keyed by doc_id. */
+  def writeSummaryTable(summaries: DataFrame, path: String): Unit =
+    summaries.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S4 (compatibility): one `<doc_id>.txt` per row, written from the
+    * executors. `dir` must be a path every executor can reach (local dir in
+    * local mode, shared filesystem on a cluster).
+    */
+  def writeSummaryFiles(summaries: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "summary"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    summaries.select(col(idCol).cast("string"), col(textCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { row =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, row.getString(0) + ".txt"),
+            Option(row.getString(1)).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** S5: nested JSON evaluation report — summary statistics (long-format
+    * stats rows) + similarity histogram + per-pair details, one UTF-8 JSON
+    * document. Aggregate inputs are tiny by construction (stats rows =
+    * metrics x 4, histogram = 3 buckets); `details` streams through
+    * toJSON without materializing the corpus on the driver beyond the
+    * document itself (cap with `maxDetails`).
+    */
+  def writeJsonReport(stats: DataFrame, histogram: DataFrame, details: DataFrame,
+      path: String, maxDetails: Int = 10000): Unit = {
+    def rowsJson(df: DataFrame): String =
+      df.toJSON.collect().mkString("[", ",", "]")
+    val json =
+      s"""{"summary_statistics":${rowsJson(stats)},""" +
+        s""""similarity_distribution":${rowsJson(histogram)},""" +
+        s""""detailed_results":${rowsJson(details.limit(maxDetails))}}"""
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sinks
+
+/** Drives the CLI (graft.app.Main) and the sinks end to end on temp dirs. */
+class AppSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeDocsParquet(): String = {
+    val dir = tmpDir("graft_docs")
+    Seq(
+      (1L, "alpha beta gamma. delta epsilon zeta. eta theta."),
+      (2L, "one two three. four five six."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    s"$dir/docs"
+  }
+
+  test("CLI pipeline: parquet docs in, summary table + text files out") {
+    val docs = writeDocsParquet()
+    val out = tmpDir("graft_out")
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "mapreduce", "--docs", docs, "--out", out,
+      "--chunk-size", "6", "--overlap", "0", "--token-max", "10",
+      "--summary-tokens", "4", "--write-files"))
+    val summaries = spark.read.parquet(s"$out/summaries")
+    assert(summaries.count() == 2)
+    assert(summaries.columns.toSet == Set("doc_id", "summary"))
+    val files = new java.io.File(s"$out/files").listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("1.txt", "2.txt"))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/files/1.txt")).nonEmpty)
+  }
+
+  test("CLI pipeline: text-dir corpus scan (S1 directory variant)") {
+    val corpus = tmpDir("graft_corpus")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(corpus, "doc_a.txt"), "first document text. more text.")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(corpus, "doc_b.txt"), "second document text here.")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(corpus, "ignored.dat"), "not a txt file")
+    val out = tmpDir("graft_out2")
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "truncated", "--docs", corpus, "--out", out))
+    assert(spark.read.parquet(s"$out/summaries").count() == 2) // .dat filtered
+  }
+
+  test("CLI evaluate: joined metrics report with stats, histogram, details") {
+    val docs = writeDocsParquet()
+    val gen = tmpDir("graft_gen")
+    val out = tmpDir("graft_eval")
+    // generated == reference -> perfect scores
+    spark.read.parquet(docs).select(col("doc_id"), col("text").as("summary"))
+      .write.mode("overwrite").parquet(s"$gen/g")
+    graft.app.Main.main(Array(
+      "evaluate", "--gen", s"$gen/g", "--ref", docs, "--report", s"$out/report.json"))
+    val report = ujsonParse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/report.json")))
+    assert(report.contains("\"summary_statistics\""))
+    assert(report.contains("\"rouge1_f\""))
+    assert(report.contains("\"mean\":1.0"))
+  }
+
+  // minimal validity check without a JSON lib: jackson is on Spark's classpath
+  private def ujsonParse(s: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readTree(s) // throws on invalid JSON
+    s
+  }
+
+  test("Sinks.writeJsonReport produces parseable nested JSON") {
+    val stats = Seq(("m", 1.0, 0.0, 1.0, 1.0)).toDF("metric", "mean", "std", "min", "max")
+    val hist = Seq(("high", 1L, 100.0)).toDF("bucket", "n", "pct")
+    val details = Seq((1L, 0.9)).toDF("doc_id", "semantic_similarity")
+    val path = tmpDir("graft_rep") + "/r.json"
+    Sinks.writeJsonReport(stats, hist, details, path)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    assert(parsed.get("summary_statistics").get(0).get("metric").asText == "m")
+    assert(parsed.get("similarity_distribution").get(0).get("bucket").asText == "high")
+    assert(parsed.get("detailed_results").size() == 1)
+  }
+}

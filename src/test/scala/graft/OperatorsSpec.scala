@@ -98,6 +98,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("DD6 embedding-cosine pairs: duplicate vectors pair at 1.0, orthogonal absent") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(emb, 0.9)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("SS1 brute-force top-k ranks by cosine with deterministic ties") {
     val corpus = Seq(
       (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))

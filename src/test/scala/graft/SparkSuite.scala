@@ -6,16 +6,20 @@ import org.apache.spark.sql.SparkSession
   * runs all suites in a single forked JVM, so getOrCreate dedups).
   */
 object SparkSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  private var cached: SparkSession = _
+
+  def spark: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      cached = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      cached.sparkContext.setLogLevel("ERROR")
+    }
+    cached
   }
 }

@@ -116,6 +116,21 @@ class StrategiesSpec extends AnyFunSuite {
     assert(got("low") == (1L, 25.0))
   }
 
+  test("M4 judgeMetrics: verdicts with pass flag; stats aggregate") {
+    val pairs = Seq(
+      (1L, "alpha beta gamma delta", "alpha beta gamma delta"), // full coverage
+      (2L, "unrelated words", "alpha beta gamma delta"))        // no coverage
+      .toDF("doc_id", "gen", "ref")
+    val judged = Metrics.judgeMetrics(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passed")).toMap
+    assert(judged == Map(1L -> true, 2L -> false))
+    val stats = Metrics.judgeStats(Metrics.judgeMetrics(pairs)).collect().head
+    assert(stats.getAs[Long]("n_pairs") == 2L)
+    assert(stats.getAs[Long]("n_passed") == 1L)
+    assert(stats.getAs[Long]("n_failures") == 0L)
+    assert(stats.getAs[Double]("pass_rate") == 0.5)
+  }
+
   test("G8 bestModelPerMetric: argmax with deterministic tie-break") {
     val stats = Seq(
       ("rouge1", "model_a", 0.5), ("rouge1", "model_b", 0.7),
