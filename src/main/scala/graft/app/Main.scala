@@ -28,10 +28,12 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "pipeline" :: rest => runPipeline(parseOpts(rest))
     case "evaluate" :: rest => runEvaluate(parseOpts(rest))
+    case "demo" :: rest => runDemo(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
-          "       graft evaluate --gen PATH --ref PATH --report FILE")
+          "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
+          "       graft demo --docs PATH [--doc-id N]")
       sys.exit(2)
   }
 
@@ -103,6 +105,39 @@ object Main {
         Sinks.writeSummaryFiles(
           spark.read.parquet(s"$out/summaries"), s"$out/files")
       println(s"[graft] $approach summaries -> $out/summaries")
+    } finally if (owned) spark.stop()
+  }
+
+  /** §3.3 demo entry point: run all five strategies on ONE document and
+    * print a side-by-side metric table (the reference's Streamlit demo,
+    * streamlit_demo.py:241-287, minus the UI).
+    */
+  private[app] def runDemo(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      val all = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
+      val one = opts.get("doc-id") match {
+        case Some(id) => all.filter(col("doc_id") === id.toLong)
+        case None => all.orderBy(col("doc_id")).limit(1)
+      }
+      require(one.count() == 1, "demo needs exactly one document")
+      val cfg = PipelineConfig()
+      val strategies = new Strategies(ExtractiveSummarizer, cfg = cfg)
+      val ref = one.select(col("doc_id"), col("text").as("ref"))
+      val results = Seq(
+        "truncated" -> strategies.truncated(one),
+        "mapreduce" -> strategies.mapReduce(one),
+        "critique" -> strategies.mapReduceCritique(one),
+        "iterative" -> strategies.iterative(one),
+        "hierarchical" ->
+          new Hierarchical(ExtractiveSummarizer, cfg).summarize(TreeOps.synthesize(one)))
+      val table = results.map { case (name, df) =>
+        Metrics.pairMetrics(
+          df.withColumnRenamed("summary", "gen").join(ref, "doc_id"))
+          .withColumn("approach", lit(name))
+      }.reduce(_ unionByName _)
+        .select("approach", "semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f")
+      table.show(truncate = false)
     } finally if (owned) spark.stop()
   }
 
