@@ -148,6 +148,8 @@ object SparkEntry {
     tbl(spark, dir, "orders")
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
+      // global window is intentional and scale-safe: its input is the
+      // post-aggregation bucket table (<= 3 rows), not the orders scan
       .withColumn("pct", r4(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy())))
       .orderBy(col("bucket"))
   }

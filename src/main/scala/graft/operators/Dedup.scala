@@ -211,33 +211,50 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** N-gram Jaccard near-dup pairs above `minJaccard`: explode distinct
-    * shingles, self-join on the shingle (only docs sharing a shingle meet),
-    * count intersections, compute |A ∩ B| / (|A| + |B| - |A ∩ B|).
-    * Fully expressible in ANSI SQL — this is the oracle-checked dedup path.
+  /** N-gram Jaccard near-dup pairs above `minJaccard`: bucket docs by shared
+    * shingle (only docs sharing a shingle meet), count intersections, compute
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|). Semantically the classic
+    * explode/self-join/two-size-joins SQL (the DuckDB oracle keeps that
+    * form), executed as one pass:
+    *   - shingles are computed ONCE per doc by a single UDF that emits
+    *     distinct 64-bit shingle hashes (the string form would be shuffled
+    *     as multi-word keys; a long key shuffles ~10x less and Jaccard only
+    *     needs identity, not the text),
+    *   - the per-doc shingle count rides through the bucket in a
+    *     (doc_id, nsh) struct, so no join back to a sizes table — the final
+    *     aggregate already has |A| and |B| on the row.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(lower(col(textCol)), shingleSize)))
-          .as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // docs sharing a shingle meet in its bucket; pairs expand locally
-    // (see pairCombinations) and one more aggregate counts shared shingles
-    val inter = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val n = shingleSize
+    val hashesUdf = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val t = text.toLowerCase.trim
+        val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+        val shingles: Iterator[String] =
+          if (toks.isEmpty) Iterator.empty
+          else if (toks.length < n) Iterator(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" "))
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        shingles.foreach { s =>
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+          set += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        }
+        set.toArray
+      }
+    }
+    docs
+      .select(col("doc_id"), hashesUdf(col(textCol)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("nsh"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairCombinations(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.a.nsh").as("n_a"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.nsh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    // sizes is O(corpus) rows — NOT broadcastable at scale; shuffle join on
-    // doc id (AQE will broadcast on small inputs by itself)
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_shingles", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_shingles", "n_b"), "doc_b")
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 4))
