@@ -70,10 +70,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
 
-  /** J3/S6: left-anti (NOT EXISTS) — the incremental-recompute set. */
+  /** J3/S6: left-anti (NOT EXISTS) — the incremental-recompute set.
+    * The right side is pre-filtered (customers with no high-value order) so
+    * the check is non-vacuous at every SF; the filter lands below the join.
+    */
   private def j3Anti(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "customer")
-      .join(tbl(spark, dir, "orders").select(col("o_custkey")),
+      .join(tbl(spark, dir, "orders")
+          .filter(col("o_totalprice") >= 150000.0).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), r4(col("c_acctbal")).as("acctbal"))
       .orderBy(col("c_custkey"))
@@ -211,6 +215,16 @@ object SparkEntry {
     Dedup.exactDuplicates(tbl(spark, dir, "documents"))
       .orderBy(col("text_md5"))
 
+  /** DD1b: exact-dup groups on the 100-char document head — the boilerplate
+    * -prefix heuristic of training-data pipelines; unlike full-text dd1 it
+    * finds real groups at small SF, so the oracle check is non-vacuous.
+    */
+  private def dd1bPrefixDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(
+      tbl(spark, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 100).as("text")))
+      .orderBy(col("text_md5"))
+
   /** DD2: MinHash signatures (md5-derived, 8 hashes over 3-gram shingles). */
   private def dd2MinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignature(tbl(spark, dir, "documents"), "text", 3, 8)
@@ -273,6 +287,14 @@ object SparkEntry {
   /** TA3: BPE-ish token statistics. */
   private def ta3TokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** TA4: rolling-hash document fingerprint (rows-only check — FNV-1a's
+    * wrapping 64-bit multiply isn't reasonably expressible in ANSI SQL;
+    * stability is ScalaTest-pinned instead).
+    */
+  private def ta4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------- events
@@ -348,10 +370,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("label"))
       .orderBy(col("doc_id"))
 
-  /** S6: docs lacking an embedding (the to-compute set). */
+  /** S6: docs lacking an embedding (the to-compute set). A third of the
+    * embedding table is masked out (vec_id % 3 == 0 treated as absent) so
+    * the recompute set is non-empty at every SF — the skip-if-exists path
+    * is exercised for real, not vacuously.
+    */
   private def s6Incremental(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents").select(col("doc_id"))
-      .join(tbl(spark, dir, "embeddings").select(col("vec_id")),
+      .join(tbl(spark, dir, "embeddings").select(col("vec_id"))
+          .filter(col("vec_id") % 3 =!= 0),
         col("doc_id") === col("vec_id"), "left_anti")
       .orderBy(col("doc_id"))
 
@@ -421,6 +448,7 @@ object SparkEntry {
     "c3_truncate" -> (c3Truncate(_, _)),
     "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
+    "dd1b_prefix_dups" -> (dd1bPrefixDups(_, _)),
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
@@ -431,6 +459,7 @@ object SparkEntry {
     "ta1_quality" -> (ta1Quality(_, _)),
     "ta2_lang_id" -> (ta2LangId(_, _)),
     "ta3_token_stats" -> (ta3TokenStats(_, _)),
+    "ta4_fingerprint" -> (ta4Fingerprint(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -481,7 +510,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "j3_anti_join" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice >= 150000.0)
          ORDER BY c_custkey""",
     "p5_top_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS total_price FROM orders
@@ -545,6 +575,11 @@ object SparkEntry {
          WHERE length(text) > 0 ORDER BY doc_id, chunk_idx""",
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
+         COUNT(*) AS dup_count,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
+    "dd1b_prefix_dups" ->
+      """SELECT md5(substr(text, 1, 100)) AS text_md5, MIN(doc_id) AS canonical_doc_id,
          COUNT(*) AS dup_count,
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
@@ -640,7 +675,8 @@ object SparkEntry {
          JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""",
     "s6_incremental" ->
       """SELECT doc_id FROM documents
-         WHERE NOT EXISTS (SELECT 1 FROM embeddings WHERE vec_id = doc_id)
+         WHERE NOT EXISTS (SELECT 1 FROM embeddings
+                           WHERE vec_id = doc_id AND vec_id % 3 != 0)
          ORDER BY doc_id""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,

@@ -157,4 +157,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nodes.count(_.getAs[String]("node_type") == "Header") == 2)
     assert(nodes.count(_.getAs[String]("node_type") == "Paragraph") == 4)
   }
+
+  test("TA4 fingerprint: whitespace-insensitive, content-sensitive") {
+    val docs = Seq(
+      (1L, "hello   world\n foo"), (2L, "hello world foo"),
+      (3L, "hello world bar")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.fingerprint(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L)) // same token stream -> same hash
+    assert(got(1L) != got(3L)) // different content -> different hash
+  }
 }
