@@ -28,8 +28,15 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warm-up: JVM + parquet footer caches + codegen
+    // Warm-up: JVM + parquet footer caches + codegen. Two passes — the
+    // relational path (q1) and the strategy/eval path (chunk -> summarize ->
+    // collapse loop -> join -> metrics) at the smallest SF, so first-hit JIT
+    // and codegen compilation are not charged to whichever timed query
+    // touches that machinery first (measured: ~40 s of warm-up cost landing
+    // on the eval_* queries at sf0.1 without this).
     try force(SparkEntry.queries("q1_agg")(spark, sfDir))
+    catch { case _: Throwable => () }
+    try force(SparkEntry.queries("eval_pair_metrics")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

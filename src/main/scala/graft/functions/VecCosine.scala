@@ -87,3 +87,103 @@ case class VecCosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecCosine =
     copy(left = newLeft, right = newRight)
 }
+
+/** Dot product of two ARRAY<FLOAT> columns — the pair-wise kernel of
+  * all-pairs similarity when norms are precomputed per row. Splitting
+  * cosine into (per-row norm) x (per-pair dot) cuts the quadratic stage's
+  * flops to a third while staying bit-identical to [[VecCosine]]:
+  * dot / (sqrt(nx) * sqrt(ny)) runs the same double ops in the same order
+  * whether the norms are computed per pair or once per side.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an ARRAY<FLOAT> column (the per-row half of the split
+  * cosine; see [[VecDot]]). Same accumulation order as [[VecCosine]]'s
+  * norm loops.
+  */
+case class VecNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<FLOAT> argument, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => {
+      val fn = ctx.freshName("vecNormFn")
+      val helper = ctx.addNewFunction(fn,
+        s"""
+           |private double $fn(org.apache.spark.sql.catalyst.util.ArrayData arr) {
+           |  double acc = 0.0;
+           |  for (int i = 0; i < arr.numElements(); i++) {
+           |    final double v = (double) arr.getFloat(i); acc += v * v;
+           |  }
+           |  return java.lang.Math.sqrt(acc);
+           |}
+         """.stripMargin)
+      s"$helper($a)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}

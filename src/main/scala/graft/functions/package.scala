@@ -88,6 +88,22 @@ package object functions {
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Native dot product over ARRAY<FLOAT> — the per-pair kernel of split
+    * cosine (see [[VecDot]]): `vecDotF(a,b) / (vecNormF(a) * vecNormF(b))`
+    * is bit-identical to [[cosineSimilarityF]] with the norms computable
+    * once per row instead of once per pair.
+    */
+  def vecDotF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Native L2 norm over ARRAY<FLOAT> (the per-row half of split cosine). */
+  def vecNormF(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(VecNorm(Bridge.expression(a)))
+  }
+
   // ---------------------------------------------- deterministic aggregates
 
   /** Order-independent exact sum of a double expression: round each value

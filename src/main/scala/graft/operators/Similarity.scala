@@ -25,12 +25,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.select(col("vec_id"), col("embedding").as("emb_c"))
+    import graft.functions.{vecDotF, vecNormF}
+    // split cosine (see Dedup.embeddingCosinePairs): norms once per corpus
+    // row / query row, dot per pair — bit-identical, a third of the flops
+    val denom = col("norm_c") * col("norm_q")
+    val scored = corpus.select(col("vec_id"), col("embedding").as("emb_c"),
+        vecNormF(col("embedding")).as("norm_c"))
       .crossJoin(broadcast(
-        queries.select(col("query_id"), col("embedding").as("emb_q"))))
+        queries.select(col("query_id"), col("embedding").as("emb_q"),
+          vecNormF(col("embedding")).as("norm_q"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        r4(cosineSimilarityF(col("emb_q"), col("emb_c"))).as("cosine"))
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc) // deterministic ties
     scored.withColumn("rank", row_number().over(w))

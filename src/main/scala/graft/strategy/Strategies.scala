@@ -73,29 +73,43 @@ final class Strategies(
     * re-enter; reference predicate `should_collapse`,
     * runners/run_summarization_ollama_mapreduce.py:147-154, recursion_limit 10).
     */
-  private def collapseLoop(mapped0: DataFrame): DataFrame = {
+  /** Over-budget doc ids of a chunk set (the loop predicate's input). */
+  private def overBudgetDocs(chunks: DataFrame, budget: Long): DataFrame =
+    chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("doc_tokens"))
+      .filter(col("doc_tokens") > budget)
+      .select("doc_id")
+
+  /** Shared fixed-point collapse skeleton: ONE driver action per round —
+    * counting the over-budget docs of the freshly-built round also
+    * materializes its persist (the aggregate consumes every partition), so
+    * there is no separate `next.count()` before dropping the parent.
+    */
+  private def fixedPointCollapse(mapped0: DataFrame, budget: Long,
+      collapse: DataFrame => DataFrame): DataFrame = {
     var cur = mapped0.persist(StorageLevel.MEMORY_AND_DISK)
+    var overDocs = overBudgetDocs(cur, budget).persist(StorageLevel.MEMORY_AND_DISK)
+    var overCount = overDocs.count() // materializes cur too
     var round = 0
-    var overCount = 1L
     while (round < cfg.maxCollapseRounds && overCount > 0) {
-      val totals = cur.groupBy("doc_id")
-        .agg(sum("n_tokens").as("doc_tokens"))
-        .filter(col("doc_tokens") > cfg.tokenMax)
-        .select("doc_id")
-      overCount = totals.count()
-      if (overCount > 0) {
-        val over = cur.join(totals, Seq("doc_id"), "left_semi")
-        val under = cur.join(totals, Seq("doc_id"), "left_anti")
-        val next = under.unionByName(collapseOnce(over))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        cur.unpersist()
-        cur = next
-      }
+      val over = cur.join(overDocs, Seq("doc_id"), "left_semi")
+      val under = cur.join(overDocs, Seq("doc_id"), "left_anti")
+      val next = under.unionByName(collapse(over))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextOverDocs = overBudgetDocs(next, budget).persist(StorageLevel.MEMORY_AND_DISK)
+      overCount = nextOverDocs.count() // materializes next before parent drop
+      cur.unpersist()
+      overDocs.unpersist()
+      cur = next
+      overDocs = nextOverDocs
       round += 1
     }
+    overDocs.unpersist()
     cur
   }
+
+  private def collapseLoop(mapped0: DataFrame): DataFrame =
+    fixedPointCollapse(mapped0, cfg.tokenMax, collapseOnce)
 
   /** Final reduce: concat all of a doc's (collapsed) summaries in order,
     * one last summarize (reference: :157-164).
@@ -154,25 +168,8 @@ final class Strategies(
     val mapped = mapSummarize(CorpusOps.chunkDocs(docs, cfg))
     // collapse loop with critique on every reduce; final gets the
     // half-budget headroom check of the reference (:315) via tokenMax/2
-    var cur = mapped.persist(StorageLevel.MEMORY_AND_DISK)
-    var round = 0
-    var overCount = 1L
-    val halfBudget = math.max(cfg.tokenMax / 2, 1)
-    while (round < cfg.maxCollapseRounds && overCount > 0) {
-      val totals = cur.groupBy("doc_id").agg(sum("n_tokens").as("t"))
-        .filter(col("t") > halfBudget).select("doc_id")
-      overCount = totals.count()
-      if (overCount > 0) {
-        val over = cur.join(totals, Seq("doc_id"), "left_semi")
-        val under = cur.join(totals, Seq("doc_id"), "left_anti")
-        val next = under.unionByName(collapseOnceCritique(over))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist()
-        cur = next
-      }
-      round += 1
-    }
+    val halfBudget = math.max(cfg.tokenMax / 2, 1).toLong
+    val cur = fixedPointCollapse(mapped, halfBudget, collapseOnceCritique)
     cur.groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("chunk_idx"), col("text")))),

@@ -37,6 +37,19 @@ class VecCosineSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("split cosine (vec_dot / norms) is bit-identical to vec_cosine") {
+    val denom = col("na") * col("nb")
+    val rows = df
+      .withColumn("na", functions.vecNormF(col("a")))
+      .withColumn("nb", functions.vecNormF(col("b")))
+      .select(
+        functions.cosineSimilarityF(col("a"), col("b")).as("fused"),
+        when(denom === 0.0, 0.0)
+          .otherwise(functions.vecDotF(col("a"), col("b")) / denom).as("split"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, s) => assert(f == s, s"fused=$f split=$s") }
+  }
+
   test("codegen and interpreted paths agree") {
     // force interpreted by evaluating via the expression directly
     val e = graft.functions.VecCosine(
