@@ -23,8 +23,31 @@ object Profile {
       r
     }
 
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val dur = for {
+            s <- info.submissionTime; c <- info.completionTime
+          } yield (c - s) / 1000.0
+          if (dur.exists(_ > 1.0))
+            println(f"[stage] ${dur.get}%.1f s  id=${info.stageId} " +
+              f"tasks=${info.numTasks} ${info.name.take(80)}")
+        }
+      })
+
     val d = Pipelines.docs(spark, sfDir)
     time("warmup count")(d.count())
+
+    time("warmup eval_pair_metrics sf0.001")(
+      force(Pipelines.pairMetrics(spark, "/root/testdata/sf0.001")))
+    time("bench-style eval_pair_metrics run 1")(
+      force(Pipelines.pairMetrics(spark, sfDir)))
+    time("bench-style eval_pair_metrics run 2")(
+      force(Pipelines.pairMetrics(spark, sfDir)))
+    time("bench-style eval_summary_stats")(
+      force(Pipelines.evalStats(spark, sfDir)))
 
     time("cold build+force mapReduce sf0.001")(
       force(Pipelines.strategies().mapReduce(
