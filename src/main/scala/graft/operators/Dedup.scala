@@ -114,7 +114,8 @@ object Dedup {
     * quadratic in corpus size, only in per-bucket collisions.
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
-      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = minhashSignature(docs, textCol, shingleSize, numHashes)
     // long format: (doc_id, band, band_key) — ALL band keys from one
@@ -127,9 +128,17 @@ object Dedup {
     }: _*)
     val bandRows = sigs
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
-    bandRows.groupBy(col("band"), col("band_key"))
+    val buckets = bandRows.groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // Hot-bucket cap (the standard LSH-at-scale guard): a bucket of m
+    // members emits m^2/2 pairs, so one degenerate key (boilerplate band)
+    // can dominate the whole job. Candidates from oversized buckets are
+    // dropped — at real corpus scale those buckets hold near-universal
+    // content whose pairs the other bands recover anyway. None = keep all
+    // (the oracle-checked small-SF default).
+    val capped = maxBucketSize.fold(buckets)(m => buckets.filter(size(col("ids")) <= m))
+    capped
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -170,8 +179,8 @@ object Dedup {
     * agree on at least one of 4 16-bit blocks (pigeonhole), so candidates
     * come from 4 equi-joins on block values, then exact Hamming verify.
     */
-  def simhashPairs(docs: DataFrame, textCol: String = "text", maxHamming: Int = 3)
-      : DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String = "text", maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "blocking with 4 blocks guarantees k<=3 only")
     val hashes = simhash(docs, textCol)
     // one projection + posexplode (not a 4-way union — see minhashLshPairs)
@@ -182,9 +191,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), posexplode(blockKeys).as(Seq("blk", "blk_key")))
     // carry the hash through the bucket as a (doc_id, simhash) struct so the
     // Hamming verify needs no join back to the hash table
-    blocks.groupBy(col("blk"), col("blk_key"))
+    val buckets = blocks.groupBy(col("blk"), col("blk_key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // hot-bucket cap — see minhashLshPairs; NOTE unlike LSH this trades the
+    // pigeonhole recall guarantee for bounded cost on degenerate blocks
+    maxBucketSize.fold(buckets)(m => buckets.filter(size(col("ids")) <= m))
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))

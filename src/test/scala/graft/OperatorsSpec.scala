@@ -158,6 +158,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nodes.count(_.getAs[String]("node_type") == "Paragraph") == 4)
   }
 
+  test("DD3 hot-bucket cap drops candidates from oversized buckets") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs).as[(Long, Long)].collect().toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L))) // 3-member buckets
+    val capped = Dedup.minhashLshPairs(docs, maxBucketSize = Some(2))
+      .as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty) // every bucket holds all 3 docs -> dropped
+  }
+
   test("TA4 fingerprint: whitespace-insensitive, content-sensitive") {
     val docs = Seq(
       (1L, "hello   world\n foo"), (2L, "hello world foo"),
