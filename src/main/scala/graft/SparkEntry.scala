@@ -272,6 +272,25 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SS3: IVF approximate top-5 (coarse-quantizer cells + probe rerank —
+    * the second ANN scale path; rows-only, k-means cells aren't
+    * SQL-expressible).
+    */
+  private def ss3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfTopK(emb, queries, 5, 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DD6b: embedding near-dup pairs via the LSH prefilter (the 100 TB path
+    * of dd6; rows-only — approximate by construction).
+    */
+  private def dd6bEmbeddingPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairsLsh(tbl(spark, dir, "embeddings"), 0.45, 64)
+      .orderBy(col("id_a"), col("id_b"))
+
   // --------------------------------------------------------- text analysis
 
   /** TA1: quality-score gates. */
@@ -456,6 +475,8 @@ object SparkEntry {
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
+    "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
+    "dd6b_embedding_pairs_lsh" -> (dd6bEmbeddingPairsLsh(_, _)),
     "ta1_quality" -> (ta1Quality(_, _)),
     "ta2_lang_id" -> (ta2LangId(_, _)),
     "ta3_token_stats" -> (ta3TokenStats(_, _)),

@@ -231,6 +231,38 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Embedding-cosine near-dup pairs, LSH-prefiltered — the 100 TB path for
+    * [[embeddingCosinePairs]]: sign-random-projection buckets (shared with
+    * [[Similarity.lshTopK]]) generate candidates through an equi-join shape,
+    * then candidates are verified with the exact split cosine. Approximate:
+    * recall < 1 by construction (pairs colliding in no table are missed);
+    * `tables`/`planes` trade recall against candidate volume, and
+    * `maxBucketSize` bounds degenerate buckets like the other LSH ops.
+    */
+  def embeddingCosinePairsLsh(emb: DataFrame, minCosine: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 8, planes: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    import graft.functions.{r4, vecDotF, vecNormF}
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("embedding"),
+      vecNormF(col(vecCol)).as("norm"))
+    val keyed = Similarity.lshBucketed(base, dim, tables, planes)
+    val buckets = keyed.groupBy(col("tbl"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("id"), col("norm"), col("embedding"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxBucketSize.fold(buckets)(m => buckets.filter(size(col("ids")) <= m))
+    val denom = col("p.a.norm") * col("p.b.norm")
+    capped
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("p.a.embedding"), col("p.b.embedding")) / denom))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct() // same pair from several tables scores identically
+  }
+
   /** N-gram Jaccard near-dup pairs above `minJaccard`: bucket docs by shared
     * shingle (only docs sharing a shingle meet), count intersections, compute
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). Semantically the classic

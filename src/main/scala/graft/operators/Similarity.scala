@@ -89,12 +89,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       tables: Int = 8, planes: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keysOf = lshKeysUdf(dim, tables, planes)
-    def keyed(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), col("embedding"),
-        posexplode(keysOf(col("embedding"))).as(Seq("tbl", "bkt")))
-    val c = keyed(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-    val q = keyed(queries.select(col("query_id"), col("embedding")), "query_id")
+    val c = lshBucketed(corpus.select(col("vec_id"), col("embedding")),
+      dim, tables, planes)
+    val q = lshBucketed(queries.select(col("query_id"), col("embedding")),
+      dim, tables, planes)
       .withColumnRenamed("embedding", "emb_q")
     val cands = c.join(q, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -105,6 +103,117 @@ object Similarity {
     cands
       .select(col("query_id"), col("vec_id"),
         r4(cosineSimilarityF(col("emb_q"), col("embedding"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Explode each row into its `tables` LSH bucket rows (all input columns
+    * kept + `tbl`/`bkt`) — shared by the approximate top-k search and the
+    * near-dup prefilter ([[graft.operators.Dedup.embeddingCosinePairsLsh]]).
+    */
+  private[operators] def lshBucketed(df: DataFrame, dim: Int,
+      tables: Int, planes: Int, vecCol: String = "embedding"): DataFrame = {
+    val keysOf = lshKeysUdf(dim, tables, planes)
+    df.select(col("*"), posexplode(keysOf(col(vecCol))).as(Seq("tbl", "bkt")))
+  }
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { val v = a(i).toDouble; na += v * v; i += 1 }
+    i = 0
+    while (i < b.length) { val v = b(i).toDouble; nb += v * v; i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * [[lshTopK]]: a coarse quantizer (cosine k-means, deterministic seeding
+    * by lowest vec_id, `iterations` Lloyd rounds run as DataFrame jobs)
+    * partitions the corpus into `nCells` cells; each query probes its
+    * `nProbe` nearest centroids and reranks exactly within those cells only
+    * — the scanned fraction is ~nProbe/nCells of the corpus.
+    *
+    * Centroids are metadata-scale (nCells x dim doubles) and travel in UDF
+    * closures; the corpus itself is never collected. Per Lloyd round the
+    * driver collects exactly nCells mean vectors (decimal-exact elementwise
+    * means, so centroid evolution is partition-order-deterministic).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
+
+    var centroids: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nCells)
+      .as[(Long, Array[Float])].collect().map(_._2)
+
+    def bestCellUdf(cs: Array[Array[Float]]) = udf { (emb: Seq[Float]) =>
+      if (emb == null) -1
+      else {
+        val v = emb.toArray
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosLocal(v, cs(c))
+          if (s > bestScore) { bestScore = s; best = c } // ties: lowest cell
+          c += 1
+        }
+        best
+      }
+    }
+
+    for (_ <- 0 until iterations) {
+      val means = corpus
+        .select(bestCellUdf(centroids)(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg((graft.functions.exactSum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .as[(Int, Array[Float])].collect().toMap
+      centroids = Array.tabulate(centroids.length)(c =>
+        means.getOrElse(c, centroids(c))) // empty cells keep their centroid
+    }
+
+    val probeUdf = {
+      val cs = centroids
+      val p = nProbe
+      udf { (emb: Seq[Float]) =>
+        if (emb == null) Array.empty[Int]
+        else {
+          val v = emb.toArray
+          cs.indices
+            .map(c => (c, cosLocal(v, cs(c))))
+            .sortBy { case (c, s) => (-s, c) } // deterministic tie-break
+            .take(p).map(_._1).toArray
+        }
+      }
+    }
+
+    import graft.functions.{r4, vecDotF, vecNormF}
+    val cells = corpus.select(col("vec_id"), col("embedding").as("emb_c"),
+      vecNormF(col("embedding")).as("norm_c"),
+      bestCellUdf(centroids)(col("embedding")).as("cell"))
+    val probes = queries.select(col("query_id"), col("embedding").as("emb_q"),
+      vecNormF(col("embedding")).as("norm_q"),
+      explode(probeUdf(col("embedding"))).as("cell"))
+    val denom = col("norm_c") * col("norm_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

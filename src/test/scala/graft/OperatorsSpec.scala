@@ -131,6 +131,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.maxBy(_._2)._2 == 1.0) // an identical direction is in some bucket
   }
 
+  test("SS3 IVF top-k: finds the identical vector; probes limit the scan") {
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f; (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((100L, { val v = Array.fill(8)(0f); v(0) = 1f; v }))
+      .toDF("query_id", "embedding")
+    val got = Similarity.ivfTopK(corpus, queries, 3, 8, nCells = 4, nProbe = 2)
+      .select("vec_id", "cosine", "rank").as[(Long, Double, Int)].collect()
+    assert(got.nonEmpty && got.length <= 3)
+    assert(got.maxBy(_._2)._2 == 1.0) // the identical direction is found
+    assert(got.map(_._3).sorted.sameElements(1 to got.length))
+  }
+
+  test("DD6b LSH-prefiltered embedding pairs: identical vectors always pair") {
+    val base = Array.fill(8)(0.5f)
+    val vecs = Seq((1L, base), (2L, base),
+      (3L, { val v = Array.fill(8)(0f); v(1) = -1f; v }))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairsLsh(emb, 0.9, 8, tables = 4, planes = 3)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    // identical vectors share every bucket in every table -> must pair
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
   test("S3 parseTree: recursive JSON to pre-order adjacency rows") {
     val json =
       """{"type":"Document","text":"root","children":[
