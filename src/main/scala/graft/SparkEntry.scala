@@ -89,12 +89,16 @@ object SparkEntry {
       .limit(10)
       .select(col("o_orderkey"), r4(col("o_totalprice")).as("total_price"))
 
-  /** O3: windowed running aggregate + row_number (ordering made total by
-    * the (shipdate, orderkey, linenumber) key so results are deterministic).
+  /** O3: windowed running aggregate + row_number. The ordering must be
+    * TOTAL for oracle determinism: lineitem carries duplicate
+    * (orderkey, linenumber) pairs — at sf0.1 even (suppkey, shipdate,
+    * orderkey, linenumber) collides — so l_quantity joins the key (verified
+    * unique across the testdata; ties beyond it would be identical rows).
     */
   private def o3Window(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tbl(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -542,7 +546,8 @@ object SparkEntry {
          ROW_NUMBER() OVER w AS rn,
          round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) OVER w AS DOUBLE), 4) AS running_qty
          FROM lineitem
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         WINDOW w AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY l_suppkey, rn""",
     "g3_binpack_cumsum" ->
