@@ -86,6 +86,35 @@ class StrategiesSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("summary").nonEmpty)
   }
 
+  test("golden pin: strategy outputs are byte-stable across versions") {
+    // Exact expected strings for a fixed corpus under Pipelines.TestCfg —
+    // any change here is a semantic change to a strategy (or the extractive
+    // scorer) and must be deliberate. Regenerate with Test/runMain
+    // graft.GoldenGen.
+    val gdocs = Seq(
+      (1L, "Alpha beta gamma delta. Epsilon zeta eta theta iota kappa. " +
+        "Lambda mu nu xi omicron pi rho sigma. Tau upsilon phi chi psi omega. " +
+        "Alpha again closes the loop with beta and gamma for emphasis."),
+      (2L, "One two three. Four five six seven eight nine ten eleven twelve. " +
+        "Thirteen fourteen fifteen sixteen. Seventeen eighteen nineteen twenty."))
+      .toDF("doc_id", "text")
+    val s = Pipelines.strategies()
+    def out(df: DataFrame): Map[Long, String] =
+      df.orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(out(s.truncated(gdocs)) == Map(
+      1L -> "Epsilon zeta eta theta iota kappa.",
+      2L -> "Four five six seven eight nine ten eleven"))
+    assert(out(s.mapReduce(gdocs)) == Map(
+      1L -> "Lambda mu nu xi omicron pi rho sigma.",
+      2L -> "Four five six seven eight nine ten eleven"))
+    assert(out(s.mapReduceCritique(gdocs)) == Map(
+      1L -> "Lambda mu nu xi omicron pi rho sigma.",
+      2L -> "Four five six seven eight nine ten eleven"))
+    assert(out(s.iterative(gdocs)) == Map(
+      1L -> "Alpha again closes the loop with beta and",
+      2L -> "Four five six seven eight nine ten eleven"))
+  }
+
   test("M1/M3/M5 pairMetrics: identical pair scores 1.0 on rouge and cosine") {
     val pairs = Seq((1L, "same summary text", "same summary text"),
       (2L, "alpha beta", "gamma delta")).toDF("doc_id", "gen", "ref")
