@@ -708,7 +708,26 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,
          CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS height
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    // Exact greedy packing IS SQL-expressible via a recursive CTE: the
+    // running total resets at each bin boundary, which the recursion walks
+    // item-by-item per doc (depth = max chunks per doc, ~7 for lineitem).
+    "g3_binpack_greedy" ->
+      """WITH RECURSIVE seq AS (
+           SELECT l_orderkey AS doc_id, l_linenumber AS chunk_idx,
+             CAST(floor(l_quantity) AS BIGINT) AS w,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, CAST(floor(l_quantity) AS BIGINT)) AS rn
+           FROM lineitem),
+         rec AS (
+           SELECT doc_id, rn, chunk_idx, w, 0 AS bin, w AS cur
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT s.doc_id, s.rn, s.chunk_idx, s.w,
+             CASE WHEN r.cur + s.w > 50 THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.cur + s.w > 50 THEN s.w ELSE r.cur + s.w END
+           FROM rec r JOIN seq s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1)
+         SELECT doc_id, chunk_idx, bin FROM rec ORDER BY doc_id, chunk_idx""")
 
   /** md5-derived minhash: h_i = min over distinct 3-gram shingles of
     * (first 15 md5 hex chars of "s<i>:<shingle>" as int).
