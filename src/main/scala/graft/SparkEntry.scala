@@ -610,6 +610,16 @@ object SparkEntry {
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
     "dd2_minhash_sig" -> minhashSigSql,
+    "dd3_minhash_lsh" -> minhashLshSql,
+    // STUB decoder is md5-derived end to end, so even frame sampling has an
+    // exact oracle: every 10th frame index below n_frames, 16-byte frames.
+    "mm3_frame_sample" ->
+      """SELECT doc_id, CAST(k AS INT) AS frame_idx, 16 AS frame_bytes
+         FROM (SELECT doc_id,
+                 1 + CAST(('0x' || substr(md5(text), 11, 2)) AS INT) % 120 AS n_frames
+               FROM documents),
+         LATERAL UNNEST(generate_series(0, n_frames - 1, 10)) AS t(k)
+         ORDER BY doc_id, frame_idx""",
     "dd6_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(
@@ -729,20 +739,41 @@ object SparkEntry {
            FROM rec r JOIN seq s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1)
          SELECT doc_id, chunk_idx, bin FROM rec ORDER BY doc_id, chunk_idx""")
 
-  /** md5-derived minhash: h_i = min over distinct 3-gram shingles of
+  /** Shared shingle CTE + minhash mins (md5-derived so bit-identical to the
+    * Spark UDF): h_i = min over distinct 3-gram shingles of
     * (first 15 md5 hex chars of "s<i>:<shingle>" as int).
     */
-  private def minhashSigSql: String = {
-    val shingleCte =
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
-           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k))"""
-    val mins = (0 until 8).map { i =>
-      s"MIN(CAST(('0x' || substr(md5('s$i:' || shingle), 1, 15)) AS BIGINT)) AS mh_$i"
-    }.mkString(", ")
-    s"$shingleCte SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id"
+  private val shingleCte =
+    """toks AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+         FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k))"""
+
+  private def minhashMins: String = (0 until 8).map { i =>
+    s"MIN(CAST(('0x' || substr(md5('s$i:' || shingle), 1, 15)) AS BIGINT)) AS mh_$i"
+  }.mkString(", ")
+
+  private def minhashSigSql: String =
+    s"WITH $shingleCte SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id ORDER BY doc_id"
+
+  /** dd3 oracle: band the signature exactly like `Dedup.minhashLshPairs`
+    * (band b = md5 of '_'-joined (mh_{2b}, mh_{2b+1})), self-join on
+    * (band, band_key), distinct ordered pairs.
+    */
+  private def minhashLshSql: String = {
+    val bandKey = (0 until 4).map { b =>
+      s"WHEN ${b} THEN md5(CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR))"
+    }.mkString("CASE band ", " ", " END")
+    s"""WITH $shingleCte,
+       sig AS (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, band, $bandKey AS band_key
+         FROM sig, (VALUES (0),(1),(2),(3)) AS b(band))
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM bands x JOIN bands y USING (band, band_key)
+       WHERE x.doc_id < y.doc_id
+       ORDER BY doc_a, doc_b"""
   }
 
   private def qualitySql: String = {
