@@ -320,6 +320,26 @@ object SparkEntry {
     TextAnalysis.fingerprint(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** M1 (oracle slice): ROUGE-1/2 F1 over SQL-constructible pairs — gen =
+    * first 20 whitespace tokens, ref = tokens 11-40 (partial overlap, so
+    * precision/recall are non-degenerate). Holds the n-gram multiset
+    * overlap formula itself to DuckDB parity on real corpus text; ROUGE-L
+    * (LCS) stays spec-checked (a DP is not reasonably SQL-expressible).
+    */
+  private def evalRougeNgram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    val rouge = graft.functions.udfs.rougeStruct(col("gen"), col("ref"))
+    pairs.withColumn("rouge", rouge)
+      .select(col("doc_id"),
+        r4(col("rouge.rouge1_f")).as("rouge1_f"),
+        r4(col("rouge.rouge2_f")).as("rouge2_f"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- events
 
   /** The events table is written with TIMESTAMP(NANOS) parquet timestamps,
@@ -500,6 +520,7 @@ object SparkEntry {
     "pipe_critique" -> (Pipelines.critique(_, _)),
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
     "pipe_hierarchical" -> (Pipelines.hierarchical(_, _)),
+    "eval_rouge_ngram" -> (evalRougeNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)))
@@ -610,6 +631,41 @@ object SparkEntry {
          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
     "dd2_minhash_sig" -> minhashSigSql,
+    "eval_rouge_ngram" ->
+      """WITH pairs AS (
+           SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
+             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
+             regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
+           FROM pairs),
+         grams AS (
+           SELECT doc_id, gt, rt,
+             CASE WHEN len(gt) >= 2 THEN list_transform(generate_series(1, len(gt)-1),
+               k -> gt[k] || ' ' || gt[k+1]) ELSE [] END AS g2,
+             CASE WHEN len(rt) >= 2 THEN list_transform(generate_series(1, len(rt)-1),
+               k -> rt[k] || ' ' || rt[k+1]) ELSE [] END AS r2
+           FROM tok),
+         u1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(gt) AS tok FROM grams) GROUP BY 1, 2),
+         v1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(rt) AS tok FROM grams) GROUP BY 1, 2),
+         o1 AS (SELECT doc_id, SUM(least(u1.c, v1.c)) AS ov FROM u1 JOIN v1 USING (doc_id, tok) GROUP BY 1),
+         u2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(g2) AS tok FROM grams) GROUP BY 1, 2),
+         v2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(r2) AS tok FROM grams) GROUP BY 1, 2),
+         o2 AS (SELECT doc_id, SUM(least(u2.c, v2.c)) AS ov FROM u2 JOIN v2 USING (doc_id, tok) GROUP BY 1),
+         lens AS (SELECT doc_id, len(gt) AS gc1, len(rt) AS rc1, len(g2) AS gc2, len(r2) AS rc2 FROM grams)
+         SELECT l.doc_id,
+           round(CASE WHEN gc1 = 0 OR rc1 = 0 OR coalesce(o1.ov, 0) = 0 THEN 0.0
+             ELSE 2.0 * (o1.ov * 1.0 / gc1) * (o1.ov * 1.0 / rc1)
+                  / ((o1.ov * 1.0 / gc1) + (o1.ov * 1.0 / rc1)) END, 4) AS rouge1_f,
+           round(CASE WHEN gc2 = 0 OR rc2 = 0 OR coalesce(o2.ov, 0) = 0 THEN 0.0
+             ELSE 2.0 * (o2.ov * 1.0 / gc2) * (o2.ov * 1.0 / rc2)
+                  / ((o2.ov * 1.0 / gc2) + (o2.ov * 1.0 / rc2)) END, 4) AS rouge2_f
+         FROM lens l LEFT JOIN o1 ON l.doc_id = o1.doc_id
+                     LEFT JOIN o2 ON l.doc_id = o2.doc_id
+         ORDER BY l.doc_id""",
     "dd3_minhash_lsh" -> minhashLshSql,
     // STUB decoder is md5-derived end to end, so even frame sampling has an
     // exact oracle: every 10th frame index below n_frames, 16-byte frames.
