@@ -667,6 +667,34 @@ object SparkEntry {
                      LEFT JOIN o2 ON l.doc_id = o2.doc_id
          ORDER BY l.doc_id""",
     "dd3_minhash_lsh" -> minhashLshSql,
+    // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
+    // signature, the 4x15-bit pigeonhole blocking AND the Hamming verify
+    // all reproduce exactly in SQL.
+    "dd5_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS t
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, t, COUNT(*) AS w,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+           FROM tok GROUP BY 1, 2),
+         bits AS (
+           SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+           FROM cnt, LATERAL UNNEST(generate_series(0, 59)) AS g(b) GROUP BY 1, 2),
+         sig0 AS (
+           SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           FROM bits GROUP BY 1),
+         sig AS (
+           SELECT d.doc_id, COALESCE(sig0.simhash, 0) AS simhash
+           FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id),
+         blocks AS (
+           SELECT doc_id, simhash, blk, (simhash >> (blk * 15)) & 32767 AS key
+           FROM sig, LATERAL UNNEST([0, 1, 2, 3]) AS u(blk))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+         FROM blocks x JOIN blocks y USING (blk, key)
+         WHERE x.doc_id < y.doc_id AND bit_count(xor(x.simhash, y.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
     // STUB decoder is md5-derived end to end, so even frame sampling has an
     // exact oracle: every 10th frame index below n_frames, 16-byte frames.
     "mm3_frame_sample" ->

@@ -144,30 +144,36 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash (64-bit) per document: weighted sign-sum of token-hash bits,
+  /** SimHash (60-bit) per document: weighted sign-sum of token-hash bits,
     * weight = token frequency. Near-dups have small Hamming distance.
+    * Token hash = first 60 bits of md5(token) (15 hex nibbles — stays in
+    * signed-BIGINT range), which DuckDB reproduces bit-identically, so the
+    * signature AND the blocked pair join have an exact SQL oracle.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sim = udf { (text: String) =>
       if (text == null) 0L
       else {
-        val acc = new Array[Int](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val acc = new Array[Int](60)
         graft.core.Text.metricTokens(text)
           .groupBy(identity).foreach { case (tok, occ) =>
             val w = occ.length
-            // two 32-bit murmur hashes -> 64 bits
-            val h1 = scala.util.hashing.MurmurHash3.stringHash(tok, 0xcafe)
-            val h2 = scala.util.hashing.MurmurHash3.stringHash(tok, 0xbeef)
-            val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+            md.reset()
+            val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var i = 0
+            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            h = h >>> 4 // first 15 hex nibbles = 60 bits
             var b = 0
-            while (b < 64) {
+            while (b < 60) {
               if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
               b += 1
             }
           }
         var out = 0L
         var b = 0
-        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+        while (b < 60) { if (acc(b) > 0) out |= (1L << b); b += 1 }
         out
       }
     }
@@ -183,9 +189,10 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "blocking with 4 blocks guarantees k<=3 only")
     val hashes = simhash(docs, textCol)
-    // one projection + posexplode (not a 4-way union — see minhashLshPairs)
+    // 4 blocks x 15 bits over the 60-bit hash; one projection + posexplode
+    // (not a 4-way union — see minhashLshPairs)
     val blockKeys = array((0 until 4).map { blk =>
-      shiftrightunsigned(col("simhash"), blk * 16).bitwiseAND(lit(0xffffL))
+      shiftrightunsigned(col("simhash"), blk * 15).bitwiseAND(lit(0x7fffL))
     }: _*)
     val blocks = hashes
       .select(col("doc_id"), col("simhash"), posexplode(blockKeys).as(Seq("blk", "blk_key")))
