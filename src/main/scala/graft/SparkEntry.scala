@@ -467,7 +467,7 @@ object SparkEntry {
       col("l_linenumber").as("chunk_idx"),
       lit("x").as("text"),
       floor(col("l_quantity")).cast("long").as("n_tokens"))
-    CorpusOps.binPack(chunks, 50L).toDF
+    CorpusOps.binPack(chunks, 50L).toDF()
       .select(col("doc_id"), col("chunk_idx"), col("bin"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }

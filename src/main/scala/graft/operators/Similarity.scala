@@ -49,7 +49,7 @@ object Similarity {
     * reproducible across runs and engines.
     */
   private def planeComponent(table: Int, plane: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((table, plane, d))
+    val h = scala.util.hashing.MurmurHash3.caseClassHash((table, plane, d))
     (h.toDouble / Int.MaxValue)
   }
 

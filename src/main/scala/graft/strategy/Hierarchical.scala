@@ -58,7 +58,7 @@ final class Hierarchical(
     // rows are consumed, deeper rows no longer exist by the invariant
     nodes.filter(col("depth") < d ||
         (col("depth") === d && col("node_type") === "Paragraph"))
-      .unionByName(newParas.select(nodes.columns.map(col): _*))
+      .unionByName(newParas.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(nodes.columns.map(col)): _*))
   }
 
   /** Run the full bottom-up collapse; returns (doc_id, summary). */

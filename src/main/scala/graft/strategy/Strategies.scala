@@ -60,7 +60,7 @@ final class Strategies(
     * (reference: runners/run_summarization_ollama_mapreduce.py:130-144).
     */
   private def collapseOnce(chunks: DataFrame): DataFrame =
-    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF)
+    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF())
       .select(
         col("doc_id"),
         col("bin").cast("int").as("chunk_idx"),
@@ -156,7 +156,7 @@ final class Strategies(
   }
 
   private def collapseOnceCritique(chunks: DataFrame): DataFrame =
-    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF)
+    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF())
       .select(
         col("doc_id"),
         col("bin").cast("int").as("chunk_idx"),
