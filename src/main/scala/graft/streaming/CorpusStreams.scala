@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.strategy.Strategies
+
+/** Streaming corpus summarization — the incremental growth path of the
+  * reference's batch pipeline (SURVEY.md §2.10: the reference's only
+  * incremental behavior is S6 skip-if-exists; with a file-source stream +
+  * checkpoint, exactly-once per input file falls out of the engine).
+  *
+  * Two shapes:
+  *  - [[summarizeStream]]: the stateless truncated strategy (Q1) applied
+  *    per row — a pure streaming projection, runs in any output mode.
+  *  - [[mapReducePerBatch]]: the full map-reduce strategy (driver
+  *    fixed-point collapse included) via `foreachBatch` — the idiomatic
+  *    Spark way to run a batch-defined pipeline incrementally: each
+  *    micro-batch of newly-arrived documents goes through the complete
+  *    chunk -> map -> collapse -> reduce plan and appends its summaries.
+  */
+object CorpusStreams {
+
+  /** Open a docs directory as a parquet file stream (streaming readers
+    * cannot infer schemas).
+    */
+  def readDocStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Q1 over a stream: stateless per-row summarize — no watermark, no
+    * state store; scales as a projection.
+    */
+  def summarizeStream(docs: DataFrame, strategies: Strategies): DataFrame =
+    strategies.truncated(docs)
+
+  /** Full map-reduce summarization per micro-batch, appended to `outPath`.
+    * The collapse loop's driver actions run inside foreachBatch on the
+    * batch's (bounded) new-arrivals set, so stream progress is unaffected
+    * by corpus size — only by per-trigger file volume.
+    */
+  def mapReducePerBatch(docs: DataFrame, strategies: Strategies,
+      outPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        strategies.mapReduce(batch)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+}

@@ -83,4 +83,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.intersect(Set(1L, 2L)).size == 1)
     } finally q.stop()
   }
+
+  test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val strategies = Pipelines.strategies()
+    def writeWave(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+
+    // wave 1
+    writeWave(Seq((1L, "alpha beta gamma delta. epsilon zeta eta theta."),
+      (2L, "one two three four five six seven eight.")))
+    val schema = spark.read.parquet(in).schema
+    val docsStream = graft.streaming.CorpusStreams.readDocStream(spark, in, schema)
+    val q1 = graft.streaming.CorpusStreams.mapReducePerBatch(
+      docsStream, strategies, out, ckpt)
+    q1.awaitTermination()
+    // wave 2: only the new doc is processed (checkpoint remembers wave 1)
+    writeWave(Seq((3L, "nine ten eleven twelve thirteen fourteen.")))
+    val q2 = graft.streaming.CorpusStreams.mapReducePerBatch(
+      graft.streaming.CorpusStreams.readDocStream(spark, in, schema),
+      strategies, out, ckpt)
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // each doc exactly once
+    assert(got.values.forall(_.nonEmpty))
+    // batch and streaming runs agree per doc
+    val batch = strategies.mapReduce(
+      spark.read.parquet(in)).as[(Long, String)].collect().toMap
+    assert(got == batch)
+  }
 }
