@@ -64,20 +64,33 @@ object Metrics {
     val judgeUdf = udf { (gen: String, ref: String) =>
       try {
         val verdict = judge.critique(gen, ref)
-        Option((verdict, verdict.contains(graft.llm.Judge.NoIssues)))
+        val (corr, coh) = judge.scores(gen, ref)
+        Option((verdict, verdict.contains(graft.llm.Judge.NoIssues), corr, coh))
       } catch { case _: Exception => None }
     }
     pairs.withColumn("j", judgeUdf(col("gen"), col("ref")))
-      .select(col("doc_id"), col("j._1").as("verdict"), col("j._2").as("passed"))
+      .select(col("doc_id"), col("j._1").as("verdict"), col("j._2").as("passed"),
+        r4(col("j._3")).as("correctness"), r4(col("j._4")).as("coherence"))
   }
 
-  /** M4 aggregate: pass rate + isolated-failure count. */
+  /** M4 aggregate: pass rate + isolated-failure count + the G-Eval-shaped
+    * mean/std/min/max blocks over both rubric scores (reference stats:
+    * evaluate/evaluate_summaries_semantic.py:403-415).
+    */
   def judgeStats(judged: DataFrame): DataFrame =
     judged.agg(
       count(lit(1)).as("n_pairs"),
       sum(when(col("passed"), 1L).otherwise(0L)).as("n_passed"),
       sum(when(col("verdict").isNull, 1L).otherwise(0L)).as("n_failures"),
-      r4(exactAvg(when(col("passed"), 1.0).otherwise(0.0))).as("pass_rate"))
+      r4(exactAvg(when(col("passed"), 1.0).otherwise(0.0))).as("pass_rate"),
+      r4(exactAvg(col("correctness"))).as("corr_mean"),
+      r4(exactStddevPop(col("correctness"))).as("corr_std"),
+      r4(min(col("correctness"))).as("corr_min"),
+      r4(max(col("correctness"))).as("corr_max"),
+      r4(exactAvg(col("coherence"))).as("coh_mean"),
+      r4(exactStddevPop(col("coherence"))).as("coh_std"),
+      r4(min(col("coherence"))).as("coh_min"),
+      r4(max(col("coherence"))).as("coh_max"))
 
   /** G7: similarity-bucket histogram with percentages (reference:
     * evaluate/evaluate_summaries_semantic.py:661-671 — [0.7,inf) high,

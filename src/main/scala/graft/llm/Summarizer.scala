@@ -79,6 +79,16 @@ trait Judge extends Serializable {
     * summary passes.
     */
   def critique(summary: String, source: String): String
+
+  /** G-Eval-shaped numeric rubric scores in [0,1] (reference:
+    * evaluate/evaluate_summaries_semantic.py:275-307 — Correctness judged
+    * against the expected text, Coherence judged on the output alone).
+    * Default derives both from the binary verdict; real judges override.
+    */
+  def scores(summary: String, source: String): (Double, Double) = {
+    val pass = if (critique(summary, source).contains(Judge.NoIssues)) 1.0 else 0.0
+    (pass, pass)
+  }
 }
 
 object Judge {
@@ -86,12 +96,28 @@ object Judge {
 }
 
 final case class CoverageJudge(minCoverage: Double = 0.25) extends Judge {
-  override def critique(summary: String, source: String): String = {
+  private def coverage(summary: String, source: String): Double = {
     val sumToks = Text.metricTokens(summary).toSet
     val srcToks = Text.metricTokens(source).toSet
-    if (srcToks.isEmpty || summary.trim.isEmpty) return "empty summary"
-    val cov = srcToks.count(sumToks.contains).toDouble / srcToks.size
+    if (srcToks.isEmpty || summary.trim.isEmpty) 0.0
+    else srcToks.count(sumToks.contains).toDouble / srcToks.size
+  }
+
+  override def critique(summary: String, source: String): String = {
+    if (summary.trim.isEmpty) return "empty summary"
+    val cov = coverage(summary, source)
     if (cov >= minCoverage) Judge.NoIssues
     else f"low source coverage: $cov%.3f < $minCoverage%.3f"
+  }
+
+  /** Correctness = source-vocabulary coverage fraction; coherence =
+    * lexical-diversity proxy (distinct / total tokens — a repetitive
+    * degenerate summary scores low). Deterministic stand-ins with the
+    * reference rubrics' shape and range.
+    */
+  override def scores(summary: String, source: String): (Double, Double) = {
+    val toks = Text.metricTokens(summary)
+    val coherence = if (toks.isEmpty) 0.0 else toks.distinct.length.toDouble / toks.length
+    (coverage(summary, source), coherence)
   }
 }

@@ -158,6 +158,13 @@ class StrategiesSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_passed") == 1L)
     assert(stats.getAs[Long]("n_failures") == 0L)
     assert(stats.getAs[Double]("pass_rate") == 0.5)
+    // G-Eval-shaped rubric blocks: pair 1 covers all source vocab
+    // (correctness 1.0), pair 2 none (0.0); both summaries have no repeated
+    // tokens (coherence 1.0)
+    assert(stats.getAs[Double]("corr_mean") == 0.5)
+    assert(stats.getAs[Double]("corr_min") == 0.0 &&
+      stats.getAs[Double]("corr_max") == 1.0)
+    assert(stats.getAs[Double]("coh_mean") == 1.0)
   }
 
   test("G8 bestModelPerMetric: argmax with deterministic tie-break") {
