@@ -71,4 +71,10 @@ object Pipelines {
       udf((t: String) => LeadSummarizer.summarize(t, 12)).apply(col("text")).as("ref"))
     Metrics.judgeMetrics(gen.join(ref, "doc_id")).orderBy(col("doc_id"))
   }
+
+  /** M4+G6 aggregate: pass rate, failure isolation count and the rubric
+    * distribution blocks over the [[judgeScores]] rows.
+    */
+  def judgeStats(spark: SparkSession, dir: String): DataFrame =
+    Metrics.judgeStats(judgeScores(spark, dir))
 }

@@ -523,7 +523,8 @@ object SparkEntry {
     "eval_rouge_ngram" -> (evalRougeNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
-    "eval_judge_scores" -> (Pipelines.judgeScores(_, _)))
+    "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
+    "eval_judge_stats" -> (Pipelines.judgeStats(_, _)))
 
   // --------------------------------------------------------------- oracles
 
