@@ -77,4 +77,16 @@ object Pipelines {
     */
   def judgeStats(spark: SparkSession, dir: String): DataFrame =
     Metrics.judgeStats(judgeScores(spark, dir))
+
+  /** M2: BERTScore-shaped greedy-match scores over SQL-free pairs (the
+    * same overlapping-token-slice pairing as eval_rouge_ngram, so the
+    * score is non-degenerate without running a strategy first).
+    */
+  def bertScores(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = docs(spark, dir).select(col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    Metrics.bertScore(pairs).orderBy(col("doc_id"))
+  }
 }

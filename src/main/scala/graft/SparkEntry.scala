@@ -524,7 +524,8 @@ object SparkEntry {
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
-    "eval_judge_stats" -> (Pipelines.judgeStats(_, _)))
+    "eval_judge_stats" -> (Pipelines.judgeStats(_, _)),
+    "eval_bertscore" -> (Pipelines.bertScores(_, _)))
 
   // --------------------------------------------------------------- oracles
 

@@ -32,6 +32,25 @@ object Metrics {
         col("rouge.rougeL_f").as("rougeL_f"))
   }
 
+  /** M2: BERTScore-shaped greedy-match P/R/F1 columns. Token embeddings
+    * come from the pluggable embedder applied per token (deterministic
+    * hashing-TF by default; a transformer-backed Embedder upgrades the
+    * score without plan changes). Input: (doc_id, gen, ref).
+    */
+  def bertScore(pairs: DataFrame, embedder: Embedder = HashingTfEmbedder(64)): DataFrame = {
+    val scoreUdf = udf { (gen: String, ref: String) =>
+      def tokVecs(s: String): Array[Array[Float]] =
+        if (s == null) Array.empty
+        else graft.core.Text.metricTokens(s).map(embedder.embed)
+      graft.core.BertScore.greedyMatch(tokVecs(gen), tokVecs(ref))
+    }
+    pairs.withColumn("bs", scoreUdf(col("gen"), col("ref")))
+      .select(col("doc_id"),
+        r4(col("bs._1")).as("bert_p"),
+        r4(col("bs._2")).as("bert_r"),
+        r4(col("bs._3")).as("bert_f"))
+  }
+
   /** G6: mean/std/min/max per metric (population std — the reference uses
     * numpy's default, evaluate/evaluate_summaries_semantic.py:600-617).
     * Output long-format: (metric, mean, std, min, max).

@@ -115,6 +115,33 @@ class StrategiesSpec extends AnyFunSuite {
       2L -> "Four five six seven eight nine ten eleven"))
   }
 
+  test("M2 bertScore: identical texts 1.0; disjoint near 0; asymmetric P/R") {
+    val pairs = Seq(
+      (1L, "alpha beta gamma", "alpha beta gamma"),      // identical
+      (2L, "zz yy xx", "alpha beta gamma"),              // disjoint
+      (3L, "alpha beta", "alpha beta gamma delta"))      // cand subset of ref
+      .toDF("doc_id", "gen", "ref")
+    val got = Metrics.bertScore(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("bert_p"), r.getAs[Double]("bert_r"), r.getAs[Double]("bert_f")))
+      .toMap
+    assert(got(1L) == ((1.0, 1.0, 1.0)))
+    assert(got(2L)._3 < 0.5) // hashing embeddings: unrelated tokens rarely match
+    val (p3, r3, _) = got(3L)
+    assert(p3 == 1.0)  // every candidate token has an exact ref match
+    assert(r3 < 1.0)   // ref tokens gamma/delta unmatched at full similarity
+  }
+
+  test("M2 BertScore greedy-match formula on hand vectors") {
+    import graft.core.BertScore
+    val e1 = Array(1f, 0f); val e2 = Array(0f, 1f)
+    // cand [e1], ref [e1, e2]: P = 1.0, R = mean(1.0, 0.0) = 0.5, F = 2/3
+    val (p, r, f) = BertScore.greedyMatch(Array(e1), Array(e1, e2))
+    assert(p == 1.0 && r == 0.5)
+    assert(math.abs(f - 2.0 / 3.0) < 1e-12)
+    assert(BertScore.greedyMatch(Array.empty, Array(e1)) == ((0.0, 0.0, 0.0)))
+  }
+
   test("M1/M3/M5 pairMetrics: identical pair scores 1.0 on rouge and cosine") {
     val pairs = Seq((1L, "same summary text", "same summary text"),
       (2L, "alpha beta", "gamma delta")).toDF("doc_id", "gen", "ref")
