@@ -52,6 +52,12 @@ class AppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/summaries").count() == 2) // .dat filtered
   }
 
+  test("CLI demo: runs all five strategies on one doc without error") {
+    val docs = writeDocsParquet()
+    // exercises the full dispatch incl. Hierarchical over a synthesized tree
+    graft.app.Main.main(Array("demo", "--docs", docs, "--doc-id", "1"))
+  }
+
   test("CLI evaluate: joined metrics report with stats, histogram, details") {
     val docs = writeDocsParquet()
     val gen = tmpDir("graft_gen")
