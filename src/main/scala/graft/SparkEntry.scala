@@ -452,6 +452,24 @@ object SparkEntry {
     Multimodal.decodeMeta(Multimodal.withPayload(tbl(spark, dir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** MM4: media feature extraction (STUB encoder) — the feature vector
+    * plugs into the similarity ops; oracled via its L2 norm (md5-derived
+    * features are exactly reproducible in SQL).
+    */
+  private def mm4FeatureNorm(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.withPayload(tbl(spark, dir, "documents")), 8)
+      .select(col("doc_id"), size(col("features")).as("dim"),
+        r4(graft.functions.vecNormF(col("features"))).as("feat_norm"))
+      .orderBy(col("doc_id"))
+
+  /** MM5: payload resize (STUB re-encode) — rows-only; the mapPartitions
+    * plumbing is the product, the codec is the stub.
+    */
+  private def mm5Resize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePayloads(Multimodal.withPayload(tbl(spark, dir, "documents")), 640, 480)
+      .select(col("doc_id"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+
   /** MM3: frame sampling (every 10th frame) — one row per sampled frame. */
   private def mm3FrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.withPayload(tbl(spark, dir, "documents")), 10)
@@ -514,6 +532,8 @@ object SparkEntry {
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
     "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
     "mm3_frame_sample" -> (mm3FrameSample(_, _)),
+    "mm4_feature_norm" -> (mm4FeatureNorm(_, _)),
+    "mm5_resize" -> (mm5Resize(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
@@ -805,6 +825,16 @@ object SparkEntry {
          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,
          CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 AS height
          FROM documents ORDER BY doc_id""",
+    "mm4_feature_norm" -> {
+      // f_i = byte_i / 256 (exact in binary fp); norm accumulates
+      // left-to-right like the VecNorm loop
+      val fs = (0 until 8).map { i =>
+        s"(CAST(('0x' || substr(md5(text), ${2 * i + 1}, 2)) AS INT) / 256.0)"
+      }
+      val sumSq = fs.map(f => s"$f * $f").mkString(" + ")
+      s"""SELECT doc_id, 8 AS dim, round(sqrt($sumSq), 4) AS feat_norm
+         FROM documents ORDER BY doc_id"""
+    },
     // Exact greedy packing IS SQL-expressible via a recursive CTE: the
     // running total resets at each bin boundary, which the recursion walks
     // item-by-item per doc (depth = max chunks per doc, ~7 for lineitem).

@@ -35,6 +35,12 @@ object Multimodal {
     def close(): Unit = ()
     def decode(payload: Array[Byte]): MediaMeta
     def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte]
+    /** Fixed-dim feature vector for a payload (a real impl runs a vision/
+      * audio encoder here) — bridges media into the similarity operators.
+      */
+    def extractFeatures(payload: Array[Byte], dim: Int): Array[Float]
+    /** Re-encoded payload at the target dimensions. */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
   /** STUB decoder — deterministic pseudo-metadata derived from an md5 of
@@ -58,6 +64,14 @@ object Multimodal {
     }
     override def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
       digest(payload ++ BigInt(frameIdx).toByteArray) // stand-in frame bytes
+    override def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val d = digest(payload)
+      // /256: u * 2^-8 is exactly representable in binary floating point,
+      // so the SQL oracle's double arithmetic matches bit-for-bit
+      Array.tabulate(dim)(i => (d(i % d.length) & 0xff) / 256f)
+    }
+    override def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      digest(payload ++ BigInt(width).toByteArray ++ BigInt(height).toByteArray)
   }
 
   /** Attach a BINARY payload column derived from a string column — the
@@ -91,6 +105,47 @@ object Multimodal {
           override def next(): DecodedRow = out.next()
         }
       }(Encoders.product[DecodedRow])
+      .toDF()
+  }
+
+  final case class FeatureRow(doc_id: Long, features: Array[Float])
+
+  final case class ResizedRow(doc_id: Long, resized: Array[Byte], n_bytes: Long)
+
+  /** Feature extraction per payload: one `dim`-dimensional Array[Float]
+    * per media row, decoder constructed once per partition — the output
+    * column plugs directly into [[Similarity]] / [[Dedup]] embedding ops
+    * (media ANN search / near-dup with zero extra plumbing).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        it.map { case (id, p) => FeatureRow(id, decoder.extractFeatures(p, dim)) }
+      }(Encoders.product[FeatureRow])
+      .toDF()
+  }
+
+  /** Resize every payload to the target dims (STUB codec re-encode; the
+    * mapPartitions shape is where a real scaler lives).
+    */
+  def resizePayloads(media: DataFrame, width: Int, height: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        it.map { case (id, p) =>
+          val out = decoder.resize(p, width, height)
+          ResizedRow(id, out, out.length.toLong)
+        }
+      }(Encoders.product[ResizedRow])
       .toDF()
   }
 

@@ -32,6 +32,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a(1L).getAs[String]("format") == a(3L).getAs[String]("format"))
   }
 
+  test("extractFeatures: fixed dim, [0,1) range, identical payloads agree") {
+    val got = Multimodal.extractFeatures(media, 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features").toVector).toMap
+    assert(got.values.forall(_.length == 8))
+    assert(got.values.forall(_.forall(f => f >= 0f && f < 1f)))
+    assert(got(1L) == got(3L)) // same payload -> same features
+    assert(got(1L) != got(2L))
+    // features flow straight into the similarity ops
+    val emb = Multimodal.extractFeatures(media, 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val pairs = graft.operators.Dedup.embeddingCosinePairs(emb, 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // identical payloads are near-dups
+  }
+
+  test("resizePayloads: deterministic re-encode keyed by target dims") {
+    val a = Multimodal.resizePayloads(media, 640, 480).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("resized").toSeq).toMap
+    val b = Multimodal.resizePayloads(media, 320, 240).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("resized").toSeq).toMap
+    assert(a.keySet == Set(1L, 2L, 3L))
+    assert(a.values.forall(_.nonEmpty))
+    assert(a(1L) == a(3L))      // same payload + dims -> same bytes
+    assert(a(1L) != b(1L))      // different target dims -> different bytes
+  }
+
   test("sampleFrames: one row per sampled frame, stride respected") {
     val meta = Multimodal.decodeMeta(media).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
