@@ -51,4 +51,20 @@ class RougeSpec extends AnyFunSuite {
     assert(Rouge.rouge1("", "something").f == 0.0)
     assert(Rouge.rougeL("something", "").f == 0.0)
   }
+
+  test("Vietnamese text: diacritics survive tokenization and score exactly") {
+    // the reference corpus is Vietnamese; \p{L} tokenization must keep
+    // diacritic letters intact (the reference's ASCII stemmer-tokenizer
+    // mangles them — documented deviation, SURVEY §2.9 M1)
+    val viet = "Việt Nam là một quốc gia nằm ở Đông Nam Á"
+    assert(Text.metricTokens(viet).toSeq ==
+      Seq("việt", "nam", "là", "một", "quốc", "gia", "nằm", "ở", "đông", "nam", "á"))
+    assert(Rouge.rouge1(viet, viet).f == 1.0)
+    assert(Rouge.rougeL(viet, viet).f == 1.0)
+    // partial overlap is scored on the diacritic-preserved tokens
+    val cand = "Việt Nam là quốc gia"
+    val s = Rouge.rouge1(cand, viet)
+    assert(s.p == 1.0) // every candidate token appears in the reference
+    assert(s.r > 0.0 && s.r < 1.0)
+  }
 }
