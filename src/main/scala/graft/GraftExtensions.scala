@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecCosine
+import graft.functions.{VecCosine, VecDot, VecNorm}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT vec_cosine(a, b) ...")` works.
@@ -30,6 +30,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"vec_cosine expects 2 arguments, got ${args.length}")
         VecCosine(args(0), args(1))
+      }),
+    "vec_dot" -> (
+      new ExpressionInfo(classOf[VecDot].getCanonicalName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        VecDot(args(0), args(1))
+      }),
+    "vec_norm" -> (
+      new ExpressionInfo(classOf[VecNorm].getCanonicalName, "vec_norm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"vec_norm expects 1 argument, got ${args.length}")
+        VecNorm(args(0))
       }))
 
   /** Idempotently register graft functions on an already-built session. */

@@ -37,6 +37,13 @@ class VecCosineSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("vec_dot and vec_norm are callable from SQL") {
+    GraftExtensions.register(spark)
+    val arr3_4 = "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))"
+    assert(spark.sql(s"SELECT vec_norm($arr3_4)").as[Double].head() == 5.0)
+    assert(spark.sql(s"SELECT vec_dot($arr3_4, $arr3_4)").as[Double].head() == 25.0)
+  }
+
   test("split cosine (vec_dot / norms) is bit-identical to vec_cosine") {
     val denom = col("na") * col("nb")
     val rows = df
