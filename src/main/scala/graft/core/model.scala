@@ -26,13 +26,21 @@ final case class TreeNode(
     ord: Int)
 
 /** Pipeline configuration (mirror of the reference's merged config dict,
-  * run_full_evaluation_pipeline.py:974-1027).
+  * run_full_evaluation_pipeline.py:974-1027). Defaults are the reference's
+  * production values — a user switching from the reference gets its
+  * chunking behavior unchanged: chunk_size 12000 / chunk_overlap 200
+  * (:999-1003; splitter configs ..._mapreduce.py:213-217), token_max
+  * 10000 (ds2 bench config, BASELINE.md), max_new_tokens 2048
+  * (runners/run_summarization_ollama.py:8-37 — 16384-token context minus
+  * 2048 generation budget). Tests scale these down proportionally
+  * (Pipelines.TestCfg) so the synthetic corpus still exercises multi-chunk
+  * docs and collapse rounds.
   */
 final case class PipelineConfig(
-    chunkSize: Int = 400,
-    chunkOverlap: Int = 40,
-    tokenMax: Int = 600,
-    maxSummaryTokens: Int = 120,
+    chunkSize: Int = 12000,
+    chunkOverlap: Int = 200,
+    tokenMax: Int = 10000,
+    maxSummaryTokens: Int = 2048,
     maxCollapseRounds: Int = 10, // reference recursion_limit=10
     maxCritiqueIterations: Int = 2,
     byTokens: Boolean = true)
