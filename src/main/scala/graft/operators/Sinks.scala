@@ -38,6 +38,22 @@ object Sinks {
       }
   }
 
+  /** S4 (scale variant): bucketed + sorted table — repeated joins on
+    * `bucketCol` (summaries↔references, summaries↔metrics, incremental
+    * anti-joins) become shuffle-free: both sides read pre-bucketed, so the
+    * sort-merge join needs no Exchange. At 100 TB, bucketing the corpus and
+    * derived tables on doc_id once amortizes the partitioning across every
+    * downstream join. (Bucketed writes go through the catalog —
+    * `saveAsTable` — because bucket metadata lives in the table definition.)
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 64): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S5: nested JSON evaluation report — summary statistics (long-format
     * stats rows) + similarity histogram + per-pair details, one UTF-8 JSON
     * document. Aggregate inputs are tiny by construction (stats rows =

@@ -81,6 +81,27 @@ class AppSpec extends AnyFunSuite {
     s
   }
 
+  test("bucketed tables join without a shuffle (co-located sort-merge)") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val refs = (1L to 200L).map(i => (i, s"ref $i")).toDF("doc_id", "ref")
+    Sinks.writeBucketedTable(docs, "bkt_docs", "doc_id", 8)
+    Sinks.writeBucketedTable(refs, "bkt_refs", "doc_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_docs").join(spark.table("bkt_refs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // both sides read pre-bucketed: no Exchange anywhere in the plan
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_refs")
+    }
+  }
+
   test("Sinks.writeJsonReport produces parseable nested JSON") {
     val stats = Seq(("m", 1.0, 0.0, 1.0, 1.0)).toDF("metric", "mean", "std", "min", "max")
     val hist = Seq(("high", 1L, 100.0)).toDF("bucket", "n", "pct")
