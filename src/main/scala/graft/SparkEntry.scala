@@ -134,6 +134,24 @@ object SparkEntry {
           x => x.cast("string")), ",").as("line_numbers"))
       .orderBy(col("l_orderkey"))
 
+  /** G1b: the same ordered collect as g1, through the range-salted
+    * two-phase concat (skew-safe path) — held to the SAME oracle as the
+    * direct form, so salting is proven order-exact on real data. segSize=2
+    * forces genuine multi-segment merges (lineitem has up to 7 lines).
+    */
+  private def g1bCollectSalted(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = tbl(spark, dir, "lineitem").select(
+      col("l_orderkey").as("doc_id"), lit(0).as("bin"),
+      col("l_linenumber").as("chunk_idx"),
+      col("l_linenumber").cast("string").as("text"),
+      lit(1L).as("n_tokens"))
+    CorpusOps.concatBinsSalted(chunks, ",", segSize = 2)
+      .select(col("doc_id").as("l_orderkey"),
+        col("n_tokens_in").as("n_lines"),
+        col("text").as("line_numbers"))
+      .orderBy(col("l_orderkey"))
+  }
+
   /** G6: mean/std/min/max metric block (population std, like numpy's
     * default in the reference eval).
     */
@@ -501,6 +519,7 @@ object SparkEntry {
     "o3_window_running" -> (o3Window(_, _)),
     "g3_binpack_cumsum" -> (g3BinpackCumsum(_, _)),
     "g1_collect_ordered" -> (g1Collect(_, _)),
+    "g1b_collect_salted" -> (g1bCollectSalted(_, _)),
     "g6_metric_stats" -> (g6Stats(_, _)),
     "g7_histogram" -> (g7Histogram(_, _)),
     "g8_argmax" -> (g8Argmax(_, _)),
@@ -603,6 +622,12 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY doc_id, chunk_idx""",
     "g1_collect_ordered" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+         string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // the salted two-phase concat must be indistinguishable from the
+    // direct ordered collect — same oracle
+    "g1b_collect_salted" ->
       """SELECT l_orderkey, COUNT(*) AS n_lines,
          string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers
          FROM lineitem GROUP BY 1 ORDER BY 1""",

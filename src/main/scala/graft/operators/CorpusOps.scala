@@ -100,6 +100,40 @@ object CorpusOps {
         sum(col("n_tokens")).as("n_tokens_in"),
         min(col("chunk_idx")).as("first_chunk_idx"))
 
+  /** G1+G4 (skew-safe variant): the ordered concat with RANGE SALTING —
+    * the one aggregation shape partial aggregation cannot protect, because
+    * a single degenerate document (millions of chunks) funnels its whole
+    * payload into one reducer. Salting by chunk-index range keeps order
+    * exact: segment s holds chunk_idx in [s*segSize, (s+1)*segSize), each
+    * segment concatenates in order on its own reducer (phase 1), and the
+    * per-doc merge concatenates the segments in segment order (phase 2) —
+    * identical output to [[concatBins]], with per-reducer payload bounded
+    * by segSize chunks instead of the largest document.
+    */
+  def concatBinsSalted(binned: DataFrame, sep: String = "\n\n",
+      segSize: Int = 1024): DataFrame = {
+    require(segSize > 0)
+    val seg = floor(col("chunk_idx") / segSize).cast("int")
+    val phase1 = binned
+      .groupBy(col("doc_id"), col("bin"), seg.as("seg"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
+            s => s.getField("text")),
+          sep).as("seg_text"),
+        sum(col("n_tokens")).as("seg_tokens"),
+        min(col("chunk_idx")).as("seg_first_idx"))
+    phase1
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+            s => s.getField("seg_text")),
+          sep).as("text"),
+        sum(col("seg_tokens")).as("n_tokens_in"),
+        min(col("seg_first_idx")).as("first_chunk_idx"))
+  }
+
   /** S6: incremental recompute set — docs whose output does not exist yet
     * (left-anti join) and the already-done ones (left-semi) for downstream
     * eval (reference: run_full_evaluation_pipeline.py:422-431).

@@ -184,6 +184,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nodes.count(_.getAs[String]("node_type") == "Paragraph") == 4)
   }
 
+  test("G1b salted concat equals the direct ordered concat") {
+    // 30 chunks per doc, deliberately shuffled; segSize 4 forces 8 segments
+    val rows = for (d <- 1L to 3L; i <- (0 until 30).reverse)
+      yield (d, 0, i, s"c$d-$i", 2L)
+    val binned = rows.toDF("doc_id", "bin", "chunk_idx", "text", "n_tokens")
+    val direct = CorpusOps.concatBins(binned)
+      .select("doc_id", "text", "n_tokens_in", "first_chunk_idx")
+      .as[(Long, String, Long, Int)].collect().toSet
+    val salted = CorpusOps.concatBinsSalted(binned, segSize = 4)
+      .select("doc_id", "text", "n_tokens_in", "first_chunk_idx")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(salted == direct)
+  }
+
   test("DD3 hot-bucket cap drops candidates from oversized buckets") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g h"))
