@@ -34,10 +34,18 @@ object Bench {
     // and codegen compilation are not charged to whichever timed query
     // touches that machinery first (measured: ~40 s of warm-up cost landing
     // on the eval_* queries at sf0.1 without this).
-    try force(SparkEntry.queries("q1_agg")(spark, sfDir))
-    catch { case _: Throwable => () }
-    try force(SparkEntry.queries("eval_pair_metrics")(spark, "/root/testdata/sf0.001"))
-    catch { case _: Throwable => () }
+    // The strategy-path warm-up wants the smallest corpus available: prefer
+    // a sibling sf0.001 of the benchmarked dir, else warm on sfDir itself.
+    // A failed warm-up is reported (not swallowed) — its ~40 s of first-hit
+    // JIT otherwise lands silently on the first eval_* query.
+    val warmDir = Option(new java.io.File(sfDir).getParentFile)
+      .map(p => new java.io.File(p, "sf0.001"))
+      .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
+    def warmUp(name: String, dir: String): Unit =
+      try force(SparkEntry.queries(name)(spark, dir))
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up $name failed: $e") }
+    warmUp("q1_agg", sfDir)
+    warmUp("eval_pair_metrics", warmDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -46,31 +46,52 @@ object Pipelines {
     new Hierarchical(ExtractiveSummarizer, TestCfg)
       .summarize(TreeOps.synthesize(docs(spark, dir)))
 
-  /** Generated-vs-reference pair metrics: generated = map-reduce pipeline,
-    * reference = lead-summarizer baseline (the corpus has no gold
-    * summaries; the pairing/metric machinery is what's under test —
-    * reference shape: evaluate/evaluate_summaries_semantic.py:561-575).
+  /** Materialize-once gen/ref pairing shared by every eval_* entry point.
+    *
+    * All four metric queries (pair metrics, summary stats, judge scores,
+    * judge stats) consume the SAME deterministic pairing: generated =
+    * map-reduce pipeline output, reference = lead-summarizer baseline (the
+    * corpus has no gold summaries; the pairing/metric machinery is what's
+    * under test — reference shape:
+    * evaluate/evaluate_summaries_semantic.py:561-575). Re-deriving it per
+    * query re-runs the whole chunk -> summarize -> collapse-loop pipeline
+    * each time — the single dominant cost of the eval family — so the
+    * pairing is persisted once per (session, corpus dir) and reused, the
+    * same way a production evaluation job materializes its summaries table
+    * before fanning out metric passes. Entries are tiny (one short gen/ref
+    * row per doc) and keyed by session identity, so a stopped session's
+    * cache is never reused.
     */
-  def pairMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val gen = strategies().mapReduce(d).withColumnRenamed("summary", "gen")
-    val ref = d.select(col("doc_id"),
-      udf((t: String) => LeadSummarizer.summarize(t, 12)).apply(col("text")).as("ref"))
-    Metrics.pairMetrics(gen.join(ref, "doc_id"))
-  }
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def genRefPairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.synchronized {
+      pairCache.get((spark, dir))
+        .filter(_ => !spark.sparkContext.isStopped)
+        .getOrElse {
+          val d = docs(spark, dir)
+          val gen = strategies().mapReduce(d).withColumnRenamed("summary", "gen")
+          val ref = d.select(col("doc_id"),
+            udf((t: String) => LeadSummarizer.summarize(t, 12)).apply(col("text")).as("ref"))
+          val pairs = gen.join(ref, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pairCache.put((spark, dir), pairs)
+          pairs
+        }
+    }
+
+  /** Per-pair metric record over the shared [[genRefPairs]] pairing. */
+  def pairMetrics(spark: SparkSession, dir: String): DataFrame =
+    Metrics.pairMetrics(genRefPairs(spark, dir))
 
   def evalStats(spark: SparkSession, dir: String): DataFrame =
     Metrics.summaryStats(pairMetrics(spark, dir),
       Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f"))
 
-  /** M4 judge pass over the same gen/ref pairing as [[pairMetrics]]. */
-  def judgeScores(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val gen = strategies().mapReduce(d).withColumnRenamed("summary", "gen")
-    val ref = d.select(col("doc_id"),
-      udf((t: String) => LeadSummarizer.summarize(t, 12)).apply(col("text")).as("ref"))
-    Metrics.judgeMetrics(gen.join(ref, "doc_id")).orderBy(col("doc_id"))
-  }
+  /** M4 judge pass over the same [[genRefPairs]] pairing as [[pairMetrics]]. */
+  def judgeScores(spark: SparkSession, dir: String): DataFrame =
+    Metrics.judgeMetrics(genRefPairs(spark, dir)).orderBy(col("doc_id"))
 
   /** M4+G6 aggregate: pass rate, failure isolation count and the rubric
     * distribution blocks over the [[judgeScores]] rows.

@@ -82,11 +82,15 @@ object Main {
   private[app] def runPipeline(opts: Map[String, String]): Unit = {
     val approach = opts.getOrElse("approach", "mapreduce")
     val out = opts.getOrElse("out", sys.error("--out required"))
-    val cfg = PipelineConfig(
-      chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(400),
-      chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(40),
-      tokenMax = opts.get("token-max").map(_.toInt).getOrElse(600),
-      maxSummaryTokens = opts.get("summary-tokens").map(_.toInt).getOrElse(120))
+    // Fallbacks come from the default PipelineConfig instance, so the CLI
+    // and the case-class defaults (the reference's production values) can
+    // never diverge.
+    val d = PipelineConfig()
+    val cfg = d.copy(
+      chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(d.chunkSize),
+      chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(d.chunkOverlap),
+      tokenMax = opts.get("token-max").map(_.toInt).getOrElse(d.tokenMax),
+      maxSummaryTokens = opts.get("summary-tokens").map(_.toInt).getOrElse(d.maxSummaryTokens))
     val (spark, owned) = session()
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))

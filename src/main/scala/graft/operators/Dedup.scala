@@ -126,7 +126,13 @@ object Dedup {
       val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       md5(concat_ws("_", parts: _*))
     }: _*)
+    // Empty/whitespace-only docs have null signatures: drop them before
+    // banding. concat_ws would otherwise skip the null parts and give every
+    // empty doc the SAME md5("") band key — SQL NULL-key semantics never
+    // join those rows, and at corpus scale that one degenerate bucket would
+    // emit m^2 candidate pairs of documents with no content to compare.
     val bandRows = sigs
+      .filter(col("mh_0").isNotNull)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
     val buckets = bandRows.groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -181,9 +187,10 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within `maxHamming` distance, blocked by
-    * 16-bit sub-keys: two 64-bit hashes within Hamming distance k<=3 must
-    * agree on at least one of 4 16-bit blocks (pigeonhole), so candidates
-    * come from 4 equi-joins on block values, then exact Hamming verify.
+    * 15-bit sub-keys: two 60-bit hashes within Hamming distance k<=3 must
+    * agree on at least one of the 4 15-bit blocks (pigeonhole: k<=3 flipped
+    * bits can touch at most 3 of the 4 blocks), so candidates come from
+    * equi-matches on block values, then exact Hamming verify.
     */
   def simhashPairs(docs: DataFrame, textCol: String = "text", maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None): DataFrame = {

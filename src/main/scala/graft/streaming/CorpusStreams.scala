@@ -38,7 +38,20 @@ object CorpusStreams {
   def summarizeStream(docs: DataFrame, strategies: Strategies): DataFrame =
     strategies.truncated(docs)
 
-  /** Full map-reduce summarization per micro-batch, appended to `outPath`.
+  /** Idempotent batch write: each micro-batch lands in its own
+    * `batch_id=<id>` partition directory with overwrite semantics. A batch
+    * that fails between the parquet write and the checkpoint offset commit
+    * is replayed under the SAME batchId, so the retry overwrites its own
+    * half-written partition instead of appending duplicates — this is what
+    * upgrades foreachBatch's native at-least-once to exactly-once in the
+    * sink table. Readers see `batch_id` as an ordinary partition column of
+    * `outPath`.
+    */
+  def writeSummaryBatch(summaries: DataFrame, outPath: String, batchId: Long): Unit =
+    summaries.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** Full map-reduce summarization per micro-batch, written to `outPath`
+    * keyed by batch id (exactly-once; see [[writeSummaryBatch]]).
     * The collapse loop's driver actions run inside foreachBatch on the
     * batch's (bounded) new-arrivals set, so stream progress is unaffected
     * by corpus size — only by per-trigger file volume.
@@ -48,9 +61,8 @@ object CorpusStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        strategies.mapReduce(batch)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSummaryBatch(strategies.mapReduce(batch), outPath, batchId)
       }
       .start()
 }

@@ -87,6 +87,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("DD3 MinHash LSH: empty/whitespace docs never pair (null sigs dropped)") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, ""), (4L, "a b c d e f g h"),
+      (5L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs).as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 5L))) // no degenerate md5("") bucket pairs
+  }
+
   test("DD5 SimHash: identical docs at Hamming 0; unrelated docs filtered") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

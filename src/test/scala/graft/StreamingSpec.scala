@@ -107,12 +107,23 @@ class StreamingSpec extends AnyFunSuite {
       strategies, out, ckpt)
     q2.awaitTermination()
 
-    val got = spark.read.parquet(out).as[(Long, String)].collect().toMap
+    def readOut(): Map[Long, String] = spark.read.parquet(out)
+      .select("doc_id", "summary").as[(Long, String)].collect().toMap
+    val got = readOut()
     assert(got.keySet == Set(1L, 2L, 3L)) // each doc exactly once
     assert(got.values.forall(_.nonEmpty))
     // batch and streaming runs agree per doc
     val batch = strategies.mapReduce(
       spark.read.parquet(in)).as[(Long, String)].collect().toMap
     assert(got == batch)
+
+    // Failure-replay idempotence: re-running a batch under its original
+    // batchId (what the engine does after a crash between parquet write and
+    // offset commit) overwrites that batch's partition — no duplicates.
+    val wave2 = Seq((3L, "nine ten eleven twelve thirteen fourteen."))
+      .toDF("doc_id", "text")
+    graft.streaming.CorpusStreams.writeSummaryBatch(
+      strategies.mapReduce(wave2), out, batchId = 1L)
+    assert(readOut() == got)
   }
 }
