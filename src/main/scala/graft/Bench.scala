@@ -34,18 +34,23 @@ object Bench {
     // and codegen compilation are not charged to whichever timed query
     // touches that machinery first (measured: ~40 s of warm-up cost landing
     // on the eval_* queries at sf0.1 without this).
-    // The strategy-path warm-up wants the smallest corpus available: prefer
-    // a sibling sf0.001 of the benchmarked dir, else warm on sfDir itself.
-    // A failed warm-up is reported (not swallowed) — its ~40 s of first-hit
-    // JIT otherwise lands silently on the first eval_* query.
+    // Targeted warm-up at the smallest sibling corpus (sf0.001 next to the
+    // benchmarked dir, else sfDir itself): q1 covers the relational path,
+    // eval_pair_metrics the strategy/eval path (chunk -> summarize ->
+    // collapse loop -> join -> metrics), ss3 the vector/IVF path — the
+    // three machineries whose first-hit JIT/codegen otherwise lands on a
+    // timed query. Deliberately NOT a full-registry sweep: measured, ~110
+    // executions on one local session degrade later timed queries 10x+
+    // (session-level listener/shuffle-state accumulation), swamping what
+    // the extra warm-up saves. Failed warm-ups are reported, not swallowed.
     val warmDir = Option(new java.io.File(sfDir).getParentFile)
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
-    def warmUp(name: String, dir: String): Unit =
-      try force(SparkEntry.queries(name)(spark, dir))
-      catch { case e: Throwable => System.err.println(s"[bench] warm-up $name failed: $e") }
-    warmUp("q1_agg", sfDir)
-    warmUp("eval_pair_metrics", warmDir)
+    Seq("q1_agg", "eval_pair_metrics", "ss3_ivf_topk").foreach { name =>
+      try force(SparkEntry.queries(name)(spark, warmDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: $e") }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -296,13 +296,14 @@ object SparkEntry {
 
   /** SS3: IVF approximate top-5 (coarse-quantizer cells + probe rerank —
     * the second ANN scale path; rows-only, k-means cells aren't
-    * SQL-expressible).
+    * SQL-expressible). The quantizer trains on a deterministic 1/4 sample —
+    * the at-scale shape (training never scans the full corpus).
     */
   private def ss3IvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    Similarity.ivfTopK(emb, queries, 5, 64)
+    Similarity.ivfTopK(emb, queries, 5, 64, trainSampleMod = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 

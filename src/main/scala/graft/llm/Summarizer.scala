@@ -14,6 +14,14 @@ import graft.core.Text
 trait Summarizer extends Serializable {
   /** Produce a summary of `text` of at most `maxTokens` whitespace tokens. */
   def summarize(text: String, maxTokens: Int): String
+
+  /** Budget -> summary closure for REPEATED summarize calls over the same
+    * text (the critique retry loop widens the budget and re-summarizes).
+    * Implementations that do per-text analysis (sentence split, scoring)
+    * should override to hoist that work out of the per-budget call. Must
+    * agree exactly with [[summarize]].
+    */
+  def prepared(text: String): Int => String = summarize(text, _)
 }
 
 /** Deterministic extractive summarizer (the default scalar).
@@ -26,9 +34,16 @@ trait Summarizer extends Serializable {
   * budget. Pure function of the input — byte-stable across runs/partitions.
   */
 object ExtractiveSummarizer extends Summarizer {
-  override def summarize(text: String, maxTokens: Int): String = {
+  override def summarize(text: String, maxTokens: Int): String =
+    prepared(text)(maxTokens)
+
+  /** Sentence split + TF scoring happen ONCE per text; each budget call
+    * only runs the greedy selection. The critique retry loop calls the
+    * returned closure up to maxCritiqueIterations+1 times per row.
+    */
+  override def prepared(text: String): Int => String = {
     val sents = Text.sentences(text)
-    if (sents.isEmpty) return ""
+    if (sents.isEmpty) return _ => ""
     val tf = scala.collection.mutable.HashMap.empty[String, Int]
     val sentToks = sents.map(Text.metricTokens)
     sentToks.foreach(_.foreach(t => tf.update(t, tf.getOrElse(t, 0) + 1)))
@@ -40,17 +55,21 @@ object ExtractiveSummarizer extends Summarizer {
     }
     // highest score first, earlier sentence wins ties
     val byScore = scored.sortBy { case (i, s) => (-s, i) }
-    val picked = scala.collection.mutable.BitSet.empty
-    var budget = maxTokens
-    byScore.foreach { case (i, _) =>
-      val n = Text.tokenCount(sents(i))
-      if (budget > 0 && (picked.isEmpty || n <= budget)) {
-        picked += i
-        budget -= n
+    val sentLen = sents.map(Text.tokenCount)
+
+    (maxTokens: Int) => {
+      val picked = scala.collection.mutable.BitSet.empty
+      var budget = maxTokens
+      byScore.foreach { case (i, _) =>
+        val n = sentLen(i)
+        if (budget > 0 && (picked.isEmpty || n <= budget)) {
+          picked += i
+          budget -= n
+        }
       }
+      val out = sents.indices.filter(picked).map(sents).mkString(" ")
+      Text.truncateTokens(out, maxTokens)
     }
-    val out = sents.indices.filter(picked).map(sents).mkString(" ")
-    Text.truncateTokens(out, maxTokens)
   }
 }
 
@@ -80,6 +99,13 @@ trait Judge extends Serializable {
     */
   def critique(summary: String, source: String): String
 
+  /** Summary -> critique closure for REPEATED critiques against the same
+    * source (the critique retry loop). Implementations that analyze the
+    * source (tokenize, embed) should override to hoist that per-source
+    * work. Must agree exactly with [[critique]].
+    */
+  def preparedCritique(source: String): String => String = critique(_, source)
+
   /** G-Eval-shaped numeric rubric scores in [0,1] (reference:
     * evaluate/evaluate_summaries_semantic.py:275-307 — Correctness judged
     * against the expected text, Coherence judged on the output alone).
@@ -96,18 +122,31 @@ object Judge {
 }
 
 final case class CoverageJudge(minCoverage: Double = 0.25) extends Judge {
-  private def coverage(summary: String, source: String): Double = {
+  private def coverageOf(srcToks: Set[String], summary: String): Double = {
     val sumToks = Text.metricTokens(summary).toSet
-    val srcToks = Text.metricTokens(source).toSet
     if (srcToks.isEmpty || summary.trim.isEmpty) 0.0
     else srcToks.count(sumToks.contains).toDouble / srcToks.size
   }
 
-  override def critique(summary: String, source: String): String = {
-    if (summary.trim.isEmpty) return "empty summary"
-    val cov = coverage(summary, source)
-    if (cov >= minCoverage) Judge.NoIssues
-    else f"low source coverage: $cov%.3f < $minCoverage%.3f"
+  private def coverage(summary: String, source: String): Double =
+    coverageOf(Text.metricTokens(source).toSet, summary)
+
+  override def critique(summary: String, source: String): String =
+    preparedCritique(source)(summary)
+
+  /** Source tokenization happens once; each retry only tokenizes the new
+    * (short) candidate summary.
+    */
+  override def preparedCritique(source: String): String => String = {
+    val srcToks = Text.metricTokens(source).toSet
+    (summary: String) => {
+      if (summary.trim.isEmpty) "empty summary"
+      else {
+        val cov = coverageOf(srcToks, summary)
+        if (cov >= minCoverage) Judge.NoIssues
+        else f"low source coverage: $cov%.3f < $minCoverage%.3f"
+      }
+    }
   }
 
   /** Correctness = source-vocabulary coverage fraction; coherence =

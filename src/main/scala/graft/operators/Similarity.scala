@@ -143,13 +143,24 @@ object Similarity {
     * means, so centroid evolution is partition-order-deterministic).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
+    require(trainSampleMod >= 1)
 
-    var centroids: Array[Array[Float]] = corpus
+    // Quantizer TRAINING runs on a deterministic 1/trainSampleMod sample
+    // (vec_id mod — stable across runs and partitionings); ASSIGNMENT still
+    // covers every vector. At corpus scale this is how IVF is always built:
+    // Lloyd rounds over the full 100 TB corpus would cost a full scan per
+    // iteration for centroids whose quality saturates on a small sample.
+    val train =
+      if (trainSampleMod == 1) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+
+    var centroids: Array[Array[Float]] = train
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nCells)
       .as[(Long, Array[Float])].collect().map(_._2)
@@ -171,7 +182,7 @@ object Similarity {
     }
 
     for (_ <- 0 until iterations) {
-      val means = corpus
+      val means = train
         .select(bestCellUdf(centroids)(col("embedding")).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))

@@ -58,9 +58,11 @@ final class Strategies(
   /** One collapse round over the given chunk set: greedy bin-pack to the
     * token budget, concat each bin in chunk order, summarize each bin
     * (reference: runners/run_summarization_ollama_mapreduce.py:130-144).
+    * Pack+concat run fused (one shuffle per round — see
+    * [[CorpusOps.binPackConcat]]).
     */
   private def collapseOnce(chunks: DataFrame): DataFrame =
-    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF())
+    CorpusOps.binPackConcat(chunks, cfg.tokenMax)
       .select(
         col("doc_id"),
         col("bin").cast("int").as("chunk_idx"),
@@ -142,13 +144,18 @@ final class Strategies(
   private val reduceWithCritiqueUdf = udf { (source: String) =>
     if (source == null) ""
     else {
+      // prepared scalars: the source is analyzed (sentence-scored /
+      // tokenized) ONCE per row; each retry iteration only re-selects under
+      // the widened budget and tokenizes the new short candidate
+      val summarize = summarizer.prepared(source)
+      val critique = judge.preparedCritique(source)
       var budget = cfg.maxSummaryTokens
-      var s = summarizer.summarize(source, budget)
+      var s = summarize(budget)
       var it = 0
       while (it < cfg.maxCritiqueIterations &&
-             !judge.critique(s, source).contains(Judge.NoIssues)) {
+             !critique(s).contains(Judge.NoIssues)) {
         budget = budget + math.max(budget / 2, 1) // widen budget and retry
-        s = summarizer.summarize(source, budget)
+        s = summarize(budget)
         it += 1
       }
       s
@@ -156,7 +163,7 @@ final class Strategies(
   }
 
   private def collapseOnceCritique(chunks: DataFrame): DataFrame =
-    CorpusOps.concatBins(CorpusOps.binPack(chunks, cfg.tokenMax).toDF())
+    CorpusOps.binPackConcat(chunks, cfg.tokenMax)
       .select(
         col("doc_id"),
         col("bin").cast("int").as("chunk_idx"),
