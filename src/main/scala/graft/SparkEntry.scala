@@ -359,6 +359,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
+    * correctness (= source-vocabulary coverage) and coherence (= lexical
+    * diversity) — over the same SQL-constructible token-slice pairing as
+    * [[evalRougeNgram]], so the judge FORMULAS themselves are held to
+    * DuckDB parity on real corpus text (the pipeline-fed judge pass,
+    * eval_judge_scores, stays rows-only because its gen side is the
+    * map-reduce pipeline). Verdict strings are locale/printf-formatted and
+    * excluded; the boolean and both scores are exact.
+    */
+  private def evalJudgeNgram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    graft.eval.Metrics.judgeMetrics(pairs)
+      .select(col("doc_id"), col("passed"), col("correctness"), col("coherence"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- events
 
   /** The events table is written with TIMESTAMP(NANOS) parquet timestamps,
@@ -484,9 +504,15 @@ object SparkEntry {
   /** MM5: payload resize (STUB re-encode) — rows-only; the mapPartitions
     * plumbing is the product, the codec is the stub.
     */
+  /** MM5: stub resize to 64x48 (single-byte ASCII big-endian dims, so the
+    * stub's digest-of(payload ++ dim bytes) is exactly md5(text||chr(64)||
+    * chr(48)) in DuckDB — the resized BYTES are oracle-verified, not just
+    * their length).
+    */
   private def mm5Resize(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resizePayloads(Multimodal.withPayload(tbl(spark, dir, "documents")), 640, 480)
-      .select(col("doc_id"), col("n_bytes"))
+    Multimodal.resizePayloads(Multimodal.withPayload(tbl(spark, dir, "documents")), 64, 48)
+      .select(col("doc_id"), lower(hex(col("resized"))).as("resized_md5"),
+        col("n_bytes"))
       .orderBy(col("doc_id"))
 
   /** MM3: frame sampling (every 10th frame) — one row per sampled frame. */
@@ -561,6 +587,7 @@ object SparkEntry {
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
     "pipe_hierarchical" -> (Pipelines.hierarchical(_, _)),
     "eval_rouge_ngram" -> (evalRougeNgram(_, _)),
+    "eval_judge_ngram" -> (evalJudgeNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
@@ -577,6 +604,51 @@ object SparkEntry {
     s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
 
   def oracleSql: Map[String, String] = Map(
+    // 60-bit md5 content hash of the normalized token stream — same
+    // tokenization as eval_rouge_ngram's, same hex-parse as the minhash
+    // family
+    "ta4_fingerprint" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(
+           regexp_extract_all(lower(text), '[\p{L}\p{N}]+'), ' ')), 1, 15)) AS BIGINT)
+           AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    // stub resize = md5(payload ++ bigint-bytes(64) ++ bigint-bytes(48));
+    // 64 and 48 are single ASCII bytes, so the digest input is exactly the
+    // UTF-8 of text || chr(64) || chr(48)
+    "mm5_resize" ->
+      """SELECT doc_id, md5(text || chr(64) || chr(48)) AS resized_md5,
+         CAST(16 AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    // CoverageJudge rubric over the eval_rouge_ngram pairing: coverage =
+    // |distinct(ref toks) ∩ distinct(gen toks)| / |distinct(ref toks)|,
+    // coherence = distinct/total over gen toks, pass = coverage >= 0.25
+    "eval_judge_ngram" ->
+      """WITH pairs AS (
+           -- coalesce: DuckDB's array_to_string([]) is NULL, but a doc
+           -- shorter than the slice start means an EMPTY gen/ref, not NULL
+           SELECT doc_id,
+             coalesce(array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' '), '') AS gen,
+             coalesce(array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' '), '') AS ref
+           FROM documents),
+         tok AS (
+           SELECT doc_id, gen,
+             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
+             list_distinct(regexp_extract_all(lower(gen), '[\p{L}\p{N}]+')) AS gset,
+             list_distinct(regexp_extract_all(lower(ref), '[\p{L}\p{N}]+')) AS rset
+           FROM pairs),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN len(rset) = 0 OR trim(gen) = '' THEN 0.0
+               ELSE len(list_filter(rset, x -> list_contains(gset, x))) * 1.0 / len(rset)
+             END AS cov,
+             CASE WHEN len(gt) = 0 THEN 0.0
+               ELSE len(list_distinct(gt)) * 1.0 / len(gt) END AS coh,
+             trim(gen) = '' AS is_empty
+           FROM tok)
+         SELECT doc_id, (NOT is_empty AND cov >= 0.25) AS passed,
+           round(cov, 4) AS correctness, round(coh, 4) AS coherence
+         FROM m ORDER BY doc_id""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          round(${exactSumSql("l_quantity")}, 4) AS sum_qty,

@@ -89,23 +89,16 @@ object TextAnalysis {
         countMatches("[\\p{Punct}]")).as("bpe_estimate"))
   }
 
-  /** Document fingerprint: 64-bit rolling (polynomial) hash of the
-    * normalized token stream — stable content identity that ignores
-    * whitespace differences.
+  /** Document fingerprint: 60-bit content hash of the normalized token
+    * stream (metricTokens re-joined on single spaces, md5'd, first 15 hex
+    * nibbles as a positive long) — stable content identity that ignores
+    * whitespace/punctuation differences. Pure Column expression: stays in
+    * whole-stage codegen, and md5 makes it bit-identical in DuckDB for an
+    * exact SQL oracle (same derivation as the MinHash/SimHash family).
     */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val fp = udf { (text: String) =>
-      if (text == null) 0L
-      else {
-        var h = 1469598103934665603L // FNV-ish offset
-        graft.core.Text.metricTokens(text).foreach { tok =>
-          var i = 0
-          while (i < tok.length) { h = (h ^ tok.charAt(i)) * 1099511628211L; i += 1 }
-          h = (h ^ ' ') * 1099511628211L
-        }
-        h
-      }
-    }
-    docs.select(col("doc_id"), fp(col(textCol)).as("fingerprint"))
-  }
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      conv(substring(md5(array_join(
+        regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)),
+        " ")), 1, 15), 16, 10).cast("long").as("fingerprint"))
 }
