@@ -649,6 +649,75 @@ object SparkEntry {
          SELECT doc_id, (NOT is_empty AND cov >= 0.25) AS passed,
            round(cov, 4) AS correctness, round(coh, 4) AS coherence
          FROM m ORDER BY doc_id""",
+    // Q1 truncated strategy END-TO-END: cleanThinking (corpus-effective:
+    // >=3-newline squeeze + trim) -> 16-token truncation -> the
+    // ExtractiveSummarizer formula itself — sentence split (punctuation
+    // boundaries emulated with chr(1) markers; RE2 has no lookbehind), TF
+    // sentence scoring raw/sqrt(len), rank by (-score, idx), greedy
+    // budget-8 selection as a recursive CTE (the same state walk as the
+    // g3 greedy oracle), original-order concat, final 8-token truncation.
+    "pipe_truncated" ->
+      """WITH RECURSIVE cleaned AS (
+           SELECT doc_id,
+             trim(regexp_replace(text, '\n{3,}', chr(10) || chr(10), 'g')) AS c
+           FROM documents),
+         src AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(c), '\s+')) <= 16 THEN trim(c)
+               ELSE coalesce(array_to_string(string_split_regex(trim(c), '\s+')[1:16], ' '), '')
+             END AS s
+           FROM cleaned),
+         pieces AS (
+           SELECT doc_id,
+             string_split(
+               regexp_replace(regexp_replace(s, '([.!?;])\s+', '\1' || chr(1), 'g'),
+                 '\n+', chr(1), 'g'),
+               chr(1)) AS parts
+           FROM src),
+         sents AS (
+           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS s_idx,
+             trim(parts[k]) AS sent
+           FROM pieces, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
+           WHERE trim(parts[k]) <> ''),
+         swl AS (
+           SELECT doc_id, s_idx, sent,
+             len(string_split_regex(sent, '\s+')) AS wslen,
+             regexp_extract_all(lower(sent), '[\p{L}\p{N}]+') AS mt
+           FROM sents),
+         stoks AS (
+           SELECT doc_id, s_idx, mt[k] AS tok
+           FROM swl, LATERAL UNNEST(generate_series(1, len(mt))) AS u(k)),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM stoks GROUP BY 1, 2),
+         sscore AS (
+           SELECT st.doc_id, st.s_idx, SUM(tf.c) AS raw, COUNT(*) AS mlen
+           FROM stoks st JOIN tf USING (doc_id, tok) GROUP BY 1, 2),
+         ranked AS (
+           SELECT w.doc_id, w.s_idx, w.sent, w.wslen,
+             ROW_NUMBER() OVER (PARTITION BY w.doc_id
+               ORDER BY coalesce(sc.raw * 1.0 / sqrt(sc.mlen), 0.0) DESC, w.s_idx) AS rn
+           FROM swl w LEFT JOIN sscore sc USING (doc_id, s_idx)),
+         rec AS (
+           SELECT doc_id, rn, s_idx, wslen, true AS picked, 8 - wslen AS budget
+           FROM ranked WHERE rn = 1
+           UNION ALL
+           SELECT n.doc_id, n.rn, n.s_idx, n.wslen,
+             (r.budget > 0 AND n.wslen <= r.budget) AS picked,
+             CASE WHEN r.budget > 0 AND n.wslen <= r.budget
+               THEN r.budget - n.wslen ELSE r.budget END AS budget
+           FROM rec r JOIN ranked n ON n.doc_id = r.doc_id AND n.rn = r.rn + 1),
+         outp AS (
+           SELECT rec.doc_id, string_agg(ranked.sent, ' ' ORDER BY ranked.s_idx) AS o
+           FROM rec JOIN ranked USING (doc_id, rn)
+           WHERE rec.picked
+           GROUP BY rec.doc_id)
+         SELECT d.doc_id,
+           CASE WHEN len(string_split_regex(trim(coalesce(o, '')), '\s+')) <= 8
+             THEN trim(coalesce(o, ''))
+             ELSE coalesce(array_to_string(
+               string_split_regex(trim(coalesce(o, '')), '\s+')[1:8], ' '), '')
+           END AS summary
+         FROM documents d LEFT JOIN outp ON d.doc_id = outp.doc_id
+         ORDER BY d.doc_id""",
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          round(${exactSumSql("l_quantity")}, 4) AS sum_qty,
