@@ -331,13 +331,18 @@ object SparkEntry {
     TextAnalysis.tokenStats(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
-  /** TA4: rolling-hash document fingerprint (rows-only check — FNV-1a's
-    * wrapping 64-bit multiply isn't reasonably expressible in ANSI SQL;
-    * stability is ScalaTest-pinned instead).
-    */
+  /** TA4: md5-derived 60-bit document fingerprint (exact DuckDB oracle). */
   private def ta4Fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** TA5: corpus vocabulary stats (vocab size, token count, TTR). */
+  private def ta5Vocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(tbl(spark, dir, "documents"))
+
+  /** TA6: top-10 corpus trigrams (count desc, gram asc tie-break). */
+  private def ta6TopNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(tbl(spark, dir, "documents"), n = 3, k = 10)
 
   /** M1 (oracle slice): ROUGE-1/2 F1 over SQL-constructible pairs — gen =
     * first 20 whitespace tokens, ref = tokens 11-40 (partial overlap, so
@@ -569,6 +574,8 @@ object SparkEntry {
     "ta2_lang_id" -> (ta2LangId(_, _)),
     "ta3_token_stats" -> (ta3TokenStats(_, _)),
     "ta4_fingerprint" -> (ta4Fingerprint(_, _)),
+    "ta5_vocab" -> (ta5Vocab(_, _)),
+    "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -613,6 +620,24 @@ object SparkEntry {
            regexp_extract_all(lower(text), '[\p{L}\p{N}]+'), ' ')), 1, 15)) AS BIGINT)
            AS fingerprint
          FROM documents ORDER BY doc_id""",
+    // corpus vocabulary: same tokenization as the fingerprint family
+    "ta5_vocab" ->
+      """WITH t AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents)
+         SELECT COUNT(DISTINCT tok) AS vocab_size, COUNT(*) AS n_tokens,
+           round(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS type_token_ratio
+         FROM t""",
+    // top-10 trigrams, deterministic (count desc, gram asc)
+    "ta6_top_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t
+           FROM documents),
+         grams AS (
+           SELECT t[k] || ' ' || t[k+1] || ' ' || t[k+2] AS gram
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(k))
+         SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+         ORDER BY n DESC, gram ASC LIMIT 10""",
     // stub resize = md5(payload ++ bigint-bytes(64) ++ bigint-bytes(48));
     // 64 and 48 are single ASCII bytes, so the digest input is exactly the
     // UTF-8 of text || chr(64) || chr(48)

@@ -89,6 +89,46 @@ object TextAnalysis {
         countMatches("[\\p{Punct}]")).as("bpe_estimate"))
   }
 
+  /** Corpus vocabulary statistics: distinct-token count, total token
+    * occurrences, and type/token ratio over the whole corpus — the
+    * training-data "vocab size" pass. One explode + one hash-aggregate
+    * (map-side partial agg collapses per-partition duplicates before the
+    * shuffle); the 100 TB variant swaps the exact count for
+    * approx_count_distinct (HLL) without touching the plan shape.
+    */
+  def vocabStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)))
+        .as("tok"))
+    toks.agg(
+      countDistinct(col("tok")).as("vocab_size"),
+      count(lit(1)).as("n_tokens"),
+      r4(countDistinct(col("tok")).cast("double") / count(lit(1))).as("type_token_ratio"))
+  }
+
+  /** Top-k word n-grams by corpus frequency with a deterministic tie-break
+    * (count desc, gram asc) — the frequent-n-gram/contamination-scan pass
+    * of a training-data pipeline. Explode -> hash-aggregate (partial aggs
+    * collapse repeats map-side) -> global top-k. The final ORDER BY + LIMIT
+    * on the aggregated (already small) gram table is a TakeOrdered, not a
+    * full sort of the corpus.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val toks = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0))
+    // n-grams via transform over a sliding index range (pure Column, no
+    // UDF). The when-guard matters: sequence(1, 0) steps BACKWARD in Spark,
+    // so short docs must map to an empty gram array explicitly.
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+    docs.select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Document fingerprint: 60-bit content hash of the normalized token
     * stream (metricTokens re-joined on single spaces, md5'd, first 15 hex
     * nibbles as a positive long) — stable content identity that ignores

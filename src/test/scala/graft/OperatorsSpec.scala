@@ -230,6 +230,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.isEmpty) // every bucket holds all 3 docs -> dropped
   }
 
+  test("TA5 vocabStats: distinct tokens, occurrences, TTR") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.vocabStats(docs)
+      .as[(Long, Long, Double)].collect().head
+    assert(got == ((3L, 5L, 0.6))) // vocab {a,b,c}, 5 occurrences
+  }
+
+  test("TA6 topNgrams: corpus-frequency top-k with deterministic ties") {
+    val docs = Seq(
+      (1L, "x y z x y z"), // "x y z" twice, "y z x" once, "z x y" once
+      (2L, "x y z"), (3L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.topNgrams(docs, 3, 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == (("x y z", 3L)))
+    assert(got.tail.toSet == Set(("y z x", 1L), ("z x y", 1L))) // asc tie shown
+    assert(got.tail.map(_._1) == got.tail.map(_._1).sorted)
+  }
+
   test("TA4 fingerprint: whitespace-insensitive, content-sensitive") {
     val docs = Seq(
       (1L, "hello   world\n foo"), (2L, "hello world foo"),
