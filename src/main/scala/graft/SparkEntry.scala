@@ -262,6 +262,23 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DD7: near-dup groups = connected components over the dd4 pair graph
+    * (min-label propagation; oracled against a recursive-CTE transitive
+    * closure on the same pairs).
+    */
+  private def dd7Components(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5))
+      .orderBy(col("doc_id"))
+
+  /** DD8: the exact-deduplicated corpus itself — one keeper (min doc_id)
+    * per distinct text.
+    */
+  private def dd8DedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpus(tbl(spark, dir, "documents"))
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** DD5: SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
   private def dd5Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
@@ -564,6 +581,8 @@ object SparkEntry {
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
+    "dd7_components" -> (dd7Components(_, _)),
+    "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
@@ -943,6 +962,41 @@ object SparkEntry {
              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
            FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    // dd7: transitive closure (recursive CTE) over the SAME pair derivation
+    // as dd4; component = min reachable id. Mirrors min-label propagation's
+    // fixed point exactly.
+    "dd7_components" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach AS (
+           SELECT DISTINCT a AS src, a AS dst FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         SELECT src AS doc_id, MIN(dst) AS component
+         FROM reach GROUP BY src ORDER BY doc_id""",
+    // dd8: keep the min doc_id per distinct text
+    "dd8_dedup_corpus" ->
+      """SELECT doc_id, length(text) AS n_chars FROM (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
     "ss1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
          scored AS (

@@ -277,6 +277,71 @@ object Dedup {
       .distinct() // same pair from several tables scores identically
   }
 
+  /** Near-duplicate RESOLUTION: connected components over a candidate-pair
+    * graph (the output of any of the pair operators above) — turns pair
+    * reports into dedup groups: every doc in a component keeps/loses
+    * against the component's minimum doc_id.
+    *
+    * Algorithm: Pregel-style min-label propagation — labels start as each
+    * vertex's own id and every round takes the min over the vertex and its
+    * neighbors' labels, until a fixed point. Rounds = graph diameter; each
+    * round is ONE equi-join of the (persisted) edge list against the
+    * current labels plus a hash-aggregate — the standard large-graph CC
+    * shape (GraphX/GraphFrames do the same; the big-star/small-star
+    * contraction of Kiveris et al. is the drop-in upgrade if diameters get
+    * large). Labels only ever decrease, so the fixed point is exact, and
+    * `min` makes the result independent of partitioning.
+    *
+    * Only vertices with at least one pair appear (isolated docs are their
+    * own trivial component and are omitted by construction).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      // neighbor labels flow along edges; vertex keeps the min of its own
+      // label and everything received (one shuffle join + one hash-agg)
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Exact-dedup corpus: keep ONE row (minimum doc_id) per distinct text.
+    * Hash-aggregate to the keeper set, then a left-semi join back — both
+    * sides partial-aggregate/shuffle on compact keys, so a degenerate
+    * million-copy text costs its reducer one (hash, min) pair, not the
+    * payload (the window-function formulation would funnel every duplicate
+    * row through one partition).
+    */
+  def dedupedCorpus(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** N-gram Jaccard near-dup pairs above `minJaccard`: bucket docs by shared
     * shingle (only docs sharing a shingle meet), count intersections, compute
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). Semantically the classic

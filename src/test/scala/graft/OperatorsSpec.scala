@@ -119,6 +119,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("DD7 connectedComponents: multi-hop chains collapse to min id") {
+    // two components: {1,2,3,9} via a chain (3 hops), {5,6}; 7-8 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("DD8 dedupedCorpus: keeps one min-id row per distinct text") {
+    val docs = Seq((3L, "same"), (1L, "same"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupedCorpus(docs).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "same"), (2L, "other")))
+  }
+
   test("DD6 embedding-cosine pairs: duplicate vectors pair at 1.0, orthogonal absent") {
     val emb = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
