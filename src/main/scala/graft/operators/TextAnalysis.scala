@@ -115,14 +115,23 @@ object TextAnalysis {
     */
   def topNgrams(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text"): DataFrame = {
-    val toks = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0))
+    // Tokenize into its OWN projection first: the gram lambda below refers
+    // to the array many times (size + n element_ats per element), and
+    // subexpression elimination does not reach inside higher-order-function
+    // lambdas — with the regex inline, every reference re-tokenized the
+    // document per gram element (measured ~10x wall time on the bench
+    // corpus). As a materialized attribute it is computed once per row.
+    val withToks = docs.select(
+      regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0))
+        .as("toks"))
+    val toks = col("toks")
     // n-grams via transform over a sliding index range (pure Column, no
     // UDF). The when-guard matters: sequence(1, 0) steps BACKWARD in Spark,
     // so short docs must map to an empty gram array explicitly.
     val grams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-    docs.select(explode(grams).as("gram"))
+    withToks.select(explode(grams).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
