@@ -381,6 +381,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** G9 (oracle slice): mean/std/min/max long-format stats over the
+    * rouge-ngram metric rows — the summaryStats formulas (decimal-exact
+    * mean, population std) held to DuckDB parity on a real metric
+    * distribution (the pipeline-fed eval_summary_stats stays rows-only
+    * because its inputs come from the map-reduce pipeline).
+    */
+  private def evalStatsNgram(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Metrics.summaryStats(
+      evalRougeNgram(spark, dir), Seq("rouge1_f", "rouge2_f"))
+      .orderBy(col("metric"))
+
   /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
     * correctness (= source-vocabulary coverage) and coherence (= lexical
     * diversity) — over the same SQL-constructible token-slice pairing as
@@ -614,6 +625,7 @@ object SparkEntry {
     "pipe_hierarchical" -> (Pipelines.hierarchical(_, _)),
     "eval_rouge_ngram" -> (evalRougeNgram(_, _)),
     "eval_judge_ngram" -> (evalJudgeNgram(_, _)),
+    "eval_stats_ngram" -> (evalStatsNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
@@ -628,6 +640,69 @@ object SparkEntry {
 
   private def exactSumSql(e: String) =
     s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+  /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
+    * eval_rouge_ngram and the stats wrapper eval_stats_ngram).
+    */
+  private val rougeNgramCtes: String =
+    """pairs AS (
+           SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
+             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
+             regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
+           FROM pairs),
+         grams AS (
+           SELECT doc_id, gt, rt,
+             CASE WHEN len(gt) >= 2 THEN list_transform(generate_series(1, len(gt)-1),
+               k -> gt[k] || ' ' || gt[k+1]) ELSE [] END AS g2,
+             CASE WHEN len(rt) >= 2 THEN list_transform(generate_series(1, len(rt)-1),
+               k -> rt[k] || ' ' || rt[k+1]) ELSE [] END AS r2
+           FROM tok),
+         u1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(gt) AS tok FROM grams) GROUP BY 1, 2),
+         v1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(rt) AS tok FROM grams) GROUP BY 1, 2),
+         o1 AS (SELECT doc_id, SUM(least(u1.c, v1.c)) AS ov FROM u1 JOIN v1 USING (doc_id, tok) GROUP BY 1),
+         u2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(g2) AS tok FROM grams) GROUP BY 1, 2),
+         v2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(r2) AS tok FROM grams) GROUP BY 1, 2),
+         o2 AS (SELECT doc_id, SUM(least(u2.c, v2.c)) AS ov FROM u2 JOIN v2 USING (doc_id, tok) GROUP BY 1),
+         lens AS (SELECT doc_id, len(gt) AS gc1, len(rt) AS rc1, len(g2) AS gc2, len(r2) AS rc2 FROM grams)"""
+
+  private val rougeNgramSelect: String =
+    """         SELECT l.doc_id,
+           round(CASE WHEN gc1 = 0 OR rc1 = 0 OR coalesce(o1.ov, 0) = 0 THEN 0.0
+             ELSE 2.0 * (o1.ov * 1.0 / gc1) * (o1.ov * 1.0 / rc1)
+                  / ((o1.ov * 1.0 / gc1) + (o1.ov * 1.0 / rc1)) END, 4) AS rouge1_f,
+           round(CASE WHEN gc2 = 0 OR rc2 = 0 OR coalesce(o2.ov, 0) = 0 THEN 0.0
+             ELSE 2.0 * (o2.ov * 1.0 / gc2) * (o2.ov * 1.0 / rc2)
+                  / ((o2.ov * 1.0 / gc2) + (o2.ov * 1.0 / rc2)) END, 4) AS rouge2_f
+         FROM lens l LEFT JOIN o1 ON l.doc_id = o1.doc_id
+                     LEFT JOIN o2 ON l.doc_id = o2.doc_id"""
+
+  /** G6/G9 stats formulas over the rouge-ngram rows (mirrors
+    * Metrics.summaryStats: decimal-exact mean, population std via
+    * sum/sumSq, r4 everywhere).
+    */
+  private def rougeStatsSql: String = {
+    def block(c: String) =
+      s"""SELECT '$c' AS metric,
+         round(${exactSumSql(c)} / COUNT(*), 4) AS mean,
+         round(sqrt(greatest(
+           (${exactSumSql(s"$c * $c")}
+            - ${exactSumSql(c)} * ${exactSumSql(c)} / CAST(COUNT(*) AS DOUBLE))
+           / CAST(COUNT(*) AS DOUBLE), 0.0)), 4) AS std,
+         round(MIN($c), 4) AS min, round(MAX($c), 4) AS max
+         FROM m"""
+    s"""WITH $rougeNgramCtes,
+       m AS ($rougeNgramSelect)
+       ${block("rouge1_f")}
+       UNION ALL
+       ${block("rouge2_f")}
+       ORDER BY metric"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     // 60-bit md5 content hash of the normalized token stream — same
@@ -865,40 +940,11 @@ object SparkEntry {
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY text_md5""",
     "dd2_minhash_sig" -> minhashSigSql,
     "eval_rouge_ngram" ->
-      """WITH pairs AS (
-           SELECT doc_id,
-             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
-             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
-           FROM documents),
-         tok AS (
-           SELECT doc_id,
-             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
-             regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
-           FROM pairs),
-         grams AS (
-           SELECT doc_id, gt, rt,
-             CASE WHEN len(gt) >= 2 THEN list_transform(generate_series(1, len(gt)-1),
-               k -> gt[k] || ' ' || gt[k+1]) ELSE [] END AS g2,
-             CASE WHEN len(rt) >= 2 THEN list_transform(generate_series(1, len(rt)-1),
-               k -> rt[k] || ' ' || rt[k+1]) ELSE [] END AS r2
-           FROM tok),
-         u1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(gt) AS tok FROM grams) GROUP BY 1, 2),
-         v1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(rt) AS tok FROM grams) GROUP BY 1, 2),
-         o1 AS (SELECT doc_id, SUM(least(u1.c, v1.c)) AS ov FROM u1 JOIN v1 USING (doc_id, tok) GROUP BY 1),
-         u2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(g2) AS tok FROM grams) GROUP BY 1, 2),
-         v2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(r2) AS tok FROM grams) GROUP BY 1, 2),
-         o2 AS (SELECT doc_id, SUM(least(u2.c, v2.c)) AS ov FROM u2 JOIN v2 USING (doc_id, tok) GROUP BY 1),
-         lens AS (SELECT doc_id, len(gt) AS gc1, len(rt) AS rc1, len(g2) AS gc2, len(r2) AS rc2 FROM grams)
-         SELECT l.doc_id,
-           round(CASE WHEN gc1 = 0 OR rc1 = 0 OR coalesce(o1.ov, 0) = 0 THEN 0.0
-             ELSE 2.0 * (o1.ov * 1.0 / gc1) * (o1.ov * 1.0 / rc1)
-                  / ((o1.ov * 1.0 / gc1) + (o1.ov * 1.0 / rc1)) END, 4) AS rouge1_f,
-           round(CASE WHEN gc2 = 0 OR rc2 = 0 OR coalesce(o2.ov, 0) = 0 THEN 0.0
-             ELSE 2.0 * (o2.ov * 1.0 / gc2) * (o2.ov * 1.0 / rc2)
-                  / ((o2.ov * 1.0 / gc2) + (o2.ov * 1.0 / rc2)) END, 4) AS rouge2_f
-         FROM lens l LEFT JOIN o1 ON l.doc_id = o1.doc_id
-                     LEFT JOIN o2 ON l.doc_id = o2.doc_id
-         ORDER BY l.doc_id""",
+      s"WITH $rougeNgramCtes\n$rougeNgramSelect\nORDER BY l.doc_id",
+    // G9 mean-of-list stats over the SAME rouge-ngram metric rows:
+    // exactAvg / population-std formulas (decimal-exact sums, the g6
+    // pattern) held to DuckDB parity on a real metric distribution
+    "eval_stats_ngram" -> rougeStatsSql,
     "dd3_minhash_lsh" -> minhashLshSql,
     // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
     // signature, the 4x15-bit pigeonhole blocking AND the Hamming verify
