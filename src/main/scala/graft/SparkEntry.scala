@@ -392,6 +392,24 @@ object SparkEntry {
       evalRougeNgram(spark, dir), Seq("rouge1_f", "rouge2_f"))
       .orderBy(col("metric"))
 
+  /** M2 (oracle slice): the BERTScore greedy-match formula over the same
+    * token-slice pairing, driven by the md5-bucket hashing embedder — a
+    * single metric token embeds to exactly ±e_bucket, so every pairwise
+    * cosine is exactly -1/0/+1 and the greedy max/mean/harmonic-F1 chain
+    * is reproduced bit-for-bit in DuckDB. Holds the M2 FORMULA itself to
+    * SQL parity on corpus text (the transformer-embedder path stays
+    * model-dependent by design).
+    */
+  private def evalBertNgram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    graft.eval.Metrics.bertScore(pairs, graft.llm.Md5TfEmbedder(64))
+      .orderBy(col("doc_id"))
+  }
+
   /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
     * correctness (= source-vocabulary coverage) and coherence (= lexical
     * diversity) — over the same SQL-constructible token-slice pairing as
@@ -626,6 +644,7 @@ object SparkEntry {
     "eval_rouge_ngram" -> (evalRougeNgram(_, _)),
     "eval_judge_ngram" -> (evalJudgeNgram(_, _)),
     "eval_stats_ngram" -> (evalStatsNgram(_, _)),
+    "eval_bert_ngram" -> (evalBertNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
@@ -739,6 +758,58 @@ object SparkEntry {
       """SELECT doc_id, md5(text || chr(64) || chr(48)) AS resized_md5,
          CAST(16 AS BIGINT) AS n_bytes
          FROM documents ORDER BY doc_id""",
+    // BERTScore greedy match with the md5-bucket embedder: a single-token
+    // embedding is exactly +/-e_(h % 64) (h = first 60 md5 bits, sign =
+    // bit 6), so cosine(tok_a, tok_b) = same bucket ? sign_a*sign_b : 0 —
+    // the greedy best-match max, the P/R means and the harmonic F1 follow
+    // in plain SQL with bit-identical doubles.
+    "eval_bert_ngram" ->
+      """WITH pairs AS (
+           SELECT doc_id,
+             coalesce(array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' '), '') AS gen,
+             coalesce(array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' '), '') AS ref
+           FROM documents),
+         tok AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
+             regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
+           FROM pairs),
+         g AS (
+           SELECT doc_id, i,
+             CAST(('0x' || substr(md5(gt[i]), 1, 15)) AS BIGINT) AS h
+           FROM tok, LATERAL UNNEST(generate_series(1, len(gt))) AS u(i)),
+         r AS (
+           SELECT doc_id, j,
+             CAST(('0x' || substr(md5(rt[j]), 1, 15)) AS BIGINT) AS h
+           FROM tok, LATERAL UNNEST(generate_series(1, len(rt))) AS u(j)),
+         gb AS (
+           SELECT g.doc_id, g.i,
+             MAX(CASE WHEN (g.h % 64) = (r.h % 64)
+               THEN CASE WHEN ((g.h >> 6) & 1) = ((r.h >> 6) & 1)
+                 THEN 1.0 ELSE -1.0 END
+               ELSE 0.0 END) AS best
+           FROM g JOIN r USING (doc_id) GROUP BY 1, 2),
+         rb AS (
+           SELECT r.doc_id, r.j,
+             MAX(CASE WHEN (g.h % 64) = (r.h % 64)
+               THEN CASE WHEN ((g.h >> 6) & 1) = ((r.h >> 6) & 1)
+                 THEN 1.0 ELSE -1.0 END
+               ELSE 0.0 END) AS best
+           FROM r JOIN g USING (doc_id) GROUP BY 1, 2),
+         pq AS (SELECT doc_id, SUM(best) / COUNT(*) AS p FROM gb GROUP BY 1),
+         rq AS (SELECT doc_id, SUM(best) / COUNT(*) AS r FROM rb GROUP BY 1),
+         m AS (
+           SELECT d.doc_id, coalesce(pq.p, 0.0) AS p, coalesce(rq.r, 0.0) AS r,
+             (pq.doc_id IS NULL OR rq.doc_id IS NULL) AS degenerate
+           FROM documents d
+             LEFT JOIN pq ON d.doc_id = pq.doc_id
+             LEFT JOIN rq ON d.doc_id = rq.doc_id)
+         SELECT doc_id,
+           round(CASE WHEN degenerate THEN 0.0 ELSE p END, 4) AS bert_p,
+           round(CASE WHEN degenerate THEN 0.0 ELSE r END, 4) AS bert_r,
+           round(CASE WHEN degenerate OR p + r = 0.0 THEN 0.0
+             ELSE 2.0 * p * r / (p + r) END, 4) AS bert_f
+         FROM m ORDER BY doc_id""",
     // CoverageJudge rubric over the eval_rouge_ngram pairing: coverage =
     // |distinct(ref toks) ∩ distinct(gen toks)| / |distinct(ref toks)|,
     // coherence = distinct/total over gen toks, pass = coverage >= 0.25

@@ -31,3 +31,33 @@ final case class HashingTfEmbedder(dim: Int = 64) extends Embedder {
     if (norm > 0) v.map(x => (x / norm).toFloat) else v
   }
 }
+
+/** [[HashingTfEmbedder]] with the bucket/sign derived from md5 (first 60
+  * digest bits, like the MinHash/SimHash family) instead of murmur: md5 is
+  * bit-identical in DuckDB, so metric formulas driven by this embedder
+  * have exact SQL oracles. For a SINGLE metric token the embedding is
+  * exactly ±e_bucket (one entry, unit norm), which reduces token-pair
+  * cosine to a bucket/sign comparison — what the eval_bert_ngram oracle
+  * exploits.
+  */
+final case class Md5TfEmbedder(dim: Int = 64) extends Embedder {
+  override def embed(text: String): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Float](dim)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    Text.metricTokens(text).foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+    counts.foreach { case (tok, tf) =>
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4 // first 15 hex nibbles = 60 bits, nonnegative
+      val idx = (h % dim).toInt
+      val sign = if (((h >>> 6) & 1L) == 0L) 1f else -1f
+      v(idx) += sign * math.sqrt(tf.toDouble).toFloat
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+}
