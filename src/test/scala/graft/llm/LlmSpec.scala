@@ -54,6 +54,21 @@ class LlmSpec extends AnyFunSuite {
     assert(e.embed("").forall(_ == 0f))
   }
 
+  test("md5 TF embedder: single token embeds to exactly one +/-1 entry") {
+    val e = Md5TfEmbedder(64)
+    for (tok <- Seq("hello", "xin", "chào", "data")) {
+      val v = e.embed(tok)
+      assert(v.count(_ != 0f) == 1) // exactly +/-e_bucket
+      assert(v.find(_ != 0f).exists(x => x == 1f || x == -1f))
+    }
+    // prepared critique / oracle parity anchor: bucket = first-60-md5-bits % 64
+    val v = e.embed("hello")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).take(8)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+    assert(v((hex % 64).toInt) != 0f)
+  }
+
   test("embedder separates different texts") {
     val e = HashingTfEmbedder(64)
     val a = e.embed("spark sql catalyst optimizer")
