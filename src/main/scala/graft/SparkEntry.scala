@@ -171,12 +171,15 @@ object SparkEntry {
     val bucket = when(col("o_totalprice") >= 300000.0, "high")
       .when(col("o_totalprice") >= 150000.0, "moderate")
       .otherwise("low")
-    tbl(spark, dir, "orders")
+    val counts = tbl(spark, dir, "orders")
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
-      // global window is intentional and scale-safe: its input is the
-      // post-aggregation bucket table (<= 3 rows), not the orders scan
-      .withColumn("pct", r4(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy())))
+    // The grand total is a broadcast scalar, not a global window: a window
+    // with no partition key would funnel the frame through one partition.
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .withColumn("pct", r4(col("n") * 100.0 / col("total")))
+      .drop("total")
       .orderBy(col("bucket"))
   }
 

@@ -120,12 +120,15 @@ object Metrics {
     val bucket = when(col(simCol) >= 0.7, "high")
       .when(col(simCol) >= 0.4, "moderate")
       .otherwise("low")
-    metrics
+    val counts = metrics
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("pct",
-        r4(col("n") * 100.0 / sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy())))
+    // Broadcast scalar total instead of an unpartitioned window, which
+    // would move the whole frame to a single partition.
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .withColumn("pct", r4(col("n") * 100.0 / col("total")))
+      .drop("total")
   }
 
   /** G8: best-model argmax per metric with deterministic tie-break on model
