@@ -37,16 +37,17 @@ object Bench {
     // Targeted warm-up at the smallest sibling corpus (sf0.001 next to the
     // benchmarked dir, else sfDir itself): q1 covers the relational path,
     // eval_pair_metrics the strategy/eval path (chunk -> summarize ->
-    // collapse loop -> join -> metrics), ss3 the vector/IVF path — the
-    // three machineries whose first-hit JIT/codegen otherwise lands on a
-    // timed query. Deliberately NOT a full-registry sweep: measured, ~110
+    // collapse loop -> join -> metrics), ss3 the vector/IVF path, and
+    // pipe_critique the judge/refine loop (measured: ~15 s of first-hit
+    // cost when the critique machinery is cold) — the machineries whose
+    // first-hit JIT/codegen otherwise lands on a timed query. Deliberately NOT a full-registry sweep: measured, ~110
     // executions on one local session degrade later timed queries 10x+
     // (session-level listener/shuffle-state accumulation), swamping what
     // the extra warm-up saves. Failed warm-ups are reported, not swallowed.
     val warmDir = Option(new java.io.File(sfDir).getParentFile)
       .map(p => new java.io.File(p, "sf0.001"))
       .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
-    Seq("q1_agg", "eval_pair_metrics", "ss3_ivf_topk").foreach { name =>
+    Seq("q1_agg", "eval_pair_metrics", "ss3_ivf_topk", "pipe_critique").foreach { name =>
       try force(SparkEntry.queries(name)(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: $e") }
