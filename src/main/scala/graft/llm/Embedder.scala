@@ -32,6 +32,62 @@ final case class HashingTfEmbedder(dim: Int = 64) extends Embedder {
   }
 }
 
+/** Embeddings over HTTP, speaking the public embeddings-endpoint shape
+  * (POST `{model, prompt}` -> `{"embedding": [..]}`) — the switchable slot
+  * for the model-backed embedder the reference loads in-process
+  * (evaluate/evaluate_summaries_semantic.py:128-139, a sentence
+  * transformer). The served vector is fitted to `dim` (truncate / zero-pad)
+  * so downstream fixed-width array schemas hold regardless of the backing
+  * model; a failed call yields the zero vector (cosine 0 against
+  * everything — the same "empty text" convention as the hashing embedders,
+  * so one dead endpoint degrades scores instead of killing the job).
+  *
+  * Executor lifecycle matches [[HttpSummarizer]]: serializable config, one
+  * connection-pooled client per executor JVM. NOT deterministic across
+  * backing models — keep it out of oracle paths.
+  */
+final case class HttpEmbedder(
+    endpoint: String,
+    model: String,
+    dim: Int = 64,
+    timeoutMillis: Long = 60000L) extends Embedder {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(math.min(timeoutMillis, 30000L)))
+      .build()
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def embed(text: String): Array[Float] = {
+    val out = new Array[Float](dim)
+    try {
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("prompt", text)
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 200) {
+        val vec = mapper.readTree(resp.body()).get("embedding")
+        if (vec != null && vec.isArray) {
+          var i = 0
+          val n = math.min(dim, vec.size)
+          while (i < n) { out(i) = vec.get(i).asDouble.toFloat; i += 1 }
+        }
+      }
+    } catch {
+      case _: Exception => java.util.Arrays.fill(out, 0f)
+    }
+    out
+  }
+}
+
 /** [[HashingTfEmbedder]] with the bucket/sign derived from md5 (first 60
   * digest bits, like the MinHash/SimHash family) instead of murmur: md5 is
   * bit-identical in DuckDB, so metric formulas driven by this embedder

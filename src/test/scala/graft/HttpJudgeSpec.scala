@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{HttpEmbedder, HttpJudge, HttpSummarizer, Judge}
+import graft.strategy.Strategies
+
+/** Exercises the HTTP judge and HTTP embedder against an in-process stub
+  * server (no network egress). The stub routes by prompt shape: critique
+  * prompts pass/fail on the candidate's content (responding with the
+  * VIETNAMESE pass marker, so verdict normalization is exercised), rubric
+  * prompts return numbers, everything else behaves as a deterministic
+  * echo summarizer — enough to run the full Q3 critique strategy over
+  * HTTP scalars inside Spark tasks.
+  */
+class HttpJudgeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def withStubServer[T](f: (String, String) => T): T = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+    def reply(exchange: com.sun.net.httpserver.HttpExchange,
+        node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    }
+
+    server.createContext("/api/generate", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val prompt = mapper.readTree(exchange.getRequestBody).get("prompt").asText
+      val resp = mapper.createObjectNode()
+      if (prompt.startsWith("Review this summary")) {
+        // fail any candidate containing the sentinel, else pass in Vietnamese
+        if (prompt.contains("OMITTED")) resp.put("response", "The summary omits key facts.")
+        else resp.put("response", "Không Có Vấn Đề gì đáng kể.")
+      } else if (prompt.startsWith("Rate the factual correctness")) {
+        resp.put("response", "0.85")
+      } else if (prompt.startsWith("Rate the coherence")) {
+        resp.put("response", "I rate it 7") // out of range -> clamped to 1.0
+      } else {
+        // echo summarizer: first num_predict words of the content
+        val content = prompt.linesIterator.drop(1).mkString(" ").trim
+        resp.put("response", content.split("\\s+").filter(_.nonEmpty).take(8).mkString(" "))
+      }
+      reply(exchange, resp)
+    })
+
+    server.createContext("/api/embeddings", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val prompt = mapper.readTree(exchange.getRequestBody).get("prompt").asText
+      val resp = mapper.createObjectNode()
+      val arr = resp.putArray("embedding")
+      arr.add(1.0); arr.add(2.0); arr.add(prompt.length.toDouble)
+      reply(exchange, resp)
+    })
+
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try f(s"$base/api/generate", s"$base/api/embeddings")
+    finally server.stop(0)
+  }
+
+  test("critique: Vietnamese pass marker normalizes to the Judge.NoIssues contract") {
+    withStubServer { (gen, _) =>
+      val j = HttpJudge(gen, "stub-model")
+      assert(j.critique("a faithful summary", "source text") == Judge.NoIssues)
+    }
+  }
+
+  test("critique: failing verdict comes back raw, without the pass marker") {
+    withStubServer { (gen, _) =>
+      val j = HttpJudge(gen, "stub-model")
+      val c = j.critique("summary with OMITTED facts", "source text")
+      assert(c == "The summary omits key facts.")
+      assert(!c.contains(Judge.NoIssues))
+    }
+  }
+
+  test("critique fails closed on an unreachable endpoint") {
+    val j = HttpJudge("http://127.0.0.1:9/api/generate", "m", timeoutMillis = 500)
+    val c = j.critique("s", "src")
+    assert(!c.contains(Judge.NoIssues))
+  }
+
+  test("scores: rubric numbers parsed, out-of-range clamped to [0,1]") {
+    withStubServer { (gen, _) =>
+      val j = HttpJudge(gen, "stub-model")
+      val (correctness, coherence) = j.scores("good summary", "source")
+      assert(correctness == 0.85)
+      assert(coherence == 1.0) // "I rate it 7" clamps
+    }
+  }
+
+  test("embedder: served vector fitted to dim (zero-pad and truncate)") {
+    withStubServer { (_, emb) =>
+      val padded = HttpEmbedder(emb, "stub-model", dim = 5).embed("hi")
+      assert(padded.toSeq == Seq(1f, 2f, 2f, 0f, 0f)) // "hi".length = 2
+      val truncated = HttpEmbedder(emb, "stub-model", dim = 2).embed("hi")
+      assert(truncated.toSeq == Seq(1f, 2f))
+    }
+  }
+
+  test("embedder: unreachable endpoint yields the zero vector, not an exception") {
+    val e = HttpEmbedder("http://127.0.0.1:9/api/embeddings", "m", dim = 4,
+      timeoutMillis = 500)
+    assert(e.embed("anything").toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("full Q3 critique strategy over HTTP summarizer + HTTP judge in Spark tasks") {
+    import spark.implicits._
+    withStubServer { (gen, _) =>
+      val strategies = new Strategies(
+        HttpSummarizer(gen, "stub-model"), HttpJudge(gen, "stub-model"),
+        cfg = Pipelines.TestCfg)
+      val docs = Seq(
+        (1L, "one two three. four five six. seven eight nine. ten eleven twelve."),
+        (2L, "aa bb cc. dd ee ff."))
+        .toDF("doc_id", "text")
+      val out = strategies.mapReduceCritique(docs).as[(Long, String)].collect().toMap
+      assert(out.keySet == Set(1L, 2L))
+      assert(out.values.forall(_.nonEmpty))
+    }
+  }
+}
