@@ -19,10 +19,17 @@ import graft.strategy.{Hierarchical, Strategies}
   */
 object Pipelines {
 
+  /** Token-window chunker (not the recursive splitter): every stage of the
+    * registered pipelines — chunk, map-summarize, collapse loop, final
+    * reduce — is then exactly expressible in DuckDB SQL, which is what
+    * gives pipe_mapreduce/pipe_iterative/pipe_critique end-to-end oracles.
+    * The recursive splitter remains the library default (PipelineConfig())
+    * and is property-tested in SplitterSpec.
+    */
   val TestCfg: PipelineConfig = PipelineConfig(
     chunkSize = 16, chunkOverlap = 2, tokenMax = 24,
     maxSummaryTokens = 8, maxCollapseRounds = 10,
-    maxCritiqueIterations = 2, byTokens = true)
+    maxCritiqueIterations = 2, byTokens = true, chunker = "token_window")
 
   def strategies(cfg: PipelineConfig = TestCfg): Strategies =
     new Strategies(ExtractiveSummarizer, cfg = cfg)
@@ -81,9 +88,25 @@ object Pipelines {
         }
     }
 
-  /** Per-pair metric record over the shared [[genRefPairs]] pairing. */
-  def pairMetrics(spark: SparkSession, dir: String): DataFrame =
-    Metrics.pairMetrics(genRefPairs(spark, dir))
+  /** Per-pair metric record over the shared [[genRefPairs]] pairing.
+    *
+    * Embedder is [[graft.llm.Md5TfCountEmbedder]] (md5 buckets, integer TF
+    * weights): every cosine is exact-integer dot / sqrt(int)*sqrt(int),
+    * bit-identical in DuckDB — which is what lets this query carry a hard
+    * SQL oracle now that its gen side (the Q2 map-reduce pipeline) has one.
+    * Metric columns are rounded to 4 decimals for oracle comparability
+    * (the registry-wide convention).
+    */
+  def pairMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.r4
+    Metrics.pairMetrics(genRefPairs(spark, dir), graft.llm.Md5TfCountEmbedder(64))
+      .select(col("doc_id"),
+        r4(col("semantic_similarity")).as("semantic_similarity"),
+        r4(col("rouge1_f")).as("rouge1_f"),
+        r4(col("rouge2_f")).as("rouge2_f"),
+        r4(col("rougeL_f")).as("rougeL_f"))
+      .orderBy(col("doc_id"))
+  }
 
   def evalStats(spark: SparkSession, dir: String): DataFrame =
     Metrics.summaryStats(pairMetrics(spark, dir),

@@ -142,6 +142,26 @@ object Splitter {
     docs.result()
   }
 
+  /** Fixed-stride TOKEN windows — the SQL-oracle-able token chunker
+    * (window k covers whitespace tokens [k*(size-overlap),
+    * k*(size-overlap)+size)). Same windowing scheme as [[fixedStride]] but
+    * measured in tokens, so a chunk is always a space-joined token slice —
+    * which is exactly `array_to_string(toks[a:b], ' ')` in SQL. Used by the
+    * registered strategy pipelines (Pipelines.TestCfg) so the end-to-end
+    * map-reduce/iterative oracles are expressible in DuckDB; the recursive
+    * splitter stays the library default for production configs.
+    */
+  def tokenWindows(text: String, size: Int, overlap: Int): Vector[String] = {
+    require(overlap < size)
+    val toks = Text.wsTokens(text)
+    val stride = size - overlap
+    if (toks.isEmpty) Vector.empty
+    else (0 to (toks.length - 1) / stride).iterator
+      .map(k => toks.slice(k * stride, math.min(toks.length, k * stride + size))
+        .mkString(" "))
+      .toVector
+  }
+
   /** Fixed-stride character windows — the SQL-oracle-able chunker used by
     * the relational test queries (chunk k covers
     * [k*(size-overlap), k*(size-overlap)+size)). Not the pipeline default;

@@ -43,4 +43,8 @@ final case class PipelineConfig(
     maxSummaryTokens: Int = 2048,
     maxCollapseRounds: Int = 10, // reference recursion_limit=10
     maxCritiqueIterations: Int = 2,
-    byTokens: Boolean = true)
+    byTokens: Boolean = true,
+    // "recursive" (the reference's splitter semantics, library default) or
+    // "token_window" (fixed-stride token windows — identical coverage
+    // semantics, exactly SQL-expressible, used by the oracled pipelines)
+    chunker: String = "recursive")

@@ -24,6 +24,17 @@ object udfs {
     (c: Column) => f(c)
   }
 
+  /** C1b: fixed-stride token windows => ARRAY<STRING> (the SQL-oracle-able
+    * token chunker — see [[Splitter.tokenWindows]]).
+    */
+  def tokenWindowUdf(chunkSize: Int, overlap: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else Splitter.tokenWindows(text, chunkSize, overlap).toArray
+    }
+    (c: Column) => f(c)
+  }
+
   /** C1: single-separator character split => ARRAY<STRING>. */
   def characterSplitUdf(chunkSize: Int, overlap: Int, separator: String = "\n\n")
       : Column => Column = {

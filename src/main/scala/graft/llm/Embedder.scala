@@ -96,6 +96,36 @@ final case class HttpEmbedder(
   * cosine to a bucket/sign comparison — what the eval_bert_ngram oracle
   * exploits.
   */
+/** [[Md5TfEmbedder]] with RAW term-frequency weights and NO normalization:
+  * every vector component is an exact (small) integer, so dot products and
+  * squared norms are exact integers and cosine = dot / (sqrt(na)*sqrt(nb))
+  * runs the identical correctly-rounded IEEE double ops in Spark
+  * ([[graft.functions.VecCosine]]) and DuckDB — bit-identical with no
+  * rounding luck, unlike the sqrt(tf) float weights of [[Md5TfEmbedder]].
+  * Cosine is scale-invariant, so skipping L2 normalization changes nothing
+  * downstream of a cosine. The oracle-exact embedder for eval_pair_metrics.
+  */
+final case class Md5TfCountEmbedder(dim: Int = 64) extends Embedder {
+  override def embed(text: String): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Float](dim)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    Text.metricTokens(text).foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+    counts.foreach { case (tok, tf) =>
+      md.reset()
+      val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4 // first 15 hex nibbles = 60 bits, nonnegative
+      val idx = (h % dim).toInt
+      val sign = if (((h >>> 6) & 1L) == 0L) 1f else -1f
+      v(idx) += sign * tf.toFloat
+    }
+    v
+  }
+}
+
 final case class Md5TfEmbedder(dim: Int = 64) extends Embedder {
   override def embed(text: String): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5")

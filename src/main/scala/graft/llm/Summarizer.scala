@@ -136,15 +136,21 @@ final case class CoverageJudge(minCoverage: Double = 0.25) extends Judge {
 
   /** Source tokenization happens once; each retry only tokenizes the new
     * (short) candidate summary.
+    *
+    * The failure verdict reports coverage as an exact integer ratio
+    * (hits/total) rather than a formatted float: Java's `%.3f` rounds
+    * HALF_UP while C-style printf rounds half-to-even, so a float-formatted
+    * verdict could never be held to a SQL oracle bit-exactly.
     */
   override def preparedCritique(source: String): String => String = {
     val srcToks = Text.metricTokens(source).toSet
     (summary: String) => {
       if (summary.trim.isEmpty) "empty summary"
       else {
-        val cov = coverageOf(srcToks, summary)
-        if (cov >= minCoverage) Judge.NoIssues
-        else f"low source coverage: $cov%.3f < $minCoverage%.3f"
+        val hits = srcToks.count(Text.metricTokens(summary).toSet.contains)
+        if (srcToks.nonEmpty && hits.toDouble / srcToks.size >= minCoverage)
+          Judge.NoIssues
+        else s"low source coverage: $hits/${srcToks.size} < $minCoverage"
       }
     }
   }

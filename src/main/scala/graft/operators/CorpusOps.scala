@@ -40,7 +40,10 @@ object CorpusOps {
     * (SURVEY.md §1.3 — reduce prompts join summaries in chunk order).
     */
   def chunkDocs(docs: DataFrame, cfg: PipelineConfig): DataFrame = {
-    val splitFn = udfs.recursiveSplitUdf(cfg.chunkSize, cfg.chunkOverlap, cfg.byTokens)
+    val splitFn = cfg.chunker match {
+      case "token_window" => udfs.tokenWindowUdf(cfg.chunkSize, cfg.chunkOverlap)
+      case _ => udfs.recursiveSplitUdf(cfg.chunkSize, cfg.chunkOverlap, cfg.byTokens)
+    }
     docs
       .select(col("doc_id"), posexplode(splitFn(col("text"))).as(Seq("chunk_idx", "text")))
       .withColumn("n_tokens", graft.functions.tokenCount(col("text")))

@@ -105,13 +105,13 @@ class StrategiesSpec extends AnyFunSuite {
       1L -> "Epsilon zeta eta theta iota kappa.",
       2L -> "Four five six seven eight nine ten eleven"))
     assert(out(s.mapReduce(gdocs)) == Map(
-      1L -> "Lambda mu nu xi omicron pi rho sigma.",
+      1L -> "loop with beta and gamma for emphasis.",
       2L -> "Four five six seven eight nine ten eleven"))
     assert(out(s.mapReduceCritique(gdocs)) == Map(
-      1L -> "Lambda mu nu xi omicron pi rho sigma.",
+      1L -> "loop with beta and gamma for emphasis.",
       2L -> "Four five six seven eight nine ten eleven"))
     assert(out(s.iterative(gdocs)) == Map(
-      1L -> "Alpha again closes the loop with beta and",
+      1L -> "loop with beta and gamma for emphasis.",
       2L -> "Four five six seven eight nine ten eleven"))
   }
 
