@@ -1,0 +1,396 @@
+package graft
+
+/** Generator for the chained-CTE DuckDB oracles of the strategy pipelines
+  * (Q2 map-reduce, Q3 critique, Q4 iterative) and the eval family whose gen
+  * side is Q2 — SURVEY.md §2.3/§2.9.
+  *
+  * Every stage of the registered pipelines is SQL-expressible once the
+  * chunker is the fixed-stride token window (Pipelines.TestCfg):
+  *  - chunking = array slices over the whitespace token list;
+  *  - the extractive summarizer = the sentence-split / TF-score / greedy-
+  *    select CTE chain proven bit-exact by the pipe_truncated oracle,
+  *    here emitted as a reusable block parameterized by (prefix, input
+  *    relation, budget);
+  *  - greedy bin-packing = the g3_binpack_greedy recursive-CTE walk;
+  *  - the bounded collapse loop = its rounds UNROLLED (the Scala loop caps
+  *    at maxCollapseRounds=10, so emitting exactly 10 conditional rounds
+  *    replicates the fixed point: a round whose over-budget set is empty
+  *    passes everything through untouched);
+  *  - the iterative fold = one extractive block per chunk index, unrolled
+  *    to the corpus' maximum chunk count (docs are <=100 tokens => <=8
+  *    chunks at size 16 / stride 14; 10 steps leaves margin — extra steps
+  *    are no-ops for docs with fewer chunks);
+  *  - ROUGE-L's LCS = the classic DP unrolled over gen-token index with a
+  *    list-valued dp row per doc (dp_i[j] = max(dp_prev[j],
+  *    max_{j2<=j}(dp_prev[j2-1] + eq(i,j2))) — the standard row
+  *    simplification, exact because dp rows are monotone in j).
+  *
+  * All non-recursive CTEs are emitted AS MATERIALIZED: DuckDB inlines plain
+  * CTEs per reference, and a 10-round unrolled chain re-expands its whole
+  * upstream per reference — materialization keeps the oracle one parquet
+  * scan and linear work.
+  */
+private[graft] object OracleSqlGen {
+
+  /** Whitespace token count of a SQL string expression (Text.tokenCount). */
+  private def tok(x: String): String =
+    s"(CASE WHEN trim($x) = '' THEN 0 ELSE len(string_split_regex(trim($x), '\\s+')) END)"
+
+  /** Unicode-lowercase metric tokens of a SQL string expr (Text.metricTokens). */
+  private def mtok(x: String): String =
+    s"regexp_extract_all(lower($x), '[\\p{L}\\p{N}]+')"
+
+  /** ExtractiveSummarizer over rel (doc_id, uid, txt) at `budget` whitespace
+    * tokens; emits CTEs `{p}_pieces..{p}_out`, output (doc_id, uid, summary).
+    * Bit-for-bit the formula of graft.llm.ExtractiveSummarizer (sentence
+    * split keeping [.!?;] with the sentence; TF score raw/sqrt(len); rank by
+    * (-score, idx); greedy budget walk always taking the first sentence;
+    * original-order ' ' concat; final token truncation).
+    */
+  private def extractive(p: String, inRel: String, budget: Int): String =
+    s"""${p}_pieces AS (
+  SELECT doc_id, uid,
+    string_split(regexp_replace(regexp_replace(txt, '([.!?;])\\s+', '\\1' || chr(1), 'g'), '\\n+', chr(1), 'g'), chr(1)) AS parts
+  FROM $inRel),
+${p}_sents AS (
+  SELECT doc_id, uid, ROW_NUMBER() OVER (PARTITION BY doc_id, uid ORDER BY k) - 1 AS s_idx, trim(parts[k]) AS sent
+  FROM ${p}_pieces, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
+  WHERE trim(parts[k]) <> ''),
+${p}_swl AS (
+  SELECT doc_id, uid, s_idx, sent,
+    len(string_split_regex(sent, '\\s+')) AS wslen,
+    ${mtok("sent")} AS mt
+  FROM ${p}_sents),
+${p}_stoks AS (
+  SELECT doc_id, uid, s_idx, mt[k] AS tok
+  FROM ${p}_swl, LATERAL UNNEST(generate_series(1, len(mt))) AS u(k)),
+${p}_tf AS (SELECT doc_id, uid, tok, COUNT(*) AS c FROM ${p}_stoks GROUP BY 1, 2, 3),
+${p}_sscore AS (
+  SELECT st.doc_id, st.uid, st.s_idx, SUM(tf.c) AS raw, COUNT(*) AS mlen
+  FROM ${p}_stoks st JOIN ${p}_tf tf USING (doc_id, uid, tok) GROUP BY 1, 2, 3),
+${p}_ranked AS (
+  SELECT w.doc_id, w.uid, w.s_idx, w.sent, w.wslen,
+    ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.uid
+      ORDER BY coalesce(sc.raw * 1.0 / sqrt(sc.mlen), 0.0) DESC, w.s_idx) AS rn
+  FROM ${p}_swl w LEFT JOIN ${p}_sscore sc USING (doc_id, uid, s_idx)),
+${p}_rec AS (
+  SELECT doc_id, uid, rn, s_idx, wslen, true AS picked, $budget - wslen AS budget
+  FROM ${p}_ranked WHERE rn = 1
+  UNION ALL
+  SELECT n.doc_id, n.uid, n.rn, n.s_idx, n.wslen,
+    (r.budget > 0 AND n.wslen <= r.budget) AS picked,
+    CASE WHEN r.budget > 0 AND n.wslen <= r.budget THEN r.budget - n.wslen ELSE r.budget END AS budget
+  FROM ${p}_rec r JOIN ${p}_ranked n ON n.doc_id = r.doc_id AND n.uid = r.uid AND n.rn = r.rn + 1),
+${p}_sel AS (
+  SELECT r.doc_id, r.uid, string_agg(k.sent, ' ' ORDER BY k.s_idx) AS osum
+  FROM ${p}_rec r JOIN ${p}_ranked k USING (doc_id, uid, rn)
+  WHERE r.picked GROUP BY 1, 2),
+${p}_out AS (
+  SELECT i.doc_id, i.uid,
+    CASE WHEN len(string_split_regex(trim(coalesce(s.osum, '')), '\\s+')) <= $budget
+      THEN trim(coalesce(s.osum, ''))
+      ELSE coalesce(array_to_string(string_split_regex(trim(coalesce(s.osum, '')), '\\s+')[1:$budget], ' '), '')
+    END AS summary
+  FROM $inRel i LEFT JOIN ${p}_sel s USING (doc_id, uid))"""
+
+  /** Token-window chunking (Splitter.tokenWindows at TestCfg 16/2):
+    * rel `chunks` = (doc_id, cidx, txt).
+    */
+  private def chunksCte(size: Int = 16, overlap: Int = 2): String = {
+    val stride = size - overlap
+    s"""tw_base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+chunks AS (
+  SELECT doc_id, CAST(k AS INT) AS cidx,
+    array_to_string(toks[k*$stride+1 : k*$stride+$size], ' ') AS txt
+  FROM tw_base, LATERAL UNNEST(generate_series(0, (len(toks)-1)//$stride)) AS t(k))"""
+  }
+
+  /** One fixed-point collapse round over rel `cur` (doc_id, cidx, txt, w):
+    * over-budget split, greedy pack (budget 24), in-order '\n\n' bin concat,
+    * then `reduce` over the bins; output rel `{p}_next`.
+    */
+  private def collapseRound(p: String, cur: String, overBudget: Int,
+      packBudget: Int, reduce: (String, String) => (String, String)): String = {
+    val (ctes, outRel) = reduce(s"${p}e", s"${p}_bins")
+    s"""${p}_over AS (SELECT doc_id FROM $cur GROUP BY doc_id HAVING SUM(w) > $overBudget),
+${p}_under AS (SELECT c.* FROM $cur c WHERE doc_id NOT IN (SELECT doc_id FROM ${p}_over)),
+${p}_seq AS (
+  SELECT c.doc_id, c.cidx, c.txt, c.w,
+    ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY c.cidx, c.w) AS rn
+  FROM $cur c JOIN ${p}_over o USING (doc_id)),
+${p}_pk AS (
+  SELECT doc_id, rn, txt, w, 0 AS bin, w AS acc FROM ${p}_seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.rn, s.txt, s.w,
+    CASE WHEN r.acc + s.w > $packBudget THEN r.bin + 1 ELSE r.bin END,
+    CASE WHEN r.acc + s.w > $packBudget THEN s.w ELSE r.acc + s.w END
+  FROM ${p}_pk r JOIN ${p}_seq s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1),
+${p}_bins AS (
+  SELECT doc_id, bin AS uid, string_agg(txt, chr(10)||chr(10) ORDER BY rn) AS txt
+  FROM ${p}_pk GROUP BY 1, 2),
+$ctes,
+${p}_next AS (
+  SELECT doc_id, cidx, txt, w FROM ${p}_under
+  UNION ALL
+  SELECT doc_id, CAST(uid AS INT) AS cidx, summary AS txt, ${tok("summary")} AS w
+  FROM $outRel)"""
+  }
+
+  /** Q2's reduce: one extractive summarize at budget 8. */
+  private def plainReduce(p: String, binsRel: String): (String, String) =
+    (extractive(p, binsRel, 8), s"${p}_out")
+
+  /** Q3's reduce-with-critique: budget cascade 8 -> 12 -> 18, each retry
+    * gated on CoverageJudge (>=25% of the SOURCE bin's distinct metric
+    * tokens retained; empty summary fails).
+    */
+  private def critiqueReduce(p: String, binsRel: String): (String, String) = {
+    val budgets = Seq(8, 12, 18)
+    val blocks = budgets.map(b => extractive(s"${p}b$b", binsRel, b)).mkString(",\n")
+    def passc(alias: String) =
+      s"(trim($alias.summary) <> '' AND b.srcn > 0 AND b.hits_$alias * 1.0 / b.srcn >= 0.25)"
+    val cov = Seq(8, 12).map { b =>
+      s"len(list_filter(list_distinct(${mtok("i.txt")}), " +
+        s"x -> list_contains(list_distinct(${mtok(s"s$b.summary")}), x))) AS hits_s$b"
+    }.mkString(",\n    ")
+    (s"""$blocks,
+${p}_covs AS (
+  SELECT i.doc_id, i.uid,
+    len(list_distinct(${mtok("i.txt")})) AS srcn,
+    $cov
+  FROM $binsRel i
+    JOIN ${p}b8_out s8 USING (doc_id, uid)
+    JOIN ${p}b12_out s12 USING (doc_id, uid)),
+${p}_out AS (
+  SELECT b.doc_id, b.uid,
+    CASE WHEN ${passc("s8")} THEN s8.summary
+         WHEN ${passc("s12")} THEN s12.summary
+         ELSE s18.summary END AS summary
+  FROM ${p}_covs b
+    JOIN ${p}b8_out s8 USING (doc_id, uid)
+    JOIN ${p}b12_out s12 USING (doc_id, uid)
+    JOIN ${p}b18_out s18 USING (doc_id, uid))""", s"${p}_out")
+  }
+
+  /** CTE body (no WITH, no final SELECT) of the full map-reduce pipeline;
+    * final summaries land in `f_out` (doc_id, uid, summary).
+    */
+  private def mapReduceBody(rounds: Int, reduce: (String, String) => (String, String),
+      overBudget: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += chunksCte()
+    parts += "map_in AS (SELECT doc_id, cidx AS uid, txt FROM chunks)"
+    parts += extractive("m", "map_in", 8)
+    parts += s"cur0 AS (SELECT doc_id, CAST(uid AS INT) AS cidx, summary AS txt, ${tok("summary")} AS w FROM m_out)"
+    var cur = "cur0"
+    (0 until rounds).foreach { r =>
+      parts += collapseRound(s"r$r", cur, overBudget, 24, reduce)
+      cur = s"r${r}_next"
+    }
+    parts += s"""fin AS (
+  SELECT doc_id, 0 AS uid, string_agg(txt, chr(10)||chr(10) ORDER BY cidx) AS txt
+  FROM $cur GROUP BY 1)"""
+    val (fctes, fout) = reduce("f", "fin")
+    parts += fctes
+    parts += s"f_alias AS (SELECT * FROM $fout)"
+    parts.result().mkString(",\n")
+  }
+
+  /** Mark non-recursive CTEs MATERIALIZED (see class doc). */
+  private def materialize(sql: String): String =
+    "([A-Za-z0-9_]+) AS \\(".r.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      if (name.endsWith("_rec") || name.endsWith("_pk")) m.matched
+      else s"$name AS MATERIALIZED ("
+    })
+
+  /** pipe_mapreduce: chunk -> map-summarize -> 10 conditional collapse
+    * rounds -> final reduce (Strategies.mapReduce under Pipelines.TestCfg).
+    */
+  def pipeMapReduceSql: String = materialize(
+    s"WITH RECURSIVE ${mapReduceBody(10, plainReduce, 24)}\n" +
+      "SELECT doc_id, summary FROM f_alias ORDER BY doc_id")
+
+  /** pipe_critique: same skeleton, critique cascade on every reduce, the
+    * reference's half-budget headroom check on the loop predicate
+    * (tokenMax/2 = 12; Strategies.mapReduceCritique).
+    */
+  def pipeCritiqueSql: String = materialize(
+    s"WITH RECURSIVE ${mapReduceBody(10, critiqueReduce, 12)}\n" +
+      "SELECT doc_id, summary FROM f_alias ORDER BY doc_id")
+
+  /** pipe_iterative: per-doc fold summary_i = E(summary_{i-1} \n\n chunk_i)
+    * unrolled over chunk index (Strategies.iterative).
+    */
+  def pipeIterativeSql(steps: Int = 10): String = {
+    val parts = Seq.newBuilder[String]
+    parts += chunksCte()
+    parts += "it0_in AS (SELECT doc_id, 0 AS uid, txt FROM chunks WHERE cidx = 0)"
+    parts += extractive("i0", "it0_in", 8)
+    parts += "acc0 AS (SELECT doc_id, summary AS acc FROM i0_out)"
+    (1 until steps).foreach { k =>
+      parts += s"""it${k}_in AS (
+  SELECT a.doc_id, 0 AS uid, a.acc || chr(10) || chr(10) || c.txt AS txt
+  FROM acc${k - 1} a JOIN chunks c ON c.doc_id = a.doc_id AND c.cidx = $k)"""
+      parts += extractive(s"i$k", s"it${k}_in", 8)
+      parts += s"""acc$k AS (
+  SELECT a.doc_id, coalesce(s.summary, a.acc) AS acc
+  FROM acc${k - 1} a LEFT JOIN i${k}_out s USING (doc_id))"""
+    }
+    materialize(s"WITH RECURSIVE ${parts.result().mkString(",\n")}\n" +
+      s"SELECT doc_id, acc AS summary FROM acc${steps - 1} ORDER BY doc_id")
+  }
+
+  // ------------------------------------------------------------------ eval
+
+  /** Q2 chain + the gen/ref pairing of Pipelines.genRefPairs (ref = lead-12
+    * tokens of the squeezed doc text, LeadSummarizer).
+    */
+  private def pairsBody: String =
+    s"""${mapReduceBody(10, plainReduce, 24)},
+lead_ref AS (
+  SELECT doc_id, array_to_string(string_split_regex(trim(text), '\\s+')[1:12], ' ') AS ref
+  FROM documents),
+pairs AS (
+  SELECT g.doc_id, g.summary AS gen, r.ref
+  FROM f_alias g JOIN lead_ref r USING (doc_id))"""
+
+  /** Rouge-1/2 (multiset overlap), Rouge-L (list-DP LCS unrolled over gen
+    * token index), md5-TF-count cosine -> rel `pm` (doc_id + 4 r4 metrics;
+    * Metrics.pairMetrics with Md5TfCountEmbedder).
+    */
+  private def pairMetricCtes(lcsSteps: Int = 24): String = {
+    val lcs = Seq.newBuilder[String]
+    lcs += """ld0 AS (
+  SELECT doc_id, gt, rt, len(gt) AS glen, len(rt) AS rlen,
+    list_transform(generate_series(1, len(rt)), j -> 0) AS dp
+  FROM ptok)"""
+    (1 to lcsSteps).foreach { i =>
+      lcs += s"""ld$i AS (
+  SELECT doc_id, gt, rt, glen, rlen,
+    CASE WHEN $i <= glen THEN
+      list_transform(generate_series(1, rlen), j ->
+        greatest(dp[j], list_max(list_transform(generate_series(1, j), j2 ->
+          coalesce(dp[j2-1], 0) + CASE WHEN gt[$i] = rt[j2] THEN 1 ELSE 0 END))))
+    ELSE dp END AS dp
+  FROM ld${i - 1})"""
+    }
+    def f1(ov: String, cn: String, rn: String) =
+      s"CASE WHEN $cn = 0 OR $rn = 0 THEN 0.0 " +
+        s"WHEN ($ov * 1.0 / $cn) + ($ov * 1.0 / $rn) = 0 THEN 0.0 " +
+        s"ELSE 2 * ($ov * 1.0 / $cn) * ($ov * 1.0 / $rn) / (($ov * 1.0 / $cn) + ($ov * 1.0 / $rn)) END"
+    s"""ptok AS (
+  SELECT doc_id, ${mtok("gen")} AS gt, ${mtok("ref")} AS rt FROM pairs),
+pgrams AS (
+  SELECT doc_id, gt, rt,
+    CASE WHEN len(gt) >= 2 THEN list_transform(generate_series(1, len(gt)-1), k -> gt[k] || ' ' || gt[k+1]) ELSE [] END AS g2,
+    CASE WHEN len(rt) >= 2 THEN list_transform(generate_series(1, len(rt)-1), k -> rt[k] || ' ' || rt[k+1]) ELSE [] END AS r2
+  FROM ptok),
+pu1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(gt) AS tok FROM pgrams) GROUP BY 1, 2),
+pv1 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(rt) AS tok FROM pgrams) GROUP BY 1, 2),
+po1 AS (SELECT doc_id, SUM(least(pu1.c, pv1.c)) AS ov FROM pu1 JOIN pv1 USING (doc_id, tok) GROUP BY 1),
+pu2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(g2) AS tok FROM pgrams) GROUP BY 1, 2),
+pv2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(r2) AS tok FROM pgrams) GROUP BY 1, 2),
+po2 AS (SELECT doc_id, SUM(least(pu2.c, pv2.c)) AS ov FROM pu2 JOIN pv2 USING (doc_id, tok) GROUP BY 1),
+${lcs.result().mkString(",\n")},
+plcs AS (SELECT doc_id, glen, rlen, coalesce(dp[rlen], 0) AS lcs FROM ld$lcsSteps),
+embt AS (
+  SELECT doc_id, side, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h, COUNT(*) AS tf
+  FROM (SELECT doc_id, 'g' AS side, unnest(gt) AS tok FROM ptok
+        UNION ALL
+        SELECT doc_id, 'r' AS side, unnest(rt) AS tok FROM ptok)
+  GROUP BY 1, 2, 3),
+embv AS (
+  SELECT doc_id, side, h % 64 AS idx,
+    SUM(CASE WHEN ((h >> 6) & 1) = 0 THEN tf ELSE -tf END) AS wv
+  FROM embt GROUP BY 1, 2, 3),
+embn AS (
+  SELECT doc_id, side, SUM(wv * wv) AS nsq FROM embv GROUP BY 1, 2),
+embdot AS (
+  SELECT a.doc_id, SUM(a.wv * b.wv) AS dot
+  FROM embv a JOIN embv b ON a.doc_id = b.doc_id AND a.idx = b.idx
+  WHERE a.side = 'g' AND b.side = 'r' GROUP BY 1),
+embcos AS (
+  SELECT p.doc_id,
+    CASE WHEN coalesce(ng.nsq, 0) = 0 OR coalesce(nr.nsq, 0) = 0 THEN 0.0
+      ELSE coalesce(d.dot, 0) / (sqrt(CAST(ng.nsq AS DOUBLE)) * sqrt(CAST(nr.nsq AS DOUBLE))) END AS cos
+  FROM pairs p
+    LEFT JOIN (SELECT doc_id, nsq FROM embn WHERE side = 'g') ng USING (doc_id)
+    LEFT JOIN (SELECT doc_id, nsq FROM embn WHERE side = 'r') nr USING (doc_id)
+    LEFT JOIN embdot d USING (doc_id)),
+pm AS (
+  SELECT p.doc_id,
+    round(c.cos, 4) AS semantic_similarity,
+    round(${f1("coalesce(po1.ov, 0)", "l.glen", "l.rlen")}, 4) AS rouge1_f,
+    round(${f1("coalesce(po2.ov, 0)", "greatest(l.glen - 1, 0)", "greatest(l.rlen - 1, 0)")}, 4) AS rouge2_f,
+    round(${f1("l.lcs", "l.glen", "l.rlen")}, 4) AS rougeL_f
+  FROM pairs p
+    JOIN plcs l USING (doc_id)
+    JOIN embcos c USING (doc_id)
+    LEFT JOIN po1 USING (doc_id)
+    LEFT JOIN po2 USING (doc_id))"""
+  }
+
+  def evalPairMetricsSql: String = materialize(
+    s"WITH RECURSIVE $pairsBody,\n${pairMetricCtes()}\nSELECT * FROM pm ORDER BY doc_id")
+
+  private def exactSumSql(e: String) =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+  /** Long-format mean/std/min/max per metric (Metrics.summaryStats). */
+  def evalSummaryStatsSql: String = {
+    def block(c: String) =
+      s"""SELECT '$c' AS metric,
+  round(${exactSumSql(c)} / COUNT($c), 4) AS mean,
+  round(sqrt(greatest((${exactSumSql(s"$c * $c")} - ${exactSumSql(c)} * ${exactSumSql(c)} / CAST(COUNT($c) AS DOUBLE)) / CAST(COUNT($c) AS DOUBLE), 0.0)), 4) AS std,
+  round(MIN($c), 4) AS min, round(MAX($c), 4) AS max FROM pm"""
+    val u = Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f")
+      .map(block).mkString("\nUNION ALL\n")
+    materialize(s"WITH RECURSIVE $pairsBody,\n${pairMetricCtes()}\n$u")
+  }
+
+  /** CoverageJudge verdicts over the pairing (source = ref, summary = gen;
+    * Metrics.judgeMetrics): rel `js`.
+    */
+  private def judgeCtes: String =
+    s"""jj AS (
+  SELECT doc_id, gen,
+    len(list_distinct(${mtok("ref")})) AS srcn,
+    len(list_filter(list_distinct(${mtok("ref")}),
+      x -> list_contains(list_distinct(${mtok("gen")}), x))) AS hits,
+    ${mtok("gen")} AS gtoks
+  FROM pairs),
+js AS (
+  SELECT doc_id,
+    CASE WHEN trim(gen) = '' THEN 'empty summary'
+         WHEN srcn > 0 AND hits * 1.0 / srcn >= 0.25 THEN 'no issues'
+         ELSE 'low source coverage: ' || hits || '/' || srcn || ' < 0.25' END AS verdict,
+    (NOT trim(gen) = '' AND srcn > 0 AND hits * 1.0 / srcn >= 0.25) AS passed,
+    round(CASE WHEN srcn = 0 OR trim(gen) = '' THEN 0.0 ELSE hits * 1.0 / srcn END, 4) AS correctness,
+    round(CASE WHEN len(gtoks) = 0 THEN 0.0 ELSE len(list_distinct(gtoks)) * 1.0 / len(gtoks) END, 4) AS coherence
+  FROM jj)"""
+
+  def evalJudgeScoresSql: String = materialize(
+    s"WITH RECURSIVE $pairsBody,\n$judgeCtes\nSELECT * FROM js ORDER BY doc_id")
+
+  /** Pass rate + rubric-score stats (Metrics.judgeStats; n_failures is 0 by
+    * construction — the deterministic judge never throws).
+    */
+  def evalJudgeStatsSql: String = {
+    def stat(c: String, p: String) =
+      s"""round(${exactSumSql(c)} / COUNT($c), 4) AS ${p}_mean,
+  round(sqrt(greatest((${exactSumSql(s"$c * $c")} - ${exactSumSql(c)} * ${exactSumSql(c)} / CAST(COUNT($c) AS DOUBLE)) / CAST(COUNT($c) AS DOUBLE), 0.0)), 4) AS ${p}_std,
+  round(MIN($c), 4) AS ${p}_min, round(MAX($c), 4) AS ${p}_max"""
+    materialize(s"""WITH RECURSIVE $pairsBody,
+$judgeCtes
+SELECT COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+  CAST(0 AS BIGINT) AS n_failures,
+  round(${exactSumSql("CASE WHEN passed THEN 1.0 ELSE 0.0 END")} / COUNT(*), 4) AS pass_rate,
+  ${stat("correctness", "corr")},
+  ${stat("coherence", "coh")}
+FROM js""")
+  }
+}

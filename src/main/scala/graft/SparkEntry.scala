@@ -727,6 +727,18 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // The strategy pipelines + the Q2-fed eval family, end to end, as
+    // generated chained-CTE oracles (see OracleSqlGen): chunking, every
+    // extractive-summarizer call, the unrolled 10-round collapse loop, the
+    // critique cascade, the iterative fold, ROUGE-1/2/L, the md5-TF-count
+    // cosine and the judge rubric are all replicated bit-exactly in DuckDB.
+    "pipe_mapreduce" -> OracleSqlGen.pipeMapReduceSql,
+    "pipe_critique" -> OracleSqlGen.pipeCritiqueSql,
+    "pipe_iterative" -> OracleSqlGen.pipeIterativeSql(),
+    "eval_pair_metrics" -> OracleSqlGen.evalPairMetricsSql,
+    "eval_summary_stats" -> OracleSqlGen.evalSummaryStatsSql,
+    "eval_judge_scores" -> OracleSqlGen.evalJudgeScoresSql,
+    "eval_judge_stats" -> OracleSqlGen.evalJudgeStatsSql,
     // 60-bit md5 content hash of the normalized token stream — same
     // tokenization as eval_rouge_ngram's, same hex-parse as the minhash
     // family
