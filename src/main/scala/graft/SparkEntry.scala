@@ -328,11 +328,48 @@ object SparkEntry {
   }
 
   /** DD6b: embedding near-dup pairs via the LSH prefilter (the 100 TB path
-    * of dd6; rows-only — approximate by construction).
+    * of dd6; rows-only — approximate by construction; recall vs dd6
+    * measured by dd6b_recall).
     */
   private def dd6bEmbeddingPairsLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairsLsh(tbl(spark, dir, "embeddings"), 0.45, 64)
       .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------ ANN recall
+
+  private def topkQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  /** SS2 recall@5 vs the exact ss1 baseline — the hard quality signal for
+    * the sign-LSH path (per-query rows; spec floors the mean).
+    */
+  private def ss2Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      Similarity.lshTopK(emb, q, 5, 64))
+      .orderBy(col("query_id"))
+  }
+
+  /** SS3 recall@5 vs the exact ss1 baseline (IVF path, sampled training). */
+  private def ss3Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      Similarity.ivfTopK(emb, q, 5, 64, trainSampleMod = 4))
+      .orderBy(col("query_id"))
+  }
+
+  /** DD6b pair-recall vs the exact dd6 cartesian baseline. */
+  private def dd6bRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    Similarity.pairRecall(
+      Dedup.embeddingCosinePairs(emb, 0.45),
+      Dedup.embeddingCosinePairsLsh(emb, 0.45, 64))
+  }
 
   // --------------------------------------------------------- text analysis
 
@@ -620,7 +657,10 @@ object SparkEntry {
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
+    "ss2_recall" -> (ss2Recall(_, _)),
+    "ss3_recall" -> (ss3Recall(_, _)),
     "dd6b_embedding_pairs_lsh" -> (dd6bEmbeddingPairsLsh(_, _)),
+    "dd6b_recall" -> (dd6bRecall(_, _)),
     "ta1_quality" -> (ta1Quality(_, _)),
     "ta2_lang_id" -> (ta2LangId(_, _)),
     "ta3_token_stats" -> (ta3TokenStats(_, _)),

@@ -226,8 +226,20 @@ object Dedup {
     * cosine verify), which replaces the cartesian with an equi-join.
     */
   def embeddingCosinePairs(emb: DataFrame, minCosine: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Option[Long] = Some(100000L)): DataFrame = {
     import graft.functions.{vecDotF, vecNormF}
+    // Guard the cartesian: this operator exists as the small-N verifier /
+    // oracle baseline for [[embeddingCosinePairsLsh]] (the default pair
+    // path at scale — measured recall, see dd6b_recall). One cheap count
+    // scan is worth refusing an accidental 10^10-pair plan; pass
+    // maxRows = None to opt out explicitly.
+    maxRows.foreach { m =>
+      val n = emb.count()
+      require(n <= m,
+        s"embeddingCosinePairs is O(n^2) and input has $n rows (> $m); " +
+          "use embeddingCosinePairsLsh for large corpora or pass maxRows=None")
+    }
     // split cosine: norms once per row (O(n*d)), dot once per pair
     // (O(n^2*d)) — bit-identical to the per-pair VecCosine form (same double
     // ops in the same order), at a third of the quadratic-stage flops
@@ -252,10 +264,13 @@ object Dedup {
     * recall < 1 by construction (pairs colliding in no table are missed);
     * `tables`/`planes` trade recall against candidate volume, and
     * `maxBucketSize` bounds degenerate buckets like the other LSH ops.
+    * Defaults (16×4) measure pair-recall 0.96-1.0 vs this baseline on the
+    * near-uniform testdata (dd6b_recall; theory: ≥0.95 for pairs at the
+    * 0.45 threshold, higher above it) — see SCALE.md §Measured ANN recall.
     */
   def embeddingCosinePairsLsh(emb: DataFrame, minCosine: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 8, planes: Int = 4,
+      tables: Int = 16, planes: Int = 4,
       maxBucketSize: Option[Int] = None): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("embedding"),

@@ -85,14 +85,25 @@ object Similarity {
   /** LSH-bucketed approximate top-k: `tables` independent sign-projection
     * tables of `planes` bits each; candidates = bucket collisions in any
     * table; exact cosine rerank inside candidates.
+    *
+    * `multiProbe1` additionally probes, PER QUERY, every bucket whose key
+    * differs from the query's in one bit (1+planes probes per table) —
+    * query-side only, so the corpus index stays one row per (vector,
+    * table). Standard multiprobe LSH: near-miss sign flips are the dominant
+    * failure mode when the neighbor angle is wide, and probing the Hamming-1
+    * shell recovers most of them for a planes-fold probe cost that is
+    * amortized over |corpus|/2^planes bucket sizes. Defaults (8 planes,
+    * 16 tables, multiprobe on) are the measured operating point on the
+    * synthetic corpus — see ss2_recall and SCALE.md (the corpus is an LSH
+    * worst case: near-uniform vectors, top-5 neighbor cosines 0.25-0.42).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      tables: Int = 8, planes: Int = 12): DataFrame = {
+      tables: Int = 16, planes: Int = 8, multiProbe1: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = lshBucketed(corpus.select(col("vec_id"), col("embedding")),
       dim, tables, planes)
     val q = lshBucketed(queries.select(col("query_id"), col("embedding")),
-      dim, tables, planes)
+      dim, tables, planes, probe1Bit = if (multiProbe1) Some(planes) else None)
       .withColumnRenamed("embedding", "emb_q")
     val cands = c.join(q, Seq("tbl", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -110,11 +121,21 @@ object Similarity {
   /** Explode each row into its `tables` LSH bucket rows (all input columns
     * kept + `tbl`/`bkt`) — shared by the approximate top-k search and the
     * near-dup prefilter ([[graft.operators.Dedup.embeddingCosinePairsLsh]]).
+    * With `probe1Bit = Some(planes)` each (tbl, key) additionally emits the
+    * `planes` Hamming-1 neighbor keys (query-side multiprobe).
     */
   private[operators] def lshBucketed(df: DataFrame, dim: Int,
-      tables: Int, planes: Int, vecCol: String = "embedding"): DataFrame = {
+      tables: Int, planes: Int, vecCol: String = "embedding",
+      probe1Bit: Option[Int] = None): DataFrame = {
     val keysOf = lshKeysUdf(dim, tables, planes)
-    df.select(col("*"), posexplode(keysOf(col(vecCol))).as(Seq("tbl", "bkt")))
+    val base = df.select(col("*"), posexplode(keysOf(col(vecCol))).as(Seq("tbl", "bkt")))
+    probe1Bit.fold(base) { p =>
+      base.select(col("*"),
+          explode(concat(array(col("bkt")),
+            transform(sequence(lit(0), lit(p - 1)),
+              b => col("bkt").bitwiseXOR(pow(lit(2.0), b).cast("long"))))).as("bkt_p"))
+        .drop("bkt").withColumnRenamed("bkt_p", "bkt")
+    }
   }
 
   private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
@@ -143,7 +164,7 @@ object Similarity {
     * means, so centroid evolution is partition-order-deterministic).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      nCells: Int = 16, nProbe: Int = 6, iterations: Int = 2,
       trainSampleMod: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
@@ -227,6 +248,40 @@ object Similarity {
           .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an approximate top-k result against the exact baseline —
+    * the quantitative check every ANN path needs (an LSH/IVF parameter
+    * regression silently passes any "finds the identical vector" test).
+    * Inputs are two (query_id, vec_id, ...) top-k results; output one row
+    * per query: (query_id, n_exact, n_hit, recall). Joins on the compact
+    * (query_id, vec_id) keys only — never touches vectors, so measuring
+    * recall costs one small join however large the corpus scan behind the
+    * inputs was.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+      .withColumn("recall", r4(col("n_hit") / col("n_exact")))
+
+  /** Pair-recall of an approximate near-dup pair set against the exact
+    * all-pairs baseline: one row (n_exact, n_approx, n_hit, recall). Both
+    * inputs are (id_a, id_b, ...) with id_a < id_b. Same compact-key join
+    * shape as [[recallAtK]].
+    */
+  def pairRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select(col("id_a"), col("id_b"))
+      .join(approx.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"))
+    hits.crossJoin(broadcast(approx.agg(count(lit(1)).as("n_approx"))))
+      .select(col("n_exact"), col("n_approx"),
+        col("n_hit"), r4(col("n_hit") / col("n_exact")).as("recall"))
   }
 
   /** All-pairs cosine above a threshold between two (small) labeled sets —
