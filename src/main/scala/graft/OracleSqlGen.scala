@@ -206,6 +206,33 @@ ${p}_out AS (
       else s"$name AS MATERIALIZED ("
     })
 
+  /** s3_tree_ingest: closed-form pre-order adjacency of the chunk tree
+    * (TreeOps.chunkTreeJson at 16/2, sections of 3, round-tripped through
+    * TreeOps.fromJsonStrings). Pre-order ids are arithmetic because only
+    * the last section of a doc can be partial: header(si) = 1 + 4*si,
+    * paragraph(cidx) = 2 + 4*(cidx/3) + cidx%3.
+    */
+  def s3TreeIngestSql: String = materialize(
+    s"""WITH ${chunksCte()},
+docs AS (SELECT DISTINCT doc_id FROM chunks),
+secs AS (SELECT DISTINCT doc_id, cidx // 3 AS si FROM chunks),
+nodes AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS node_id, CAST(-1 AS BIGINT) AS parent_id,
+    CAST(0 AS INT) AS depth, 'Document' AS node_type,
+    'doc_' || CAST(doc_id AS VARCHAR) AS text, CAST(0 AS INT) AS ord
+  FROM docs
+  UNION ALL
+  SELECT doc_id, CAST(1 + 4*si AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INT),
+    'Header', 'Section ' || CAST(si + 1 AS VARCHAR), CAST(si AS INT)
+  FROM secs
+  UNION ALL
+  SELECT doc_id, CAST(2 + 4*(cidx//3) + (cidx%3) AS BIGINT),
+    CAST(1 + 4*(cidx//3) AS BIGINT), CAST(2 AS INT), 'Paragraph', txt,
+    CAST(cidx % 3 AS INT)
+  FROM chunks)
+SELECT doc_id, node_id, parent_id, depth, node_type, text, ord
+FROM nodes ORDER BY doc_id, node_id""")
+
   /** pipe_mapreduce: chunk -> map-summarize -> 10 conditional collapse
     * rounds -> final reduce (Strategies.mapReduce under Pipelines.TestCfg).
     */

@@ -108,6 +108,22 @@ object SparkEntry {
       .orderBy(col("l_suppkey"), col("rn"))
   }
 
+  /** O4: seeded uniform random document pick (reference:
+    * streamlit_demo.py:45-51 `random.choice` over corpus files). The pick
+    * is keyed-hash-based — min md5(seed || doc_id) — rather than Spark's
+    * `rand(seed)`, whose values depend on partition layout and so change
+    * with cluster size / AQE re-planning; the hash pick is uniform over
+    * docs, reproducible on any partitioning, and exactly SQL-oracle-able.
+    * One global sort-limit over a single small column: TakeOrderedAndProject,
+    * no full shuffle.
+    */
+  private def o4RandomPick(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("seed42_"), col("doc_id").cast("string"))).as("pick_key"))
+      .orderBy(col("pick_key"))
+      .limit(1)
+
   /** G3 (cumsum form): token-budget bin assignment as a pure window — the
     * SQL-expressible approximation of greedy packing (exact greedy is
     * `binpack_greedy`, checked by ScalaTest; SURVEY.md §7.4.2).
@@ -555,6 +571,20 @@ object SparkEntry {
         col("doc_id") === col("vec_id"), "left_anti")
       .orderBy(col("doc_id"))
 
+  /** S3: recursive tree-JSON ingestion, driver-checked end-to-end — chunk
+    * trees are serialized to the reference's `{type,text,children}` JSON
+    * shape and parsed back through TreeOps.fromJsonStrings; the resulting
+    * pre-order adjacency has a closed-form oracle
+    * (OracleSqlGen.s3TreeIngestSql). Reference: data_1/document_tree.json,
+    * run_full_evaluation_pipeline.py:502-530.
+    */
+  private def s3TreeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TreeOps
+    val jsons = TreeOps.chunkTreeJson(CorpusOps.documents(spark, dir), 16, 2, 3)
+    TreeOps.fromJsonStrings(spark, jsons)
+      .orderBy(col("doc_id"), col("node_id"))
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** MM1: opaque binary column plumbing — payload bytes + checksum + a
@@ -635,6 +665,7 @@ object SparkEntry {
     "j3_anti_join" -> (j3Anti(_, _)),
     "p5_top_orders" -> (p5Top(_, _)),
     "o3_window_running" -> (o3Window(_, _)),
+    "o4_random_pick" -> (o4RandomPick(_, _)),
     "g3_binpack_cumsum" -> (g3BinpackCumsum(_, _)),
     "g1_collect_ordered" -> (g1Collect(_, _)),
     "g1b_collect_salted" -> (g1bCollectSalted(_, _)),
@@ -672,6 +703,7 @@ object SparkEntry {
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
+    "s3_tree_ingest" -> (s3TreeIngest(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
     "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
@@ -990,6 +1022,9 @@ object SparkEntry {
     "p5_top_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS total_price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "o4_random_pick" ->
+      """SELECT doc_id, text, md5('seed42_' || CAST(doc_id AS VARCHAR)) AS pick_key
+         FROM documents ORDER BY pick_key LIMIT 1""",
     "o3_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          ROW_NUMBER() OVER w AS rn,
@@ -1238,6 +1273,7 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM embeddings
                            WHERE vec_id = doc_id AND vec_id % 3 != 0)
          ORDER BY doc_id""",
+    "s3_tree_ingest" -> OracleSqlGen.s3TreeIngestSql,
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,

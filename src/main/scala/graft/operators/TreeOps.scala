@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Text, TreeNode}
+import graft.core.{Splitter, Text, TreeNode}
 
 /** Document-structure tree operators (SURVEY.md §1.1 "Document tree", §2.3 Q5).
   *
@@ -53,6 +53,48 @@ object TreeOps {
     }
     walk(root, -1L, 0, 0)
     out.result()
+  }
+
+  /** Serialize token-window chunk trees to the reference's recursive
+    * `{type, text, children}` JSON shape (data_1/document_tree.json;
+    * run_full_evaluation_pipeline.py:502-530): Document root -> one Header
+    * per `sectionSize` chunks -> one Paragraph per chunk. Jackson writes
+    * the JSON so escaping is lossless; leaves omit `children`, exercising
+    * the parser's optional-children path on the way back in. Paired with
+    * [[fromJsonStrings]] this gives the registered S3 query a genuine JSON
+    * round-trip whose adjacency output (pre-order ids) has a closed-form
+    * SQL oracle: header(si) = 1 + (sectionSize+1)*si,
+    * paragraph(cidx) = header(cidx/sectionSize) + 1 + cidx%sectionSize —
+    * exact because only the last section can be partial.
+    */
+  def chunkTreeJson(docs: DataFrame, size: Int, overlap: Int,
+      sectionSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { case (docId, text) =>
+          val chunks = Splitter.tokenWindows(text, size, overlap)
+          if (chunks.isEmpty) None
+          else {
+            val root = mapper.createObjectNode()
+            root.put("type", "Document"); root.put("text", s"doc_$docId")
+            val rkids = root.putArray("children")
+            chunks.grouped(sectionSize).zipWithIndex.foreach { case (grp, si) =>
+              val h = rkids.addObject()
+              h.put("type", "Header"); h.put("text", s"Section ${si + 1}")
+              val hk = h.putArray("children")
+              grp.foreach { c =>
+                val p = hk.addObject()
+                p.put("type", "Paragraph"); p.put("text", c)
+              }
+            }
+            Some((docId, mapper.writeValueAsString(root)))
+          }
+        }
+      }.toDF("doc_id", "json")
   }
 
   /** Deterministic synthetic tree for corpora without structure metadata:

@@ -214,6 +214,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nodes(5) == (5L, 4L, 2, "Paragraph", "p3"))
   }
 
+  test("S3 chunkTreeJson round-trip: escaping-hostile text survives, ids are closed-form") {
+    // quotes, backslashes, control chars — Jackson must escape losslessly
+    val hostile = "a\"b \\c\t d\ne f g h i j k l m n o p q r s t u v w x y z aa bb cc dd ee ff gg hh"
+    val docs = Seq((5L, hostile)).toDF("doc_id", "text")
+    val nodes = TreeOps.fromJsonStrings(spark,
+        TreeOps.chunkTreeJson(docs, 16, 2, 3)).collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("parent_id"),
+        r.getAs[Int]("depth"), r.getAs[String]("node_type"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    // 33 ws tokens at size 16 / stride 14 -> chunks at k=0,1,2 -> one
+    // section of 3 -> 1 root + 1 header + 3 paragraphs
+    assert(nodes.length == 5)
+    assert(nodes(0) == ((0L, -1L, 0, "Document", "doc_5")))
+    assert(nodes(1)._4 == "Header" && nodes(1)._1 == 1L && nodes(1)._2 == 0L)
+    // paragraph ids 2+4*si+pi; chunk 0 text is the first 16 ws-tokens with
+    // the tab/newline collapsed to single spaces by tokenization
+    assert(nodes(2)._1 == 2L && nodes(2)._2 == 1L)
+    assert(nodes(2)._5.startsWith("a\"b \\c d e f"))
+    assert(nodes(4)._1 == 4L)
+    // a doc with 4 sections: header ids are 1+4*si
+    val many = Seq((9L, (1 to 150).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val hdrs = TreeOps.fromJsonStrings(spark, TreeOps.chunkTreeJson(many, 16, 2, 3))
+      .where($"node_type" === "Header").collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Int]("ord"))).sorted
+    assert(hdrs.forall { case (id, si) => id == 1L + 4L * si })
+  }
+
   test("TreeOps.synthesize: one header per sentence group, paragraphs per sentence") {
     val docs = Seq((1L, "s1. s2. s3. s4.")).toDF("doc_id", "text")
     val nodes = TreeOps.synthesize(docs, sentencesPerSection = 2).collect()
