@@ -230,6 +230,21 @@ object SparkEntry {
           .as("est_chunks"))
       .orderBy(col("doc_id"))
 
+  /** F3: exact BPE token counts next to the whitespace proxy — the
+    * reference's HF-tokenizer counting (utils/calculate_tokens.py:7-19)
+    * re-expressed as a real greedy-merge BPE over the pinned
+    * [[graft.core.Bpe.DemoMerges]] table. The oracle replays the merge
+    * loop rank-for-rank in a DuckDB recursive CTE over DISTINCT pretokens
+    * (the same distinct-word memoization the tokenizer's cache does).
+    */
+  private def f3BpeCount(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.udfs.bpeCountUdf(graft.core.Bpe.demo)(col("text"))
+          .cast("long").as("n_bpe_tokens"),
+        tokenCount(col("text")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** C3: token truncation (first 20 whitespace tokens). */
   private def c3Truncate(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
@@ -674,6 +689,7 @@ object SparkEntry {
     "g8_argmax" -> (g8Argmax(_, _)),
     "f1_clean_text" -> (f1Clean(_, _)),
     "f2_token_counts" -> (f2TokenCounts(_, _)),
+    "f3_bpe_count" -> (f3BpeCount(_, _)),
     "c3_truncate" -> (c3Truncate(_, _)),
     "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
@@ -734,6 +750,52 @@ object SparkEntry {
 
   private def exactSumSql(e: String) =
     s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+  /** f3_bpe_count oracle: replay the greedy BPE merge loop rank-for-rank
+    * as a recursive CTE over DISTINCT pretokens, then weight by per-doc
+    * pretoken counts. The merge table is emitted from Bpe.DemoMerges, so
+    * Scala and SQL can never drift. Each step merges the LEFTMOST
+    * occurrence of the lowest-rank pair (rank*100000 + position keeps the
+    * tie-break total); a word leaves the recursion when no adjacent pair
+    * is in the table.
+    */
+  private def f3BpeSql: String = {
+    val ranked = graft.core.Bpe.DemoMerges.zipWithIndex
+    val keys = ranked.map { case ((a, b), _) => s"'$a $b'" }.mkString(", ")
+    val vals = ranked.map(_._2).mkString(", ")
+    val mm = s"MAP([$keys], [$vals])"
+    def rank(pair: String) = s"element_at($mm, $pair)"
+    val pair = "toks[i] || ' ' || toks[i+1]"
+    val bi = "CAST(best % 100000 AS INT)"
+    raw"""WITH RECURSIVE
+pts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS w
+  FROM documents),
+wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+words0 AS (SELECT DISTINCT w FROM pts),
+bpe_walk AS (
+  SELECT w, regexp_extract_all(w, '.') AS toks, 0 AS step FROM words0
+  UNION ALL
+  SELECT w,
+    toks[1:$bi - 1] || [toks[$bi] || toks[$bi + 1]] || toks[$bi + 2:],
+    step + 1
+  FROM (
+    SELECT w, toks, step,
+      list_min([
+        CASE WHEN len(${rank(pair)}) > 0
+          THEN ${rank(pair)}[1] * 100000 + i END
+        FOR i IN range(1, len(toks))]) AS best
+    FROM bpe_walk) s
+  WHERE best IS NOT NULL),
+wtok AS (SELECT w, len(arg_max(toks, step)) AS n FROM bpe_walk GROUP BY w),
+agg AS (
+  SELECT wc.doc_id, SUM(wc.c * wt.n) AS n_bpe
+  FROM wcnt wc JOIN wtok wt ON wt.w = wc.w GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+  $tokSql AS n_ws_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+  }
 
 
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
@@ -1085,6 +1147,7 @@ object SparkEntry {
     "c3_truncate" ->
       """SELECT doc_id, array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS head20
          FROM documents ORDER BY doc_id""",
+    "f3_bpe_count" -> f3BpeSql,
     "c1_chunk_fixed" ->
       """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
          FROM documents, LATERAL UNNEST(generate_series(0, CAST(floor((length(text)-1)/100.0) AS BIGINT))) AS t(k)

@@ -1,0 +1,269 @@
+package graft.core
+
+/** Byte-pair-encoding tokenizer (SURVEY.md §2.8 F3 — the reference counts
+  * and chunks by an exact HF tokenizer: utils/calculate_tokens.py:7-19,
+  * run_full_evaluation_pipeline.py:347-349; the whitespace proxy used by
+  * the relational queries is the documented deviation this closes).
+  *
+  * Implemented from the public BPE algorithm family (Sennrich et al. 2016;
+  * the GPT-2 byte-level scheme): pretokenize with a regex, map each
+  * pretoken to base symbols (raw chars, or UTF-8 bytes through the
+  * byte-to-unicode table so every byte is a printable symbol), then
+  * repeatedly merge the adjacent pair with the lowest merge rank.
+  *
+  * Three entry points:
+  *  - [[Bpe.train]]: learn a merge table from a corpus (deterministic:
+  *    ties break on lexicographically smallest pair) — vocabulary
+  *    induction for corpora with no published tokenizer;
+  *  - [[Bpe.fromTokenizerJson]]: load a published HF `tokenizer.json`
+  *    (model.vocab + model.merges) — the production path, so a user of the
+  *    reference can point at the exact tokenizer file it used;
+  *  - [[Bpe.demo]]: the pinned merge table used by the registered
+  *    `f3_bpe_count` query, whose greedy merge loop is reproduced
+  *    rank-for-rank by a DuckDB recursive CTE oracle.
+  *
+  * Instances are immutable and Serializable: ship one in a UDF closure and
+  * every executor shares the merge table (same pattern as a broadcast ML
+  * model). The per-word memo cache is transient and rebuilt per executor.
+  */
+final class BpeTokenizer(
+    val merges: Vector[(String, String)],
+    val pretokenRegex: String,
+    val byteLevel: Boolean,
+    val vocab: Map[String, Int] = Map.empty)
+  extends Serializable {
+
+  private val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(pretokenRegex)
+
+  // per-executor memo of word -> merged symbols; bounded so a high-card
+  // corpus can't grow it without limit
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+  private val CacheMax = 65536
+
+  def pretokens(text: String): Vector[String] = {
+    val m = pattern.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  private def baseSymbols(word: String): Vector[String] =
+    if (byteLevel)
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .iterator.map(b => Bpe.byteEncoder(b & 0xff).toString).toVector
+    else Bpe.codepoints(word)
+
+  /** Greedy BPE over one pretoken: merge the lowest-rank adjacent pair
+    * until no adjacent pair is in the merge table. Merging the leftmost
+    * occurrence one at a time is equivalent to the batch form: a pair
+    * produced by a merge can only have a LATER rank than the pair just
+    * merged (its symbol did not exist when earlier merges were learned),
+    * so the running minimum never changes out from under the scan.
+    */
+  private def bpeWord(word: String): Vector[String] = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    var syms = baseSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+        syms.drop(bestAt + 2)
+    }
+    if (cache.size < CacheMax) cache.put(word, syms)
+    syms
+  }
+
+  /** Token strings of `text` (pretokenize, then BPE each pretoken). */
+  def encode(text: String): Vector[String] = pretokens(text).flatMap(bpeWord)
+
+  /** Token ids (requires a vocab, i.e. a loaded tokenizer.json). Unknown
+    * symbols map to -1 — surfacing gaps beats silently dropping them.
+    */
+  def encodeIds(text: String): Vector[Int] = {
+    require(vocab.nonEmpty, "encodeIds needs a vocab (load a tokenizer.json)")
+    encode(text).map(vocab.getOrElse(_, -1))
+  }
+
+  /** F3: exact token count — the Splitter.LengthFn this class exists for. */
+  def count(text: String): Int = {
+    var n = 0
+    pretokens(text).foreach(w => n += bpeWord(w).length)
+    n
+  }
+
+  def lengthFn: Splitter.LengthFn = count _
+}
+
+object Bpe {
+
+  /** GPT-2's published pretokenizer (contractions, space-prefixed letter /
+    * digit / symbol runs, trailing-space lookahead). Java regex accepts it
+    * verbatim; RE2 engines (DuckDB) do not (lookahead) — SQL oracles use
+    * [[SimplePretokenizer]].
+    */
+  val Gpt2Pretokenizer: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** Lookahead-free pretokenizer (letter runs / digit runs / symbol runs;
+    * whitespace dropped): same token set in Java and RE2, so the
+    * registered BPE query has an exact DuckDB oracle.
+    */
+  val SimplePretokenizer: String = """\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"""
+
+  /** GPT-2 byte-to-unicode table: printable bytes map to themselves, the
+    * rest to U+0100.. in order — every byte becomes one printable char, so
+    * merge-table symbols are plain strings.
+    */
+  private[core] val byteEncoder: Array[Char] = {
+    val visible =
+      (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (visible(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** Codepoint base symbols for char-level mode (not UTF-16 units — a
+    * non-BMP char is ONE symbol, matching RE2's `.` so the SQL oracle and
+    * the Scala path segment identically).
+    */
+  private[core] def codepoints(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Learn `numMerges` merges from a corpus (classic BPE training: count
+    * adjacent symbol pairs over the pretoken frequency table, merge the
+    * most frequent, repeat). Deterministic: ties break on the smaller pair.
+    * Driver-side by design — training state is a word-frequency map, tiny
+    * next to the corpus; at 100 TB feed it `df.sample(...).collect()` or a
+    * pre-aggregated `groupBy(word).count()` pulled to the driver.
+    */
+  def train(
+      corpus: IterableOnce[String],
+      numMerges: Int,
+      pretokenRegex: String = Gpt2Pretokenizer,
+      byteLevel: Boolean = true,
+      minPairCount: Int = 2): BpeTokenizer = {
+    val proto = new BpeTokenizer(Vector.empty, pretokenRegex, byteLevel)
+    val freq = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+    corpus.iterator.foreach { text =>
+      proto.pretokens(text).foreach { w =>
+        val syms =
+          if (byteLevel)
+            w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .iterator.map(b => byteEncoder(b & 0xff).toString).toVector
+          else codepoints(w)
+        if (syms.nonEmpty) freq.updateWith(syms)(c => Some(c.getOrElse(0L) + 1))
+      }
+    }
+    var words = freq.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pairs.updateWith((syms(i), syms(i + 1)))(x => Some(x.getOrElse(0L) + c))
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (best, cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minPairCount) exhausted = true
+        else {
+          merges += best
+          val merged = best._1 + best._2
+          words = words.map { case (syms, c) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+          k += 1
+        }
+      }
+    }
+    new BpeTokenizer(merges.result(), pretokenRegex, byteLevel)
+  }
+
+  /** Load a published HF `tokenizer.json` (byte-level BPE: model.vocab +
+    * model.merges; merges as "a b" strings or [a, b] arrays). Only the BPE
+    * model block is read — added-tokens / normalizers are out of scope for
+    * a length function.
+    */
+  def fromTokenizerJson(json: String): BpeTokenizer = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val model = root.path("model")
+    require(!model.isMissingNode, "tokenizer.json: no model block")
+    val merges = Vector.newBuilder[(String, String)]
+    model.path("merges").forEach { m =>
+      if (m.isArray) merges += ((m.get(0).asText, m.get(1).asText))
+      else {
+        val s = m.asText
+        val sp = s.indexOf(' ')
+        require(sp > 0, s"tokenizer.json: bad merge entry '$s'")
+        merges += ((s.substring(0, sp), s.substring(sp + 1)))
+      }
+    }
+    val vocab = Map.newBuilder[String, Int]
+    val fields = model.path("vocab").fields()
+    while (fields.hasNext) {
+      val e = fields.next()
+      vocab += (e.getKey -> e.getValue.asInt)
+    }
+    new BpeTokenizer(merges.result(), Gpt2Pretokenizer, byteLevel = true,
+      vocab = vocab.result())
+  }
+
+  /** Pinned char-level merge table for the registered `f3_bpe_count` query
+    * — English function-word fragments plus common bigrams, enough that
+    * real corpus text exercises multi-level merges (e.g. t+h -> th,
+    * th+e -> the). Char-level + [[SimplePretokenizer]] keeps the SQL
+    * oracle byte-table-free; the production loader path stays byte-level.
+    */
+  val DemoMerges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("o", "r"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("an", "d"), ("o", "f"), ("t", "o"), ("in", "g"), ("e", "s"),
+    ("o", "u"), ("i", "t"), ("a", "l"), ("a", "r"), ("s", "t"),
+    ("l", "e"), ("c", "h"), ("r", "o"), ("i", "s"), ("s", "e"),
+    ("the", "r"), ("a", "s"), ("e", "d"), ("u", "s"), ("m", "a"))
+
+  /** The tokenizer behind `f3_bpe_count` (and the BPE chunker default when
+    * no tokenizer.json is configured).
+    */
+  val demo: BpeTokenizer =
+    new BpeTokenizer(DemoMerges, SimplePretokenizer, byteLevel = false)
+}

@@ -44,7 +44,12 @@ final case class PipelineConfig(
     maxCollapseRounds: Int = 10, // reference recursion_limit=10
     maxCritiqueIterations: Int = 2,
     byTokens: Boolean = true,
-    // "recursive" (the reference's splitter semantics, library default) or
+    // "recursive" (the reference's splitter semantics, library default),
     // "token_window" (fixed-stride token windows — identical coverage
-    // semantics, exactly SQL-expressible, used by the oracled pipelines)
-    chunker: String = "recursive")
+    // semantics, exactly SQL-expressible, used by the oracled pipelines),
+    // or "recursive_bpe" (recursive split measured by an exact BPE
+    // tokenizer — the reference's chunk-by-HF-token behavior, F3)
+    chunker: String = "recursive",
+    // HF tokenizer.json for "recursive_bpe"; empty = the pinned Bpe.demo
+    // table (Bpe.fromTokenizerJson loads the real artifact in production)
+    tokenizerJsonPath: String = "")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
-import graft.core.{Rouge, Splitter, Text}
+import graft.core.{BpeTokenizer, Rouge, Splitter, Text}
 
 /** UDF-backed functions — only for logic built-ins can't express
   * (recursive splitting, LCS dynamic programming). Each wraps a pure
@@ -21,6 +21,27 @@ object udfs {
       else Splitter.recursiveSplit(text, chunkSize, overlap,
         Splitter.DefaultSeparators, lengthFn).toArray
     }
+    (c: Column) => f(c)
+  }
+
+  /** C2/F3: recursive split measured by an exact BPE tokenizer — the
+    * reference's chunk-by-HF-token-count behavior
+    * (run_full_evaluation_pipeline.py:347-361). The tokenizer rides the
+    * closure; executors share its merge table like a broadcast model.
+    */
+  def recursiveSplitBpeUdf(chunkSize: Int, overlap: Int, bpe: BpeTokenizer)
+      : Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else Splitter.recursiveSplit(text, chunkSize, overlap,
+        Splitter.DefaultSeparators, bpe.lengthFn).toArray
+    }
+    (c: Column) => f(c)
+  }
+
+  /** F3: exact BPE token count of a string column. */
+  def bpeCountUdf(bpe: BpeTokenizer): Column => Column = {
+    val f = udf { (text: String) => if (text == null) 0 else bpe.count(text) }
     (c: Column) => f(c)
   }
 

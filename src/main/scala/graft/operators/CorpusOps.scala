@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{BinPack, BinnedChunk, Chunk, PipelineConfig}
@@ -40,13 +40,27 @@ object CorpusOps {
     * (SURVEY.md §1.3 — reduce prompts join summaries in chunk order).
     */
   def chunkDocs(docs: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val bpe = if (cfg.chunker == "recursive_bpe") Some {
+      if (cfg.tokenizerJsonPath.nonEmpty)
+        graft.core.Bpe.fromTokenizerJson(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(cfg.tokenizerJsonPath)))
+      else graft.core.Bpe.demo
+    } else None
     val splitFn = cfg.chunker match {
       case "token_window" => udfs.tokenWindowUdf(cfg.chunkSize, cfg.chunkOverlap)
+      case "recursive_bpe" =>
+        udfs.recursiveSplitBpeUdf(cfg.chunkSize, cfg.chunkOverlap, bpe.get)
       case _ => udfs.recursiveSplitUdf(cfg.chunkSize, cfg.chunkOverlap, cfg.byTokens)
+    }
+    // n_tokens is measured in the chunker's own unit so downstream budget
+    // packing (binPack tokenMax) agrees with the chunk boundaries
+    val countFn: Column => Column = bpe match {
+      case Some(t) => udfs.bpeCountUdf(t).andThen(_.cast("long"))
+      case None => graft.functions.tokenCount(_)
     }
     docs
       .select(col("doc_id"), posexplode(splitFn(col("text"))).as(Seq("chunk_idx", "text")))
-      .withColumn("n_tokens", graft.functions.tokenCount(col("text")))
+      .withColumn("n_tokens", countFn(col("text")))
   }
 
   /** G3 exact greedy bin-packing per document (reference
