@@ -28,7 +28,9 @@ final case class HttpJudge(
     critiqueTemplate: Prompts.Template = Prompts.critique,
     timeoutMillis: Long = 600000L,
     passMarkers: Seq[String] = Seq(Judge.NoIssues, "không có vấn đề"),
-    maxCritiqueTokens: Int = 512) extends Judge {
+    maxCritiqueTokens: Int = 512,
+    maxRetries: Int = 3,
+    backoffMillis: Long = 500L) extends Judge {
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
@@ -38,9 +40,11 @@ final case class HttpJudge(
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** One generate call; None on transport/HTTP/parse failure. */
+  /** One generate call, retried per [[HttpRetry]]; None once retries are
+    * exhausted or the status is non-retryable.
+    */
   private def generate(prompt: String): Option[String] =
-    try {
+    HttpRetry.run(maxRetries, backoffMillis) { () =>
       val body = mapper.createObjectNode()
       body.put("model", model)
       body.put("prompt", prompt)
@@ -54,11 +58,10 @@ final case class HttpJudge(
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
         .build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200) None
-      else Option(mapper.readTree(resp.body()).get("response")).map(_.asText)
-    } catch {
-      case _: Exception => None
-    }
+      if (resp.statusCode() != 200) Left(resp.statusCode())
+      else Right(Option(mapper.readTree(resp.body()).get("response"))
+        .map(_.asText).getOrElse(""))
+    }.filter(_.nonEmpty)
 
   override def critique(summary: String, source: String): String =
     generate(critiqueTemplate.fill(

@@ -15,7 +15,10 @@ import graft.core.Text
   *
   * Failure isolation: a failed/timeout call yields "" instead of throwing,
   * mirroring the reference's per-case isolation (null-on-error, M4
-  * pattern); downstream metric aggregates count empties.
+  * pattern); downstream metric aggregates count empties. Throttles and
+  * flaps (429/5xx/transport) are retried with exponential backoff first —
+  * see [[HttpRetry]] — because production backends throttle; a
+  * non-retryable status (4xx) gives up immediately.
   *
   * NOT deterministic unless the backing model is — keep it out of oracle
   * paths; all oracle/test runs use the deterministic summarizers.
@@ -25,7 +28,9 @@ final case class HttpSummarizer(
     model: String,
     template: Prompts.Template = Prompts.map,
     timeoutMillis: Long = 600000L, // the reference's 600 s ceiling
-    cleanOutput: Boolean = true) extends Summarizer {
+    cleanOutput: Boolean = true,
+    maxRetries: Int = 3,
+    backoffMillis: Long = 500L) extends Summarizer {
 
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
@@ -36,7 +41,7 @@ final case class HttpSummarizer(
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   override def summarize(text: String, maxTokens: Int): String =
-    try {
+    HttpRetry.run(maxRetries, backoffMillis) { () =>
       val body = mapper.createObjectNode()
       body.put("model", model)
       body.put("prompt", template.fill("content" -> text, "docs" -> text))
@@ -50,13 +55,11 @@ final case class HttpSummarizer(
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
         .build()
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200) ""
+      if (resp.statusCode() != 200) Left(resp.statusCode())
       else {
         val node = mapper.readTree(resp.body())
         val out = Option(node.get("response")).map(_.asText).getOrElse("")
-        if (cleanOutput) Text.cleanThinking(out) else out
+        Right(if (cleanOutput) Text.cleanThinking(out) else out)
       }
-    } catch {
-      case _: Exception => "" // per-case failure isolation
-    }
+    }.getOrElse("") // per-case failure isolation after retries
 }

@@ -69,6 +69,64 @@ class HttpSummarizerSpec extends AnyFunSuite {
     }
   }
 
+  /** Stub that fails the first `failures` calls with `failStatus`, then
+    * answers 200 with a fixed response; counts attempts.
+    */
+  private def withFlakyServer[T](failures: Int, failStatus: Int)
+      (f: (String, java.util.concurrent.atomic.AtomicInteger) => T): T = {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/generate", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      exchange.getRequestBody.readAllBytes()
+      val n = calls.incrementAndGet()
+      val (status, body) =
+        if (n <= failures) (failStatus, """{"error":"throttled"}""")
+        else (200, """{"response":"recovered summary"}""")
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api/generate", calls)
+    finally server.stop(0)
+  }
+
+  test("retry: 503 twice then 200 — summarizer recovers within its budget") {
+    withFlakyServer(failures = 2, failStatus = 503) { (url, calls) =>
+      val s = HttpSummarizer(url, "m", maxRetries = 3, backoffMillis = 1L)
+      assert(s.summarize("anything", 5) == "recovered summary")
+      assert(calls.get == 3) // 2 failures + 1 success, not more
+    }
+  }
+
+  test("retry: non-retryable 400 gives up after ONE attempt") {
+    withFlakyServer(failures = 100, failStatus = 400) { (url, calls) =>
+      val s = HttpSummarizer(url, "m", maxRetries = 5, backoffMillis = 1L)
+      assert(s.summarize("anything", 5) == "")
+      assert(calls.get == 1) // a 400 will be a 400 again — no retry
+    }
+  }
+
+  test("retry: budget exhausted on persistent 429 — fails isolated, bounded") {
+    withFlakyServer(failures = 100, failStatus = 429) { (url, calls) =>
+      val s = HttpSummarizer(url, "m", maxRetries = 2, backoffMillis = 1L)
+      assert(s.summarize("anything", 5) == "")
+      assert(calls.get == 3) // first call + 2 retries
+    }
+  }
+
+  test("retry: judge critique recovers from a 429 and normalizes the verdict") {
+    withFlakyServer(failures = 1, failStatus = 429) { (url, calls) =>
+      val j = graft.llm.HttpJudge(url, "m", maxRetries = 2, backoffMillis = 1L,
+        passMarkers = Seq(graft.llm.Judge.NoIssues, "recovered"))
+      assert(j.critique("sum", "src") == graft.llm.Judge.NoIssues)
+      assert(calls.get == 2)
+    }
+  }
+
   test("prompt templates fill slots and leave unknown markers intact") {
     val t = Prompts.refine.fill(
       "current_summary" -> "S", "critique" -> "C", "reference_content" -> "R")
