@@ -233,6 +233,51 @@ nodes AS (
 SELECT doc_id, node_id, parent_id, depth, node_type, text, ord
 FROM nodes ORDER BY doc_id, node_id""")
 
+  /** pipe_hierarchical: the Q5 bottom-up tree collapse on the synthesized
+    * sentence tree (TreeOps.synthesize at 3 sentences/section; depth 2, so
+    * exactly one level-collapse round + the root gather —
+    * Hierarchical.summarize under Pipelines.TestCfg, capTokens =
+    * max(24*3/4, 8) = 18). Per section: '\n\n'-joined sentences,
+    * UNCONDITIONAL 18-token space-rejoin truncation (the Column
+    * truncateTokens), extractive summary at 8, title prefix. Root: the
+    * same over the section paragraphs in section order, then whitespace
+    * squeeze. Docs whose text yields no sentences drop out (no depth-1
+    * rows), exactly like the Spark plan.
+    */
+  def pipeHierarchicalSql: String = {
+    def trunc18(x: String) =
+      s"array_to_string(string_split_regex(trim($x), '\\s+')[1:18], ' ')"
+    materialize(
+      s"""WITH RECURSIVE hsplit AS (
+  SELECT doc_id,
+    string_split(regexp_replace(regexp_replace(text, '([.!?;])\\s+', '\\1' || chr(1), 'g'), '\\n+', chr(1), 'g'), chr(1)) AS parts
+  FROM documents),
+hsent AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS s_idx,
+    trim(parts[k]) AS sent
+  FROM hsplit, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
+  WHERE trim(parts[k]) <> ''),
+hsec AS (
+  SELECT doc_id, s_idx // 3 AS si,
+    string_agg(sent, chr(10) || chr(10) ORDER BY s_idx) AS sec_txt
+  FROM hsent GROUP BY 1, 2),
+hsec_in AS (
+  SELECT doc_id, si AS uid, ${trunc18("sec_txt")} AS txt FROM hsec),
+${extractive("hx", "hsec_in", 8)},
+hd1 AS (
+  SELECT doc_id, uid AS si,
+    'Section ' || CAST(uid + 1 AS VARCHAR) || chr(10) || chr(10) || summary AS text
+  FROM hx_out),
+hroot_cat AS (
+  SELECT doc_id, string_agg(text, chr(10) || chr(10) ORDER BY si) AS cat
+  FROM hd1 GROUP BY doc_id),
+hroot AS (
+  SELECT doc_id, 0 AS uid, ${trunc18("cat")} AS txt FROM hroot_cat),
+${extractive("hr", "hroot", 8)}
+SELECT doc_id, trim(regexp_replace(summary, '\\s+', ' ', 'g')) AS summary
+FROM hr_out ORDER BY doc_id""")
+  }
+
   /** pipe_mapreduce: chunk -> map-summarize -> 10 conditional collapse
     * rounds -> final reduce (Strategies.mapReduce under Pipelines.TestCfg).
     */

@@ -867,6 +867,7 @@ ORDER BY d.doc_id"""
     // critique cascade, the iterative fold, ROUGE-1/2/L, the md5-TF-count
     // cosine and the judge rubric are all replicated bit-exactly in DuckDB.
     "pipe_mapreduce" -> OracleSqlGen.pipeMapReduceSql,
+    "pipe_hierarchical" -> OracleSqlGen.pipeHierarchicalSql,
     "pipe_critique" -> OracleSqlGen.pipeCritiqueSql,
     "pipe_iterative" -> OracleSqlGen.pipeIterativeSql(),
     "eval_pair_metrics" -> OracleSqlGen.evalPairMetricsSql,
