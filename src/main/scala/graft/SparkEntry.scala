@@ -586,6 +586,16 @@ object SparkEntry {
         col("doc_id") === col("vec_id"), "left_anti")
       .orderBy(col("doc_id"))
 
+  /** Curation flagship: the composed training-data pass (TA2 language gate
+    * -> TA1 quality gate -> DD1b exact prefix dedup -> DD4/DD7 near-dup
+    * components -> DD8 keeper selection) as ONE registered query with an
+    * end-to-end oracle. See [[graft.operators.Curation]] for the scale
+    * shape.
+    */
+  private def pipeCuration(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.curate(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** S3: recursive tree-JSON ingestion, driver-checked end-to-end — chunk
     * trees are serialized to the reference's `{type,text,children}` JSON
     * shape and parsed back through TreeOps.fromJsonStrings; the resulting
@@ -727,6 +737,7 @@ object SparkEntry {
     "mm4_feature_norm" -> (mm4FeatureNorm(_, _)),
     "mm5_resize" -> (mm5Resize(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
+    "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
@@ -1283,6 +1294,7 @@ ORDER BY d.doc_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "pipe_curation" -> curationSql,
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
     "ta3_token_stats" ->
@@ -1408,6 +1420,64 @@ ORDER BY d.doc_id"""
        FROM bands x JOIN bands y USING (band, band_key)
        WHERE x.doc_id < y.doc_id
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** pipe_curation oracle: the gate expressions are the ta1/ta2 oracle
+    * bodies as CTEs, the dedup stages are the dd1b keeper / dd7 closure
+    * shapes over the GATED relation — every stage reuses SQL already
+    * proven on its standalone query.
+    */
+  private def curationSql: String = {
+    val en = TextAnalysis.StopwordMarkers("en").map(s => s"'$s'").mkString(", ")
+    val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted
+    def hits(l: String) = {
+      val words = TextAnalysis.StopwordMarkers(l).map(s => s"'$s'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$words], x)))"
+    }
+    val hitCols = langs.map(l => s"${hits(l)} AS hits_$l").mkString(", ")
+    val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val caseExpr = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString(" ")
+    s"""WITH RECURSIVE cq AS (
+  SELECT doc_id, $tokSql AS n_tokens, length(text) AS n_chars,
+    round(CASE WHEN $tokSql = 0 THEN 0.0
+      ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$en], x))) * 1.0 / $tokSql END, 4) AS stopword_ratio,
+    round(CASE WHEN length(text) = 0 THEN 0.0
+      ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END, 4) AS punct_ratio
+  FROM documents),
+cl AS (
+  SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $caseExpr END AS lang_pred
+  FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM documents)),
+cgated AS (
+  SELECT d.doc_id, d.text, cl.lang_pred, cq.n_tokens, cq.n_chars, cq.stopword_ratio
+  FROM documents d JOIN cq USING (doc_id) JOIN cl USING (doc_id)
+  WHERE cl.lang_pred = 'en' AND cq.stopword_ratio >= 0.01
+    AND cq.n_tokens >= 5 AND cq.punct_ratio <= 0.30),
+ckeep AS (
+  SELECT MIN(doc_id) AS doc_id FROM cgated GROUP BY md5(substr(text, 1, 100))),
+cexact AS (SELECT g.* FROM cgated g JOIN ckeep USING (doc_id)),
+ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM cexact),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+  FROM ctoks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+csizes AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+cinter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM csh x JOIN csh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+cjp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM cinter JOIN csizes sa ON doc_a = sa.doc_id JOIN csizes sb ON doc_b = sb.doc_id)
+  WHERE jaccard >= 0.5),
+cedges AS (SELECT doc_a AS a, doc_b AS b FROM cjp UNION SELECT doc_b, doc_a FROM cjp),
+creach AS (
+  SELECT DISTINCT a AS src, a AS dst FROM cedges
+  UNION
+  SELECT r.src, e.b FROM creach r JOIN cedges e ON r.dst = e.a),
+closers AS (
+  SELECT src AS doc_id FROM creach GROUP BY src HAVING MIN(dst) <> src)
+SELECT doc_id, lang_pred, n_tokens, n_chars, stopword_ratio
+FROM cexact WHERE doc_id NOT IN (SELECT doc_id FROM closers)
+ORDER BY doc_id"""
   }
 
   private def qualitySql: String = {

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed training-data pass a 100 TB
+  * pretraining pipeline actually runs, built entirely from the registered
+  * operator families so the whole chain stays one Catalyst plan plus the
+  * bounded component loop:
+  *
+  *   language gate (TA2) -> quality gate (TA1) -> exact prefix dedup (DD1b
+  *   keeper semantics) -> n-gram-Jaccard near-dup components (DD4 + DD7)
+  *   -> keeper selection (DD8 semantics) -> curated per-doc stats.
+  *
+  * Scale shape: the gates are projections on one scan (no shuffle); exact
+  * dedup is one hash-agg on a 16-byte fingerprint plus a semi join; the
+  * near-dup stage reuses the bucketed candidate generator (never
+  * all-pairs) and the Pregel-style min-label loop, both bounded; keeper
+  * filtering is anti/semi joins that AQE converts to broadcasts when the
+  * loser sets are small. No windows over the whole corpus, nothing
+  * collected to the driver.
+  *
+  * Keeper invariant: `connectedComponents` labels every vertex with the
+  * MINIMUM doc_id reachable from it, so a row is a near-dup loser exactly
+  * when its label differs from its own id — keeper selection needs no
+  * extra aggregate.
+  */
+object Curation {
+
+  /** Curate (doc_id, text) into the kept-docs stats table
+    * (doc_id, lang_pred, n_tokens, n_chars, stopword_ratio).
+    */
+  def curate(docs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30,
+      prefixLen: Int = 100,
+      shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val quality = TextAnalysis.qualityScore(base)
+    val lang = TextAnalysis.languageId(base).select(col("doc_id"), col("lang_pred"))
+    val gated = base
+      .join(quality, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+    // exact dedup on the prefix fingerprint: keeper = min doc_id per hash
+    val keepers = gated
+      .groupBy(md5(substring(col("text"), 1, prefixLen)).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = gated.join(keepers, Seq("doc_id"), "left_semi")
+    // near-dup components over the survivors; losers carry a foreign label
+    val losers = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("n_chars"), col("stopword_ratio"))
+  }
+}

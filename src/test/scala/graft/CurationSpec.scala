@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Every curation stage fires on an engineered corpus: language gate,
+  * stopword-quality gate, exact prefix dedup, near-dup component keeper
+  * selection. (On the driver's synthetic corpus the near-dup stage is
+  * data-vacuous at sf0.01 — prefix dedup already removes the lookalikes —
+  * so this spec is where the stage's keeper semantics are pinned.)
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val en = "the cat and the dog sat in the house of it is that warm sun"
+  // same shingles as `en` with one tail edit -> jaccard >= 0.5 near-dup
+  private val enNear = "the cat and the dog sat in the house of it is that cold rain"
+  // > 100 chars so substr(text, 1, 100) collides for docs 6 and 7
+  private val sharedPrefix =
+    "the quick brown fox jumps over the lazy dog while the rain falls on " +
+      "the old wooden bridge in the quiet town"
+
+  test("each gate and both dedup stages change the outcome") {
+    val docs = Seq(
+      1L -> en, // kept: canonical of the near-dup component
+      2L -> enNear, // dropped: near-dup loser (component label = 1)
+      3L -> ("der hund und die katze ist nicht ein zu " * 2), // dropped: lang de
+      4L -> "alpha beta gamma delta epsilon zeta eta theta", // dropped: und
+      5L -> "too few the", // dropped: n_tokens < 5
+      6L -> (sharedPrefix + " morning air feels crisp today"),
+      7L -> (sharedPrefix + " evening light fades away slowly"),
+      // 6 and 7 share their (>100-char) prefix -> exact dedup keeps 6; the
+      // shared prefix is unrelated to `en`, so 6 is NOT a near-dup of 1
+      8L -> ("plain words with zero stop markers " * 3) // dropped: und (no markers)
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+
+  test("keeper invariants: kept set is prefix-unique and jaccard-sparse") {
+    val docs = Seq(
+      10L -> en, 11L -> enNear,
+      12L -> "it is that the sun and the moon share the sky in the evening of day")
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(10L) && !ids.contains(11L)) // min-id keeper wins
+    assert(ids.contains(12L)) // non-dup survivor untouched
+    // output schema is the curated stats row
+    assert(kept.columns.toSeq ==
+      Seq("doc_id", "lang_pred", "n_tokens", "n_chars", "stopword_ratio"))
+    assert(kept.select("lang_pred").as[String].collect().forall(_ == "en"))
+  }
+}
