@@ -29,11 +29,14 @@ object Main {
     case "pipeline" :: rest => runPipeline(parseOpts(rest))
     case "evaluate" :: rest => runEvaluate(parseOpts(rest))
     case "demo" :: rest => runDemo(parseOpts(rest))
+    case "curate" :: rest => runCurate(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
           "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
-          "       graft demo --docs PATH [--doc-id N]")
+          "       graft demo --docs PATH [--doc-id N]\n" +
+          "       graft curate --docs PATH --out DIR [--langs en,..] " +
+          "[--min-stopword-ratio X] [--jaccard X] [--write-corpus]")
       sys.exit(2)
   }
 
@@ -90,7 +93,11 @@ object Main {
       chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(d.chunkSize),
       chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(d.chunkOverlap),
       tokenMax = opts.get("token-max").map(_.toInt).getOrElse(d.tokenMax),
-      maxSummaryTokens = opts.get("summary-tokens").map(_.toInt).getOrElse(d.maxSummaryTokens))
+      maxSummaryTokens = opts.get("summary-tokens").map(_.toInt).getOrElse(d.maxSummaryTokens),
+      // --chunker recursive|token_window|recursive_bpe; with recursive_bpe,
+      // --tokenizer-json points at the HF artifact (empty = pinned demo BPE)
+      chunker = opts.getOrElse("chunker", d.chunker),
+      tokenizerJsonPath = opts.getOrElse("tokenizer-json", d.tokenizerJsonPath))
     val (spark, owned) = session()
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
@@ -142,6 +149,32 @@ object Main {
       }.reduce(_ unionByName _)
         .select("approach", "semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f")
       table.show(truncate = false)
+    } finally if (owned) spark.stop()
+  }
+
+  /** Corpus-curation entry point: the composed training-data pass
+    * ([[graft.operators.Curation]]). Writes the curated stats table under
+    * --out/curated; --write-corpus additionally writes the kept (doc_id,
+    * text) rows under --out/corpus.
+    */
+  private[app] def runCurate(opts: Map[String, String]): Unit = {
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val (spark, owned) = session()
+    try {
+      val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
+      val kept = graft.operators.Curation.curate(
+        docs,
+        keepLangs = opts.get("langs").map(_.split(",").toSeq).getOrElse(Seq("en")),
+        minStopwordRatio = opts.get("min-stopword-ratio").map(_.toDouble).getOrElse(0.01),
+        minTokens = opts.get("min-tokens").map(_.toLong).getOrElse(5L),
+        maxPunctRatio = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30),
+        jaccardThreshold = opts.get("jaccard").map(_.toDouble).getOrElse(0.5))
+      kept.write.mode("overwrite").parquet(s"$out/curated")
+      if (opts.contains("write-corpus"))
+        docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$out/corpus")
+      println(s"[graft] curated stats -> $out/curated")
     } finally if (owned) spark.stop()
   }
 

@@ -52,6 +52,34 @@ class AppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/summaries").count() == 2) // .dat filtered
   }
 
+  test("CLI pipeline: --chunker recursive_bpe chunks by exact BPE counts") {
+    val docs = writeDocsParquet()
+    val out = tmpDir("graft_out_bpe")
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "mapreduce", "--docs", docs, "--out", out,
+      "--chunker", "recursive_bpe", "--chunk-size", "40", "--overlap", "4",
+      "--token-max", "60", "--summary-tokens", "6"))
+    val summaries = spark.read.parquet(s"$out/summaries")
+    assert(summaries.count() == 2)
+    assert(summaries.as[(Long, String)].collect().forall(_._2.nonEmpty))
+  }
+
+  test("CLI curate: curated stats table, corpus subset on --write-corpus") {
+    val dir = tmpDir("graft_cur")
+    Seq(
+      (1L, "the cat and the dog sat in the house of it is that warm sun"),
+      (2L, "the cat and the dog sat in the house of it is that cold rain"),
+      (3L, "der hund und die katze ist nicht ein zu der hund und die katze"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    val out = tmpDir("graft_cur_out")
+    graft.app.Main.main(Array(
+      "curate", "--docs", s"$dir/docs", "--out", out, "--write-corpus"))
+    val stats = spark.read.parquet(s"$out/curated")
+    assert(stats.select("doc_id").as[Long].collect().toSet == Set(1L)) // 2 near-dup, 3 German
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == 1 && corpus.columns.contains("text"))
+  }
+
   test("CLI demo: runs all five strategies on one doc without error") {
     val docs = writeDocsParquet()
     // exercises the full dispatch incl. Hierarchical over a synthesized tree
