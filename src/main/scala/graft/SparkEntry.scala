@@ -586,6 +586,22 @@ object SparkEntry {
         col("doc_id") === col("vec_id"), "left_anti")
       .orderBy(col("doc_id"))
 
+  /** S7 (corpus side): source health-check as ONE aggregate row — the
+    * data-pipeline generalization of the reference's pre-flight (backend
+    * probe lives in llm.HealthCheck): row count, null/empty text counts,
+    * duplicate-id count, id range. One scan, one partial-aggregated
+    * reduce; a 100 TB pre-flight costs a single pass.
+    */
+  private def s7Health(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(when(col("text").isNotNull && trim(col("text")) === "", 1L).otherwise(0L))
+        .as("n_empty_text"),
+      (count(col("doc_id")) - countDistinct(col("doc_id"))).as("n_dup_ids"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"))
+
   /** Curation flagship: the composed training-data pass (TA2 language gate
     * -> TA1 quality gate -> DD1b exact prefix dedup -> DD4/DD7 near-dup
     * components -> DD8 keeper selection) as ONE registered query with an
@@ -730,6 +746,7 @@ object SparkEntry {
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
     "s3_tree_ingest" -> (s3TreeIngest(_, _)),
+    "s7_health" -> (s7Health(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
     "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
@@ -1350,6 +1367,13 @@ ORDER BY d.doc_id"""
                            WHERE vec_id = doc_id AND vec_id % 3 != 0)
          ORDER BY doc_id""",
     "s3_tree_ingest" -> OracleSqlGen.s3TreeIngestSql,
+    "s7_health" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         CAST(SUM(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+         CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+         MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+         FROM documents""",
     "mm1_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
          CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 AS width,
