@@ -321,9 +321,19 @@ object Dedup {
       .distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Convergence probe: labels only ever DECREASE under min-propagation,
+    // so sum(component) is strictly monotone until the fixed point — one
+    // cheap aggregate per round replaces a join+count change detector.
+    def labelSum(): java.math.BigDecimal = {
+      val d = labels.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (d.isNullAt(0)) java.math.BigDecimal.ZERO else d.getDecimal(0)
+    }
+    var prevSum = labelSum()
     var it = 0
-    while (changed > 0 && it < maxIterations) {
+    // sum 0 <=> no vertices (ids are distinct non-negative, so any edge
+    // contributes a positive sum) — skip the loop entirely on empty input
+    var converged = prevSum.signum == 0
+    while (!converged && it < maxIterations) {
       // neighbor labels flow along edges; vertex keeps the min of its own
       // label and everything received (one shuffle join + one hash-agg)
       val msgs = edges
@@ -332,10 +342,11 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
       labels.unpersist()
       labels = next
+      val s = labelSum()
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       it += 1
     }
     edges.unpersist()
