@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Stateless gate stage: language + quality predicates as projections on
+    * one pass over (doc_id, text) — shared verbatim by the batch pass and
+    * [[graft.streaming.CorpusStreams.curateStream]] (a projection-only
+    * stage streams unchanged).
+    */
+  def gate(docs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30): DataFrame =
+    TextAnalysis.withLangPred(TextAnalysis.withQuality(docs))
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio)
+
   /** Curate (doc_id, text) into the kept-docs stats table
     * (doc_id, lang_pred, n_tokens, n_chars, stopword_ratio).
     */
@@ -38,16 +54,8 @@ object Curation {
       prefixLen: Int = 100,
       shingleN: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"))
-    val quality = TextAnalysis.qualityScore(base)
-    val lang = TextAnalysis.languageId(base).select(col("doc_id"), col("lang_pred"))
-    val gated = base
-      .join(quality, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .filter(col("lang_pred").isin(keepLangs: _*) &&
-        col("stopword_ratio") >= minStopwordRatio &&
-        col("n_tokens") >= minTokens &&
-        col("punct_ratio") <= maxPunctRatio)
+    val gated = gate(docs.select(col("doc_id"), col("text")),
+      keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
     // exact dedup on the prefix fingerprint: keeper = min doc_id per hash
     val keepers = gated
       .groupBy(md5(substring(col("text"), 1, prefixLen)).as("fp"))

@@ -46,6 +46,43 @@ object TextAnalysis {
       .select((col("doc_id") +: col("lang_pred") +: langs.map(l => col(s"hits_$l"))): _*)
   }
 
+  /** Projection form of [[languageId]]: appends `lang_pred`, keeps every
+    * input column, joins nothing — so it composes into streaming plans
+    * (a self-join of a stream is a stream-stream join; a projection is
+    * free). Same expressions, same results.
+    */
+  def withLangPred(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val langs = StopwordMarkers.keys.toSeq.sorted
+    val pairs = array(langs.map(l =>
+      struct(markerHits(arr, l).as("hits"), lit(l).as("lang"))): _*)
+    val maxHits = greatest(langs.map(l => markerHits(arr, l)): _*)
+    val winner = when(maxHits <= 0, lit("und")).otherwise(
+      element_at(filter(pairs, p => p.getField("hits") === maxHits), 1)
+        .getField("lang"))
+    df.withColumn("lang_pred", winner)
+  }
+
+  /** Projection form of the [[qualityScore]] gate columns (token/char
+    * counts, punctuation and stopword ratios), keeping input columns —
+    * the streamable variant. Same expressions, same results.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = charCount(t)
+    val stopArr = StopwordMarkers("en")
+    val toks = split(lower(trim(t)), "\\s+")
+    val nStop = size(filter(toks, x => stopArr.map(m => x === lit(m)).reduce(_ || _)))
+    val nPunct = nChar - charCount(regexp_replace(t, "[\\p{Punct}]", ""))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars", nChar)
+      .withColumn("punct_ratio",
+        r4(when(nChar === 0, 0.0).otherwise(nPunct.cast("double") / nChar)))
+      .withColumn("stopword_ratio",
+        r4(when(nTok === 0, 0.0).otherwise(nStop.cast("double") / nTok)))
+  }
+
   /** Quality-scoring columns: token/char counts, mean word length,
     * punctuation ratio, stopword ratio, uppercase ratio — the standard
     * cheap quality gates of a pretraining data pipeline.

@@ -50,6 +50,32 @@ object CorpusStreams {
   def writeSummaryBatch(summaries: DataFrame, outPath: String, batchId: Long): Unit =
     summaries.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+  /** Streaming curation: the batch pass's gate stage verbatim
+    * (Curation.gate is projection-only, so it streams unchanged) plus
+    * watermark-bounded exact prefix dedup — first arrival per fingerprint
+    * wins, duplicates later than the watermark are the accepted trade-off
+    * at unbounded scale. Near-dup connected components deliberately do NOT
+    * stream: min-label propagation needs the global edge set, so
+    * production runs it as periodic batch compaction over the curated
+    * table (the same split every large pipeline makes: cheap per-record
+    * gates inline, global dedup offline).
+    */
+  def curateStream(docs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30,
+      prefixLen: Int = 100,
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    graft.operators.Curation.gate(docs,
+        keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
+      .withColumn("fp", md5(substring(col("text"), 1, prefixLen)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("fp")
+      .drop("fp", "punct_ratio")
+  }
+
   /** Full map-reduce summarization per micro-batch, written to `outPath`
     * keyed by batch id (exactly-once; see [[writeSummaryBatch]]).
     * The collapse loop's driver actions run inside foreachBatch on the

@@ -84,6 +84,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateStream: gates + prefix dedup over a stream, batch-gate parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // > 100 chars so the docs 1/2 prefix fingerprints collide
+    val en = "the cat and the dog sat in the house of it is that warm sun " +
+      "while the birds fly over the tall green trees outside"
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.CorpusStreams.curateStream(df)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+      input.addData(
+        (t0, 1L, en),
+        (t0, 2L, en + " x"), // same 100-char window -> prefix dup of 1
+        (t0, 3L, "der hund und die katze ist nicht ein zu der hund die katze"),
+        (t0, 4L, "it is that the sun and the moon share the sky in the evening"))
+      q.processAllAvailable()
+      val got = spark.table("curate_out")
+      val ids = got.select("doc_id").as[Long].collect().toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1) // one of the prefix dups
+      assert(ids.contains(4L) && !ids.contains(3L)) // lang gate drops German
+      // stream output schema matches the batch gate columns (minus fp/punct)
+      assert(got.columns.toSet ==
+        Set("ts", "doc_id", "text", "lang_pred", "n_tokens", "n_chars",
+          "stopword_ratio"))
+      // batch parity on the gate decision itself
+      val batchIds = graft.operators.Curation.gate(
+          Seq((1L, en), (3L, "der hund und die katze ist nicht ein zu der hund die katze"),
+            (4L, "it is that the sun and the moon share the sky in the evening"))
+            .toDF("doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchIds == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
