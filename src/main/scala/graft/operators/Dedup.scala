@@ -297,15 +297,18 @@ object Dedup {
     * reports into dedup groups: every doc in a component keeps/loses
     * against the component's minimum doc_id.
     *
-    * Algorithm: Pregel-style min-label propagation — labels start as each
-    * vertex's own id and every round takes the min over the vertex and its
-    * neighbors' labels, until a fixed point. Rounds = graph diameter; each
-    * round is ONE equi-join of the (persisted) edge list against the
-    * current labels plus a hash-aggregate — the standard large-graph CC
-    * shape (GraphX/GraphFrames do the same; the big-star/small-star
-    * contraction of Kiveris et al. is the drop-in upgrade if diameters get
-    * large). Labels only ever decrease, so the fixed point is exact, and
-    * `min` makes the result independent of partitioning.
+    * Algorithm: min-label propagation WITH pointer jumping — every round a
+    * vertex takes the min over (its own label, its neighbors' labels, and
+    * its label's label L(L(v))). The L(L(v)) shortcut halves remaining
+    * path length every round, so rounds = O(log diameter), not
+    * O(diameter): a 100-hop chain converges in ~9 rounds where pure
+    * neighbor propagation needs 99 (and silently returned wrong labels
+    * past the iteration cap — with jumping, the 50-round cap covers
+    * diameters up to 2^50). Each round is two equi-joins against the
+    * (persisted) label set plus one hash-aggregate — the shape of the
+    * Kiveris et al. star-contraction family, expressed on the label table.
+    * Labels only ever decrease, so the fixed point is exact, and `min`
+    * makes the result independent of partitioning.
     *
     * Only vertices with at least one pair appear (isolated docs are their
     * own trivial component and are omitted by construction).
@@ -317,10 +320,15 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) materializes AND truncates the logical plan:
+    // with pointer jumping the plan references the label table three times
+    // per round, so un-truncated lineage grows 3^rounds and OOMs the
+    // driver before data size even matters. (On a fault-tolerant cluster
+    // job, swap for reliable checkpoint(dir) — same shape.)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Convergence probe: labels only ever DECREASE under min-propagation,
     // so sum(component) is strictly monotone until the fixed point — one
     // cheap aggregate per round replaces a join+count change detector.
@@ -335,13 +343,20 @@ object Dedup {
     var converged = prevSum.signum == 0
     while (!converged && it < maxIterations) {
       // neighbor labels flow along edges; vertex keeps the min of its own
-      // label and everything received (one shuffle join + one hash-agg)
+      // label and everything received
       val msgs = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
+      // pointer jump: L(L(v)) — label values are vertex ids, so the label
+      // table self-joins to shortcut one indirection per round
+      val jump = labels.as("a")
+        .join(labels.select(col("id").as("component"),
+            col("component").as("jumped")), Seq("component"))
+        .select(col("id"), col("jumped").as("component"))
+      // eager: materialized (while old is still cached) AND plan-truncated
+      val next = labels.unionByName(msgs).unionByName(jump)
         .groupBy("id").agg(min("component").as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       labels.unpersist()
       labels = next
       val s = labelSum()

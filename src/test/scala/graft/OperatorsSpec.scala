@@ -195,6 +195,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("DD7 pointer jumping: a path graph far longer than log-rounds converges exactly") {
+    // diameter 80 would need 80 neighbor-propagation rounds; pointer
+    // jumping needs ~log2(80)+2 ~ 9 — and must label every vertex 0
+    val edges = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges).collect()
+    assert(labels.length == 81)
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
   test("S3 parseTree: recursive JSON to pre-order adjacency rows") {
     val json =
       """{"type":"Document","text":"root","children":[
