@@ -54,21 +54,40 @@ object Curation {
       prefixLen: Int = 100,
       shingleN: Int = 3,
       jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val gated = gate(docs.select(col("doc_id"), col("text")),
       keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // exact dedup on the prefix fingerprint: keeper = min doc_id per hash
     val keepers = gated
       .groupBy(md5(substring(col("text"), 1, prefixLen)).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // Persist the survivors: this subtree feeds BOTH the near-dup edge
+    // computation and the final anti-join. Un-persisted, each consumer
+    // re-evaluates the whole gate + hash-agg + semi-join chain — at corpus
+    // scale that is a second (and third: the semi-join's two branches) full
+    // scan. `gated` is persisted too so its single materialization computes
+    // the gate projections once for both semi-join branches.
     val exact = gated.join(keepers, Seq("doc_id"), "left_semi")
-    // near-dup components over the survivors; losers carry a foreign label
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // near-dup components over the survivors; losers carry a foreign label.
+    // connectedComponents runs its label fixed-point eagerly (driver loop),
+    // so `exact` is materialized into the cache here.
     val losers = Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"))
-    exact.join(losers, Seq("doc_id"), "left_anti")
+    // Materialize the (small: stats columns only) curated table while the
+    // caches are live, then release them — the caller gets a plan with no
+    // second corpus scan behind it. The pipeline is already eager via the
+    // component loop, so the extra job changes shape, not laziness.
+    val curated = exact.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("n_chars"), col("stopword_ratio"))
+      .localCheckpoint(true)
+    exact.unpersist()
+    gated.unpersist()
+    curated
   }
 }

@@ -261,21 +261,43 @@ object Dedup {
     * [[embeddingCosinePairs]]: sign-random-projection buckets (shared with
     * [[Similarity.lshTopK]]) generate candidates through an equi-join shape,
     * then candidates are verified with the exact split cosine. Approximate:
-    * recall < 1 by construction (pairs colliding in no table are missed);
-    * `tables`/`planes` trade recall against candidate volume, and
-    * `maxBucketSize` bounds degenerate buckets like the other LSH ops.
-    * Defaults (16×4) measure pair-recall 0.96-1.0 vs this baseline on the
-    * near-uniform testdata (dd6b_recall; theory: ≥0.95 for pairs at the
-    * 0.45 threshold, higher above it) — see SCALE.md §Measured ANN recall.
+    * recall < 1 by construction (pairs colliding in no table are missed).
+    *
+    * Cost model (what makes this linear, not quadratic): a table with k
+    * planes has 2^k buckets, so per-table candidate mass on unstructured
+    * data is ~n^2/2^k pairs. A FIXED k is therefore still quadratic — bucket
+    * membership grows as n/2^k — which is why `planes` defaults to AUTO
+    * (planes <= 0): k = clamp(4, ceil(log2(n / targetBucketSize)), 24),
+    * keeping expected bucket size ~targetBucketSize so candidate volume is
+    * ~n * targetBucketSize * tables — linear in corpus size. The n lookup is
+    * one `count()` (metadata-only on parquet sources). `maxBucketSize` caps
+    * degenerate buckets (zero vectors, constant embeddings) by default.
+    *
+    * Recall economics: a pair at cosine c collides per table with
+    * probability q^k, q = 1 - acos(c)/pi, so recall = 1 - (1 - q^k)^tables.
+    * In the realistic near-dup band (c >= 0.85, q >= 0.82) recall stays
+    * >= 0.95 at the auto operating point through corpus sizes of 10^9+
+    * (k <= 24); at loose thresholds (c ~ 0.45, q = 0.65) NO sign-LSH
+    * parameterization can prune (q is too close to the random-pair 0.5) —
+    * use the exact verifier or raise the threshold. Measured: dd6b_recall
+    * >= 0.97 at 0.85 on planted near-dups; see SCALE.md §Measured ANN
+    * recall.
     */
   def embeddingCosinePairsLsh(emb: DataFrame, minCosine: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 16, planes: Int = 4,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      tables: Int = 16, planes: Int = 0, targetBucketSize: Int = 16,
+      maxBucketSize: Option[Int] = Some(1024)): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
+    val k =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, emb.count())
+        val raw = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+        math.min(24, math.max(4, raw))
+      }
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("embedding"),
       vecNormF(col(vecCol)).as("norm"))
-    val keyed = Similarity.lshBucketed(base, dim, tables, planes)
+    val keyed = Similarity.lshBucketed(base, dim, tables, k)
     val buckets = keyed.groupBy(col("tbl"), col("bkt"))
       .agg(sort_array(collect_list(struct(col("id"), col("norm"), col("embedding"))))
         .as("ids"))
@@ -338,9 +360,12 @@ object Dedup {
     }
     var prevSum = labelSum()
     var it = 0
-    // sum 0 <=> no vertices (ids are distinct non-negative, so any edge
-    // contributes a positive sum) — skip the loop entirely on empty input
-    var converged = prevSum.signum == 0
+    // Empty-input probe: head(1) on the (checkpointed, tiny-on-empty) label
+    // set. NOT inferred from the label sum — doc_ids are caller-provided
+    // longs, and a negative-id graph can legitimately sum to zero. The
+    // monotone-sum convergence test below is sign-agnostic (labels only
+    // ever decrease, so the sum strictly decreases until the fixed point).
+    var converged = labels.head(1).isEmpty
     while (!converged && it < maxIterations) {
       // neighbor labels flow along edges; vertex keeps the min of its own
       // label and everything received

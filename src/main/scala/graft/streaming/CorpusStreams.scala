@@ -52,13 +52,19 @@ object CorpusStreams {
 
   /** Streaming curation: the batch pass's gate stage verbatim
     * (Curation.gate is projection-only, so it streams unchanged) plus
-    * watermark-bounded exact prefix dedup — first arrival per fingerprint
-    * wins, duplicates later than the watermark are the accepted trade-off
-    * at unbounded scale. Near-dup connected components deliberately do NOT
-    * stream: min-label propagation needs the global edge set, so
-    * production runs it as periodic batch compaction over the curated
-    * table (the same split every large pipeline makes: cheap per-record
-    * gates inline, global dedup offline).
+    * watermark-bounded exact prefix dedup via
+    * `dropDuplicatesWithinWatermark` — first arrival per fingerprint wins,
+    * and the fingerprint's state entry is EVICTED once the watermark passes
+    * its event time, so state is bounded by the fingerprints seen within
+    * one watermark window (a duplicate arriving after its original's state
+    * expired is re-emitted — the accepted trade-off at unbounded scale).
+    * Plain `dropDuplicates("fp")` would NOT get this TTL: Spark only ages
+    * dedup state out when the event-time column is part of the dedup keys,
+    * so its state grows with every fingerprint ever seen. Near-dup
+    * connected components deliberately do NOT stream: min-label propagation
+    * needs the global edge set, so production runs it as periodic batch
+    * compaction over the curated table (the same split every large
+    * pipeline makes: cheap per-record gates inline, global dedup offline).
     */
   def curateStream(docs: DataFrame,
       keepLangs: Seq[String] = Seq("en"),
@@ -72,7 +78,7 @@ object CorpusStreams {
         keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
       .withColumn("fp", md5(substring(col("text"), 1, prefixLen)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .drop("fp", "punct_ratio")
   }
 

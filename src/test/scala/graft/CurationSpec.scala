@@ -39,6 +39,20 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("curate materializes once: returned plan re-scans no source") {
+    // The gate + exact-dedup subtree feeds both the near-dup edge set and
+    // the final anti-join; curate persists it and checkpoints the curated
+    // result, so consuming the returned frame N times costs N cache reads,
+    // never a second corpus scan. Pin that: the optimized plan must be a
+    // bare (local-checkpoint) scan with no join/aggregate/source-relation
+    // left to re-execute.
+    val docs = Seq(1L -> en, 2L -> enNear).toDF("doc_id", "text")
+    val plan = Curation.curate(docs).queryExecution.optimizedPlan
+    val kinds = plan.collect { case n => n.nodeName }.toSet
+    assert(!kinds.exists(k => k.contains("Join") || k.contains("Aggregate")),
+      s"curate() returned an unmaterialized plan: $kinds")
+  }
+
   test("keeper invariants: kept set is prefix-unique and jaccard-sparse") {
     val docs = Seq(
       10L -> en, 11L -> enNear,
