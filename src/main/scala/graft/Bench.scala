@@ -59,11 +59,30 @@ object Bench {
     // alphabetically (r2: eval_judge_scores absorbed ~10 s of pipeline
     // materialization that the other three eval queries then rode for
     // ~0.2 s each). The sf0.001 warm-up above has a different cache key.
+    // Block-leak sweep (the r3 "bench drift" root cause): queries whose
+    // results are cache-backed — connectedComponents labels, the curated
+    // table, collapse-loop checkpoints — leave persisted/localCheckpoint
+    // blocks in the BlockManager after their frames are discarded. Over
+    // ~140 executions those leaked blocks accumulate storage pressure that
+    // degraded unrelated queries 1.7-4.2x vs their fresh-session cost
+    // (r3 bench: c1 1.79 s vs 0.81 s isolated; dd3 3.85 s vs 2.27 s; all
+    // six drifted queries match their r2 numbers when run isolated, so the
+    // engine plans are unchanged). Drop the warm-up leftovers now, then
+    // between timed queries unpersist everything EXCEPT the shared eval
+    // pairing cache, which is deliberately long-lived (timed below).
+    spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(blocking = false))
+
     val tPair0 = System.nanoTime()
     try Pipelines.genRefPairs(spark, sfDir).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] pairing build failed: $e") }
     val pairingSec = (System.nanoTime() - tPair0) / 1e9
+
+    val keepIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def sweepLeakedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepIds.contains(id)) rdd.unpersist(blocking = false)
+      }
 
     // Each query is timed twice back-to-back and reported as the min, so a
     // one-off host stall cannot poison the artifact (r2: mm5_resize showed
@@ -80,7 +99,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      name -> math.min(first, once())
+      val best = math.min(first, once())
+      sweepLeakedBlocks()
+      name -> best
     }
     val qs = (results :+ ("_pairing_build" -> pairingSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
