@@ -264,6 +264,30 @@ object SparkEntry {
           k => col("text").substr(k * 100 + 1, lit(120)))).as(Seq("chunk_idx", "chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** C2: recursive separator-priority split — the reference's DEFAULT
+    * splitter, used by every strategy
+    * (run_full_evaluation_pipeline.py:356-361 — RecursiveCharacterTextSplitter
+    * with separators ["\n\n","\n",".","!","?",";"," ",""]). Registered at
+    * 180 chars / 40 overlap with CharLen. The test corpus is single-line
+    * word text, so the first applicable separator is " " and the query
+    * exercises exactly the semantics c1 cannot: separator selection plus
+    * the greedy merge / overlap-carry loop of [[graft.core.Splitter
+    * .mergeSplits]]. The oracle replays that loop exactly in SQL: both
+    * pop-from-front stop conditions reduce to one prefix-sum threshold
+    * T(k,i-1) <= least(overlap, chunkSize - len_i - sepLen), so the
+    * post-flush window start is max(j, kmin_i) with kmin_i precomputable
+    * per piece, and the chunk boundaries fall out of a linear recursive
+    * CTE (validated piece-for-piece against the Scala loop on the full
+    * sf0.01 corpus before registration).
+    */
+  private def c2ChunkRecursive(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.udfs.recursiveSplitUdf(180, 40, byTokens = false)
+          .apply(col("text"))).as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // ----------------------------------------------------------------- dedup
 
   /** DD1: exact duplicate groups (hash groupBy). */
@@ -762,6 +786,7 @@ object SparkEntry {
     "f3_bpe_count" -> (f3BpeCount(_, _)),
     "c3_truncate" -> (c3Truncate(_, _)),
     "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
+    "c2_chunk_recursive" -> (c2ChunkRecursive(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
     "dd1b_prefix_dups" -> (dd1bPrefixDups(_, _)),
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
@@ -1230,6 +1255,62 @@ ORDER BY d.doc_id"""
       """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
          FROM documents, LATERAL UNNEST(generate_series(0, CAST(floor((length(text)-1)/100.0) AS BIGINT))) AS t(k)
          WHERE length(text) > 0 ORDER BY doc_id, chunk_idx""",
+    // c2: exact replay of Splitter.recursiveSplit(180, 40, CharLen) for a
+    // corpus whose first applicable separator is " ". The merge loop's
+    // queue state is (window start j); after a flush both pop conditions
+    // collapse to T(k,i-1) <= least(40, 180 - len_i - 1) with
+    // T(k,i-1) = pfx_i - pfx_k + (i-1-k), so j' = max(j, kmin_i) and the
+    // whole loop is a linear recursive CTE over piece indices.
+    "c2_chunk_recursive" ->
+      """WITH RECURSIVE
+         ws AS (
+           SELECT doc_id, string_split(text, ' ') AS parr FROM documents
+           WHERE trim(text) <> ''),
+         pieces AS (
+           SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS idx,
+                  parr[CAST(k AS INT)] AS piece, length(parr[CAST(k AS INT)]) AS len
+           FROM ws, LATERAL UNNEST(generate_series(1, len(parr))) AS u(k)
+           WHERE trim(parr[CAST(k AS INT)]) <> ''),
+         info0 AS (
+           SELECT doc_id, idx, len,
+                  SUM(len) OVER (PARTITION BY doc_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS pfx,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM pieces),
+         info AS (
+           SELECT a.doc_id, a.idx, a.len, a.pfx, a.n,
+                  COALESCE((SELECT MIN(b.idx) FROM info0 b
+                            WHERE b.doc_id = a.doc_id AND b.idx < a.idx
+                              AND a.pfx - b.pfx + (a.idx - 1 - b.idx)
+                                  <= least(40, 180 - a.len - 1)), a.idx) AS kmin
+           FROM info0 a),
+         st AS (
+           SELECT doc_id, 0 AS i, 0 AS j,
+                  CAST(NULL AS BIGINT) AS ea, CAST(NULL AS BIGINT) AS eb, n
+           FROM info WHERE idx = 0
+           UNION ALL
+           SELECT s.doc_id, s.i + 1,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) + p.len + 1 > 180
+                       THEN greatest(s.j, p.kmin) ELSE s.j END,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) + p.len + 1 > 180
+                       THEN s.j END,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) + p.len + 1 > 180
+                       THEN s.i - 1 END,
+                  s.n
+           FROM st s
+           JOIN info p ON p.doc_id = s.doc_id AND p.idx = s.i
+           JOIN info q ON q.doc_id = s.doc_id AND q.idx = s.j
+           WHERE s.i < s.n),
+         bounds AS (
+           SELECT doc_id, ea AS a, eb AS b FROM st WHERE ea IS NOT NULL
+           UNION ALL
+           SELECT doc_id, j, n - 1 FROM st WHERE i = n),
+         parr2 AS (SELECT doc_id, list(piece ORDER BY idx) AS ps FROM pieces GROUP BY 1)
+         SELECT b.doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.a) - 1 AS INT) AS chunk_idx,
+                trim(array_to_string(p.ps[CAST(b.a + 1 AS INT):CAST(b.b + 1 AS INT)], ' ')) AS chunk
+         FROM bounds b JOIN parr2 p USING (doc_id)
+         ORDER BY doc_id, chunk_idx""",
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
          COUNT(*) AS dup_count,

@@ -1,0 +1,166 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Reference chunk-count parity (BASELINE.md throughput table: ds2
+  * mapreduce, 29 docs -> 118 chunks).
+  *
+  * Operating point, from the archived run config
+  * (evaluation_results/second_dataset/mapreduce/
+  * pipeline_results_20250608_022112.json -> pipeline_info.config):
+  * RecursiveCharacterTextSplitter with chunk_size=1200, chunk_overlap=50,
+  * token-aware length function (run_full_evaluation_pipeline.py:344-361).
+  * NOTE: BASELINE.md's "12000/200" note refers to the older standalone
+  * runner (runners/run_summarization_ollama_mapreduce.py:213-217, character
+  * split); the 118-chunk figure was produced at 1200/50 token-aware.
+  *
+  * The ds2 corpus texts are not published (data/doc is absent from the
+  * reference repo) and neither is its exact tokenizer, so bit-exact per-doc
+  * replication is impossible. What IS checkable: the reference archived
+  * per-doc (token_count, chunk_count) for all 29 docs. This spec token-
+  * matches 29 synthetic paragraph-structured docs to those counts under our
+  * BPE tokenizer, splits at the same 1200/50 token-aware point, and pins
+  * the invariants any faithful splitter must reproduce:
+  *   - cap: every chunk <= 1200 tokens;
+  *   - lower bound: chunks >= ceil(tokens / 1200);
+  *   - single-chunk rule: tokens <= 1200 -> exactly 1 chunk;
+  *   - packing band: multi-chunk docs average 780..1200 tokens/chunk
+  *     (the reference's measured band is 849..1097);
+  *   - per-doc parity: within max(1, 25% of the reference count) — the
+  *     slack absorbs the reference's per-piece special-token inflation
+  *     (its length function counts tokenizer.encode's BOS per measured
+  *     piece, visibly: its 1165-token doc yields 2 chunks);
+  *   - corpus total within 15% of the reference's 118.
+  */
+class ChunkParitySpec extends AnyFunSuite {
+
+  /** (token_count, chunk_count) per ds2 doc, from
+    * results.summarization."llama3.2:3b".processing_details (identical
+    * chunk counts across all four models — chunking is model-independent).
+    */
+  private val ds2: Vector[(Int, Int)] = Vector(
+    (9808, 10), (3104, 3), (3962, 4), (2815, 3), (2872, 3), (2673, 3),
+    (2120, 2), (1005, 1), (2696, 3), (469, 1), (3604, 4), (2754, 3),
+    (843, 1), (1165, 2), (857, 1), (788, 1), (1327, 2), (2194, 2),
+    (15654, 15), (14574, 14), (1450, 2), (966, 1), (6795, 8), (7090, 7),
+    (10475, 11), (2897, 3), (1888, 2), (4952, 5), (851, 1))
+
+  private val ChunkSize = 1200
+  private val Overlap = 50
+  private val bpe = Bpe.demo
+
+  private val vocab = Vector(
+    "the", "court", "shall", "provide", "under", "article", "person",
+    "liable", "contract", "party", "agreement", "state", "law", "decree",
+    "within", "days", "notice", "right", "property", "tax", "case",
+    "decision", "authority", "pursuant", "regulation", "section", "clause")
+
+  /** Paragraph-structured doc whose BPE token count lands within ~1% of
+    * `target`: sentences of 8..14 words (plus a '.' token), grouped 6..9
+    * sentences per paragraph.
+    */
+  private def mkDoc(rng: Random, target: Int): String = {
+    val paras = Vector.newBuilder[String]
+    var sentences = Vector.newBuilder[String]
+    var inPara = 0
+    var total = 0
+    while (total < target) {
+      // near the target, drop to 1-2 word sentences so the overshoot stays
+      // within a few tokens (words are multi-token under BPE)
+      val n = if (target - total < 60) 1 + rng.nextInt(2) else 8 + rng.nextInt(7)
+      val s = Vector.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ") + "."
+      total += bpe.count(s)
+      sentences += s
+      inPara += 1
+      if (inPara >= 6 + rng.nextInt(4)) {
+        paras += sentences.result().mkString(" ")
+        sentences = Vector.newBuilder[String]
+        inPara = 0
+      }
+    }
+    val rest = sentences.result()
+    if (rest.nonEmpty) paras += rest.mkString(" ")
+    paras.result().mkString("\n\n")
+  }
+
+  private lazy val results: Vector[(Int, Int, Int, Vector[String])] = {
+    val rng = new Random(42)
+    ds2.map { case (refTokens, refChunks) =>
+      val doc = mkDoc(rng, refTokens)
+      val myTokens = bpe.count(doc)
+      val chunks = Splitter.recursiveSplit(doc, ChunkSize, Overlap,
+        Splitter.DefaultSeparators, bpe.lengthFn)
+      (refTokens, refChunks, myTokens, chunks)
+    }
+  }
+
+  test("fixture docs token-match the reference's per-doc counts") {
+    results.foreach { case (refTokens, _, myTokens, _) =>
+      val drift = math.abs(myTokens - refTokens) / refTokens.toDouble
+      assert(drift <= 0.03, s"fixture drift $myTokens vs $refTokens")
+    }
+  }
+
+  test("every chunk respects the 1200-token cap") {
+    results.foreach { case (_, _, _, chunks) =>
+      chunks.foreach(c => assert(bpe.count(c) <= ChunkSize))
+    }
+  }
+
+  test("chunk count >= ceil(tokens / chunk_size)") {
+    results.foreach { case (_, _, myTokens, chunks) =>
+      assert(chunks.size >= math.ceil(myTokens / ChunkSize.toDouble).toInt)
+    }
+  }
+
+  test("docs at or under one chunk budget produce exactly one chunk") {
+    results.foreach { case (_, _, myTokens, chunks) =>
+      if (myTokens <= ChunkSize)
+        assert(chunks.size == 1, s"$myTokens tokens -> ${chunks.size} chunks")
+    }
+  }
+
+  test("greedy invariant: non-final chunks fill to within one piece of the cap") {
+    // a flush happens only when the next piece would overflow, so every
+    // emitted (non-final) chunk carries > chunkSize - largest_piece tokens
+    results.foreach { case (_, _, _, chunks) =>
+      if (chunks.size > 1) {
+        val doc = chunks // paragraphs are the pieces; bound via their max
+        val maxPiece = doc.flatMap(_.split("\n\n")).map(bpe.count).max
+        chunks.dropRight(1).foreach { c =>
+          assert(bpe.count(c) > ChunkSize - maxPiece - 1,
+            s"underfilled non-final chunk: ${bpe.count(c)} tokens")
+        }
+      }
+    }
+  }
+
+  test("many-chunk packing density stays in the reference band") {
+    // docs barely over one budget legitimately average ~total/2 (the
+    // reference's 1327-token doc averages 663); the density claim is for
+    // docs where packing dominates — the reference's own >=4-chunk docs
+    // all land in 849..1044 tokens/chunk
+    results.foreach { case (_, _, myTokens, chunks) =>
+      if (chunks.size >= 4) {
+        val perChunk = myTokens / chunks.size.toDouble
+        assert(perChunk >= 780 && perChunk <= ChunkSize,
+          s"packing $perChunk tokens/chunk over ${chunks.size} chunks")
+      }
+    }
+  }
+
+  test("per-doc chunk counts match the reference within max(1, 25%)") {
+    results.foreach { case (refTokens, refChunks, _, chunks) =>
+      val tol = math.max(1, math.ceil(refChunks * 0.25).toInt)
+      assert(math.abs(chunks.size - refChunks) <= tol,
+        s"doc($refTokens tok): ${chunks.size} chunks vs reference $refChunks")
+    }
+  }
+
+  test("corpus total chunk count within 15% of the reference's 118") {
+    val total = results.map(_._4.size).sum
+    assert(total >= 100 && total <= 136, s"total chunks $total vs 118")
+  }
+}
