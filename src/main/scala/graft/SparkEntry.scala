@@ -670,6 +670,110 @@ object SparkEntry {
       min(col("doc_id")).as("min_doc_id"),
       max(col("doc_id")).as("max_doc_id"))
 
+  /** S4: summary sinks, round-tripped end-to-end — the parquet summary
+    * table (idiomatic sink) is written and read back, and the per-doc
+    * `<doc_id>.txt` compatibility sink (reference:
+    * runners/run_summarization_ollama_mapreduce.py:269-271) is written
+    * from the executors for a bounded id subset and read back through
+    * `spark.read.text` + filename parsing. The returned frame exposes BOTH
+    * read-back paths next to each other; the oracle recomputes the summary
+    * straight from `documents`, so any write/read infidelity (encoding,
+    * truncation, lost rows) breaks the hash match. The file subset is
+    * bounded (doc_id < 200) so the sink check stays O(1) as SF grows —
+    * per-doc small files are the compatibility path, not the scale path
+    * (that is the parquet/bucketed table; see operators/Sinks.scala).
+    */
+  private def s4SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s4_").toString
+    val summaries = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        truncateTokens(col("text"), 15).as("summary"),
+        tokenCount(col("text")).as("n_tokens"))
+    operators.Sinks.writeSummaryTable(summaries, s"$out/table")
+    operators.Sinks.writeSummaryFiles(
+      summaries.filter(col("doc_id") < 200), s"$out/files",
+      idCol = "doc_id", textCol = "summary")
+    val table = spark.read.parquet(s"$out/table")
+    val files = spark.read.text(s"$out/files")
+      .select(
+        regexp_extract(input_file_name(), "([0-9]+)\\.txt$", 1).cast("long")
+          .as("file_doc_id"),
+        col("value").as("file_summary"))
+    table
+      .join(files, col("doc_id") === col("file_doc_id"), "left")
+      .select(col("doc_id"), col("summary"), col("n_tokens"), col("file_summary"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S5: nested JSON evaluation report sink, round-tripped — stats +
+    * histogram + capped details are written through Sinks.writeJsonReport
+    * (reference shape: evaluate/evaluate_summaries_semantic.py:674-696) and
+    * read back via `spark.read.json(multiLine)`; the returned frame is the
+    * re-exploded stats block plus the section cardinalities, all recomputed
+    * independently by the oracle from `documents`.
+    */
+  private def s5ReportSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s5_").toString
+    val report = s"$out/report.json"
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+        charCount(col("text")).as("n_chars"))
+    val long = docs
+      .select(lit("n_tokens").as("metric"), col("n_tokens").cast("double").as("v"))
+      .unionAll(docs.select(lit("n_chars").as("metric"),
+        col("n_chars").cast("double").as("v")))
+    val stats = long.groupBy(col("metric"))
+      .agg(r4(exactAvg(col("v"))).as("mean_v"), r4(min(col("v"))).as("min_v"),
+        r4(max(col("v"))).as("max_v"), count(lit(1)).as("n"))
+    val hist = docs
+      .groupBy(when(col("n_tokens") < 55, "short")
+        .when(col("n_tokens") < 65, "mid").otherwise("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val details = docs.select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id")).limit(100)
+    operators.Sinks.writeJsonReport(stats, hist, details, report, maxDetails = 100)
+    spark.read.option("multiLine", "true").json(report)
+      .select(explode(col("summary_statistics")).as("s"),
+        size(col("similarity_distribution")).as("hist_buckets"),
+        size(col("detailed_results")).as("details_n"))
+      .select(col("s.metric").as("metric"), col("s.mean_v").as("mean_v"),
+        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
+        col("s.n").as("n"), col("hist_buckets"), col("details_n"))
+      .orderBy(col("metric"))
+  }
+
+  /** Streaming curation, driver-checked: the same gate stage as
+    * `pipe_curation` read as a file-source STREAM (AvailableNow trigger),
+    * prefix-deduped with `dropDuplicatesWithinWatermark`, counted through a
+    * foreachBatch sink. Which member of a fingerprint group survives is
+    * arrival-order-dependent, but exactly one survives per group, so the
+    * curated COUNT is deterministic and carries a full hash oracle
+    * (COUNT(DISTINCT prefix-fp) over the gated set). Event times are
+    * synthetic microsecond offsets so the whole corpus sits inside one
+    * watermark window at any SF — the eviction semantics themselves are
+    * spec'd in StreamingSpec, this entry proves the streaming plan computes
+    * the batch answer. See CorpusStreams.curateStream for why near-dup CC
+    * stays batch-side.
+    */
+  private def streamCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, dir, schema, glob = "documents.parquet")
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
+    val curated = graft.streaming.CorpusStreams.curateStream(docs)
+    val acc = spark.sparkContext.longAccumulator("graft.streamCuration")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_").toString
+    val q = curated.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+      .start()
+    q.awaitTermination()
+    Seq(acc.value).toDF("n_curated")
+  }
+
   /** Curation flagship: the composed training-data pass (TA2 language gate
     * -> TA1 quality gate -> DD1b exact prefix dedup -> DD4/DD7 near-dup
     * components -> DD8 keeper selection) as ONE registered query with an
@@ -817,6 +921,8 @@ object SparkEntry {
     "s3_tree_ingest" -> (s3TreeIngest(_, _)),
     "s7_health" -> (s7Health(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
+    "s4_sink_roundtrip" -> (s4SinkRoundtrip(_, _)),
+    "s5_report_sink" -> (s5ReportSink(_, _)),
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
     "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
     "mm3_frame_sample" -> (mm3FrameSample(_, _)),
@@ -824,6 +930,7 @@ object SparkEntry {
     "mm5_resize" -> (mm5Resize(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
+    "stream_curation" -> (streamCuration(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
@@ -1250,6 +1357,38 @@ ORDER BY d.doc_id"""
     "c3_truncate" ->
       """SELECT doc_id, array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS head20
          FROM documents ORDER BY doc_id""",
+    // s4: the oracle recomputes the summary straight from documents — both
+    // read-back paths (parquet table, per-doc txt files for doc_id < 200)
+    // must reproduce it bit-for-bit or the hash check fails
+    "s4_sink_roundtrip" ->
+      s"""SELECT doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:15], ' ') AS summary,
+         $tokSql AS n_tokens,
+         CASE WHEN doc_id < 200
+           THEN array_to_string(string_split_regex(trim(text), '\\s+')[1:15], ' ')
+         END AS file_summary
+         FROM documents ORDER BY doc_id""",
+    // s5: stats block + section cardinalities of the JSON report,
+    // recomputed independently (g6-style exact-decimal mean)
+    "s5_report_sink" ->
+      s"""WITH v AS (
+           SELECT 'n_tokens' AS metric, CAST($tokSql AS DOUBLE) AS v FROM documents
+           UNION ALL
+           SELECT 'n_chars' AS metric, CAST(length(text) AS DOUBLE) AS v FROM documents),
+         st AS (
+           SELECT metric,
+             round(${exactSumSql("v")} / COUNT(*), 4) AS mean_v,
+             round(MIN(v), 4) AS min_v, round(MAX(v), 4) AS max_v,
+             COUNT(*) AS n
+           FROM v GROUP BY 1),
+         hb AS (
+           SELECT CAST(COUNT(DISTINCT CASE WHEN $tokSql < 55 THEN 'short'
+                                           WHEN $tokSql < 65 THEN 'mid'
+                                           ELSE 'long' END) AS INT) AS hist_buckets
+           FROM documents),
+         dn AS (SELECT CAST(least(100, COUNT(*)) AS INT) AS details_n FROM documents)
+         SELECT metric, mean_v, min_v, max_v, n, hist_buckets, details_n
+         FROM st, hb, dn ORDER BY metric""",
     "f3_bpe_count" -> f3BpeSql,
     "c1_chunk_fixed" ->
       """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
@@ -1442,6 +1581,7 @@ ORDER BY d.doc_id"""
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "pipe_curation" -> curationSql,
+    "stream_curation" -> streamCurationSql,
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
     "ta3_token_stats" ->
@@ -1581,7 +1721,12 @@ ORDER BY d.doc_id"""
     * shapes over the GATED relation — every stage reuses SQL already
     * proven on its standalone query.
     */
-  private def curationSql: String = {
+  /** The curation gate stage (language + quality predicates) as shared
+    * CTEs — the single definition behind both the batch `pipe_curation`
+    * oracle and the `stream_curation` count oracle, mirroring how
+    * `Curation.gate` is the single Scala definition behind both paths.
+    */
+  private def gateCtes: String = {
     val en = TextAnalysis.StopwordMarkers("en").map(s => s"'$s'").mkString(", ")
     val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted
     def hits(l: String) = {
@@ -1591,7 +1736,7 @@ ORDER BY d.doc_id"""
     val hitCols = langs.map(l => s"${hits(l)} AS hits_$l").mkString(", ")
     val maxExpr = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
     val caseExpr = langs.map(l => s"WHEN hits_$l = m THEN '$l'").mkString(" ")
-    s"""WITH RECURSIVE cq AS (
+    s"""cq AS (
   SELECT doc_id, $tokSql AS n_tokens, length(text) AS n_chars,
     round(CASE WHEN $tokSql = 0 THEN 0.0
       ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$en], x))) * 1.0 / $tokSql END, 4) AS stopword_ratio,
@@ -1605,7 +1750,20 @@ cgated AS (
   SELECT d.doc_id, d.text, cl.lang_pred, cq.n_tokens, cq.n_chars, cq.stopword_ratio
   FROM documents d JOIN cq USING (doc_id) JOIN cl USING (doc_id)
   WHERE cl.lang_pred = 'en' AND cq.stopword_ratio >= 0.01
-    AND cq.n_tokens >= 5 AND cq.punct_ratio <= 0.30),
+    AND cq.n_tokens >= 5 AND cq.punct_ratio <= 0.30)"""
+  }
+
+  /** stream_curation oracle: exactly one survivor per distinct prefix
+    * fingerprint among gated docs — the count the streaming path must
+    * reproduce regardless of which group member arrived first.
+    */
+  private def streamCurationSql: String =
+    s"""WITH $gateCtes
+SELECT CAST(COUNT(DISTINCT md5(substr(text, 1, 100))) AS BIGINT) AS n_curated
+FROM cgated"""
+
+  private def curationSql: String = {
+    s"""WITH RECURSIVE $gateCtes,
 ckeep AS (
   SELECT MIN(doc_id) AS doc_id FROM cgated GROUP BY md5(substr(text, 1, 100))),
 cexact AS (SELECT g.* FROM cgated g JOIN ckeep USING (doc_id)),

@@ -82,10 +82,9 @@ object Curation {
     // caches are live, then release them — the caller gets a plan with no
     // second corpus scan behind it. The pipeline is already eager via the
     // component loop, so the extra job changes shape, not laziness.
-    val curated = exact.join(losers, Seq("doc_id"), "left_anti")
+    val curated = Materialize(exact.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-        col("n_chars"), col("stopword_ratio"))
-      .localCheckpoint(true)
+        col("n_chars"), col("stopword_ratio")))
     exact.unpersist()
     gated.unpersist()
     curated

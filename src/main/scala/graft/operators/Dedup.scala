@@ -342,15 +342,15 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) materializes AND truncates the logical plan:
-    // with pointer jumping the plan references the label table three times
-    // per round, so un-truncated lineage grows 3^rounds and OOMs the
-    // driver before data size even matters. (On a fault-tolerant cluster
-    // job, swap for reliable checkpoint(dir) — same shape.)
-    var labels = edges.select(col("src").as("id"))
+    // Materialize (eager) truncates the logical plan: with pointer jumping
+    // the plan references the label table three times per round, so
+    // un-truncated lineage grows 3^rounds and OOMs the driver before data
+    // size even matters. Materialize picks localCheckpoint (default) or
+    // reliable checkpoint(dir) when spark.graft.checkpointDir is set — the
+    // fault-tolerant form for long cluster jobs.
+    var labels = Materialize(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .withColumn("component", col("id")))
     // Convergence probe: labels only ever DECREASE under min-propagation,
     // so sum(component) is strictly monotone until the fixed point — one
     // cheap aggregate per round replaces a join+count change detector.
@@ -379,9 +379,8 @@ object Dedup {
             col("component").as("jumped")), Seq("component"))
         .select(col("id"), col("jumped").as("component"))
       // eager: materialized (while old is still cached) AND plan-truncated
-      val next = labels.unionByName(msgs).unionByName(jump)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+      val next = Materialize(labels.unionByName(msgs).unionByName(jump)
+        .groupBy("id").agg(min("component").as("component")))
       labels.unpersist()
       labels = next
       val s = labelSum()

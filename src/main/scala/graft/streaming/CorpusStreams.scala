@@ -23,13 +23,17 @@ import graft.strategy.Strategies
 object CorpusStreams {
 
   /** Open a docs directory as a parquet file stream (streaming readers
-    * cannot infer schemas).
+    * cannot infer schemas). `glob` filters which files in `dir` belong to
+    * this table — the streaming source requires a DIRECTORY base path, so a
+    * single-file table inside a mixed directory streams via its parent +
+    * glob rather than its own path.
     */
   def readDocStream(spark: SparkSession, dir: String, schema: StructType,
-      maxFilesPerTrigger: Int = 16): DataFrame =
+      maxFilesPerTrigger: Int = 16, glob: String = "*"): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", glob)
       .parquet(dir)
 
   /** Q1 over a stream: stateless per-row summarize — no watermark, no
