@@ -758,8 +758,12 @@ object SparkEntry {
   private def streamCuration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // one micro-batch for the whole table: this entry proves batch parity,
+    // not trigger pacing (StreamingSpec covers multi-batch semantics), and
+    // per-batch state-store commit overhead would otherwise dominate
     val docs = graft.streaming.CorpusStreams
-      .readDocStream(spark, dir, schema, glob = "documents.parquet")
+      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
+        glob = "documents.parquet")
       .withColumn("ts",
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val curated = graft.streaming.CorpusStreams.curateStream(docs)
