@@ -288,6 +288,58 @@ object SparkEntry {
           .apply(col("text"))).as(Seq("chunk_idx", "chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** F7/F8/F9: the filename/payload scalar trio, driver-checked on
+    * corpus-derived inputs with closed-form oracles. The corpus text is
+    * pure lowercase words + single spaces (no ':', '.', '/', fences), so
+    * each expected value is constructible directly in SQL:
+    *  - F7 safe-encode on "model:<text12>.q" -> "model_<text12>_q"
+    *    (reference: run_full_evaluation_pipeline.py:170);
+    *  - F8 stem on "corpus/doc_<id>.v2.txt" -> "doc_<id>.v2" (path dropped,
+    *    LAST extension only — the multi-dot base pins that semantics);
+    *  - F9 fence-strip round-trips a built "```json ... ```" wrapper on
+    *    even ids and falls through to trim on odd ids (reference:
+    *    evaluate/evaluate_summaries_semantic.py:87-91).
+    * The UDFs wrap the graft.core.Text scalars themselves, so the library
+    * functions (not parallel Column reimplementations) are what the driver
+    * checks.
+    */
+  private def f7NameScalars(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.udfs.{safeNameUdf, stemUdf, stripCodeFenceUdf}
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        safeNameUdf(concat(lit("model:"), substring(col("text"), 1, 12), lit(".q")))
+          .as("safe_name"),
+        stemUdf(concat(lit("corpus/doc_"), col("doc_id").cast("string"),
+          lit(".v2.txt"))).as("fname_stem"),
+        stripCodeFenceUdf(
+          when(col("doc_id") % 2 === 0,
+            concat(lit("```json\n"), substring(col("text"), 1, 40), lit("\n```")))
+            .otherwise(substring(col("text"), 1, 40))).as("payload"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S1 (text-dir variant) / P2 / F8: the raw-ingest path driver-checked
+    * end-to-end — a bounded subset of docs is written as one `<doc_id>.txt`
+    * per file (plus a non-txt decoy), then read back through
+    * `CorpusOps.docsFromTextDir` (wholetext + pathGlobFilter + stem ids;
+    * reference: run_full_evaluation_pipeline.py:417-444). The oracle
+    * recomputes from `documents`: the decoy proves the P2 extension filter
+    * excludes it, the ids prove the stem keying, the text proves wholetext
+    * fidelity.
+    */
+  private def s1TextdirScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s1_").toString
+    operators.Sinks.writeSummaryFiles(
+      tbl(spark, dir, "documents").filter(col("doc_id") < 200),
+      out, idCol = "doc_id", textCol = "text")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "decoy.json"),
+      "{\"not\":\"a doc\"}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    CorpusOps.docsFromTextDir(spark, out)
+      .select(col("doc_name").cast("long").as("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- dedup
 
   /** DD1: exact duplicate groups (hash groupBy). */
@@ -895,6 +947,8 @@ object SparkEntry {
     "c3_truncate" -> (c3Truncate(_, _)),
     "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
     "c2_chunk_recursive" -> (c2ChunkRecursive(_, _)),
+    "f7_name_scalars" -> (f7NameScalars(_, _)),
+    "s1_textdir_scan" -> (s1TextdirScan(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
     "dd1b_prefix_dups" -> (dd1bPrefixDups(_, _)),
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
@@ -1394,6 +1448,20 @@ ORDER BY d.doc_id"""
          SELECT metric, mean_v, min_v, max_v, n, hist_buckets, details_n
          FROM st, hb, dn ORDER BY metric""",
     "f3_bpe_count" -> f3BpeSql,
+    // f7/f8/f9: corpus text has no ':', '.', '/', or fences, so every
+    // expected value is constructible directly (see the query scaladoc)
+    "f7_name_scalars" ->
+      """SELECT doc_id,
+         'model_' || substr(text, 1, 12) || '_q' AS safe_name,
+         'doc_' || CAST(doc_id AS VARCHAR) || '.v2' AS fname_stem,
+         trim(substr(text, 1, 40)) AS payload
+         FROM documents ORDER BY doc_id""",
+    // s1 text-dir ingest: files written from documents (doc_id < 200) must
+    // read back byte-identical, keyed by stem; the non-txt decoy must not
+    // appear (P2)
+    "s1_textdir_scan" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 200
+         ORDER BY doc_id""",
     "c1_chunk_fixed" ->
       """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
          FROM documents, LATERAL UNNEST(generate_series(0, CAST(floor((length(text)-1)/100.0) AS BIGINT))) AS t(k)

@@ -66,6 +66,16 @@ object udfs {
     (c: Column) => f(c)
   }
 
+  /** F7: model-name safe-encode (':' and '.' to '_'). */
+  val safeNameUdf = udf { (s: String) => if (s == null) null else Text.safeName(s) }
+
+  /** F8: filename stem (path dropped, last extension dropped). */
+  val stemUdf = udf { (s: String) => if (s == null) null else Text.stem(s) }
+
+  /** F9: payload between ``` fences; whole (trimmed) input when unfenced. */
+  val stripCodeFenceUdf =
+    udf { (s: String) => if (s == null) null else Text.stripCodeFence(s) }
+
   /** M1: ROUGE-1/2/L F1 as STRUCT<rouge1_f, rouge2_f, rougeL_f>. */
   val rougeAll = udf { (cand: String, ref: String) =>
     if (cand == null || ref == null) (0.0, 0.0, 0.0)

@@ -336,12 +336,47 @@ object Dedup {
     * own trivial component and are omitted by construction).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIterations: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxIterations: Int = 50,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-graph fast path: after candidate filtering the EDGE set is
+    // normally orders of magnitude smaller than the corpus (near-dup pairs,
+    // not documents) — when it fits comfortably on the driver, a local
+    // union-find replaces O(log diameter) distributed rounds, each of which
+    // costs two joins + an eager materialization. The count is an action on
+    // the already-persisted edge set, so the probe is one cheap job; the
+    // distributed loop below remains the path for genuinely large graphs
+    // and is held to the same oracle (spec pins both paths to identical
+    // labels on the same input).
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by MIN root so the label is the component minimum,
+          // exactly the distributed loop's fixed point
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      edges.unpersist()
+      return out.toDF("doc_id", "component")
+    }
     // Materialize (eager) truncates the logical plan: with pointer jumping
     // the plan references the label table three times per round, so
     // un-truncated lineage grows 3^rounds and OOMs the driver before data

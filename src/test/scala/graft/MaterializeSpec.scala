@@ -18,7 +18,9 @@ class MaterializeSpec extends AnyFunSuite {
     // two components: a 4-chain {1,2,3,4} and a pair {10, 11}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    Dedup.connectedComponents(pairs)
+    // smallGraphEdges = 0: the subject is the distributed loop's per-round
+    // materialization, which the driver union-find fast path never touches
+    Dedup.connectedComponents(pairs, smallGraphEdges = 0)
       .as[(Long, Long)].collect().toMap
   }
 

@@ -119,14 +119,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0L)))
   }
 
-  test("DD7 connectedComponents: multi-hop chains collapse to min id") {
+  test("DD7 connectedComponents: multi-hop chains collapse to min id (both paths)") {
     // two components: {1,2,3,9} via a chain (3 hops), {5,6}; 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    // driver union-find fast path (default threshold)
+    assert(Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == want)
+    // distributed pointer-jumping loop (fast path disabled)
+    assert(Dedup.connectedComponents(pairs, smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
+  test("DD7 driver union-find fast path == distributed loop on a mixed graph") {
+    val rng = new scala.util.Random(7)
+    val pairs = (1 to 60)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    val dist = Dedup.connectedComponents(pairs, smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist && fast.nonEmpty)
   }
 
   test("DD8 dedupedCorpus: keeps one min-id row per distinct text") {
@@ -199,7 +216,8 @@ class OperatorsSpec extends AnyFunSuite {
     // diameter 80 would need 80 neighbor-propagation rounds; pointer
     // jumping needs ~log2(80)+2 ~ 9 — and must label every vertex 0
     val edges = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(edges).collect()
+    // smallGraphEdges = 0 forces the distributed loop — the subject here
+    val labels = Dedup.connectedComponents(edges, smallGraphEdges = 0).collect()
     assert(labels.length == 81)
     assert(labels.forall(_.getLong(1) == 0L))
   }
