@@ -288,6 +288,34 @@ object SparkEntry {
           .apply(col("text"))).as(Seq("chunk_idx", "chunk")))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** C2 (deep): the FULL recursion of the splitter under the driver gate —
+    * a paragraph-structured corpus is derived in-query (every 32 words
+    * joined by "\n\n"), so the splitter sees a mix of small paragraphs
+    * (merged into runs under the top "\n\n" separator, sepLen 2) and
+    * oversized ones (>= chunkSize, recursing through the separator
+    * priority list down to " ", sepLen 1) — the case `c2_chunk_recursive`'s
+    * single-level corpus cannot reach. The oracle unrolls both levels into
+    * ONE recursive CTE: pieces of both levels share a merge state machine
+    * keyed by (doc, anchor) with a per-group separator length, run
+    * segmentation falls out of a cumulative oversized-piece count, and
+    * output order is (group anchor, window start). Validated
+    * piece-for-piece against a faithful simulation of the full Scala
+    * recursion on the whole sf0.01 corpus (1212 chunks, 178 recursing
+    * paragraphs, 0 mismatches) before registration.
+    */
+  private def c2bChunkRecursiveDeep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val paras = transform(
+      sequence(lit(0), floor((size(toks) - 1) / 32.0).cast("int")),
+      g => array_join(slice(toks, g * 32 + 1, lit(32)), " "))
+    tbl(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(graft.functions.udfs.recursiveSplitUdf(180, 40, byTokens = false)
+          .apply(array_join(paras, "\n\n"))).as(Seq("chunk_idx", "chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** F7/F8/F9: the filename/payload scalar trio, driver-checked on
     * corpus-derived inputs with closed-form oracles. The corpus text is
     * pure lowercase words + single spaces (no ':', '.', '/', fences), so
@@ -947,6 +975,7 @@ object SparkEntry {
     "c3_truncate" -> (c3Truncate(_, _)),
     "c1_chunk_fixed" -> (c1ChunkFixed(_, _)),
     "c2_chunk_recursive" -> (c2ChunkRecursive(_, _)),
+    "c2b_chunk_recursive_deep" -> (c2bChunkRecursiveDeep(_, _)),
     "f7_name_scalars" -> (f7NameScalars(_, _)),
     "s1_textdir_scan" -> (s1TextdirScan(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
@@ -1466,6 +1495,87 @@ ORDER BY d.doc_id"""
       """SELECT doc_id, CAST(k AS INT) AS chunk_idx, substr(text, CAST(k*100+1 AS INT), 120) AS chunk
          FROM documents, LATERAL UNNEST(generate_series(0, CAST(floor((length(text)-1)/100.0) AS BIGINT))) AS t(k)
          WHERE length(text) > 0 ORDER BY doc_id, chunk_idx""",
+    // c2b: exact replay of the FULL recursion on the derived
+    // paragraph corpus — both separator levels ("\n\n" runs, sepLen 2;
+    // oversized paragraphs recursing to " ", sepLen 1) share one merge
+    // state machine keyed by (doc, anchor) with per-group sep_len; run
+    // segmentation = cumulative count of oversized pieces
+    "c2b_chunk_recursive_deep" ->
+      """WITH RECURSIVE
+         base AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+           WHERE trim(text) <> ''),
+         paras AS (
+           SELECT doc_id, CAST(g AS INT) AS pidx,
+                  array_to_string(toks[CAST(g*32+1 AS INT):CAST(g*32+32 AS INT)], ' ') AS piece
+           FROM base, LATERAL UNNEST(generate_series(0, CAST(floor((len(toks)-1)/32.0) AS BIGINT))) AS u(g)),
+         marks AS (
+           SELECT doc_id, pidx, piece, length(piece) AS plen,
+                  CASE WHEN length(piece) >= 180 THEN 1 ELSE 0 END AS big,
+                  SUM(CASE WHEN length(piece) >= 180 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pidx ROWS UNBOUNDED PRECEDING) AS rid
+           FROM paras),
+         runs AS (
+           SELECT doc_id, rid, MIN(pidx) AS anchor FROM marks WHERE big = 0 GROUP BY 1, 2),
+         lvl1 AS (
+           SELECT m.doc_id, r.anchor, 2 AS sep_len,
+                  ROW_NUMBER() OVER (PARTITION BY m.doc_id, m.rid ORDER BY m.pidx) - 1 AS idx,
+                  m.piece, m.plen AS len
+           FROM marks m JOIN runs r ON m.doc_id = r.doc_id AND m.rid = r.rid
+           WHERE m.big = 0),
+         lvl2 AS (
+           SELECT m.doc_id, m.pidx AS anchor, 1 AS sep_len,
+                  CAST(w.k - 1 AS BIGINT) AS idx,
+                  string_split(m.piece, ' ')[CAST(w.k AS INT)] AS piece,
+                  length(string_split(m.piece, ' ')[CAST(w.k AS INT)]) AS len
+           FROM marks m, LATERAL UNNEST(generate_series(1, len(string_split(m.piece, ' ')))) AS w(k)
+           WHERE m.big = 1),
+         upieces AS (
+           SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2),
+         info0 AS (
+           SELECT doc_id, anchor, sep_len, idx, piece, len,
+                  SUM(len) OVER (PARTITION BY doc_id, anchor ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS pfx,
+                  COUNT(*) OVER (PARTITION BY doc_id, anchor) AS n
+           FROM upieces),
+         info AS (
+           SELECT a.doc_id, a.anchor, a.sep_len, a.idx, a.len, a.pfx, a.n,
+                  COALESCE((SELECT MIN(b.idx) FROM info0 b
+                            WHERE b.doc_id = a.doc_id AND b.anchor = a.anchor AND b.idx < a.idx
+                              AND a.pfx - b.pfx + (a.idx - 1 - b.idx) * a.sep_len
+                                  <= least(40, 180 - a.len - a.sep_len)), a.idx) AS kmin
+           FROM info0 a),
+         st AS (
+           SELECT doc_id, anchor, sep_len, 0 AS i, 0 AS j,
+                  CAST(NULL AS BIGINT) AS ea, CAST(NULL AS BIGINT) AS eb, n
+           FROM info WHERE idx = 0
+           UNION ALL
+           SELECT s.doc_id, s.anchor, s.sep_len, s.i + 1,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) * s.sep_len + p.len + s.sep_len > 180
+                       THEN greatest(s.j, p.kmin) ELSE s.j END,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) * s.sep_len + p.len + s.sep_len > 180
+                       THEN s.j END,
+                  CASE WHEN s.j < s.i AND p.pfx - q.pfx + (s.i - 1 - s.j) * s.sep_len + p.len + s.sep_len > 180
+                       THEN s.i - 1 END,
+                  s.n
+           FROM st s
+           JOIN info p ON p.doc_id = s.doc_id AND p.anchor = s.anchor AND p.idx = s.i
+           JOIN info q ON q.doc_id = s.doc_id AND q.anchor = s.anchor AND q.idx = s.j
+           WHERE s.i < s.n),
+         bounds AS (
+           SELECT doc_id, anchor, sep_len, ea AS a, eb AS b FROM st WHERE ea IS NOT NULL
+           UNION ALL
+           SELECT doc_id, anchor, sep_len, j, n - 1 FROM st WHERE i = n),
+         parr AS (
+           SELECT doc_id, anchor, list(piece ORDER BY idx) AS ps FROM upieces GROUP BY 1, 2)
+         SELECT b.doc_id AS doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.anchor, b.a) - 1 AS INT) AS chunk_idx,
+                CASE WHEN b.sep_len = 2
+                  THEN trim(array_to_string(p.ps[CAST(b.a + 1 AS INT):CAST(b.b + 1 AS INT)], e'\n\n'))
+                  ELSE trim(array_to_string(p.ps[CAST(b.a + 1 AS INT):CAST(b.b + 1 AS INT)], ' '))
+                END AS chunk
+         FROM bounds b JOIN parr p ON b.doc_id = p.doc_id AND b.anchor = p.anchor
+         ORDER BY b.doc_id, chunk_idx""",
     // c2: exact replay of Splitter.recursiveSplit(180, 40, CharLen) for a
     // corpus whose first applicable separator is " ". The merge loop's
     // queue state is (window start j); after a flush both pop conditions

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide scale-anti-pattern audit: every lazily-planned registered
+  * query is physical-planned at sf0.001 and checked for the three patterns
+  * that kill 100 TB runs — CartesianProduct, BroadcastNestedLoopJoin, and
+  * a window over SinglePartition — with an explicit allowlist for the
+  * sites where the pattern is deliberate and bounded. New queries get this
+  * audit for free; an unlisted violation fails the suite with the query
+  * name.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose construction EXECUTES work (streams, sink writes,
+    * driver fixed-point loops, collected centroids/recall baselines) —
+    * too costly to rebuild here; their plan shape is pinned by their own
+    * specs (CurationSpec scan-count, StreamingSpec, dev PlanProbe).
+    */
+  private val eager = Set(
+    "stream_curation", "s4_sink_roundtrip", "s5_report_sink",
+    "s1_textdir_scan", "pipe_curation", "dd7_components",
+    "pipe_mapreduce", "pipe_critique", "pipe_iterative", "pipe_hierarchical",
+    "pipe_truncated", "s3_tree_ingest", "ss3_ivf_topk", "ss3_recall",
+    "ss2_recall", "dd6b_recall", "eval_pair_metrics", "eval_summary_stats",
+    "eval_judge_scores", "eval_judge_stats", "eval_bertscore")
+
+  /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
+    * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
+    * cross joins (one-row totals, tiny query sides) that Spark plans as
+    * BroadcastNestedLoopJoin by construction.
+    */
+  private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
+    "ss2_lsh_topk")
+  private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
+    "ss2_lsh_topk", "dd6_embedding_pairs")
+
+  test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
+    val names = SparkEntry.queries.keySet -- eager
+    val violations = names.toSeq.sorted.flatMap { name =>
+      // sparkPlan (pre-AQE) — structural audit, nothing executes
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val s = plan.toString
+      val globalWindow = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      Seq(
+        Option.when(s.contains("CartesianProduct") &&
+          !allowCartesian(name))(s"$name: CartesianProduct"),
+        Option.when(s.contains("BroadcastNestedLoopJoin") &&
+          !allowBnlj(name))(s"$name: BroadcastNestedLoopJoin"),
+        Option.when(globalWindow)(s"$name: window with empty partitionSpec")
+      ).flatten
+    }
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+}
