@@ -576,6 +576,14 @@ object SparkEntry {
   private def ta5Vocab(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStats(tbl(spark, dir, "documents"))
 
+  /** TA5b: HLL approximate vocabulary — the scale path next to ta5's exact
+    * form, with the sketch-vs-exact error bound itself driver-checked (the
+    * HLL estimate is a deterministic function of the token set, so the
+    * within-5% flag is hash-oracle-able; rsd=2%).
+    */
+  private def ta5bVocabHll(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStatsApprox(tbl(spark, dir, "documents"))
+
   /** TA6: top-10 corpus trigrams (count desc, gram asc tie-break). */
   private def ta6TopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgrams(tbl(spark, dir, "documents"), n = 3, k = 10)
@@ -999,6 +1007,7 @@ object SparkEntry {
     "ta3_token_stats" -> (ta3TokenStats(_, _)),
     "ta4_fingerprint" -> (ta4Fingerprint(_, _)),
     "ta5_vocab" -> (ta5Vocab(_, _)),
+    "ta5b_vocab_hll" -> (ta5bVocabHll(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
@@ -1186,6 +1195,16 @@ ORDER BY d.doc_id"""
            FROM documents)
          SELECT COUNT(DISTINCT tok) AS vocab_size, COUNT(*) AS n_tokens,
            round(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS type_token_ratio
+         FROM t""",
+    // ta5b: the exact stats reproduce in SQL; the HLL bound is asserted as
+    // a constant because a correct sketch at rsd=2% sits far inside the 5%
+    // tolerance — a broken estimator flips the flag and fails the hash
+    "ta5b_vocab_hll" ->
+      """WITH t AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents)
+         SELECT COUNT(DISTINCT tok) AS vocab_size, COUNT(*) AS n_tokens,
+           TRUE AS hll_ok
          FROM t""",
     // top-10 trigrams, deterministic (count desc, gram asc)
     "ta6_top_ngrams" ->

@@ -74,6 +74,18 @@ object Main {
     (spark, !preexisting)
   }
 
+  /** Per-stage wall-clock log line — the reference's timestamped stage
+    * timing (run_full_evaluation_pipeline.py:137-163, 572-585) as one
+    * stderr line per stage. Wraps the eager stages (strategy loops, sink
+    * writes); plan construction is lazy and not worth timing.
+    */
+  private def timed[T](stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[graft] $stage: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   private def loadDocs(spark: SparkSession, path: String): DataFrame =
     if (new java.io.File(path).isDirectory &&
         !new java.io.File(path, "_SUCCESS").exists() &&
@@ -102,19 +114,21 @@ object Main {
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
       val strategies = new Strategies(ExtractiveSummarizer, cfg = cfg)
-      val summaries = approach match {
-        case "truncated" => strategies.truncated(docs)
-        case "mapreduce" => strategies.mapReduce(docs)
-        case "critique" => strategies.mapReduceCritique(docs)
-        case "iterative" => strategies.iterative(docs)
-        case "hierarchical" =>
-          new Hierarchical(ExtractiveSummarizer, cfg).summarize(TreeOps.synthesize(docs))
-        case other => sys.error(s"unknown approach: $other")
+      val summaries = timed(s"$approach summarize") {
+        approach match {
+          case "truncated" => strategies.truncated(docs)
+          case "mapreduce" => strategies.mapReduce(docs)
+          case "critique" => strategies.mapReduceCritique(docs)
+          case "iterative" => strategies.iterative(docs)
+          case "hierarchical" =>
+            new Hierarchical(ExtractiveSummarizer, cfg).summarize(TreeOps.synthesize(docs))
+          case other => sys.error(s"unknown approach: $other")
+        }
       }
-      Sinks.writeSummaryTable(summaries, s"$out/summaries")
+      timed("write summaries")(Sinks.writeSummaryTable(summaries, s"$out/summaries"))
       if (opts.contains("write-files"))
-        Sinks.writeSummaryFiles(
-          spark.read.parquet(s"$out/summaries"), s"$out/files")
+        timed("write per-doc files")(Sinks.writeSummaryFiles(
+          spark.read.parquet(s"$out/summaries"), s"$out/files"))
       println(s"[graft] $approach summaries -> $out/summaries")
     } finally if (owned) spark.stop()
   }
@@ -162,14 +176,16 @@ object Main {
     val (spark, owned) = session()
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
-      val kept = graft.operators.Curation.curate(
-        docs,
-        keepLangs = opts.get("langs").map(_.split(",").toSeq).getOrElse(Seq("en")),
-        minStopwordRatio = opts.get("min-stopword-ratio").map(_.toDouble).getOrElse(0.01),
-        minTokens = opts.get("min-tokens").map(_.toLong).getOrElse(5L),
-        maxPunctRatio = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30),
-        jaccardThreshold = opts.get("jaccard").map(_.toDouble).getOrElse(0.5))
-      kept.write.mode("overwrite").parquet(s"$out/curated")
+      val kept = timed("curate") {
+        graft.operators.Curation.curate(
+          docs,
+          keepLangs = opts.get("langs").map(_.split(",").toSeq).getOrElse(Seq("en")),
+          minStopwordRatio = opts.get("min-stopword-ratio").map(_.toDouble).getOrElse(0.01),
+          minTokens = opts.get("min-tokens").map(_.toLong).getOrElse(5L),
+          maxPunctRatio = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30),
+          jaccardThreshold = opts.get("jaccard").map(_.toDouble).getOrElse(0.5))
+      }
+      timed("write curated")(kept.write.mode("overwrite").parquet(s"$out/curated"))
       if (opts.contains("write-corpus"))
         docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
             Seq("doc_id"), "left_semi")
@@ -195,7 +211,8 @@ object Main {
       val stats = Metrics.summaryStats(metrics,
         Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f"))
       val hist = Metrics.similarityHistogram(metrics)
-      Sinks.writeJsonReport(stats, hist, metrics.orderBy("doc_id"), report)
+      timed("evaluate + report")(
+        Sinks.writeJsonReport(stats, hist, metrics.orderBy("doc_id"), report))
       println(s"[graft] evaluation report -> $report")
     } finally if (owned) spark.stop()
   }

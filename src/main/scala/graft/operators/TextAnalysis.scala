@@ -143,6 +143,30 @@ object TextAnalysis {
       r4(countDistinct(col("tok")).cast("double") / count(lit(1))).as("type_token_ratio"))
   }
 
+  /** TA5b — the 100 TB form of [[vocabStats]]: HLL approximate distinct
+    * next to the exact pass. At scale the exact form shuffles every
+    * distinct token to its reducer; the HLL sketch merges fixed-size
+    * partials instead, so the aggregate is O(sketch) per partition
+    * regardless of vocabulary size. The HLL estimate is a deterministic
+    * function of the token SET (hash-based, merge-commutative, so
+    * partitioning cannot change it) — the within-tolerance flag is
+    * therefore stable and the query carries a full hash oracle rather
+    * than a rows-only check.
+    */
+  def vocabStatsApprox(docs: DataFrame, textCol: String = "text",
+      rsd: Double = 0.02, tolerance: Double = 0.05): DataFrame = {
+    val toks = docs.select(
+      explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)))
+        .as("tok"))
+    toks.agg(
+      countDistinct(col("tok")).as("vocab_size"),
+      count(lit(1)).as("n_tokens"),
+      approx_count_distinct(col("tok"), rsd).as("hll"))
+      .select(col("vocab_size"), col("n_tokens"),
+        (abs(col("hll") - col("vocab_size"))
+          <= col("vocab_size").cast("double") * tolerance).as("hll_ok"))
+  }
+
   /** Top-k word n-grams by corpus frequency with a deterministic tie-break
     * (count desc, gram asc) — the frequent-n-gram/contamination-scan pass
     * of a training-data pipeline. Explode -> hash-aggregate (partial aggs

@@ -163,4 +163,56 @@ class ChunkParitySpec extends AnyFunSuite {
     val total = results.map(_._4.size).sum
     assert(total >= 100 && total <= 136, s"total chunks $total vs 118")
   }
+
+  // ------------------------------------------------------------------ ds1
+  // The PRODUCTION operating point: ds1 (VN-LongSum) iterative run,
+  // chunk_size=12000 / overlap=200 token-aware (old/iterative_refinement/
+  // pipeline_results_20250606_062829.json -> pipeline_info.config; 151
+  // docs -> 759 chunks). Every 5th doc's archived (token_count,
+  // chunk_count), deterministic 31-doc sample to keep the spec fast.
+  // Reference behavior at this point: single-chunk docs up to 8881 tokens,
+  // multi-chunk from 11411, tokens/chunk band 5706..11816.
+
+  private val ds1Sample: Vector[(Int, Int)] = Vector(
+    (28209, 3), (47607, 5), (53896, 5), (4525, 1), (33603, 3), (31375, 3),
+    (35479, 4), (41123, 4), (29923, 3), (34799, 3), (42713, 4), (57278, 5),
+    (43354, 4), (88795, 8), (81905, 8), (89247, 8), (93602, 9), (89343, 8),
+    (81070, 7), (45079, 4), (69001, 6), (98940, 9), (60550, 6), (58494, 5),
+    (81676, 7), (56104, 5), (68234, 6), (42996, 4), (22111, 2), (23664, 3),
+    (43345, 4))
+
+  private val Ds1ChunkSize = 12000
+  private val Ds1Overlap = 200
+
+  private lazy val ds1Results: Vector[(Int, Int, Int, Int)] = {
+    val rng = new Random(7)
+    ds1Sample.map { case (refTokens, refChunks) =>
+      val doc = mkDoc(rng, refTokens)
+      val chunks = Splitter.recursiveSplit(doc, Ds1ChunkSize, Ds1Overlap,
+        Splitter.DefaultSeparators, bpe.lengthFn)
+      (refTokens, refChunks, bpe.count(doc), chunks.size)
+    }
+  }
+
+  test("ds1 production point (12000/200): per-doc chunk counts within max(1, 25%)") {
+    ds1Results.foreach { case (refTokens, refChunks, _, myChunks) =>
+      val tol = math.max(1, math.ceil(refChunks * 0.25).toInt)
+      assert(math.abs(myChunks - refChunks) <= tol,
+        s"doc($refTokens tok): $myChunks chunks vs reference $refChunks")
+    }
+  }
+
+  test("ds1 production point: cap, lower bound, single-chunk rule") {
+    ds1Results.foreach { case (_, _, myTokens, myChunks) =>
+      assert(myChunks >= math.ceil(myTokens / Ds1ChunkSize.toDouble).toInt)
+      if (myTokens <= Ds1ChunkSize) assert(myChunks == 1)
+    }
+  }
+
+  test("ds1 production point: sampled total within 15% of the reference's") {
+    val refTotal = ds1Sample.map(_._2).sum
+    val myTotal = ds1Results.map(_._4).sum
+    assert(math.abs(myTotal - refTotal) <= refTotal * 0.15,
+      s"sampled total $myTotal vs reference $refTotal")
+  }
 }
