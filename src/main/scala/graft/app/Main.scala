@@ -110,26 +110,50 @@ object Main {
       // --tokenizer-json points at the HF artifact (empty = pinned demo BPE)
       chunker = opts.getOrElse("chunker", d.chunker),
       tokenizerJsonPath = opts.getOrElse("tokenizer-json", d.tokenizerJsonPath))
+    // --models a,b,c: the reference's serial model sweep
+    // (run_full_evaluation_pipeline.py:802-812) — each model summarizes the
+    // whole corpus into its own safe-encoded subdirectory. With
+    // --ollama-url the summarizer is the HTTP backend bound to that model;
+    // without, the deterministic extractive scalar (model names then only
+    // select output directories). Single-model runs keep the flat layout.
+    val models = opts.get("models").map(_.split(",").toSeq.filter(_.nonEmpty))
+    val ollamaUrl = opts.get("ollama-url")
     val (spark, owned) = session()
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
-      val strategies = new Strategies(ExtractiveSummarizer, cfg = cfg)
-      val summaries = timed(s"$approach summarize") {
-        approach match {
-          case "truncated" => strategies.truncated(docs)
-          case "mapreduce" => strategies.mapReduce(docs)
-          case "critique" => strategies.mapReduceCritique(docs)
-          case "iterative" => strategies.iterative(docs)
-          case "hierarchical" =>
-            new Hierarchical(ExtractiveSummarizer, cfg).summarize(TreeOps.synthesize(docs))
-          case other => sys.error(s"unknown approach: $other")
+      def runOne(model: Option[String]): Unit = {
+        val summarizer: graft.llm.Summarizer = (ollamaUrl, model) match {
+          case (Some(url), Some(m)) => graft.llm.HttpSummarizer(url, m)
+          case _ => ExtractiveSummarizer
         }
+        val strategies = new Strategies(summarizer, cfg = cfg)
+        val tag = model.map(m => s" [$m]").getOrElse("")
+        val summaries = timed(s"$approach$tag summarize") {
+          approach match {
+            case "truncated" => strategies.truncated(docs)
+            case "mapreduce" => strategies.mapReduce(docs)
+            case "critique" => strategies.mapReduceCritique(docs)
+            case "iterative" => strategies.iterative(docs)
+            case "hierarchical" =>
+              new Hierarchical(summarizer, cfg).summarize(TreeOps.synthesize(docs))
+            case other => sys.error(s"unknown approach: $other")
+          }
+        }
+        val dest = model match {
+          case Some(m) => s"$out/${graft.core.Text.safeName(m)}"
+          case None => out
+        }
+        timed(s"write summaries$tag")(
+          Sinks.writeSummaryTable(summaries, s"$dest/summaries"))
+        if (opts.contains("write-files"))
+          timed(s"write per-doc files$tag")(Sinks.writeSummaryFiles(
+            spark.read.parquet(s"$dest/summaries"), s"$dest/files"))
+        println(s"[graft] $approach$tag summaries -> $dest/summaries")
       }
-      timed("write summaries")(Sinks.writeSummaryTable(summaries, s"$out/summaries"))
-      if (opts.contains("write-files"))
-        timed("write per-doc files")(Sinks.writeSummaryFiles(
-          spark.read.parquet(s"$out/summaries"), s"$out/files"))
-      println(s"[graft] $approach summaries -> $out/summaries")
+      models match {
+        case Some(ms) => ms.foreach(m => runOne(Some(m)))
+        case None => runOne(None)
+      }
     } finally if (owned) spark.stop()
   }
 
@@ -194,6 +218,9 @@ object Main {
     } finally if (owned) spark.stop()
   }
 
+  private val MetricCols =
+    Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f")
+
   private[app] def runEvaluate(opts: Map[String, String]): Unit = {
     val report = opts.getOrElse("report", sys.error("--report required"))
     val (spark, owned) = session()
@@ -204,16 +231,48 @@ object Main {
           .getOrElse(sys.error(s"$path has no summary/text column"))
         df.select(col("doc_id").cast("long"), col(textCol).as(alias))
       }
-      val pairs = summariesOf(opts.getOrElse("gen", sys.error("--gen required")), "gen")
-        .join(summariesOf(opts.getOrElse("ref", sys.error("--ref required")), "ref"),
-          "doc_id") // J1: inner equi-join on the shared key
-      val metrics = Metrics.pairMetrics(pairs)
-      val stats = Metrics.summaryStats(metrics,
-        Seq("semantic_similarity", "rouge1_f", "rouge2_f", "rougeL_f"))
-      val hist = Metrics.similarityHistogram(metrics)
-      timed("evaluate + report")(
-        Sinks.writeJsonReport(stats, hist, metrics.orderBy("doc_id"), report))
-      println(s"[graft] evaluation report -> $report")
+      val ref = summariesOf(opts.getOrElse("ref", sys.error("--ref required")), "ref")
+      opts.get("sweep") match {
+        case Some(root) =>
+          // Model-sweep comparison (reference:
+          // run_full_evaluation_pipeline.py:854-921): each per-model subdir
+          // written by `pipeline --models` is evaluated against the shared
+          // references; per-model long-format stats (G10) stack into one
+          // table and the best model per metric (G8, deterministic
+          // tie-break) heads the report.
+          val models = Option(new java.io.File(root).listFiles()).toSeq.flatten
+            .filter(d => new java.io.File(d, "summaries").isDirectory)
+            .map(_.getName).sorted
+          require(models.nonEmpty, s"--sweep $root has no <model>/summaries dirs")
+          val perModel = models.map { m =>
+            val pairs = summariesOf(s"$root/$m/summaries", "gen").join(ref, "doc_id")
+            Metrics.summaryStats(Metrics.pairMetrics(pairs), MetricCols)
+              .withColumn("model", lit(m))
+          }.reduce(_ unionByName _)
+          val best = Metrics.bestModelPerMetric(perModel)
+          timed("sweep evaluate + report") {
+            // both sections are aggregate-sized (models x metrics rows)
+            val json =
+              s"""{"best_model_per_metric":${best.toJSON.collect()
+                  .mkString("[", ",", "]")},""" +
+                s""""per_model_statistics":${perModel.toJSON.collect()
+                  .mkString("[", ",", "]")}}"""
+            val p = java.nio.file.Paths.get(report)
+            if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p,
+              json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          println(s"[graft] sweep comparison (${models.size} models) -> $report")
+        case None =>
+          val pairs = summariesOf(opts.getOrElse("gen", sys.error("--gen required")), "gen")
+            .join(ref, "doc_id") // J1: inner equi-join on the shared key
+          val metrics = Metrics.pairMetrics(pairs)
+          val stats = Metrics.summaryStats(metrics, MetricCols)
+          val hist = Metrics.similarityHistogram(metrics)
+          timed("evaluate + report")(
+            Sinks.writeJsonReport(stats, hist, metrics.orderBy("doc_id"), report))
+          println(s"[graft] evaluation report -> $report")
+      }
     } finally if (owned) spark.stop()
   }
 }

@@ -38,6 +38,42 @@ class AppSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/files/1.txt")).nonEmpty)
   }
 
+  test("CLI pipeline: --models sweep writes one safe-named subdir per model") {
+    val docs = writeDocsParquet()
+    val out = tmpDir("graft_out_sweep")
+    // model names carry ':' and '.' so the sweep exercises safe-encoding
+    // (reference: run_full_evaluation_pipeline.py:170, 802-812); without
+    // --ollama-url the deterministic extractive scalar backs every model
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "truncated", "--docs", docs, "--out", out,
+      "--models", "llama3.2:3b,phi4:14b"))
+    val a = spark.read.parquet(s"$out/llama3_2_3b/summaries")
+    val b = spark.read.parquet(s"$out/phi4_14b/summaries")
+    assert(a.count() == 2 && b.count() == 2)
+    // same deterministic summarizer -> identical sweep outputs
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("CLI evaluate --sweep: per-model stats + best-model comparison") {
+    val docs = writeDocsParquet()
+    val out = tmpDir("graft_sweep_out")
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "truncated", "--docs", docs, "--out", out,
+      "--models", "llama3.2:3b,phi4:14b"))
+    val report = s"${tmpDir("graft_sweep_rep")}/sweep.json"
+    graft.app.Main.main(Array(
+      "evaluate", "--sweep", out, "--ref", docs, "--report", report))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(report)))
+    assert(root.path("per_model_statistics").size == 8) // 2 models x 4 metrics
+    assert(root.path("best_model_per_metric").size == 4)
+    // identical deterministic outputs -> G8's lexicographic tie-break
+    root.path("best_model_per_metric").forEach { n =>
+      assert(n.path("best_model").asText == "phi4_14b")
+    }
+  }
+
   test("CLI pipeline: text-dir corpus scan (S1 directory variant)") {
     val corpus = tmpDir("graft_corpus")
     java.nio.file.Files.writeString(
