@@ -238,9 +238,7 @@ object Bpe {
       }
     }
     val vocab = Map.newBuilder[String, Int]
-    val fields = model.path("vocab").fields()
-    while (fields.hasNext) {
-      val e = fields.next()
+    model.path("vocab").properties().forEach { e =>
       vocab += (e.getKey -> e.getValue.asInt)
     }
     new BpeTokenizer(merges.result(), Gpt2Pretokenizer, byteLevel = true,
