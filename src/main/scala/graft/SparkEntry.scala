@@ -368,6 +368,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** S1 (JSONL variant): the dominant training-data interchange format,
+    * round-tripped end-to-end — a bounded doc subset is written as JSONL
+    * from the executors (distributed `df.write.json`), read back through
+    * [[CorpusOps.docsFromJsonl]] (explicit schema — no inference scan),
+    * and held to the same recompute-from-`documents` oracle as the
+    * text-dir ingest. Any serialization infidelity (escaping, encoding,
+    * lost rows, type drift) breaks the hash.
+    */
+  private def s1bJsonlScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s1b_").toString
+    tbl(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").json(s"$out/corpus")
+    CorpusOps.docsFromJsonl(spark, s"$out/corpus")
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- dedup
 
   /** DD1: exact duplicate groups (hash groupBy). */
@@ -986,6 +1003,7 @@ object SparkEntry {
     "c2b_chunk_recursive_deep" -> (c2bChunkRecursiveDeep(_, _)),
     "f7_name_scalars" -> (f7NameScalars(_, _)),
     "s1_textdir_scan" -> (s1TextdirScan(_, _)),
+    "s1b_jsonl_scan" -> (s1bJsonlScan(_, _)),
     "dd1_exact_dups" -> (dd1ExactDups(_, _)),
     "dd1b_prefix_dups" -> (dd1bPrefixDups(_, _)),
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
@@ -1508,6 +1526,10 @@ ORDER BY d.doc_id"""
     // read back byte-identical, keyed by stem; the non-txt decoy must not
     // appear (P2)
     "s1_textdir_scan" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 200
+         ORDER BY doc_id""",
+    // s1b: JSONL round-trip held to the same recompute oracle
+    "s1b_jsonl_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 200
          ORDER BY doc_id""",
     "c1_chunk_fixed" ->

@@ -35,6 +35,16 @@ object CorpusOps {
         graft.functions.fileStem(input_file_name()).as("doc_name"),
         col("value").as("text"))
 
+  /** S1 (JSONL variant): one JSON object per line — the dominant
+    * training-data interchange format. The schema is explicit (no
+    * inference scan — an inference pass over 100 TB of JSONL would read
+    * the corpus twice — and explicit schemas are what `readStream`
+    * requires anyway); extra fields per line are simply not projected.
+    */
+  def docsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("doc_id LONG, text STRING").json(path)
+      .select(col("doc_id"), col("text"))
+
   /** C1/C2: explode documents into ordered chunks:
     * (doc_id, chunk_idx, text, n_tokens). Chunk order is carried explicitly
     * (SURVEY.md §1.3 — reduce prompts join summaries in chunk order).
