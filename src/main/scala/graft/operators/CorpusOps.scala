@@ -40,10 +40,33 @@ object CorpusOps {
     * inference scan — an inference pass over 100 TB of JSONL would read
     * the corpus twice — and explicit schemas are what `readStream`
     * requires anyway); extra fields per line are simply not projected.
+    * Malformed lines are DROPPED, not nulled: web-scale JSONL always
+    * carries some corrupt lines, and a null-text row would otherwise flow
+    * into every downstream operator (count the drop rate separately via
+    * a raw `spark.read.text` line count when it matters).
     */
   def docsFromJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema("doc_id LONG, text STRING").json(path)
+    spark.read.schema("doc_id LONG, text STRING")
+      .option("mode", "DROPMALFORMED")
+      .json(path)
       .select(col("doc_id"), col("text"))
+
+  /** Small-files compaction: rewrite a parquet table into files of
+    * ~`targetMB` each — the standard maintenance pass after streaming /
+    * per-batch appends (thousands of KB-sized files make every downstream
+    * scan pay file-open + footer costs and starve split planning). File
+    * count derives from the table's actual on-disk size; `coalesce` (not
+    * `repartition`) so compaction itself shuffles nothing.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 512): Unit = {
+    val bytes = spark.read.parquet(inPath).inputFiles.map { f =>
+      new java.io.File(new java.net.URI(f).getPath).length()
+    }.sum
+    val nFiles = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
 
   /** C1/C2: explode documents into ordered chunks:
     * (doc_id, chunk_idx, text, n_tokens). Chunk order is carried explicitly

@@ -40,8 +40,14 @@ object TextAnalysis {
     // wins (filter preserves array order)
     val pairs = array(langs.map(l => struct(col(s"hits_$l").as("hits"), lit(l).as("lang"))): _*)
     val maxHits = greatest(langs.map(l => col(s"hits_$l")): _*)
-    val winner = when(maxHits <= 0, lit("und")).otherwise(
-      element_at(filter(pairs, p => p.getField("hits") === maxHits), 1).getField("lang"))
+    // guard INVERTED (maxHits > 0, not <= 0): on NULL text the hit counts
+    // and their max are null, `null <= 0` is null, and the old otherwise
+    // branch called element_at on an empty filter result — a runtime
+    // crash. `null > 0` is falsy, so null text lands on 'und' like any
+    // other no-hits row and the gate drops it.
+    val winner = when(maxHits > 0,
+      element_at(filter(pairs, p => p.getField("hits") === maxHits), 1)
+        .getField("lang")).otherwise(lit("und"))
     withHits.withColumn("lang_pred", winner)
       .select((col("doc_id") +: col("lang_pred") +: langs.map(l => col(s"hits_$l"))): _*)
   }
@@ -57,9 +63,10 @@ object TextAnalysis {
     val pairs = array(langs.map(l =>
       struct(markerHits(arr, l).as("hits"), lit(l).as("lang"))): _*)
     val maxHits = greatest(langs.map(l => markerHits(arr, l)): _*)
-    val winner = when(maxHits <= 0, lit("und")).otherwise(
+    // null-safe guard — see the note in [[languageId]]
+    val winner = when(maxHits > 0,
       element_at(filter(pairs, p => p.getField("hits") === maxHits), 1)
-        .getField("lang"))
+        .getField("lang")).otherwise(lit("und"))
     df.withColumn("lang_pred", winner)
   }
 

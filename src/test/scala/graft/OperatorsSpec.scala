@@ -146,6 +146,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast == dist && fast.nonEmpty)
   }
 
+  test("S1b docsFromJsonl: malformed lines dropped, valid rows kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.jsonl"),
+      """{"doc_id": 1, "text": "good one"}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "good two", "extra": "ignored"}
+        |""".stripMargin)
+    val got = graft.operators.CorpusOps.docsFromJsonl(spark, dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "good one"), (2L, "good two")))
+  }
+
+  test("curation gate drops null/blank text rows instead of crashing") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat in the warm sun while the birds fly"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Curation.gate(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("compactParquet: many small files become size-targeted few, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    spark.range(0, 1000).selectExpr("id AS doc_id", "repeat('x', 50) AS text")
+      .repartition(20).write.parquet(s"$dir/in")
+    assert(new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 20)
+    graft.operators.CorpusOps.compactParquet(spark, s"$dir/in", s"$dir/out")
+    assert(new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1) // tiny table -> one file
+    assert(spark.read.parquet(s"$dir/out").count() == 1000)
+    assert(spark.read.parquet(s"$dir/out").agg(sum(length(col("text"))))
+      .head().getLong(0) == 50000L)
+  }
+
   test("DD8 dedupedCorpus: keeps one min-id row per distinct text") {
     val docs = Seq((3L, "same"), (1L, "same"), (2L, "other"))
       .toDF("doc_id", "text")
