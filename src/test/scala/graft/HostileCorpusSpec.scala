@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.PipelineConfig
+import graft.llm.ExtractiveSummarizer
+import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.strategy.Strategies
+
+/** Adversarial-input sweep: every operator family over a corpus of the
+  * rows a 100 TB crawl actually contains — null text, empty, blank, a
+  * single char, one giant token, unicode, non-BMP emoji, mixed
+  * whitespace. The contract under test is "no crash, hostile rows
+  * classified/dropped/passed through sanely", not specific values (those
+  * are the oracles' job). The null-text lang-ID crash this suite was
+  * written against is pinned in OperatorsSpec.
+  */
+class HostileCorpusSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private lazy val hostile = Seq(
+    (1L, null.asInstanceOf[String]),
+    (2L, ""),
+    (3L, "   "),
+    (4L, "a"),
+    (5L, "x" * 10000), // one giant token, no separator at any level
+    (6L, "naïve café 日本語 текст"),
+    (7L, "😀😀 👍🏽 emoji"),
+    (8L, "tab\tnewline\nmixed  spaces. and the end."))
+    .toDF("doc_id", "text")
+
+  test("text analysis family survives hostile rows") {
+    assert(TextAnalysis.qualityScore(hostile).count() == 8)
+    assert(TextAnalysis.languageId(hostile).count() == 8)
+    assert(TextAnalysis.tokenStats(hostile).count() == 8)
+    assert(TextAnalysis.fingerprint(hostile).count() == 8)
+    assert(TextAnalysis.vocabStats(hostile).count() == 1)
+    assert(TextAnalysis.topNgrams(hostile, 3, 5).count() <= 5)
+  }
+
+  test("dedup family survives hostile rows") {
+    assert(Dedup.exactDuplicates(hostile).count() >= 0)
+    assert(Dedup.minhashSignature(hostile, "text", 3, 16).count() == 8)
+    assert(Dedup.minhashLshPairs(hostile).count() >= 0)
+    assert(Dedup.ngramJaccardPairs(hostile).count() >= 0)
+    assert(Dedup.simhashPairs(hostile).count() >= 0)
+    assert(Dedup.dedupedCorpus(hostile).count() >= 1)
+  }
+
+  test("chunking + strategies survive hostile rows") {
+    val cfg = PipelineConfig(chunkSize = 20, chunkOverlap = 4, tokenMax = 30,
+      maxSummaryTokens = 10)
+    val chunks = graft.operators.CorpusOps.chunkDocs(hostile, cfg)
+    assert(chunks.count() >= 5) // null/empty rows yield no chunks; rest do
+    val strategies = new Strategies(ExtractiveSummarizer, cfg = cfg)
+    assert(strategies.truncated(hostile).count() == 8)
+    // map-reduce drops chunkless (null/empty) docs by construction
+    assert(strategies.mapReduce(hostile).count() >= 5)
+  }
+
+  test("curation gates + full curate survive hostile rows") {
+    val gated = Curation.gate(hostile).select("doc_id").as[Long].collect().toSet
+    assert(!gated.contains(1L) && !gated.contains(2L) && !gated.contains(3L))
+    assert(Curation.curate(hostile).count() >= 0)
+  }
+
+  test("metrics survive null gen/ref pairs") {
+    val pairs = Seq(
+      (1L, null.asInstanceOf[String], "the reference text here"),
+      (2L, "a generated summary", null.asInstanceOf[String]),
+      (3L, "", ""),
+      (4L, "same words", "same words"))
+      .toDF("doc_id", "gen", "ref")
+    val m = graft.eval.Metrics.pairMetrics(pairs)
+    assert(m.count() == 4)
+    val perfect = m.filter(col("doc_id") === 4).select("rouge1_f")
+      .head().getDouble(0)
+    assert(perfect == 1.0)
+  }
+}
