@@ -67,6 +67,32 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(Curation.curate(hostile).count() >= 0)
   }
 
+  test("vector family survives zero / short / null embeddings") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(0f, 0f, 0f, 0f)), // zero vector (cosine denom guard)
+      (2L, Array(1f, 0f)), // shorter than the declared dim
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1f, 1f, 1f, 1f))).toDF("query_id", "embedding")
+    assert(Similarity.bruteForceTopK(emb, q, 3).count() <= 3)
+    assert(Similarity.lshTopK(emb, q, 3, 4, tables = 2, planes = 2).count() >= 0)
+    assert(Similarity.ivfTopK(emb, q, 3, 4, nCells = 2, nProbe = 2).count() >= 0)
+    assert(Dedup.embeddingCosinePairs(emb, 0.5).count() >= 0)
+    assert(Dedup.embeddingCosinePairsLsh(emb, 0.5, 4, tables = 2, planes = 2)
+      .count() >= 0)
+  }
+
+  test("connected components with negative vertex ids (both paths)") {
+    val pairs = Seq((-5L, -3L), (-3L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val want = Map(-5L -> -5L, -3L -> -5L, 2L -> -5L, 7L -> 7L, 8L -> 7L)
+    assert(Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == want)
+    assert(Dedup.connectedComponents(pairs, smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap == want)
+  }
+
   test("metrics survive null gen/ref pairs") {
     val pairs = Seq(
       (1L, null.asInstanceOf[String], "the reference text here"),
