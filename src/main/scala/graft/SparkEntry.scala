@@ -601,6 +601,44 @@ object SparkEntry {
   private def ta5bVocabHll(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStatsApprox(tbl(spark, dir, "documents"))
 
+  /** TA7: PII redaction on a PII-bearing corpus derived in-query (the
+    * clean test corpus carries none, so deterministic email / phone / IPv4
+    * tokens are appended per doc — both redaction branches and the
+    * count-on-original semantics get exercised on every row).
+    */
+  private def ta7PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pii = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +84 90 123 45"), col("doc_id").cast("string"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 now")).as("text"))
+    TextAnalysis.redactPii(pii)
+      .select(col("doc_id"), col("text_redacted"),
+        col("n_emails"), col("n_phones"), col("n_ips"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TA8: repetition signals on a multi-line corpus derived in-query
+    * (8-word lines plus the first line repeated once, so every doc has a
+    * known injected duplicate and the natural word-salad bigram mode on
+    * top — both signals non-degenerate on every row).
+    */
+  private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks0 = split(trim(col("text")), "\\s+")
+    val linesArr = transform(
+      sequence(lit(0), floor((size(toks0) - 1) / 8.0).cast("int")),
+      g => array_join(slice(toks0, g * 8 + 1, lit(8)), " "))
+    val rep = tbl(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        concat(array_join(linesArr, "\n"), lit("\n"), element_at(linesArr, 1))
+          .as("text"))
+    TextAnalysis.repetitionSignals(rep)
+      .orderBy(col("doc_id"))
+  }
+
   /** TA6: top-10 corpus trigrams (count desc, gram asc tie-break). */
   private def ta6TopNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgrams(tbl(spark, dir, "documents"), n = 3, k = 10)
@@ -1026,6 +1064,8 @@ object SparkEntry {
     "ta4_fingerprint" -> (ta4Fingerprint(_, _)),
     "ta5_vocab" -> (ta5Vocab(_, _)),
     "ta5b_vocab_hll" -> (ta5bVocabHll(_, _)),
+    "ta7_pii_redact" -> (ta7PiiRedact(_, _)),
+    "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
@@ -1224,6 +1264,65 @@ ORDER BY d.doc_id"""
          SELECT COUNT(DISTINCT tok) AS vocab_size, COUNT(*) AS n_tokens,
            TRUE AS hll_ok
          FROM t""",
+    // ta7: the same RE2-compatible regex constants drive both engines (no
+    // drift possible); counts on the original text, replacement order
+    // email -> phone -> ip
+    "ta7_pii_redact" -> {
+      import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH pii AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +84 90 123 45' || CAST(doc_id AS VARCHAR) ||
+             ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '$EmailRe', '<EMAIL>', 'g'),
+             '$PhoneRe', '<PHONE>', 'g'),
+             '$Ipv4Re', '<IP>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INT) AS n_ips
+         FROM pii ORDER BY doc_id"""
+    },
+    // ta8: dup-line fraction + top-bigram fraction on the derived
+    // multi-line corpus (first line repeated once per doc)
+    "ta8_repetition" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+           WHERE trim(text) <> ''),
+         pl AS (
+           SELECT doc_id, g,
+                  array_to_string(toks[CAST(g*8+1 AS INT):CAST(g*8+8 AS INT)], ' ') AS piece
+           FROM base, LATERAL UNNEST(generate_series(0, CAST(floor((len(toks)-1)/8.0) AS BIGINT))) AS u(g)),
+         rep AS (
+           SELECT doc_id,
+                  string_agg(piece, chr(10) ORDER BY g) || chr(10) ||
+                    MAX(CASE WHEN g = 0 THEN piece END) AS t
+           FROM pl GROUP BY 1),
+         lns AS (
+           SELECT doc_id,
+                  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                              x -> x <> '') AS ls
+           FROM rep),
+         dupf AS (
+           SELECT doc_id,
+                  CASE WHEN len(ls) > 0
+                    THEN round(1.0 - len(list_distinct(ls)) * 1.0 / len(ls), 4)
+                    ELSE 0.0 END AS dup_line_frac
+           FROM lns),
+         tk AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS toks FROM rep),
+         bg AS (
+           SELECT doc_id, toks[CAST(k AS INT)] || ' ' || toks[CAST(k+1 AS INT)] AS gram
+           FROM tk, LATERAL UNNEST(generate_series(1, len(toks)-1)) AS u(k)
+           WHERE len(toks) >= 2),
+         cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         agg AS (SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 4) AS top2gram_frac
+                 FROM cnt GROUP BY 1)
+         SELECT d.doc_id AS doc_id, d.dup_line_frac,
+                COALESCE(a.top2gram_frac, 0.0) AS top2gram_frac
+         FROM dupf d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY doc_id""",
     // top-10 trigrams, deterministic (count desc, gram asc)
     "ta6_top_ngrams" ->
       """WITH toks AS (

@@ -174,6 +174,62 @@ object TextAnalysis {
           <= col("vocab_size").cast("double") * tolerance).as("hll_ok"))
   }
 
+  /** TA7: PII tagging + redaction — the scrub pass every training-data
+    * pipeline runs before release. Patterns (emails, phone-like digit
+    * runs, IPv4) are deliberately RE2-compatible (no lookaround, no
+    * backrefs) so the exact same regexes run under Java (Spark) and RE2
+    * (DuckDB oracle) engines; replacement order is fixed
+    * (email → phone → ip) and counts are taken on the ORIGINAL text.
+    * Pure Column expressions — codegen, no UDF.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+  }
+
+  /** TA8: repetition signals — the Gopher/RefinedWeb-style quality gates
+    * for machine-generated / boilerplate text: the fraction of duplicate
+    * (trimmed, non-empty) lines, and the fraction of all word bigrams
+    * taken by the single most frequent bigram. Line dedup is per-row
+    * array algebra (no shuffle); the bigram mode is an explode + two
+    * hash-aggregates — the scale shape (a per-row O(distinct²) array
+    * scan would blow up on 50k-token documents). Docs with no lines /
+    * fewer than two tokens score 0.0.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val linesArr = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= lit(""))
+    val dup = docs.select(col("doc_id"),
+      r4(when(size(linesArr) > 0,
+        lit(1.0) - size(array_distinct(linesArr)).cast("double") / size(linesArr))
+        .otherwise(0.0)).as("dup_line_frac"))
+    val toks = split(trim(t), "\\s+")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array())
+    val top = docs.select(col("doc_id"), explode(bigrams).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(r4(max(col("c")).cast("double") / sum(col("c"))).as("top2gram_frac"))
+    dup.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_line_frac"),
+        coalesce(col("top2gram_frac"), lit(0.0)).as("top2gram_frac"))
+  }
+
   /** Top-k word n-grams by corpus frequency with a deterministic tie-break
     * (count desc, gram asc) — the frequent-n-gram/contamination-scan pass
     * of a training-data pipeline. Explode -> hash-aggregate (partial aggs

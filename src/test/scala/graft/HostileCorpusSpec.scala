@@ -41,6 +41,17 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(TextAnalysis.topNgrams(hostile, 3, 5).count() <= 5)
   }
 
+  test("PII redaction + repetition signals survive hostile rows") {
+    assert(TextAnalysis.redactPii(hostile).count() == 8)
+    val rep = TextAnalysis.repetitionSignals(hostile)
+    assert(rep.count() == 8)
+    // null/empty/single-token rows score 0.0, never null/NaN
+    rep.collect().foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+    }
+  }
+
   test("dedup family survives hostile rows") {
     assert(Dedup.exactDuplicates(hostile).count() >= 0)
     assert(Dedup.minhashSignature(hostile, "text", 3, 16).count() == 8)
