@@ -921,6 +921,21 @@ object SparkEntry {
     Seq(acc.value).toDF("n_curated")
   }
 
+  /** Incremental curation flagship: odd-id docs are the NEW daily batch,
+    * even-id docs the existing curated corpus — gates on the batch only,
+    * exact-fp dedup against both the batch and existing, and near-dup
+    * contamination over the union graph (a new doc near-duplicating
+    * existing content drops; purely-new near-dup groups keep their min).
+    * End-to-end oracle composed from the proven gate / dd4 / closure CTEs.
+    */
+  private def pipeCurationIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Curation.curateIncremental(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation flagship: the composed training-data pass (TA2 language gate
     * -> TA1 quality gate -> DD1b exact prefix dedup -> DD4/DD7 near-dup
     * components -> DD8 keeper selection) as ONE registered query with an
@@ -1084,6 +1099,7 @@ object SparkEntry {
     "mm5_resize" -> (mm5Resize(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
+    "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
@@ -1903,6 +1919,7 @@ ORDER BY d.doc_id"""
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "pipe_curation" -> curationSql,
+    "pipe_curation_incr" -> curationIncrSql,
     "stream_curation" -> streamCurationSql,
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
@@ -2083,6 +2100,54 @@ cgated AS (
     s"""WITH $gateCtes
 SELECT CAST(COUNT(DISTINCT md5(substr(text, 1, 100))) AS BIGINT) AS n_curated
 FROM cgated"""
+
+  /** pipe_curation_incr oracle: odd ids = new batch, even ids = existing.
+    * Survivor rule (matching Curation.curateIncremental): gated, first
+    * in-batch per prefix fingerprint, fingerprint unseen in existing, and
+    * not in a near-dup component touching existing (else min-of-pure-new
+    * component). Same gate / shingle-jaccard / transitive-closure CTE
+    * fragments as the batch oracle.
+    */
+  private def curationIncrSql: String = {
+    s"""WITH RECURSIVE $gateCtes,
+ngated AS (SELECT * FROM cgated WHERE doc_id % 2 = 1),
+exist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+nkeep AS (
+  SELECT md5(substr(text, 1, 100)) AS fp, MIN(doc_id) AS doc_id
+  FROM ngated GROUP BY 1),
+nkeep2 AS (
+  SELECT doc_id FROM nkeep
+  WHERE fp NOT IN (SELECT md5(substr(text, 1, 100)) FROM exist)),
+nexact AS (SELECT g.* FROM ngated g JOIN nkeep2 USING (doc_id)),
+uni AS (SELECT doc_id, text FROM nexact UNION ALL SELECT doc_id, text FROM exist),
+utoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM uni),
+ush AS (
+  SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+  FROM utoks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+usz AS (SELECT doc_id, COUNT(*) AS n FROM ush GROUP BY 1),
+uinter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+  FROM ush x JOIN ush y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+ujp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM uinter JOIN usz sa ON doc_a = sa.doc_id JOIN usz sb ON doc_b = sb.doc_id)
+  WHERE jaccard >= 0.5),
+uedges AS (SELECT doc_a AS a, doc_b AS b FROM ujp UNION SELECT doc_b, doc_a FROM ujp),
+ureach AS (
+  SELECT DISTINCT a AS src, a AS dst FROM uedges
+  UNION
+  SELECT r.src, e.b FROM ureach r JOIN uedges e ON r.dst = e.a),
+ulabel AS (SELECT src AS doc_id, MIN(dst) AS component FROM ureach GROUP BY 1),
+contam AS (SELECT DISTINCT component FROM ulabel WHERE doc_id % 2 = 0),
+ulosers AS (
+  SELECT doc_id FROM ulabel WHERE component IN (SELECT component FROM contam)
+  UNION
+  SELECT doc_id FROM ulabel WHERE component <> doc_id)
+SELECT doc_id, lang_pred, n_tokens, n_chars, stopword_ratio
+FROM nexact WHERE doc_id NOT IN (SELECT doc_id FROM ulosers)
+ORDER BY doc_id"""
+  }
 
   private def curationSql: String = {
     s"""WITH RECURSIVE $gateCtes,

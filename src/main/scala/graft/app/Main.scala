@@ -36,7 +36,8 @@ object Main {
           "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
-          "[--min-stopword-ratio X] [--jaccard X] [--write-corpus]")
+          "[--min-stopword-ratio X] [--jaccard X] [--write-corpus] " +
+          "[--existing CURATED_PATH]")
       sys.exit(2)
   }
 
@@ -200,14 +201,26 @@ object Main {
     val (spark, owned) = session()
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
-      val kept = timed("curate") {
-        graft.operators.Curation.curate(
-          docs,
-          keepLangs = opts.get("langs").map(_.split(",").toSeq).getOrElse(Seq("en")),
-          minStopwordRatio = opts.get("min-stopword-ratio").map(_.toDouble).getOrElse(0.01),
-          minTokens = opts.get("min-tokens").map(_.toLong).getOrElse(5L),
-          maxPunctRatio = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30),
-          jaccardThreshold = opts.get("jaccard").map(_.toDouble).getOrElse(0.5))
+      val langs = opts.get("langs").map(_.split(",").toSeq).getOrElse(Seq("en"))
+      val minStop = opts.get("min-stopword-ratio").map(_.toDouble).getOrElse(0.01)
+      val minTok = opts.get("min-tokens").map(_.toLong).getOrElse(5L)
+      val maxPunct = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30)
+      val jac = opts.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      // --existing <curated docs>: the daily-increment form — curate only
+      // the new batch against the already-curated corpus
+      val kept = opts.get("existing") match {
+        case Some(ex) => timed("curate incremental") {
+          graft.operators.Curation.curateIncremental(
+            docs, loadDocs(spark, ex),
+            keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
+            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+        }
+        case None => timed("curate") {
+          graft.operators.Curation.curate(
+            docs,
+            keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
+            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+        }
       }
       timed("write curated")(kept.write.mode("overwrite").parquet(s"$out/curated"))
       if (opts.contains("write-corpus"))

@@ -89,4 +89,69 @@ object Curation {
     gated.unpersist()
     curated
   }
+
+  /** Incremental curation — the daily-increment form of [[curate]]: curate
+    * only `newDocs` against an `existing` already-curated corpus (the S6
+    * skip-if-exists discipline applied to the whole curation pass). A new
+    * doc survives iff it
+    *  (1) passes the gates,
+    *  (2) carries a prefix fingerprint seen neither in `existing` nor
+    *      earlier (min doc_id) in the new batch, and
+    *  (3) is not a near-duplicate of existing content (its component in
+    *      the UNION near-dup graph contains no existing doc) and is the
+    *      minimum-id member of its purely-new component.
+    * Ids must be disjoint across the two inputs (they are distinct
+    * corpora by construction).
+    *
+    * Scale shape: gates are projections over the NEW batch only; the
+    * exact-dedup check against existing is one anti-join on 16-byte
+    * fingerprints (broadcast when the daily batch is small); the near-dup
+    * stage shingle-joins new survivors against new ∪ existing — at
+    * production scale the existing side's shingle buckets are precomputed
+    * once and reused across increments, so each increment costs
+    * O(new batch), not O(corpus).
+    */
+  def curateIncremental(newDocs: DataFrame, existing: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30,
+      prefixLen: Int = 100,
+      shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fp = md5(substring(col("text"), 1, prefixLen))
+    val gated = gate(newDocs.select(col("doc_id"), col("text")),
+      keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (2): first-in-batch per fingerprint, minus fingerprints existing holds
+    val batchKeepers = gated
+      .groupBy(fp.as("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(existing.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+    val exact = gated.join(batchKeepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (3): near-dup components over new survivors UNION existing
+    val uni = exact.select(col("doc_id"), col("text"))
+      .unionByName(existing.select(col("doc_id"), col("text")))
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(uni, "text", shingleN, jaccardThreshold))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contaminated = labels
+      .join(existing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val losers = labels
+      .join(contaminated, Seq("component"), "left_semi")
+      .select(col("doc_id"))
+      .unionByName(labels.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id")))
+      .distinct()
+    val curated = Materialize(exact.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("n_chars"), col("stopword_ratio")))
+    labels.unpersist()
+    exact.unpersist()
+    gated.unpersist()
+    curated
+  }
 }

@@ -53,6 +53,36 @@ class CurationSpec extends AnyFunSuite {
       s"curate() returned an unmaterialized plan: $kinds")
   }
 
+  test("incremental curation: every drop rule against the existing corpus fires") {
+    val existing = Seq(
+      100L -> en,
+      102L -> (sharedPrefix + " morning air feels crisp today"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      1L -> enNear, // dropped: near-dup of EXISTING doc 100
+      3L -> (sharedPrefix + " evening light fades away slowly"), // dropped: prefix-fp already in existing (102)
+      5L -> "it is that the sun and the moon share the sky in the evening of day", // kept: genuinely new
+      7L -> "the small ship sails on the wide sea and the wind is of the north",
+      9L -> "the small ship sails on the wide sea and the wind is of the south"
+      // 7/9 near-dup each other only -> purely-new component keeps min (7)
+    ).toDF("doc_id", "text")
+    val kept = Curation.curateIncremental(newBatch, existing)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L))
+  }
+
+  test("incremental curation with empty existing == batch curate on the batch") {
+    val batch = Seq(1L -> en, 2L -> enNear,
+      3L -> "it is that the sun and the moon share the sky in the evening of day")
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incr = Curation.curateIncremental(batch, empty)
+      .select("doc_id").as[Long].collect().toSet
+    val full = Curation.curate(batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(incr == full)
+  }
+
   test("keeper invariants: kept set is prefix-unique and jaccard-sparse") {
     val docs = Seq(
       10L -> en, 11L -> enNear,
