@@ -417,6 +417,32 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DC1: benchmark decontamination report — the train/test-leak guard.
+    * Benchmark slice = doc_id % 10 == 0 (an "eval set" carved from the
+    * corpus so the near-dup structure guarantees real collisions); corpus =
+    * the rest; 5-token shingles (the 13-gram production default would find
+    * nothing on this synthetic corpus — the knob, not the shape, changes).
+    */
+  private def dc1Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Dedup.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "text", 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DC2: the decontaminated corpus itself — every training doc with zero
+    * benchmark shingle collisions (strict maxOverlap=0 form).
+    */
+  private def dc2DecontamCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "text", 5)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DD7: near-dup groups = connected components over the dd4 pair graph
     * (min-label propagation; oracled against a recursive-CTE transitive
     * closure on the same pairs).
@@ -1062,6 +1088,8 @@ object SparkEntry {
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
+    "dc1_decontam" -> (dc1Decontam(_, _)),
+    "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
@@ -1868,6 +1896,37 @@ ORDER BY d.doc_id"""
              round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
            FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    // dc1/dc2: benchmark decontamination — 5-token shingle collision between
+    // the corpus (doc_id % 10 <> 0) and the benchmark slice (% 10 = 0).
+    // Same toks/shingle derivation as dd4.
+    "dc1_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM corp GROUP BY 1),
+         hits AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM corp JOIN bench USING (g) GROUP BY 1)
+         SELECT doc_id, n_hits, n_ngrams,
+           round(n_hits * 1.0 / n_ngrams, 4) AS overlap
+         FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""",
+    "dc2_decontam_corpus" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         flagged AS (
+           SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+           WHERE doc_id % 10 <> 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         ORDER BY doc_id""",
     // dd7: transitive closure (recursive CTE) over the SAME pair derivation
     // as dd4; component = min reachable id. Mirrors min-label propagation's
     // fixed point exactly.

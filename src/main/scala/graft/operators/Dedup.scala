@@ -455,27 +455,35 @@ object Dedup {
     *     (doc_id, nsh) struct, so no join back to a sizes table — the final
     *     aggregate already has |A| and |B| on the row.
     */
+  /** Distinct 64-bit shingle hashes of a text column (lowercased,
+    * whitespace-tokenized, `n`-token sliding windows; a doc shorter than
+    * `n` tokens contributes its whole token stream as one shingle). Shared
+    * by Jaccard near-dup pairing and benchmark decontamination: a long
+    * hash shuffles/broadcasts ~10x less than the multi-word string and
+    * both consumers only need shingle identity.
+    */
+  private[operators] def shingleHashesUdf(n: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val t = text.toLowerCase.trim
+      val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+      val shingles: Iterator[String] =
+        if (toks.isEmpty) Iterator.empty
+        else if (toks.length < n) Iterator(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" "))
+      val set = scala.collection.mutable.HashSet.empty[Long]
+      shingles.foreach { s =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+        set += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      }
+      set.toArray
+    }
+  }
+
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
       shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val n = shingleSize
-    val hashesUdf = udf { (text: String) =>
-      if (text == null) Array.empty[Long]
-      else {
-        val t = text.toLowerCase.trim
-        val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
-        val shingles: Iterator[String] =
-          if (toks.isEmpty) Iterator.empty
-          else if (toks.length < n) Iterator(toks.mkString(" "))
-          else toks.sliding(n).map(_.mkString(" "))
-        val set = scala.collection.mutable.HashSet.empty[Long]
-        shingles.foreach { s =>
-          val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-          val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
-          set += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-        }
-        set.toArray
-      }
-    }
+    val hashesUdf = shingleHashesUdf(shingleSize)
     docs
       .select(col("doc_id"), hashesUdf(col(textCol)).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("nsh"), explode(col("hs")).as("h"))
@@ -491,5 +499,48 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Benchmark decontamination report: for each training doc that shares
+    * at least one `ngramSize`-token shingle with the benchmark/eval set,
+    * emit (doc_id, n_hits, n_ngrams, overlap) where `overlap` =
+    * |doc ∩ bench| / |doc| over distinct shingles. The classic
+    * train/test-leak guard (13-gram collision in the GPT-3/Llama
+    * decontamination recipes; `ngramSize` is the knob).
+    *
+    * Scale shape: the benchmark side is an EVAL set — small by definition —
+    * so its distinct shingle-hash set is broadcast and the 100 TB corpus
+    * side never shuffles: explode → broadcast-hash semi-join → per-doc
+    * hash-agg with map-side partials. If the eval suite ever outgrows the
+    * broadcast threshold, swap the broadcast for a bloom-filter prefilter
+    * plus this same join on the survivors; the report shape is unchanged.
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
+    val hs = shingleHashesUdf(ngramSize)
+    val benchGrams = benchmark.select(explode(hs(col(textCol))).as("h")).distinct()
+    docs
+      .select(col("doc_id"), hs(col(textCol)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_ngrams"), explode(col("hs")).as("h"))
+      .join(broadcast(benchGrams), Seq("h"))
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("overlap",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 4))
+      .select("doc_id", "n_hits", "n_ngrams", "overlap")
+  }
+
+  /** Decontaminated corpus: drop every doc whose benchmark shingle overlap
+    * exceeds `maxOverlap` (default 0.0 = any collision drops, the strict
+    * form). Anti-join on doc_id against the report's flagged set — the
+    * corpus rows themselves are never shuffled.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13,
+      maxOverlap: Double = 0.0): DataFrame = {
+    val flagged = contaminationReport(docs, benchmark, textCol, ngramSize)
+      .filter(col("overlap") > maxOverlap)
+      .select("doc_id")
+    docs.join(flagged, Seq("doc_id"), "left_anti")
   }
 }

@@ -90,6 +90,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("DC1/DC2 decontamination: bench-overlapping docs flagged and dropped") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny doc")) // < n tokens: whole-doc shingle
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro words the quick brown fox jumps over something new"), // shares one 5-gram
+      (2L, "completely disjoint training material about ships and seas"),
+      (3L, "tiny doc")) // whole-doc shingle collides with bench 101
+      .toDF("doc_id", "text")
+    val byId = Dedup.contaminationReport(docs, bench, "text", 5)
+      .select("doc_id", "n_hits", "n_ngrams", "overlap")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(1L, 3L))
+    assert(byId(1L).getAs[Long]("n_hits") == 2L)
+    assert(byId(1L).getAs[Int]("n_ngrams") == 6)
+    assert(byId(3L).getAs[Double]("overlap") == 1.0)
+    val clean = Dedup.decontaminate(docs, bench, "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+    // threshold form: only the fully-contained doc drops at maxOverlap 0.5
+    val lax = Dedup.decontaminate(docs, bench, "text", 5, maxOverlap = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L))
+  }
+
   test("DD3 MinHash LSH: identical docs collide in every band") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
