@@ -652,12 +652,16 @@ object SparkEntry {
     * top — both signals non-degenerate on every row).
     */
   private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks0 = split(trim(col("text")), "\\s+")
+    // tokens materialized as an attribute before the line-building lambda:
+    // slice() inside transform() would otherwise re-split the doc per line
+    // (no subexpression elimination inside HOF lambdas — see topNgrams)
+    val toks0 = col("__toks0")
     val linesArr = transform(
       sequence(lit(0), floor((size(toks0) - 1) / 8.0).cast("int")),
       g => array_join(slice(toks0, g * 8 + 1, lit(8)), " "))
     val rep = tbl(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks0"))
       .select(col("doc_id"),
         concat(array_join(linesArr, "\n"), lit("\n"), element_at(linesArr, 1))
           .as("text"))

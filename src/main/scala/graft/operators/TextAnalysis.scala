@@ -211,17 +211,26 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val linesArr = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= lit(""))
-    val dup = docs.select(col("doc_id"),
+    // Materialize lines/tokens as their own projections FIRST: the lambdas
+    // below reference the arrays many times, and subexpression elimination
+    // does not reach inside higher-order-function lambdas — inline, every
+    // element_at re-splits the document (O(n^2) per doc; same pitfall and
+    // ~10x measured cost as documented at topNgrams).
+    val base = docs.select(col("doc_id"),
+      filter(transform(split(t, "\n"), l => trim(l)), l => l =!= lit(""))
+        .as("__lines"),
+      split(trim(t), "\\s+").as("__toks"))
+    val linesArr = col("__lines")
+    val dup = base.select(col("doc_id"),
       r4(when(size(linesArr) > 0,
         lit(1.0) - size(array_distinct(linesArr)).cast("double") / size(linesArr))
         .otherwise(0.0)).as("dup_line_frac"))
-    val toks = split(trim(t), "\\s+")
+    val toks = col("__toks")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array())
-    val top = docs.select(col("doc_id"), explode(bigrams).as("gram"))
+    val top = base.select(col("doc_id"), explode(bigrams).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(r4(max(col("c")).cast("double") / sum(col("c"))).as("top2gram_frac"))
