@@ -443,6 +443,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SP1: deterministic train/val/test assignment. Weights 0.75/0.125/0.125
+    * are binary-exact so the cumulative thresholds carry no float dust and
+    * the oracle's CASE literals are the same doubles bit-for-bit (the
+    * operator default 0.9/0.05/0.05 is for users; specs pin it).
+    */
+  private def sp1Split(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplits(
+      tbl(spark, dir, "documents").select(col("doc_id")),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .orderBy(col("doc_id"))
+
+  /** SP2: per-stratum exact-fraction sample (even ids keep 3/4, odd 1/4;
+    * the stratum column is deliberately trivial — the op under test is the
+    * per-stratum keyed-hash filter, not the stratum derivation).
+    */
+  private def sp2Stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      tbl(spark, dir, "documents").select(col("doc_id")),
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd"),
+      Map("even" -> 0.75), defaultFraction = 0.25)
+      .orderBy(col("doc_id"))
+
+  /** MX1: weighted deterministic resampling — the corpus-mixing primitive.
+    * Weights by id class: 2.5x upsample / 0.25 downsample / 1.0 keep / 0
+    * drop (all binary-exact fractions; see sp1).
+    */
+  private def mx1Resample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedResample(
+      tbl(spark, dir, "documents").select(col("doc_id")),
+      when(col("doc_id") % 4 === 0, 2.5).when(col("doc_id") % 4 === 1, 0.25)
+        .when(col("doc_id") % 4 === 2, 1.0).otherwise(0.0))
+      .orderBy(col("doc_id"), col("copy"))
+
   /** DD7: near-dup groups = connected components over the dd4 pair graph
     * (min-label propagation; oracled against a recursive-CTE transitive
     * closure on the same pairs).
@@ -1094,6 +1127,9 @@ object SparkEntry {
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
+    "sp1_split" -> (sp1Split(_, _)),
+    "sp2_stratified" -> (sp2Stratified(_, _)),
+    "mx1_resample" -> (mx1Resample(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
@@ -1931,6 +1967,42 @@ ORDER BY d.doc_id"""
          SELECT doc_id FROM documents
          WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
          ORDER BY doc_id""",
+    // sp1/sp2/mx1: keyed-hash sampling family. u = first 60 bits of
+    // md5("<seed>:<id>") / 2^60 — the ta4/o4 md5-prefix-long idiom; all
+    // registered weights are binary-exact so thresholds match bit-for-bit.
+    "sp1_split" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+         FROM u ORDER BY doc_id""",
+    "sp2_stratified" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents)
+         WHERE u < CASE WHEN doc_id % 2 = 0 THEN 0.75 ELSE 0.25 END
+         ORDER BY doc_id""",
+    "mx1_resample" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 2.5 WHEN 1 THEN 0.25
+               WHEN 2 THEN 1.0 ELSE 0.0 END AS w,
+             CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS n
+           FROM w)
+         SELECT doc_id, CAST(g.k AS INT) AS copy
+         FROM c, LATERAL UNNEST(generate_series(1, n)) AS g(k)
+         ORDER BY doc_id, copy""",
     // dd7: transitive closure (recursive CTE) over the SAME pair derivation
     // as dd4; component = min reachable id. Mirrors min-label propagation's
     // fixed point exactly.

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / mixture operators for training-data
+  * pipelines: train/val/test assignment, weighted up/down-sampling for
+  * corpus mixing, and stratified fractions.
+  *
+  * Everything here keys on a seeded md5 of the document id — NOT on
+  * `rand()` — so results are independent of partition layout and task
+  * retries (a rand()-based split re-rolls under speculative execution and
+  * AQE re-partitioning), reproducible across runs and engines (md5 is
+  * bit-identical in DuckDB, so every operator has an exact SQL oracle),
+  * and stable under incremental appends: a doc keeps its split/copies
+  * forever, no matter what else lands in the corpus.
+  *
+  * Scale shape: all pure Column expressions (whole-stage codegen, no UDF,
+  * no shuffle) — a 100 TB corpus splits in one map-only pass.
+  */
+object Sampling {
+
+  /** Uniform [0,1) draw keyed on (seed, id): first 60 bits of
+    * md5("<seed>:<id>") over 2^60 — the same md5-prefix-long derivation as
+    * the MinHash/fingerprint family (SURVEY §7.4).
+    */
+  private def unitHash(idCol: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), idCol.cast("string"))), 1, 15),
+      16, 10).cast("double") / lit(1.152921504606846976e18)
+
+  /** Assign each row to one named split with the given weights (need not
+    * sum to 1 — they are normalized). Adds a `split` column; rows keep all
+    * input columns. Deterministic in (seed, id) only.
+    */
+  def assignSplits(docs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: String = "split", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum > 0, s"bad split weights: $weights")
+    val total = weights.map(_._2).sum
+    val u = unitHash(col(idCol), seed)
+    // fold cumulative thresholds into one chained CASE; the last split is
+    // the unconditional otherwise so float edge-dust cannot drop a row
+    val cum = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val expr = weights.init.zip(cum).foldLeft(None: Option[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val c = u < lit(hi)
+        Some(acc.fold(when(c, lit(name)))(_.when(c, lit(name))))
+    }.fold(lit(weights.head._1))(_.otherwise(lit(weights.last._1)))
+    docs.withColumn("split", expr)
+  }
+
+  /** Weighted deterministic resampling — the corpus-mixing primitive: each
+    * row is emitted `floor(weight)` times plus one more with probability
+    * `frac(weight)` (keyed on (seed, id), not rand()). weight < 1
+    * downsamples, weight > 1 upsamples, 0 drops. Output adds a `copy`
+    * column (1-based) so downstream shuffles can spread the replicas.
+    * Domain-reweighting a 100 TB mixture is one map-only pass; no row is
+    * ever shuffled to decide its own fate.
+    */
+  def weightedResample(docs: DataFrame, weight: Column,
+      seed: String = "mix", idCol: String = "doc_id"): DataFrame = {
+    val u = unitHash(col(idCol), seed)
+    val copies = (floor(weight) +
+      when(u < weight - floor(weight), 1).otherwise(0)).cast("int")
+    // sequence(1, 0) steps BACKWARD in Spark — zero-copy rows must map to
+    // an empty array (explode then drops them), not reach sequence()
+    docs.withColumn("copy",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Per-stratum exact-fraction sample: keep each row iff its unit hash
+    * falls under its stratum's fraction. `fractions` maps stratum value →
+    * keep fraction; strata absent from the map keep `defaultFraction`.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: String = "strat", idCol: String = "doc_id"): DataFrame = {
+    val u = unitHash(col(idCol), seed)
+    val frac = fractions.foldLeft(None: Option[Column]) {
+      case (acc, (k, f)) =>
+        val c = stratumCol === lit(k)
+        Some(acc.fold(when(c, lit(f)))(_.when(c, lit(f))))
+    }.fold(lit(defaultFraction))(_.otherwise(lit(defaultFraction)))
+    docs.filter(u < frac)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("SP1 assignSplits: total, deterministic, partition-layout-independent") {
+    val docs = ids(2000)
+    val a = Sampling.assignSplits(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.size == 2000) // every row assigned exactly one split
+    val b = Sampling.assignSplits(docs.repartition(7))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // keyed hash, not rand(): layout cannot change splits
+    // 0.9/0.05/0.05 within loose tolerance on 2000 draws
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.03)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.03)
+  }
+
+  test("SP1 assignSplits: weights normalize (2x weights => same assignment)") {
+    val docs = ids(500)
+    val a = Sampling.assignSplits(docs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.assignSplits(docs,
+      Seq("train" -> 1.0, "test" -> 1.0))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("SP1 assignSplits: append-stable — a doc keeps its split forever") {
+    val small = Sampling.assignSplits(ids(100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grown = Sampling.assignSplits(ids(5000))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("MX1 weightedResample: integer weights copy exactly, 0 drops, frac samples") {
+    val docs = ids(400)
+    val w = when(col("doc_id") % 4 === 0, 2.0)
+      .when(col("doc_id") % 4 === 1, 1.0)
+      .when(col("doc_id") % 4 === 2, 0.0)
+      .otherwise(0.5)
+    val out = Sampling.weightedResample(docs, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    val byId = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // exact-integer weights never roll the fractional extra
+    assert((0L until 400L by 4).forall(byId(_) == ((2L, 2))))
+    assert((1L until 400L by 4).forall(byId(_) == ((1L, 1))))
+    assert((2L until 400L by 4).forall(!byId.contains(_))) // w=0 dropped
+    val halves = (3L until 400L by 4).count(byId.contains)
+    assert(halves > 20 && halves < 80) // ~50 of 100 at w=0.5
+    assert((3L until 400L by 4).filter(byId.contains).forall(byId(_) == ((1L, 1))))
+  }
+
+  test("MX1 weightedResample: deterministic across partition layouts") {
+    val docs = ids(300)
+    val w = lit(1.5)
+    val a = Sampling.weightedResample(docs, w)
+      .select("doc_id", "copy").as[(Long, Int)].collect().toSet
+    val b = Sampling.weightedResample(docs.repartition(11), w)
+      .select("doc_id", "copy").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    assert(a.size > 300 && a.size < 600) // 1.5x: between 1 and 2 copies each
+  }
+
+  test("SP2 stratifiedSample: fraction 1 keeps stratum, default 0 drops rest") {
+    val docs = ids(200)
+    val stratum = when(col("doc_id") % 2 === 0, "even").otherwise("odd")
+    val kept = Sampling.stratifiedSample(docs, stratum, Map("even" -> 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 200L by 2).toSet)
+    val half = Sampling.stratifiedSample(docs, stratum,
+      Map("even" -> 1.0, "odd" -> 0.5)).count()
+    assert(half > 120 && half < 180)
+  }
+}
