@@ -476,6 +476,27 @@ object SparkEntry {
         .when(col("doc_id") % 4 === 2, 1.0).otherwise(0.0))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** PK1: GPT-style concat-and-cut sequence packing — global token layout
+    * via distributed prefix sum (range partition → local window cumsum →
+    * metadata-scale offset collect; see Packing.packSequences).
+    */
+  private def pk1Pack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Packing.packSequences(docs, budget = 256)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PK2: no-split first-fit packing within hash shards (whole docs,
+    * greedy reset — the BinPack semantics at corpus scale).
+    */
+  private def pk2PackGreedy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Packing.packGreedyShards(docs, budget = 1000, shards = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** DD7: near-dup groups = connected components over the dd4 pair graph
     * (min-label propagation; oracled against a recursive-CTE transitive
     * closure on the same pairs).
@@ -1130,6 +1151,8 @@ object SparkEntry {
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
+    "pk1_pack" -> (pk1Pack(_, _)),
+    "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
@@ -2003,6 +2026,42 @@ ORDER BY d.doc_id"""
          SELECT doc_id, CAST(g.k AS INT) AS copy
          FROM c, LATERAL UNNEST(generate_series(1, n)) AS g(k)
          ORDER BY doc_id, copy""",
+    // pk1: concat-and-cut layout = exclusive prefix sum over doc_id order;
+    // integer // division mirrors Spark's `div`. pk2: per-shard greedy
+    // reset — the g3 recursive-CTE shape partitioned by shard.
+    "pk1_pack" ->
+      s"""WITH d AS (
+           SELECT doc_id, CAST($tokSql AS BIGINT) AS n_tokens FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+           FROM d)
+         SELECT doc_id, n_tokens, start_offset,
+           start_offset // 256 AS seq_id,
+           (start_offset + greatest(n_tokens, 1) - 1) // 256 AS seq_last,
+           ((start_offset + greatest(n_tokens, 1) - 1) // 256)
+             > (start_offset // 256) AS crosses_boundary
+         FROM c ORDER BY doc_id""",
+    "pk2_pack_greedy" ->
+      s"""WITH RECURSIVE d AS (
+           SELECT doc_id, CAST($tokSql AS BIGINT) AS w,
+             CAST(doc_id % 8 AS BIGINT) AS shard
+           FROM documents),
+         sq AS (
+           SELECT doc_id, w, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM d),
+         rec AS (
+           SELECT shard, rn, doc_id, w, 0 AS seq, w AS cur
+           FROM sq WHERE rn = 1
+           UNION ALL
+           SELECT s.shard, s.rn, s.doc_id, s.w,
+             CASE WHEN r.cur + s.w > 1000 THEN r.seq + 1 ELSE r.seq END,
+             CASE WHEN r.cur + s.w > 1000 THEN s.w ELSE r.cur + s.w END
+           FROM rec r JOIN sq s ON s.shard = r.shard AND s.rn = r.rn + 1)
+         SELECT doc_id, w AS n_tokens, shard, seq FROM rec ORDER BY doc_id""",
     // dd7: transitive closure (recursive CTE) over the SAME pair derivation
     // as dd4; component = min reachable id. Mirrors min-label propagation's
     // fixed point exactly.
