@@ -559,6 +559,44 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** QZ1: per-vector symmetric int8 quantization with worst-case
+    * reconstruction error carried per row.
+    */
+  private def qz1Quantize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.quantizeInt8(tbl(spark, dir, "embeddings"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        // CSV-of-bytes, not the raw list: the driver's compare sorts and
+        // hashes row values, and list cells are unhashable there
+        array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+      .orderBy(col("vec_id"))
+
+  /** QZ2: top-5 cosine search over the quantized vectors — scales cancel
+    * out of the cosine, so the whole search is integer math plus one sqrt
+    * and carries an exact oracle (unlike the LSH/IVF paths).
+    */
+  private def qz2TopkQuant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Quantize.quantizedTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** QZ3: recall@5 of the quantized search against the exact float
+    * baseline — and because both sides are deterministic arithmetic, the
+    * recall itself is oracled, not just measured.
+    */
+  private def qz3Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, queries, 5),
+      graft.operators.Quantize.quantizedTopK(emb, queries, 5))
+      .orderBy(col("query_id"))
+  }
+
   /** Near-dup benchmark corpus for the dd6b family. The raw testdata
     * embeddings have NO true near-duplicates (measured max pairwise cosine
     * 0.60 at sf0.1), so an LSH query registered at a semantically-real
@@ -1153,6 +1191,9 @@ object SparkEntry {
     "mx1_resample" -> (mx1Resample(_, _)),
     "pk1_pack" -> (pk1Pack(_, _)),
     "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
+    "qz1_quantize" -> (qz1Quantize(_, _)),
+    "qz2_topk_quant" -> (qz2TopkQuant(_, _)),
+    "qz3_recall" -> (qz3Recall(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
@@ -2112,6 +2153,48 @@ ORDER BY d.doc_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "qz1_quantize" ->
+      s"""WITH $quantizeCte
+         SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',')
+             AS qvec_csv,
+           round(list_max(list_transform(list_zip(qvec, embedding),
+             p -> abs(CAST(p[1] AS DOUBLE) * scale - CAST(p[2] AS DOUBLE)))), 6)
+             AS max_abs_err
+         FROM qz ORDER BY vec_id""",
+    "qz2_topk_quant" -> qz2TopkSql,
+    "qz3_recall" ->
+      s"""WITH $quantizeCte,
+         $quantScoredCte,
+         ap AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM qscored)
+           WHERE rank <= 5),
+         fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         fscored AS (
+           SELECT fq.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, fq WHERE c.vec_id <> fq.query_id),
+         ex AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM fscored)
+           WHERE rank <= 5),
+         j AS (
+           SELECT ex.query_id,
+             CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+         FROM j GROUP BY 1 ORDER BY query_id""",
     "pipe_curation" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
     "stream_curation" -> streamCurationSql,
@@ -2211,6 +2294,52 @@ ORDER BY d.doc_id"""
              CASE WHEN r.cur + s.w > 50 THEN s.w ELSE r.cur + s.w END
            FROM rec r JOIN seq s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1)
          SELECT doc_id, chunk_idx, bin FROM rec ORDER BY doc_id, chunk_idx""")
+
+  /** Shared int8-quantization CTE mirroring [[graft.operators.Quantize]]:
+    * scale = max|x|/127 per vector, q = clamp(round(x/scale), ±127). All
+    * double arithmetic — bit-identical to the Spark Column expressions.
+    */
+  private val quantizeCte =
+    """qs0 AS (
+         SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+             AS scale
+         FROM embeddings),
+       qz AS (
+         SELECT vec_id, embedding, scale,
+           CASE WHEN scale > 0 THEN
+             list_transform(embedding, x ->
+               CAST(greatest(least(round(CAST(x AS DOUBLE) / scale), 127.0), -127.0)
+                 AS TINYINT))
+           ELSE list_transform(embedding, x -> CAST(0 AS TINYINT)) END AS qvec
+         FROM qs0)"""
+
+  /** Quantized-search scoring CTE (needs [[quantizeCte]]): scales cancel
+    * out of the cosine, so score = int dot / sqrt(int norm product).
+    */
+  private val quantScoredCte =
+    """qn AS (
+         SELECT vec_id, qvec,
+           list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))
+             AS inorm
+         FROM qz),
+       qnq AS (
+         SELECT vec_id AS query_id, qvec AS q_q, inorm AS in_q
+         FROM qn WHERE vec_id < 5 AND inorm > 0),
+       qscored AS (
+         SELECT qnq.query_id, c.vec_id,
+           round(list_sum(list_transform(list_zip(qnq.q_q, c.qvec),
+             p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+             / sqrt(CAST(qnq.in_q AS DOUBLE) * CAST(c.inorm AS DOUBLE)), 4) AS cosine
+         FROM qn c, qnq WHERE c.vec_id <> qnq.query_id AND c.inorm > 0)"""
+
+  private def qz2TopkSql: String =
+    s"""WITH $quantizeCte,
+       $quantScoredCte
+       SELECT query_id, vec_id, cosine, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC) AS rank FROM qscored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Shared shingle CTE + minhash mins (md5-derived so bit-identical to the
     * Spark UDF): h_i = min over distinct 3-gram shingles of

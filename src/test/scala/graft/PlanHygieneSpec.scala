@@ -35,9 +35,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     * BroadcastNestedLoopJoin by construction.
     */
   private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
-    "ss2_lsh_topk")
+    "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall")
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
-    "ss2_lsh_topk", "dd6_embedding_pairs")
+    "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall")
 
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantize, Similarity}
+
+class QuantizeSpec extends AnyFunSuite {
+  private val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("QZ1 quantizeInt8: exact values, clamp, zero vector, error bound") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.6f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Array(-2.0f, 1.0f, 0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.quantizeInt8(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"),
+          r.getAs[scala.collection.Seq[Byte]]("qvec").toSeq,
+          r.getAs[Double]("max_abs_err")))).toMap
+    // vec 1: scale = 1/127; q = round(x*127) = 127, -76, 32, 0 (no value
+    // lands on a .5 rounding tie — tie direction under float dust is not a
+    // contract this operator makes)
+    val (s1, q1, e1) = got(1L)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-12)
+    assert(q1 == Seq[Byte](127, -76, 32, 0))
+    assert(e1 <= s1 / 2 + 1e-12)
+    // zero vector: scale 0, all-zero qvec, zero error
+    val (s2, q2, e2) = got(2L)
+    assert(s2 == 0.0 && q2 == Seq[Byte](0, 0, 0, 0) && e2 == 0.0)
+    // vec 3: max|x| lands exactly on +-127
+    val (s3, q3, e3) = got(3L)
+    assert(math.abs(s3 - 2.0 / 127) < 1e-12)
+    assert(q3.head == -127)
+    assert(e3 <= s3 / 2 + 1e-12)
+  }
+
+  test("QZ2 quantizedTopK: matches exact ranking on separated clusters") {
+    // three well-separated directions; queries are members of each cluster
+    def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val a = Array(1.0f, 0.0f, 0.0f, 0.1f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.1f)
+    val c = Array(0.0f, 0.0f, 1.0f, 0.1f)
+    val corpus = (0 until 30).map { i =>
+      val base = (i % 3) match { case 0 => a; case 1 => b; case _ => c }
+      (i.toLong, jitter(base, 0.001f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+    val quant = Quantize.quantizedTopK(corpus, queries, 5)
+    val recall = Similarity.recallAtK(exact, quant)
+      .agg(min("recall")).as[Double].head()
+    assert(recall >= 0.8, s"int8 recall collapsed: $recall")
+    // top-1 (nearest same-cluster member) must survive quantization
+    val top1e = exact.filter(col("rank") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val top1q = quant.filter(col("rank") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(top1e == top1q)
+  }
+}
