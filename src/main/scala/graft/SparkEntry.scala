@@ -743,6 +743,22 @@ object SparkEntry {
     * known injected duplicate and the natural word-salad bigram mode on
     * top — both signals non-degenerate on every row).
     */
+  /** TA9: Unicode normalization over a derived denormalized corpus — each
+    * doc gets a combining-accent sequence, a BEL control char, and a
+    * zero-width space appended, so every normalization rule fires on every
+    * row and the oracle (DuckDB nfc_normalize + the same regexes) checks
+    * the full transform, not just the ASCII identity path.
+    */
+  private def ta9Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val injected = tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" cafe\u0301\u0007\u200B fin")).as("text"))
+    TextAnalysis.normalizeText(injected)
+      .select(col("doc_id"), col("norm_text"), col("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
     // tokens materialized as an attribute before the line-building lambda:
     // slice() inside transform() would otherwise re-split the doc per line
@@ -1213,6 +1229,7 @@ object SparkEntry {
     "ta5b_vocab_hll" -> (ta5bVocabHll(_, _)),
     "ta7_pii_redact" -> (ta7PiiRedact(_, _)),
     "ta8_repetition" -> (ta8Repetition(_, _)),
+    "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
@@ -1435,6 +1452,22 @@ ORDER BY d.doc_id"""
     },
     // ta8: dup-line fraction + top-bigram fraction on the derived
     // multi-line corpus (first line repeated once per doc)
+    // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
+    // SQL string literals are raw, so the regex escapes reach RE2 verbatim
+    "ta9_normalize" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             substr(text, 1, 40) || ' cafe' || chr(769) || chr(7) || chr(8203)
+               || ' fin' AS text
+           FROM documents),
+         n AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS norm_text
+           FROM inj)
+         SELECT doc_id, norm_text, norm_text <> text AS changed
+         FROM n ORDER BY doc_id""",
     "ta8_repetition" ->
       """WITH base AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents

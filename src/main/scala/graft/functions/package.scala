@@ -104,6 +104,12 @@ package object functions {
     Bridge.column(VecNorm(Bridge.expression(a)))
   }
 
+  /** Native Unicode NFC normalization over STRING (see [[NfcNormalize]]). */
+  def nfcNormalizeF(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NfcNormalize(Bridge.expression(a)))
+  }
+
   // ---------------------------------------------- deterministic aggregates
 
   /** Order-independent exact sum of a double expression: round each value

@@ -209,6 +209,23 @@ object TextAnalysis {
     * scan would blow up on 50k-token documents). Docs with no lines /
     * fewer than two tokens score 0.0.
     */
+  /** TA9: Unicode text normalization — NFC (native codegen expression; a
+    * combining-sequence "café" and its precomposed spelling must hash,
+    * fingerprint, and n-gram identically or dedup silently misses), then
+    * strip control characters (keeping \t \n \r) and zero-width/BOM code
+    * points. One map-only codegen pass; `changed` flags touched rows so a
+    * pipeline can count normalization impact without a second diff scan.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nfc = graft.functions.nfcNormalizeF(col(textCol))
+    val noCtrl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    // ZWSP, ZWNJ, ZWJ, BOM — written as escapes; literal zero-width chars
+    // in source are themselves the bug this operator removes
+    val clean = regexp_replace(noCtrl, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    docs.withColumn("norm_text", clean)
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+  }
+
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     // Materialize lines/tokens as their own projections FIRST: the lambdas

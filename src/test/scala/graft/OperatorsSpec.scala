@@ -90,6 +90,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("TA9 normalizeText: NFC precompose, control strip, zero-width strip") {
+    val docs = Seq(
+      (1L, "cafe\u0301 combining"),          // NFC: e + U+0301 -> \u00e9
+      (2L, "bell\u0007 and del\u007F here"), // control chars stripped
+      (3L, "zero\u200Bwidth\uFEFFgone"),     // ZWSP + BOM stripped
+      (4L, "tab\tand\nnewline kept"),        // \t \n survive
+      (5L, "plain ascii unchanged"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.normalizeText(docs)
+      .select("doc_id", "norm_text", "changed")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("caf\u00e9 combining", true)))
+    assert(got(2L) == (("bell and del here", true)))
+    assert(got(3L) == (("zerowidthgone", true)))
+    assert(got(4L) == (("tab\tand\nnewline kept", false)))
+    assert(got(5L) == (("plain ascii unchanged", false)))
+  }
+
   test("DC1/DC2 decontamination: bench-overlapping docs flagged and dropped") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
