@@ -476,6 +476,15 @@ object SparkEntry {
         .when(col("doc_id") % 4 === 2, 1.0).otherwise(0.0))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** SH1: deterministic epoch shuffle — dense training-order positions in
+    * md5(seed‖id) order, computed with the distributed two-pass rank (no
+    * global sort funnel).
+    */
+  private def sh1Shuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicShuffle(
+      tbl(spark, dir, "documents").select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
   /** PK1: GPT-style concat-and-cut sequence packing — global token layout
     * via distributed prefix sum (range partition → local window cumsum →
     * metadata-scale offset collect; see Packing.packSequences).
@@ -1207,6 +1216,7 @@ object SparkEntry {
     "mx1_resample" -> (mx1Resample(_, _)),
     "pk1_pack" -> (pk1Pack(_, _)),
     "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
+    "sh1_shuffle" -> (sh1Shuffle(_, _)),
     "qz1_quantize" -> (qz1Quantize(_, _)),
     "qz2_topk_quant" -> (qz2TopkQuant(_, _)),
     "qz3_recall" -> (qz3Recall(_, _)),
@@ -2100,6 +2110,14 @@ ORDER BY d.doc_id"""
          SELECT doc_id, CAST(g.k AS INT) AS copy
          FROM c, LATERAL UNNEST(generate_series(1, n)) AS g(k)
          ORDER BY doc_id, copy""",
+    // sh1: rank in keyed-md5 order; hex is lowercase ASCII, so DuckDB
+    // string order == Spark UTF8String binary order
+    "sh1_shuffle" ->
+      """SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
     // pk1: concat-and-cut layout = exclusive prefix sum over doc_id order;
     // integer // division mirrors Spark's `div`. pk2: per-shard greedy
     // reset — the g3 recursive-CTE shape partitioned by shard.

@@ -71,6 +71,41 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Deterministic global shuffle — the training-order pass: every row
+    * gets a dense position 0..n-1 in md5(seed‖id) order. Change `seed` per
+    * epoch for a fresh order; same seed always reproduces the same order,
+    * on any cluster size or partition layout.
+    *
+    * Scale shape: a global ORDER BY + row_number would funnel the corpus
+    * through one task. Instead: range-partition on the shuffle key, rank
+    * locally per partition, then shift by per-partition counts collected
+    * to the driver (numPartitions rows — metadata) — the same two-pass
+    * distributed-prefix pattern as [[Packing.packSequences]], with counts
+    * for sums. Ties between hash values (~n²/2^60 birthday rate) break on
+    * the id, keeping the order total.
+    */
+  def deterministicShuffle(docs: DataFrame, seed: String = "epoch0",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val ranged = docs.withColumn("__k", key)
+      .repartitionByRange(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = Materialize(ranged.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol)))))
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("shuffle_pos", col("__off") + col("__rn") - 1)
+      .drop("__k", "__pid", "__rn", "__off")
+  }
+
   /** Per-stratum exact-fraction sample: keep each row iff its unit hash
     * falls under its stratum's fraction. `fractions` maps stratum value →
     * keep fraction; strata absent from the map keep `defaultFraction`.

@@ -75,6 +75,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.size > 300 && a.size < 600) // 1.5x: between 1 and 2 copies each
   }
 
+  test("SH1 deterministicShuffle: dense 0..n-1, md5 order, layout-independent") {
+    val docs = ids(300)
+    val got = Sampling.deterministicShuffle(docs)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(got.map(_._2).sorted.toSeq == (0L until 300L)) // dense, no dups
+    // matches the single-threaded reference rank over (md5, id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(s"epoch0:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (0L until 300L).sortBy(id => (hex(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(got.forall { case (id, pos) => expected(id) == pos })
+    // partition layout cannot change the order
+    val b = Sampling.deterministicShuffle(docs.repartition(17))
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toSet
+    assert(got.toSet == b)
+    // a different epoch seed produces a different permutation
+    val e1 = Sampling.deterministicShuffle(docs, seed = "epoch1")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert((0L until 300L).exists(id => e1(id) != expected(id)))
+  }
+
   test("SP2 stratifiedSample: fraction 1 keeps stratum, default 0 drops rest") {
     val docs = ids(200)
     val stratum = when(col("doc_id") % 2 === 0, "even").otherwise("odd")
