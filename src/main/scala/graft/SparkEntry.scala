@@ -1068,6 +1068,13 @@ object SparkEntry {
     Seq(acc.value).toDF("n_curated")
   }
 
+  /** Curation funnel: one row of per-stage survivor counts with the exact
+    * stage semantics of pipe_curation.
+    */
+  private def pipeCurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.funnelReport(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")))
+
   /** Incremental curation flagship: odd-id docs are the NEW daily batch,
     * even-id docs the existing curated corpus — gates on the batch only,
     * exact-fp dedup against both the batch and existing, and near-dup
@@ -1259,6 +1266,7 @@ object SparkEntry {
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
+    "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
@@ -2248,6 +2256,7 @@ ORDER BY d.doc_id"""
          FROM j GROUP BY 1 ORDER BY query_id""",
     "pipe_curation" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
+    "pipe_curation_funnel" -> curationFunnelSql,
     "stream_curation" -> streamCurationSql,
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
@@ -2523,9 +2532,12 @@ FROM nexact WHERE doc_id NOT IN (SELECT doc_id FROM ulosers)
 ORDER BY doc_id"""
   }
 
-  private def curationSql: String = {
-    s"""WITH RECURSIVE $gateCtes,
-ckeep AS (
+  /** The exact-dedup + near-dup-closure CTE chain over `cgated` (needs
+    * [[gateCtes]]; recursive) — shared by the curation, funnel, and any
+    * future composed-curation oracles.
+    */
+  private def curationChainCtes: String =
+    """ckeep AS (
   SELECT MIN(doc_id) AS doc_id FROM cgated GROUP BY md5(substr(text, 1, 100))),
 cexact AS (SELECT g.* FROM cgated g JOIN ckeep USING (doc_id)),
 ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM cexact),
@@ -2547,10 +2559,30 @@ creach AS (
   UNION
   SELECT r.src, e.b FROM creach r JOIN cedges e ON r.dst = e.a),
 closers AS (
-  SELECT src AS doc_id FROM creach GROUP BY src HAVING MIN(dst) <> src)
+  SELECT src AS doc_id FROM creach GROUP BY src HAVING MIN(dst) <> src)"""
+
+  private def curationSql: String = {
+    s"""WITH RECURSIVE $gateCtes,
+$curationChainCtes
 SELECT doc_id, lang_pred, n_tokens, n_chars, stopword_ratio
 FROM cexact WHERE doc_id NOT IN (SELECT doc_id FROM closers)
 ORDER BY doc_id"""
+  }
+
+  /** Funnel oracle: one row of per-stage survivor counts off the same CTE
+    * chain the curation oracle uses (a funnel that disagrees with the
+    * pipeline it describes is worse than none).
+    */
+  private def curationFunnelSql: String = {
+    s"""WITH RECURSIVE $gateCtes,
+$curationChainCtes
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl WHERE lang_pred = 'en') AS n_lang_pass,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cgated) AS n_gate_pass,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cexact) AS n_exact_keep,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cexact
+     WHERE doc_id NOT IN (SELECT doc_id FROM closers)) AS n_curated"""
   }
 
   private def qualitySql: String = {

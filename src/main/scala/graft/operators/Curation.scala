@@ -90,6 +90,54 @@ object Curation {
     curated
   }
 
+  /** Curation funnel report — per-stage survivor counts for the full pass
+    * (total → language gate → quality gate → exact dedup → near-dup
+    * keepers): the observability row every production curation job emits,
+    * so a param change or a data regression shows WHERE the corpus went.
+    * Stage semantics are exactly [[curate]]'s (same predicates, same keeper
+    * rules); the driver collects five scalars, nothing else.
+    */
+  def funnelReport(docs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30,
+      prefixLen: Int = 100,
+      shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enriched = TextAnalysis.withLangPred(
+      TextAnalysis.withQuality(docs.select(col("doc_id"), col("text"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val langOk = col("lang_pred").isin(keepLangs: _*)
+    val gateOk = langOk && col("stopword_ratio") >= minStopwordRatio &&
+      col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio
+    val gateRow = enriched.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(langOk, 1L).otherwise(0L)).as("n_lang"),
+      sum(when(gateOk, 1L).otherwise(0L)).as("n_gate")).head()
+    val gated = enriched.filter(gateOk)
+    val keepers = gated
+      .groupBy(md5(substring(col("text"), 1, prefixLen)).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = gated.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val losers = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val nCurated = exact.join(losers, Seq("doc_id"), "left_anti").count()
+    exact.unpersist()
+    enriched.unpersist()
+    Seq((gateRow.getLong(0), gateRow.getLong(1), gateRow.getLong(2),
+      nExact, nCurated))
+      .toDF("n_total", "n_lang_pass", "n_gate_pass", "n_exact_keep", "n_curated")
+  }
+
   /** Incremental curation — the daily-increment form of [[curate]]: curate
     * only `newDocs` against an `existing` already-curated corpus (the S6
     * skip-if-exists discipline applied to the whole curation pass). A new

@@ -39,6 +39,26 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("funnel report: per-stage counts match hand-count and curate()") {
+    val docs = Seq(
+      1L -> en,                 // survives everything
+      2L -> enNear,             // lang+gate pass; near-dup loser
+      3L -> ("der hund und die katze ist nicht ein zu " * 2), // fails lang
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",  // fails lang (und)
+      5L -> "too few the",      // lang en, fails min-tokens
+      6L -> (sharedPrefix + " morning air feels crisp today"),
+      7L -> (sharedPrefix + " evening light fades away slowly") // exact-dup loser
+    ).toDF("doc_id", "text")
+    val f = Curation.funnelReport(docs).collect().head
+    assert(f.getAs[Long]("n_total") == 7L)
+    assert(f.getAs[Long]("n_lang_pass") == 5L)  // 1,2,5,6,7
+    assert(f.getAs[Long]("n_gate_pass") == 4L)  // 5 drops on min-tokens
+    assert(f.getAs[Long]("n_exact_keep") == 3L) // 7 drops on shared prefix
+    assert(f.getAs[Long]("n_curated") == 2L)    // 2 drops as near-dup of 1
+    // the funnel's terminal count IS curate()'s cardinality
+    assert(f.getAs[Long]("n_curated") == Curation.curate(docs).count())
+  }
+
   test("curate materializes once: returned plan re-scans no source") {
     // The gate + exact-dedup subtree feeds both the near-dup edge set and
     // the final anti-join; curate persists it and checkpoints the curated
