@@ -871,6 +871,25 @@ object SparkEntry {
     tbl(spark, dir, "events")
   }
 
+  /** AJ1: as-of join — every purchase event picks up the most recent
+    * signup of the same user at or before it (union+window form, one
+    * shuffle; oracled against DuckDB's native ASOF LEFT JOIN). Timestamps
+    * compared at micro precision on both engines (the events convention —
+    * see ev1/ev2).
+    */
+  private def aj1Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    graft.operators.AsofJoin.asofJoinPrior(
+      ev.filter(col("event_type") === "purchase").drop("event_type"),
+      ev.filter(col("event_type") === "signup").drop("event_type"),
+      keyCol = "user_id", tsCol = "ts_us", idCol = "event_id",
+      rightPayload = Seq("event_id", "value"))
+      .orderBy(col("event_id"))
+  }
+
   /** EV1: tumbling-window aggregate (batch form of the streaming agg). */
   private def ev1EventWindow(spark: SparkSession, dir: String): DataFrame =
     eventsTbl(spark, dir)
@@ -1248,6 +1267,7 @@ object SparkEntry {
     "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
+    "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -2272,6 +2292,20 @@ ORDER BY d.doc_id"""
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          round(${exactSumSql("value")}, 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // aj1: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union+window implementation; both compare micro-precision ts
+    "aj1_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+         s AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'signup')
+         SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           s.event_id AS asof_event_id, s.value AS asof_value
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p.event_id""",
     "ev2_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,

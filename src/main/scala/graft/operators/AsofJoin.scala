@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** As-of join — for every left row, the single most recent right row of
+  * the same key with `right.ts <= left.ts` (the time-series/point-in-time
+  * join: "state as of this moment"; feature lookups, attribution,
+  * last-signup-before-purchase). Spark has no built-in; the naive
+  * formulation is a range join that explodes to |left|×|right| per key
+  * before picking one row.
+  *
+  * This is the scalable union+window form instead: tag sides, align
+  * schemas, union, then one window per key ordered by (ts, side, id) with
+  * a running `last(state, ignoreNulls)` — right rows deposit their payload
+  * as ONE nullable struct (so a right row whose payload fields are all
+  * null still deposits, and left rows — whose state slot is a null
+  * STRUCT, not a struct of nulls — never do), left rows read it. Cost:
+  * ONE shuffle on the key and a running window frame with O(1) state per
+  * row — no per-key pair explosion, no range-join planning cliff; skew is
+  * bounded by the busiest key like any keyed window.
+  *
+  * Tie semantics: a right row at exactly left.ts matches (inclusive, the
+  * ASOF convention); among right rows sharing (key, ts), the largest
+  * `idCol` wins — deterministic on both engines.
+  */
+object AsofJoin {
+
+  /** Both inputs must carry (keyCol, tsCol, idCol); the left keeps all its
+    * columns and gains `prefix`+payload columns from the matched right row
+    * (null when the key has no right row at or before left.ts).
+    */
+  def asofJoinPrior(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val shared = Seq(keyCol, tsCol, idCol)
+    val stateType = StructType(rightPayload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTagged = left
+      .withColumn("__state", lit(null).cast(stateType))
+      .withColumn("__side", lit(1))
+    // right rows: shared keys + payload struct, left-only columns as nulls
+    val rCols = left.columns.toSeq.map { c =>
+      if (shared.contains(c)) col(c) else lit(null).cast(leftTypes(c)).as(c)
+    } :+ struct(rightPayload.map(col): _*).cast(stateType).as("__state")
+    val rTagged = right.select(rCols: _*).withColumn("__side", lit(0))
+    // right-before-left at equal ts (inclusive match); largest right id
+    // wins among equal-(key, ts) right rows
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = lTagged.unionByName(rTagged)
+      .withColumn("__state", last(col("__state"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    joined.select(left.columns.map(col) ++
+      rightPayload.map(c => col("__state").getField(c).as(s"$prefix$c")): _*)
+  }
+}

@@ -90,6 +90,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("AJ1 asofJoinPrior: inclusive match, latest-prior wins, null when none") {
+    import graft.operators.AsofJoin
+    val left = Seq(
+      (10L, 1L, 100L, "p1"), // matches r at ts 90
+      (11L, 1L, 50L, "p2"),  // matches r at ts 50 (inclusive)
+      (12L, 1L, 40L, "p3"),  // no prior right -> null
+      (13L, 2L, 100L, "p4")  // other key: matches its own side only
+    ).toDF("event_id", "user_id", "ts_us", "tag")
+    val right = Seq(
+      (1L, 1L, 50L, 5.0),
+      (2L, 1L, 90L, 9.0),
+      (3L, 1L, 90L, 9.5),   // same (key, ts): largest id wins
+      (4L, 2L, 10L, 1.0),
+      (5L, 3L, 10L, 3.0)    // key never queried
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val got = AsofJoin.asofJoinPrior(left, right,
+      "user_id", "ts_us", "event_id", Seq("event_id", "value"))
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("asof_event_id")),
+          Option(r.getAs[java.lang.Double]("asof_value"))))).toMap
+    assert(got(10L) == ((Some(3L), Some(9.5)))) // latest prior; id tie-break
+    assert(got(11L) == ((Some(1L), Some(5.0)))) // equal ts matches
+    assert(got(12L) == ((None, None)))
+    assert(got(13L) == ((Some(4L), Some(1.0))))
+  }
+
   test("TA9 normalizeText: NFC precompose, control strip, zero-width strip") {
     val docs = Seq(
       (1L, "cafe\u0301 combining"),          // NFC: e + U+0301 -> \u00e9
