@@ -114,10 +114,12 @@ object Curation {
     val langOk = col("lang_pred").isin(keepLangs: _*)
     val gateOk = langOk && col("stopword_ratio") >= minStopwordRatio &&
       col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio
+    // coalesce: sum() over an EMPTY corpus is null, and an empty daily
+    // partition is a legitimate funnel input, not an error
     val gateRow = enriched.agg(
       count(lit(1)).as("n_total"),
-      sum(when(langOk, 1L).otherwise(0L)).as("n_lang"),
-      sum(when(gateOk, 1L).otherwise(0L)).as("n_gate")).head()
+      coalesce(sum(when(langOk, 1L).otherwise(0L)), lit(0L)).as("n_lang"),
+      coalesce(sum(when(gateOk, 1L).otherwise(0L)), lit(0L)).as("n_gate")).head()
     val gated = enriched.filter(gateOk)
     val keepers = gated
       .groupBy(md5(substring(col("text"), 1, prefixLen)).as("fp"))

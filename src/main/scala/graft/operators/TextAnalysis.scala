@@ -223,7 +223,10 @@ object TextAnalysis {
     // in source are themselves the bug this operator removes
     val clean = regexp_replace(noCtrl, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
     docs.withColumn("norm_text", clean)
-      .withColumn("changed", col("norm_text") =!= col(textCol))
+      // null text -> null norm_text, and `changed` must be FALSE, not null:
+      // a null flag silently drops from both branches of a changed-filter
+      .withColumn("changed",
+        coalesce(col("norm_text") =!= col(textCol), lit(false)))
   }
 
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -104,6 +104,71 @@ class HostileCorpusSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == want)
   }
 
+  test("sampling / shuffle / packing family survives hostile + empty inputs") {
+    import graft.operators.{Packing, Sampling}
+    val ids = hostile.select("doc_id")
+    assert(Sampling.assignSplits(ids).count() == 8)
+    assert(Sampling.weightedResample(ids, lit(1.0)).count() == 8)
+    assert(Sampling.deterministicShuffle(ids).count() == 8)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Sampling.assignSplits(empty.select("doc_id")).count() == 0)
+    assert(Sampling.deterministicShuffle(empty.select("doc_id")).count() == 0)
+    assert(Packing.packSequences(empty, 10).count() == 0)
+    assert(Packing.packGreedyShards(empty, 10).count() == 0)
+    // zero-token and giant docs pack without crashing or overflowing
+    val weird = Seq((1L, 0L), (2L, Long.MaxValue / 4), (3L, 5L))
+      .toDF("doc_id", "n_tokens")
+    assert(Packing.packSequences(weird, 10).count() == 3)
+    assert(Packing.packGreedyShards(weird, 10, shards = 2).count() == 3)
+  }
+
+  test("decontamination + normalization survive hostile rows") {
+    val bench = Seq((100L, "x" * 10000), (101L, "benchmark words here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contaminationReport(hostile, bench, "text", 5).count() >= 1)
+    assert(Dedup.decontaminate(hostile, bench, "text", 5).count() <= 8)
+    val norm = TextAnalysis.normalizeText(hostile)
+    assert(norm.count() == 8)
+    // null text: null norm_text but changed must be FALSE, never null
+    val r1 = norm.filter(col("doc_id") === 1).head()
+    assert(r1.isNullAt(r1.fieldIndex("norm_text")))
+    assert(r1.getAs[Boolean]("changed") == false)
+  }
+
+  test("funnel report survives an empty corpus (all-zero row, no NPE)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val f = Curation.funnelReport(empty).head()
+    assert((0 until 5).forall(i => f.getLong(i) == 0L))
+    assert(Curation.funnelReport(hostile).head().getLong(0) == 8L)
+  }
+
+  test("as-of join survives empty sides") {
+    import graft.operators.AsofJoin
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq((2L, 1L, 5L, 1.0)).toDF("event_id", "user_id", "ts_us", "value")
+    val emptyR = r.filter(lit(false))
+    assert(AsofJoin.asofJoinPrior(l, emptyR, "user_id", "ts_us", "event_id",
+      Seq("value")).head().isNullAt(3))
+    assert(AsofJoin.asofJoinPrior(l.filter(lit(false)), r, "user_id", "ts_us",
+      "event_id", Seq("value")).count() == 0)
+  }
+
+  test("int8 quantization: non-finite elements stay contained per vector") {
+    import graft.operators.Quantize
+    val emb = Seq(
+      (1L, Array(Float.NaN, 1f, 0f, 0f)),
+      (2L, Array(Float.PositiveInfinity, 1f, 0f, 0f)),
+      (3L, Array(1f, -1f, 0.5f, 0f))) // finite row must stay exact
+      .toDF("vec_id", "embedding")
+    val got = Quantize.quantizeInt8(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // contract: garbage in a vector corrupts only that vector; the finite
+    // row's quantization is untouched
+    assert(got(3L).getAs[scala.collection.Seq[Byte]]("qvec").toSeq ==
+      Seq[Byte](127, -127, 64, 0))
+    assert(got.size == 3) // no crash on NaN/Inf rows
+  }
+
   test("metrics survive null gen/ref pairs") {
     val pairs = Seq(
       (1L, null.asInstanceOf[String], "the reference text here"),
