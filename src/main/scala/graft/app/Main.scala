@@ -30,6 +30,7 @@ object Main {
     case "evaluate" :: rest => runEvaluate(parseOpts(rest))
     case "demo" :: rest => runDemo(parseOpts(rest))
     case "curate" :: rest => runCurate(parseOpts(rest))
+    case "prep" :: rest => runPrep(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
@@ -37,7 +38,10 @@ object Main {
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
           "[--min-stopword-ratio X] [--jaccard X] [--write-corpus] " +
-          "[--existing CURATED_PATH]")
+          "[--existing CURATED_PATH] [--funnel]\n" +
+          "       graft prep --docs PATH --out DIR [--normalize] " +
+          "[--benchmark PATH] [--ngram N] [--split train=0.9,val=0.1] " +
+          "[--pack-budget N] [--shuffle-seed S]")
       sys.exit(2)
   }
 
@@ -227,7 +231,60 @@ object Main {
         docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
             Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$out/corpus")
+      // --funnel: the per-stage survivor counts next to the output they explain
+      if (opts.contains("funnel")) {
+        val f = timed("funnel")(graft.operators.Curation.funnelReport(
+          docs, keepLangs = langs, minStopwordRatio = minStop,
+          minTokens = minTok, maxPunctRatio = maxPunct,
+          jaccardThreshold = jac).head())
+        println(s"[graft] funnel: total=${f.getLong(0)} lang=${f.getLong(1)} " +
+          s"gate=${f.getLong(2)} exact=${f.getLong(3)} curated=${f.getLong(4)}")
+      }
       println(s"[graft] curated stats -> $out/curated")
+    } finally if (owned) spark.stop()
+  }
+
+  /** Data-prep pass: optional NFC normalization, benchmark decontamination,
+    * deterministic split assignment — written as one prepared table — plus
+    * optional sequence-packing layout and epoch-shuffle order tables.
+    */
+  private[app] def runPrep(opts: Map[String, String]): Unit = {
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val (spark, owned) = session()
+    try {
+      var docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
+      if (opts.contains("normalize"))
+        docs = graft.operators.TextAnalysis.normalizeText(docs)
+          .select(col("doc_id"), col("norm_text").as("text"))
+      opts.get("benchmark").foreach { b =>
+        val n = opts.get("ngram").map(_.toInt).getOrElse(13)
+        docs = graft.operators.Dedup.decontaminate(
+          docs, loadDocs(spark, b), "text", n)
+      }
+      val prepared = opts.get("split") match {
+        case Some(spec) =>
+          val weights = spec.split(",").toSeq.map { kv =>
+            val Array(k, v) = kv.split("="); k -> v.toDouble
+          }
+          graft.operators.Sampling.assignSplits(docs, weights)
+        case None => docs
+      }
+      timed("write prepared")(
+        prepared.write.mode("overwrite").parquet(s"$out/prepared"))
+      opts.get("pack-budget").foreach { b =>
+        val withTok = prepared.select(col("doc_id"),
+          graft.functions.tokenCount(col("text")).as("n_tokens"))
+        timed("write layout")(
+          graft.operators.Packing.packSequences(withTok, b.toLong)
+            .write.mode("overwrite").parquet(s"$out/layout"))
+      }
+      opts.get("shuffle-seed").foreach { s =>
+        timed("write order")(
+          graft.operators.Sampling.deterministicShuffle(
+            prepared.select(col("doc_id")), seed = s)
+            .write.mode("overwrite").parquet(s"$out/order"))
+      }
+      println(s"[graft] prepared corpus -> $out/prepared")
     } finally if (owned) spark.stop()
   }
 

@@ -116,6 +116,32 @@ class AppSpec extends AnyFunSuite {
     assert(corpus.count() == 1 && corpus.columns.contains("text"))
   }
 
+  test("CLI prep: normalize + decontaminate + split + layout + order tables") {
+    val dir = tmpDir("graft_prep")
+    Seq(
+      (1L, "the cat and the dog sat in the house of it is that warm sun"),
+            (2L, "cafe\u0301 corner of the town where the sun sets and it is warm"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    // benchmark shares doc 3's opening 5-gram -> doc 3 decontaminated away
+    Seq((100L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/bench")
+    val out = tmpDir("graft_prep_out")
+    graft.app.Main.main(Array(
+      "prep", "--docs", s"$dir/docs", "--out", out, "--normalize",
+      "--benchmark", s"$dir/bench", "--ngram", "5",
+      "--split", "train=0.5,val=0.5", "--pack-budget", "16",
+      "--shuffle-seed", "epoch0"))
+    val prep = spark.read.parquet(s"$out/prepared")
+    assert(prep.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(prep.filter(col("doc_id") === 2).select("text").as[String].head()
+      .startsWith("caf\u00e9")) // NFC applied: combining input, precomposed out
+    assert(prep.columns.contains("split"))
+    assert(spark.read.parquet(s"$out/layout").count() == 2)
+    val order = spark.read.parquet(s"$out/order")
+    assert(order.select("shuffle_pos").as[Long].collect().toSet == Set(0L, 1L))
+  }
+
   test("CLI demo: runs all five strategies on one doc without error") {
     val docs = writeDocsParquet()
     // exercises the full dispatch incl. Hierarchical over a synthesized tree
