@@ -462,7 +462,7 @@ object Dedup {
     * hash shuffles/broadcasts ~10x less than the multi-word string and
     * both consumers only need shingle identity.
     */
-  private[operators] def shingleHashesUdf(n: Int) = udf { (text: String) =>
+  private[graft] def shingleHashesUdf(n: Int) = udf { (text: String) =>
     if (text == null) Array.empty[Long]
     else {
       val t = text.toLowerCase.trim

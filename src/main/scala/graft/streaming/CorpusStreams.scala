@@ -86,6 +86,29 @@ object CorpusStreams {
       .drop("fp", "punct_ratio")
   }
 
+  /** Streaming benchmark decontamination: drop streaming docs sharing any
+    * `ngramSize`-token shingle with a STATIC eval set. The benchmark's
+    * distinct shingle-hash set is collected once (an eval set is small by
+    * definition — the same premise as the batch operator's broadcast join)
+    * and shipped as a broadcast variable inside a projection-only filter,
+    * so the stage is STATELESS: no state store, no watermark, streams at
+    * scan speed. A growing benchmark means restarting the query with a
+    * fresh broadcast — the accepted operational trade (eval sets change
+    * per release, not per micro-batch).
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, not, udf}
+    val hs = graft.operators.Dedup.shingleHashesUdf(ngramSize)
+    val benchSet = benchmark.select(explode(hs(col(textCol))).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(benchSet)
+    val contaminated = udf { (hashes: Seq[Long]) =>
+      hashes != null && hashes.exists(bc.value.contains)
+    }
+    docs.filter(not(contaminated(hs(col(textCol)))))
+  }
+
   /** Full map-reduce summarization per micro-batch, written to `outPath`
     * keyed by batch id (exactly-once; see [[writeSummaryBatch]]).
     * The collapse loop's driver actions run inside foreachBatch on the

@@ -121,6 +121,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateStream: static-benchmark filter over a stream, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val clean1 = "completely unrelated material about ships and the wide sea"
+    val clean2 = "it is that the sun and the moon share the sky at dusk"
+    val dirty = "intro words then the quick brown fox jumps over everything"
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.CorpusStreams.decontaminateStream(df, bench, "text", 5)
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, clean1), (2L, dirty))
+      q.processAllAvailable()
+      input.addData((3L, clean2)) // second micro-batch reuses the broadcast
+      q.processAllAvailable()
+      val ids = spark.table("decontam_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+      // the stream's keep-set equals the batch operator's on the same rows
+      val batchIds = graft.operators.Dedup.decontaminate(
+          Seq((1L, clean1), (2L, dirty), (3L, clean2)).toDF("doc_id", "text"),
+          bench, "text", 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchIds == ids)
+    } finally q.stop()
+  }
+
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
