@@ -768,6 +768,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TA10: compression-ratio quality signal. Rows-only: SQL has no
+    * deflate; determinism is pinned by spec instead.
+    */
+  private def ta10Compress(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionRatio(tbl(spark, dir, "documents"))
+      .select(col("doc_id"), col("compress_ratio"))
+      .orderBy(col("doc_id"))
+
   private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
     // tokens materialized as an attribute before the line-building lambda:
     // slice() inside transform() would otherwise re-split the doc per line
@@ -1266,6 +1274,7 @@ object SparkEntry {
     "ta7_pii_redact" -> (ta7PiiRedact(_, _)),
     "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta9_normalize" -> (ta9Normalize(_, _)),
+    "ta10_compress" -> (ta10Compress(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),

@@ -229,6 +229,35 @@ object TextAnalysis {
         coalesce(col("norm_text") =!= col(textCol), lit(false)))
   }
 
+  /** TA10: compression-ratio quality signal — deflate(text).length /
+    * utf8(text).length (level 6, the zlib default). Highly repetitive or
+    * templated documents compress far below natural prose (~0.3-0.6 for
+    * English text; boilerplate and keyword-stuffed spam go much lower),
+    * making this the classic cheap "is it real text" discriminator next
+    * to the token/stopword gates. Deterministic for a given input (fixed
+    * level, no dictionary), so specs pin exact values; there is no SQL
+    * deflate, so the driver check is rows-only — the UDF is justified:
+    * no Column-native deflate exists.
+    */
+  def compressionRatio(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ratioUdf = udf { (text: String) =>
+      if (text == null || text.isEmpty) 0.0
+      else {
+        val bytes = text.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(bytes); d.finish()
+        // only the SIZE matters: drain into a reused chunk so incompressible
+        // input (deflate can exceed input length) never overruns a buffer
+        val chunk = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(chunk)
+        d.end()
+        math.rint(n.toDouble / bytes.length * 10000) / 10000
+      }
+    }
+    docs.withColumn("compress_ratio", ratioUdf(col(textCol)))
+  }
+
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     // Materialize lines/tokens as their own projections FIRST: the lambdas

@@ -135,6 +135,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("plain ascii unchanged", false)))
   }
 
+  test("TA10 compressionRatio: repetition compresses, prose does not, deterministic") {
+    val docs = Seq(
+      (1L, "the " * 500),                    // pure repetition
+      (2L, ("the quick brown fox jumps over the lazy dog and then wanders " +
+        "past seven oddly shaped houses toward a distant riverbank") * 3),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.compressionRatio(docs)
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.05)            // boilerplate crushes
+    assert(got(2L) > got(1L) * 3)     // prose compresses far less
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+    // deflate at a fixed level is deterministic: re-run == first run
+    val again = graft.operators.TextAnalysis.compressionRatio(docs)
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("DC1/DC2 decontamination: bench-overlapping docs flagged and dropped") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
