@@ -768,6 +768,11 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TA11: unigram log-prob quality score (self-trained corpus model). */
+  private def ta11LogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   /** TA10: compression-ratio quality signal. Rows-only: SQL has no
     * deflate; determinism is pinned by spec instead.
     */
@@ -1275,6 +1280,7 @@ object SparkEntry {
     "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta10_compress" -> (ta10Compress(_, _)),
+    "ta11_logprob" -> (ta11LogProb(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -1499,6 +1505,23 @@ ORDER BY d.doc_id"""
     },
     // ta8: dup-line fraction + top-bigram fraction on the derived
     // multi-line corpus (first line repeated once per doc)
+    // ta11: corpus-ML unigram logprob; ln rounded to 6dp on both engines
+    // BEFORE the order-independent decimal sum (1-ulp libm differences
+    // cannot survive the 6dp grid except exactly on a .0000005 boundary)
+    "ta11_logprob" ->
+      """WITH t AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
+         lp AS (
+           SELECT doc_id, round(ln(c / total), 6) AS lp
+           FROM t JOIN f USING (tok), tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_logprob
+         FROM lp GROUP BY 1 ORDER BY doc_id""",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->

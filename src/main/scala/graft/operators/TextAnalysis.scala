@@ -229,6 +229,34 @@ object TextAnalysis {
         coalesce(col("norm_text") =!= col(textCol), lit(false)))
   }
 
+  /** TA11: unigram log-probability quality score — the CCNet/KenLM-style
+    * "LM perplexity" gate with the simplest self-trained model: corpus ML
+    * unigram probabilities p(w) = count(w)/total, per-doc mean ln p(w).
+    * Rare-token-heavy noise scores far below typical prose; unlike an
+    * external LM it needs no shipped model and retrains in one aggregate.
+    *
+    * Scale shape: token frequencies are one hash-agg (map-side partials);
+    * the per-token probability lookup is a shuffle join on the token (the
+    * vocab at 100 TB is too big to broadcast); the corpus total is one
+    * scalar broadcast. Per-doc mean uses round-then-decimal-sum so the
+    * result is independent of aggregation order (exactSum discipline).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.exactSum
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)))
+        .as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totalDf = freq.agg(sum(col("c")).cast("double").as("total"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"),
+        round(log(col("c").cast("double") / col("total")), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
+  }
+
   /** TA10: compression-ratio quality signal — deflate(text).length /
     * utf8(text).length (level 6, the zlib default). Highly repetitive or
     * templated documents compress far below natural prose (~0.3-0.6 for

@@ -135,6 +135,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("plain ascii unchanged", false)))
   }
 
+  test("TA11 unigramLogProb: typical docs outscore rare-token docs; exact on fixture") {
+    val docs = Seq(
+      (1L, "the the the"),    // p(the)=6/8 -> 3 * ln(0.75)
+      (2L, "the the the"),
+      (3L, "rare pair"))      // p=1/8 each
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.unigramLogProb(docs)
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lnP = (p: Double) => math.rint(math.log(p) * 1e6) / 1e6
+    assert(got(1L) == ((3L, math.rint(lnP(6.0 / 8) * 1e4) / 1e4)))
+    assert(got(3L)._2 == math.rint(lnP(1.0 / 8) * 1e4) / 1e4)
+    assert(got(1L)._2 > got(3L)._2) // typicality orders as expected
+  }
+
   test("TA10 compressionRatio: repetition compresses, prose does not, deterministic") {
     val docs = Seq(
       (1L, "the " * 500),                    // pure repetition

@@ -38,7 +38,8 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
     "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall")
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
-    "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall")
+    "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
+    "ta11_logprob")
 
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager
