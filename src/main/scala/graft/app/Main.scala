@@ -212,12 +212,24 @@ object Main {
       val jac = opts.get("jaccard").map(_.toDouble).getOrElse(0.5)
       // --existing <curated docs>: the daily-increment form — curate only
       // the new batch against the already-curated corpus
+      val wantFunnel = opts.contains("funnel")
+      var funnelRow: Option[org.apache.spark.sql.Row] = None
       val kept = opts.get("existing") match {
         case Some(ex) => timed("curate incremental") {
           graft.operators.Curation.curateIncremental(
             docs, loadDocs(spark, ex),
             keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
             maxPunctRatio = maxPunct, jaccardThreshold = jac)
+        }
+        case None if wantFunnel => timed("curate+funnel") {
+          // one pass: the funnel reads the same persisted intermediates,
+          // not a second scan-and-dedup of the corpus
+          val (curated, funnel) = graft.operators.Curation.curateWithFunnel(
+            docs,
+            keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
+            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+          funnelRow = Some(funnel.head())
+          curated
         }
         case None => timed("curate") {
           graft.operators.Curation.curate(
@@ -231,15 +243,16 @@ object Main {
         docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
             Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$out/corpus")
-      // --funnel: the per-stage survivor counts next to the output they explain
-      if (opts.contains("funnel")) {
-        val f = timed("funnel")(graft.operators.Curation.funnelReport(
-          docs, keepLangs = langs, minStopwordRatio = minStop,
-          minTokens = minTok, maxPunctRatio = maxPunct,
-          jaccardThreshold = jac).head())
+      // --funnel: the per-stage survivor counts next to the output they
+      // explain (computed in the same pass as the curated table; the
+      // incremental form reports counts from its own output instead)
+      funnelRow.foreach { f =>
         println(s"[graft] funnel: total=${f.getLong(0)} lang=${f.getLong(1)} " +
           s"gate=${f.getLong(2)} exact=${f.getLong(3)} curated=${f.getLong(4)}")
       }
+      if (wantFunnel && funnelRow.isEmpty)
+        println(s"[graft] funnel: curated=${kept.count()} (incremental run; " +
+          "full funnel applies to the batch form)")
       println(s"[graft] curated stats -> $out/curated")
     } finally if (owned) spark.stop()
   }

@@ -104,7 +104,23 @@ object Curation {
       maxPunctRatio: Double = 0.30,
       prefixLen: Int = 100,
       shingleN: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5): DataFrame =
+    curateWithFunnel(docs, keepLangs, minStopwordRatio, minTokens,
+      maxPunctRatio, prefixLen, shingleN, jaccardThreshold)._2
+
+  /** One-pass curate + funnel: the curated stats table AND the per-stage
+    * counts off the same persisted intermediates — the production shape
+    * (running [[curate]] then [[funnelReport]] separately would scan and
+    * dedup the corpus twice for one job's output + observability row).
+    */
+  def curateWithFunnel(docs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minStopwordRatio: Double = 0.01,
+      minTokens: Long = 5,
+      maxPunctRatio: Double = 0.30,
+      prefixLen: Int = 100,
+      shingleN: Int = 3,
+      jaccardThreshold: Double = 0.5): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
@@ -132,12 +148,16 @@ object Curation {
         Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"))
-    val nCurated = exact.join(losers, Seq("doc_id"), "left_anti").count()
+    val curated = Materialize(exact.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("n_chars"), col("stopword_ratio")))
+    val nCurated = curated.count()
     exact.unpersist()
     enriched.unpersist()
-    Seq((gateRow.getLong(0), gateRow.getLong(1), gateRow.getLong(2),
+    val funnel = Seq((gateRow.getLong(0), gateRow.getLong(1), gateRow.getLong(2),
       nExact, nCurated))
       .toDF("n_total", "n_lang_pass", "n_gate_pass", "n_exact_keep", "n_curated")
+    (curated, funnel)
   }
 
   /** Incremental curation — the daily-increment form of [[curate]]: curate

@@ -57,6 +57,11 @@ class CurationSpec extends AnyFunSuite {
     assert(f.getAs[Long]("n_curated") == 2L)    // 2 drops as near-dup of 1
     // the funnel's terminal count IS curate()'s cardinality
     assert(f.getAs[Long]("n_curated") == Curation.curate(docs).count())
+    // one-pass form: same curated rows AND same funnel as the separate calls
+    val (curated, funnel) = Curation.curateWithFunnel(docs)
+    assert(curated.select("doc_id").as[Long].collect().toSet ==
+      Curation.curate(docs).select("doc_id").as[Long].collect().toSet)
+    assert(funnel.head() == f)
   }
 
   test("curate materializes once: returned plan re-scans no source") {
