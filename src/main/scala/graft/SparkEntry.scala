@@ -1100,6 +1100,26 @@ object SparkEntry {
     Seq(acc.value).toDF("n_curated")
   }
 
+  /** Composed data-prep flagship: NFC normalization → benchmark
+    * decontamination → deterministic split assignment as ONE chained plan
+    * — each stage is the proven form of its standalone query (ta9, dc2,
+    * sp1), so the oracle checks the composition, not just the parts.
+    * Normalization feeds the decontamination shingles (its contract: dedup
+    * and n-gram ops run on normalized text).
+    */
+  private def pipePrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val normalized = TextAnalysis.normalizeText(docs)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val clean = graft.operators.Dedup.decontaminate(
+      normalized.filter(col("doc_id") % 10 =!= 0),
+      normalized.filter(col("doc_id") % 10 === 0), "text", 5)
+    graft.operators.Sampling.assignSplits(clean,
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curation funnel: one row of per-stage survivor counts with the exact
     * stage semantics of pipe_curation.
     */
@@ -1302,6 +1322,7 @@ object SparkEntry {
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
+    "pipe_prep" -> (pipePrep(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
@@ -2309,6 +2330,36 @@ ORDER BY d.doc_id"""
     "pipe_curation" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
     "pipe_curation_funnel" -> curationFunnelSql,
+    // pipe_prep: normalize -> decontaminate -> split, each stage the
+    // standalone oracle's form, chained (normalized text feeds the shingles)
+    "pipe_prep" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM norm),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         flagged AS (
+           SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+           WHERE doc_id % 10 <> 0),
+         clean AS (
+           SELECT doc_id FROM norm
+           WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         u AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM clean)
+         SELECT doc_id,
+           CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+         FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
