@@ -216,10 +216,14 @@ object Main {
       var funnelRow: Option[org.apache.spark.sql.Row] = None
       val kept = opts.get("existing") match {
         case Some(ex) => timed("curate incremental") {
+          // --existing-shingles: the previous increment's persisted shingle
+          // table — skips re-tokenizing the whole existing corpus
           graft.operators.Curation.curateIncremental(
             docs, loadDocs(spark, ex),
             keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
-            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+            maxPunctRatio = maxPunct, jaccardThreshold = jac,
+            existingShingles = opts.get("existing-shingles")
+              .map(spark.read.parquet(_)))
         }
         case None if wantFunnel => timed("curate+funnel") {
           // one pass: the funnel reads the same persisted intermediates,
@@ -243,6 +247,13 @@ object Main {
         docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
             Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$out/corpus")
+      // --write-shingles: persist the kept docs' shingle table for the NEXT
+      // increment's --existing-shingles
+      if (opts.contains("write-shingles"))
+        graft.operators.Dedup.shingleTable(
+            docs.join(spark.read.parquet(s"$out/curated").select("doc_id"),
+              Seq("doc_id"), "left_semi"))
+          .write.mode("overwrite").parquet(s"$out/shingles")
       // --funnel: the per-stage survivor counts next to the output they
       // explain (computed in the same pass as the curated table; the
       // incremental form reports counts from its own output instead)

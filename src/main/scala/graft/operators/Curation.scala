@@ -188,7 +188,8 @@ object Curation {
       maxPunctRatio: Double = 0.30,
       prefixLen: Int = 100,
       shingleN: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      existingShingles: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fp = md5(substring(col("text"), 1, prefixLen))
     val gated = gate(newDocs.select(col("doc_id"), col("text")),
@@ -201,11 +202,17 @@ object Curation {
       .select(col("doc_id"))
     val exact = gated.join(batchKeepers, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // (3): near-dup components over new survivors UNION existing
-    val uni = exact.select(col("doc_id"), col("text"))
-      .unionByName(existing.select(col("doc_id"), col("text")))
+    // (3): near-dup components over new survivors UNION existing. When the
+    // caller supplies the existing corpus's persisted shingle table
+    // (Dedup.shingleTable written at the previous increment), only the new
+    // batch is re-tokenized — the per-increment cost the SCALE note
+    // promises; otherwise both sides' shingles are derived here.
+    val uniShingles = Dedup.shingleTable(
+        exact.select(col("doc_id"), col("text")), "text", shingleN)
+      .unionByName(existingShingles.getOrElse(Dedup.shingleTable(
+        existing.select(col("doc_id"), col("text")), "text", shingleN)))
     val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(uni, "text", shingleN, jaccardThreshold))
+      Dedup.ngramJaccardPairsFromShingles(uniShingles, jaccardThreshold))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val contaminated = labels
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_semi")

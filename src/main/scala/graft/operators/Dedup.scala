@@ -455,6 +455,11 @@ object Dedup {
     *     (doc_id, nsh) struct, so no join back to a sizes table — the final
     *     aggregate already has |A| and |B| on the row.
     */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+      shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleTable(docs, textCol, shingleSize), minJaccard)
+
   /** Distinct 64-bit shingle hashes of a text column (lowercased,
     * whitespace-tokenized, `n`-token sliding windows; a doc shorter than
     * `n` tokens contributes its whole token stream as one shingle). Shared
@@ -481,12 +486,25 @@ object Dedup {
     }
   }
 
-  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
-      shingleSize: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+  /** Per-doc distinct shingle-hash rows (doc_id, nsh, h) — the REUSABLE
+    * form of the near-dup join's left half. An incremental pipeline
+    * persists this table for its curated corpus once and unions each new
+    * batch's (small) shingle table against it, so successive increments
+    * never re-tokenize the existing corpus (see
+    * [[Curation.curateIncremental]]).
+    */
+  def shingleTable(docs: DataFrame, textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
     val hashesUdf = shingleHashesUdf(shingleSize)
     docs
       .select(col("doc_id"), hashesUdf(col(textCol)).as("hs"))
       .select(col("doc_id"), size(col("hs")).as("nsh"), explode(col("hs")).as("h"))
+  }
+
+  /** [[ngramJaccardPairs]] over an already-computed [[shingleTable]]. */
+  def ngramJaccardPairsFromShingles(shingles: DataFrame,
+      minJaccard: Double = 0.8): DataFrame =
+    shingles
       .groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("nsh")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -499,7 +517,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** Benchmark decontamination report: for each training doc that shares
     * at least one `ngramSize`-token shingle with the benchmark/eval set,

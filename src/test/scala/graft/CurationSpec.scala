@@ -96,6 +96,23 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(5L, 7L))
   }
 
+  test("incremental curation: precomputed existing shingles == recompute path") {
+    import graft.operators.Dedup
+    val existing = Seq(100L -> en,
+      102L -> (sharedPrefix + " morning air feels crisp today"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> enNear,
+      5L -> "it is that the sun and the moon share the sky in the evening of day")
+      .toDF("doc_id", "text")
+    val recompute = Curation.curateIncremental(batch, existing)
+      .select("doc_id").as[Long].collect().toSet
+    val precomputed = Curation.curateIncremental(batch, existing,
+        existingShingles = Some(Dedup.shingleTable(existing)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(recompute == precomputed && recompute == Set(5L))
+  }
+
   test("incremental curation with empty existing == batch curate on the batch") {
     val batch = Seq(1L -> en, 2L -> enNear,
       3L -> "it is that the sun and the moon share the sky in the evening of day")
