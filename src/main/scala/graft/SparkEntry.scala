@@ -768,6 +768,10 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TA12: corpus length-distribution report (exact quantiles). */
+  private def ta12LengthStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthStats(tbl(spark, dir, "documents"))
+
   /** TA11: unigram log-prob quality score (self-trained corpus model). */
   private def ta11LogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(tbl(spark, dir, "documents"))
@@ -1301,6 +1305,7 @@ object SparkEntry {
     "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta10_compress" -> (ta10Compress(_, _)),
     "ta11_logprob" -> (ta11LogProb(_, _)),
+    "ta12_length_stats" -> (ta12LengthStats(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -1526,6 +1531,18 @@ ORDER BY d.doc_id"""
     },
     // ta8: dup-line fraction + top-bigram fraction on the derived
     // multi-line corpus (first line repeated once per doc)
+    // ta12: Spark exact percentile and DuckDB quantile_cont share the
+    // (1-g)*a[k] + g*a[k+1] interpolation at rank p*(n-1)
+    "ta12_length_stats" ->
+      s"""WITH d AS (SELECT CAST($tokSql AS BIGINT) AS n FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_tokens,
+           round(quantile_cont(n, 0.5), 4) AS p50,
+           round(quantile_cont(n, 0.9), 4) AS p90,
+           round(quantile_cont(n, 0.99), 4) AS p99,
+           MAX(n) AS max_tokens
+         FROM d""",
     // ta11: corpus-ML unigram logprob; ln rounded to 6dp on both engines
     // BEFORE the order-independent decimal sum (1-ulp libm differences
     // cannot survive the 6dp grid except exactly on a .0000005 boundary)

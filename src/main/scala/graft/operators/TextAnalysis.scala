@@ -229,6 +229,28 @@ object TextAnalysis {
         coalesce(col("norm_text") =!= col(textCol), lit(false)))
   }
 
+  /** TA12: corpus length-distribution report — doc-count, mean, exact
+    * p50/p90/p99 and max of per-doc token counts, one row. The report that
+    * sizes every downstream knob (chunk budget, packing budget, skew
+    * salting thresholds). Exact `percentile` (not approx): its sort-based
+    * aggregation is deterministic, so the row is oracle-checkable; at
+    * 100 TB swap in `percentile_approx`, whose sketch-merge order makes
+    * the last decimals run-dependent — the same exact/approx split as
+    * TA5/TA5b, just with determinism rather than shuffle width as the
+    * boundary.
+    */
+  def lengthStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.exactSum
+    val n = tokenCount(col(textCol))
+    docs.select(n.as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        r4(exactSum(col("n").cast("double")) / count(lit(1))).as("mean_tokens"),
+        r4(percentile(col("n"), lit(0.5))).as("p50"),
+        r4(percentile(col("n"), lit(0.9))).as("p90"),
+        r4(percentile(col("n"), lit(0.99))).as("p99"),
+        max(col("n")).as("max_tokens"))
+  }
+
   /** TA11: unigram log-probability quality score — the CCNet/KenLM-style
     * "LM perplexity" gate with the simplest self-trained model: corpus ML
     * unigram probabilities p(w) = count(w)/total, per-doc mean ln p(w).

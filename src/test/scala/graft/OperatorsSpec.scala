@@ -135,6 +135,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("plain ascii unchanged", false)))
   }
 
+  test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
+    // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
+    val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.lengthStats(docs).head()
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Double]("mean_tokens") == 3.0)
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p90") == 4.6)
+    assert(r.getAs[Double]("p99") == 4.96)
+    assert(r.getAs[Long]("max_tokens") == 5L)
+  }
+
   test("TA11 unigramLogProb: typical docs outscore rare-token docs; exact on fixture") {
     val docs = Seq(
       (1L, "the the the"),    // p(the)=6/8 -> 3 * ln(0.75)
