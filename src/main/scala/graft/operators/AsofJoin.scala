@@ -31,31 +31,39 @@ object AsofJoin {
   /** Both inputs must carry (keyCol, tsCol, idCol); the left keeps all its
     * columns and gains `prefix`+payload columns from the matched right row
     * (null when the key has no right row at or before left.ts).
+    *
+    * `strict = true` switches the match to `right.ts < left.ts` — the
+    * leakage-free convention for feature lookups, where state recorded at
+    * the same instant as the observation must NOT be visible to it. In the
+    * union ordering that is just left-before-right at equal ts.
     */
   def asofJoinPrior(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
-      rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+      rightPayload: Seq[String], prefix: String = "asof_",
+      strict: Boolean = false): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val shared = Seq(keyCol, tsCol, idCol)
     val stateType = StructType(rightPayload.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    // inclusive: right sorts before left at equal ts, so same-instant state
+    // is visible; strict: left sorts first, so it is not
+    val leftSide = if (strict) 0 else 1
     val lTagged = left
       .withColumn("__state", lit(null).cast(stateType))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftSide))
     // right rows: shared keys + payload struct, left-only columns as nulls
     val rCols = left.columns.toSeq.map { c =>
       if (shared.contains(c)) col(c) else lit(null).cast(leftTypes(c)).as(c)
     } :+ struct(rightPayload.map(col): _*).cast(stateType).as("__state")
-    val rTagged = right.select(rCols: _*).withColumn("__side", lit(0))
-    // right-before-left at equal ts (inclusive match); largest right id
-    // wins among equal-(key, ts) right rows
+    val rTagged = right.select(rCols: _*)
+      .withColumn("__side", lit(1 - leftSide))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = lTagged.unionByName(rTagged)
       .withColumn("__state", last(col("__state"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+      .filter(col("__side") === leftSide)
     joined.select(left.columns.map(col) ++
       rightPayload.map(c => col("__state").getField(c).as(s"$prefix$c")): _*)
   }

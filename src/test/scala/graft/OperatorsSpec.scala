@@ -115,6 +115,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(11L) == ((Some(1L), Some(5.0)))) // equal ts matches
     assert(got(12L) == ((None, None)))
     assert(got(13L) == ((Some(4L), Some(1.0))))
+    // strict: same-instant right state is invisible — left at ts 50 falls
+    // back to nothing (its only prior is the equal-ts row)
+    val strictGot = AsofJoin.asofJoinPrior(left, right,
+      "user_id", "ts_us", "event_id", Seq("event_id"), strict = true)
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_event_id"))).toMap
+    assert(strictGot(11L) == None)       // equal ts excluded under strict
+    assert(strictGot(10L) == Some(3L))   // earlier rows unaffected
   }
 
   test("TA9 normalizeText: NFC precompose, control strip, zero-width strip") {
