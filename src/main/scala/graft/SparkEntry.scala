@@ -443,6 +443,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DC3: the SAME decontamination report through the Bloom-prefilter path
+    * — the plan for when the eval suite outgrows a broadcast. Bloom filters
+    * have no false negatives and survivors are exactly verified, so dc3 is
+    * held to dc1's oracle verbatim: a bit-identical result from a
+    * different (scale-path) plan is precisely what the gate should prove.
+    */
+  private def dc3DecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Dedup.contaminationReportBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "text", 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DD9: duplicate-span coverage — the substring-level dedup signal (Lee
+    * et al. 2021): per doc, the fraction of its 5-token windows (with
+    * multiplicity) occurring >= 2 times corpus-wide. Catches boilerplate /
+    * templated assembly that whole-doc dedup (dd1–dd7) is blind to.
+    */
+  private def dd9SpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanCoverage(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")), "text", 5, 2)
+      .orderBy(col("doc_id"))
+
   /** SP1: deterministic train/val/test assignment. Weights 0.75/0.125/0.125
     * are binary-exact so the cumulative thresholds carry no float dust and
     * the oracle's CASE literals are the same doubles bit-for-bit (the
@@ -692,6 +716,46 @@ object SparkEntry {
     Similarity.pairRecall(
       Dedup.embeddingCosinePairs(emb, 0.85),
       Dedup.embeddingCosinePairsLsh(emb, 0.85, 64))
+  }
+
+  // ------------------------------------------------------------ clustering
+
+  /** CL1: k-means cluster cardinality profile (8 cells, 2 Lloyd rounds,
+    * deterministic sampled training — the [[Similarity.ivfTopK]] trainer).
+    * Rows-only: centroid evolution is not SQL-expressible; determinism and
+    * coverage are pinned by ClusteringSpec.
+    */
+  private def cl1ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.clusterSizes(
+      tbl(spark, dir, "embeddings"), 8, 2)
+      .orderBy(col("cluster"))
+
+  /** CL2: SemDeDup near-dup pairs (Abbas et al. 2023) on the planted
+    * near-dup corpus at the realistic 0.85 threshold — within-cluster exact
+    * cosine only, the n²/k pruning. Registered at the AUTO operating point
+    * (nClusters=0 → k = n/targetClusterSize, the dd6b auto-planes rule —
+    * a fixed k is quadratic at scale) with sampled training (mod 4, the
+    * ss3 shape). Rows-only; pair quality measured by cl3_semdedup_recall.
+    */
+  private def cl2SemdedupPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.semDedupPairs(
+      nearDupEmbeddings(tbl(spark, dir, "embeddings")), 0.85,
+      trainSampleMod = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** CL3: SemDeDup pair-recall vs the exact cartesian at the same
+    * threshold/corpus — the measured miss rate of the centroid-boundary
+    * approximation (RecallSpec floors it at 0.9). Measured at sf0.01:
+    * 0.868 with single assignment, 0.996 at the default nAssign=2
+    * (top-2-cell multi-assignment — the multiprobe analogue), with
+    * precision exactly 1.0 both ways (within-cluster pairs are
+    * exact-scored).
+    */
+  private def cl3SemdedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    Similarity.pairRecall(
+      Dedup.embeddingCosinePairs(emb, 0.85),
+      graft.operators.Clustering.semDedupPairs(emb, 0.85, trainSampleMod = 4))
   }
 
   // --------------------------------------------------------- text analysis
@@ -1274,6 +1338,11 @@ object SparkEntry {
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
+    "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
+    "dd9_span_coverage" -> (dd9SpanCoverage(_, _)),
+    "cl1_cluster_sizes" -> (cl1ClusterSizes(_, _)),
+    "cl2_semdedup_pairs" -> (cl2SemdedupPairs(_, _)),
+    "cl3_semdedup_recall" -> (cl3SemdedupRecall(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
@@ -2172,6 +2241,37 @@ ORDER BY d.doc_id"""
          SELECT doc_id FROM documents
          WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
          ORDER BY doc_id""",
+    // dc3: the Bloom-prefiltered plan is held to the exact report's oracle
+    // verbatim — no false negatives + exact verify => bit-identical output.
+    "dc3_decontam_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM corp GROUP BY 1),
+         hits AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM corp JOIN bench USING (g) GROUP BY 1)
+         SELECT doc_id, n_hits, n_ngrams,
+           round(n_hits * 1.0 / n_ngrams, 4) AS overlap
+         FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""",
+    // dd9: same toks derivation as dd4 but windows keep MULTIPLICITY (no
+    // DISTINCT) — a span repeated inside one doc is duplicated text too.
+    "dd9_span_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         win AS (
+           SELECT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         occ AS (SELECT g, COUNT(*) AS c FROM win GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_fraction
+         FROM win JOIN occ USING (g) GROUP BY doc_id ORDER BY doc_id""",
     // sp1/sp2/mx1: keyed-hash sampling family. u = first 60 bits of
     // md5("<seed>:<id>") / 2^60 — the ta4/o4 md5-prefix-long idiom; all
     // registered weights are binary-exact so thresholds match bit-for-bit.

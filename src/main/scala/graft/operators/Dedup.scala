@@ -44,7 +44,7 @@ object Dedup {
     * Quadratic only in per-bucket membership — the same blow-up a
     * bucket-join would have, but without recomputing the inputs.
     */
-  private def pairCombinations(ids: Column): Column =
+  private[operators] def pairCombinations(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(
         slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
@@ -486,6 +486,82 @@ object Dedup {
     }
   }
 
+  /** `n`-token window hashes WITH multiplicity (one entry per window
+    * position, unlike [[shingleHashesUdf]]'s distinct set) — the span
+    * stream for [[duplicateSpanCoverage]], where a window repeated inside
+    * one doc must count every occurrence. Same tokenization and
+    * short-doc convention as the shingle UDF.
+    */
+  private[graft] def windowHashesUdf(n: Int) = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val t = text.toLowerCase.trim
+      val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+      val windows: Iterator[String] =
+        if (toks.isEmpty) Iterator.empty
+        else if (toks.length < n) Iterator(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" "))
+      windows.map { s =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+        (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      }.toArray
+    }
+  }
+
+  /** Duplicate-span coverage — the substring-level dedup signal of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models Better"):
+    * per doc, the fraction of its `spanTokens`-token windows (counted WITH
+    * multiplicity) whose text occurs at least `minOccurrences` times across
+    * the whole corpus, all docs and positions included. High coverage means
+    * the doc is largely assembled from text that exists elsewhere —
+    * boilerplate, mirrors, templated spam — even when no whole-doc
+    * near-dup fires; it is the signal whole-doc dedup (DD1–DD7) is blind
+    * to. Output: (doc_id, n_spans, n_dup_spans, dup_fraction); docs with
+    * no spans (null/empty text) are omitted — they have nothing to score.
+    *
+    * Scale shape: spans travel as 64-bit hashes, never strings — one
+    * explode, one hash-aggregate for global occurrence counts (map-side
+    * partials on compact keys), one shuffle join back on the hash, one
+    * per-doc hash-aggregate. No corpus self-join, nothing quadratic; a
+    * degenerate viral span costs its reducer one (hash, count) cell. The
+    * occurrence-count join is corpus×corpus-gram scale on both sides by
+    * design (the count table does NOT broadcast at 100 TB) — AQE picks the
+    * join strategy.
+    *
+    * Reference seed: the reference dedups at whole-summary granularity
+    * only (SURVEY §2.5); this extends its corpus hygiene to span level.
+    */
+  def duplicateSpanCoverage(docs: DataFrame, textCol: String = "text",
+      spanTokens: Int = 5, minOccurrences: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), windowHashesUdf(spanTokens)(col(textCol)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_spans"), explode(col("hs")).as("h"))
+    val occ = spans.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    spans.join(occ, Seq("h"))
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum(when(col("occ") >= minOccurrences, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+      .select("doc_id", "n_spans", "n_dup_spans", "dup_fraction")
+  }
+
+  /** Corpus gated on [[duplicateSpanCoverage]]: drop every doc whose
+    * duplicate-span fraction exceeds `maxFraction` (Lee et al. drop the
+    * spans themselves; at corpus scale the doc-level gate is the form
+    * that composes with the rest of the curation funnel — a doc that is
+    * mostly duplicated text is dropped whole). Anti-join on doc_id; the
+    * corpus rows themselves are never shuffled.
+    */
+  def dropDuplicateSpanDocs(docs: DataFrame, textCol: String = "text",
+      spanTokens: Int = 5, minOccurrences: Int = 2,
+      maxFraction: Double = 0.5): DataFrame = {
+    val flagged = duplicateSpanCoverage(docs, textCol, spanTokens, minOccurrences)
+      .filter(col("dup_fraction") > maxFraction)
+      .select("doc_id")
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-doc distinct shingle-hash rows (doc_id, nsh, h) — the REUSABLE
     * form of the near-dup join's left half. An incremental pipeline
     * persists this table for its curated corpus once and unions each new
@@ -556,6 +632,56 @@ object Dedup {
       textCol: String = "text", ngramSize: Int = 13,
       maxOverlap: Double = 0.0): DataFrame = {
     val flagged = contaminationReport(docs, benchmark, textCol, ngramSize)
+      .filter(col("overlap") > maxOverlap)
+      .select("doc_id")
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** [[contaminationReport]] with a Bloom-filter prefilter — the form for
+    * when the eval suite's distinct shingle set outgrows a broadcast (the
+    * swap the exact operator's docstring promises). A Bloom filter over
+    * the benchmark shingle hashes is built distributed and merged on the
+    * driver as a FIXED-SIZE bit array (~1.2 MB per million grams at 1%
+    * fpp, vs gigabytes for the gram set itself), ships to every task in a
+    * broadcast, and prunes the corpus gram stream to (true hits + fpp ·
+    * non-hits) BEFORE the verify join — so the join shuffles a sliver of
+    * the corpus side instead of every gram of 100 TB. Bloom filters have
+    * no false negatives, so the prefilter only drops rows the exact join
+    * would drop anyway: the output is bit-identical to
+    * [[contaminationReport]] (same oracle), only the plan changes. The
+    * verify join is deliberately NOT hinted broadcast — in the regime
+    * this operator exists for, the gram set doesn't broadcast; AQE picks
+    * the strategy from the post-filter sizes.
+    */
+  def contaminationReportBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val hs = shingleHashesUdf(ngramSize)
+    val benchGrams = benchmark.select(explode(hs(col(textCol))).as("h")).distinct()
+    val bloom = benchGrams.stat.bloomFilter("h", expectedGrams, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (h: Long) => bloomBc.value.mightContainLong(h) }
+    docs
+      .select(col("doc_id"), hs(col(textCol)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_ngrams"), explode(col("hs")).as("h"))
+      .filter(mightContain(col("h")))
+      .join(benchGrams, Seq("h"))
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("overlap",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 4))
+      .select("doc_id", "n_hits", "n_ngrams", "overlap")
+  }
+
+  /** [[decontaminate]] through the Bloom-prefiltered report — identical
+    * output (no false negatives, exact verify), scale-path plan.
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13,
+      maxOverlap: Double = 0.0,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val flagged = contaminationReportBloom(docs, benchmark, textCol, ngramSize,
+        expectedGrams, fpp)
       .filter(col("overlap") > maxOverlap)
       .select("doc_id")
     docs.join(flagged, Seq("doc_id"), "left_anti")

@@ -151,32 +151,62 @@ object Similarity {
     if (den == 0.0) 0.0 else dot / den
   }
 
-  /** IVF (inverted-file) approximate top-k — the second scale path next to
-    * [[lshTopK]]: a coarse quantizer (cosine k-means, deterministic seeding
-    * by lowest vec_id, `iterations` Lloyd rounds run as DataFrame jobs)
-    * partitions the corpus into `nCells` cells; each query probes its
-    * `nProbe` nearest centroids and reranks exactly within those cells only
-    * — the scanned fraction is ~nProbe/nCells of the corpus.
+  /** Nearest-centroid assignment UDF (cosine, ties to the lowest cell id) —
+    * shared by IVF search and [[Clustering]].
+    */
+  private[operators] def bestCellUdf(cs: Array[Array[Float]]) = udf { (emb: Seq[Float]) =>
+    if (emb == null) -1
+    else {
+      val v = emb.toArray
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val s = cosLocal(v, cs(c))
+        if (s > bestScore) { bestScore = s; best = c } // ties: lowest cell
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** Top-`n` nearest-centroid assignment UDF (cosine, deterministic
+    * tie-break by cell id) — the multi-assignment form behind SemDeDup's
+    * boundary recovery ([[Clustering.semDedupPairs]] `nAssign`): a vector
+    * near a centroid boundary belongs to both cells, the same near-miss
+    * fix as [[lshTopK]]'s multiprobe shell.
+    */
+  private[operators] def bestCellsUdf(cs: Array[Array[Float]], n: Int) =
+    udf { (emb: Seq[Float]) =>
+      if (emb == null) Array.empty[Int]
+      else {
+        val v = emb.toArray
+        cs.indices
+          .map(c => (c, cosLocal(v, cs(c))))
+          .sortBy { case (c, s) => (-s, c) }
+          .take(n).map(_._1).toArray
+      }
+    }
+
+  /** Deterministic cosine k-means training (seeding by lowest vec_id,
+    * `iterations` Lloyd rounds run as DataFrame jobs) — the coarse
+    * quantizer behind [[ivfTopK]] and the cluster model behind
+    * [[Clustering]]. Training runs on a deterministic 1/trainSampleMod
+    * sample (vec_id mod — stable across runs and partitionings). At corpus
+    * scale this is how such models are always built: Lloyd rounds over the
+    * full 100 TB corpus would cost a full scan per iteration for centroids
+    * whose quality saturates on a small sample.
     *
     * Centroids are metadata-scale (nCells x dim doubles) and travel in UDF
     * closures; the corpus itself is never collected. Per Lloyd round the
     * driver collects exactly nCells mean vectors (decimal-exact elementwise
     * means, so centroid evolution is partition-order-deterministic).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nProbe: Int = 6, iterations: Int = 2,
-      trainSampleMod: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[operators] def trainKmeans(corpus: DataFrame, nCells: Int,
+      iterations: Int, trainSampleMod: Int = 1): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
-    require(trainSampleMod >= 1)
-
-    // Quantizer TRAINING runs on a deterministic 1/trainSampleMod sample
-    // (vec_id mod — stable across runs and partitionings); ASSIGNMENT still
-    // covers every vector. At corpus scale this is how IVF is always built:
-    // Lloyd rounds over the full 100 TB corpus would cost a full scan per
-    // iteration for centroids whose quality saturates on a small sample.
+    require(nCells > 0 && iterations >= 0 && trainSampleMod >= 1)
     val train =
       if (trainSampleMod == 1) corpus
       else corpus.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
@@ -185,22 +215,6 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(nCells)
       .as[(Long, Array[Float])].collect().map(_._2)
-
-    def bestCellUdf(cs: Array[Array[Float]]) = udf { (emb: Seq[Float]) =>
-      if (emb == null) -1
-      else {
-        val v = emb.toArray
-        var best = 0
-        var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val s = cosLocal(v, cs(c))
-          if (s > bestScore) { bestScore = s; best = c } // ties: lowest cell
-          c += 1
-        }
-        best
-      }
-    }
 
     for (_ <- 0 until iterations) {
       val means = train
@@ -215,6 +229,21 @@ object Similarity {
       centroids = Array.tabulate(centroids.length)(c =>
         means.getOrElse(c, centroids(c))) // empty cells keep their centroid
     }
+    centroids
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * [[lshTopK]]: a coarse quantizer ([[trainKmeans]]) partitions the
+    * corpus into `nCells` cells; each query probes its `nProbe` nearest
+    * centroids and reranks exactly within those cells only — the scanned
+    * fraction is ~nProbe/nCells of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 6, iterations: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
+    val centroids = trainKmeans(corpus, nCells, iterations, trainSampleMod)
 
     val probeUdf = {
       val cs = centroids

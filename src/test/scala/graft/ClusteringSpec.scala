@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Clustering, Dedup}
+
+/** Clustering + SemDeDup: determinism, coverage, precision (every emitted
+  * pair is exact-scored so it must appear in the cartesian baseline), and
+  * end-to-end group resolution. Recall floors live in RecallSpec.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val k = 4
+
+  /** Deterministic clustered corpus (spec-pinned LCG): `k` well-separated
+    * centers, 20 points each at small perturbation, plus one exact
+    * duplicate pair planted inside cluster 0 (ids 1000/1001).
+    */
+  private lazy val rows: Seq[(Long, Array[Float])] = {
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(k, dim)(rnd.nextGaussian().toFloat * 3f)
+    val base = (0 until k * 20).map { i =>
+      val c = centers(i % k)
+      (i.toLong, Array.tabulate(dim)(d => c(d) + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val dup = base.head._2.clone()
+    base ++ Seq((1000L, dup), (1001L, dup.map(x => x * 1.001f)))
+  }
+
+  test("kmeansAssign: every vector assigned, clusters within range, deterministic") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val a = Clustering.kmeansAssign(emb, k, iterations = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(a.size == rows.size)
+    assert(a.values.forall(c => c >= 0 && c < k))
+    // partition-layout independence: same model, any physical layout
+    val b = Clustering.kmeansAssign(emb.repartition(7, col("vec_id")), k, 2)
+      .as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
+  test("kmeansAssign separates the planted clusters") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val byCluster = Clustering.kmeansAssign(emb, k, iterations = 2)
+      .as[(Long, Int)].collect()
+      .groupBy { case (id, _) => if (id >= 1000L) 0L else id % k }
+    // all members of one generated cluster land in one learned cell
+    byCluster.foreach { case (gen, members) =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"generated cluster $gen split across cells")
+    }
+  }
+
+  test("clusterSizes sums to the corpus and reflects the planted duplicates") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val sizes = Clustering.clusterSizes(emb, k, 2).as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum == rows.size)
+    assert(sizes.values.max == 22L) // cluster 0 carries the two planted dups
+  }
+
+  test("semDedupPairs: precision 1.0 (subset of the exact cartesian) and finds planted dups") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val sem = Clustering.semDedupPairs(emb, 0.95, k, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingCosinePairs(emb, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(exact), "within-cluster exact scoring cannot invent pairs")
+    assert(sem.contains((1000L, 1001L)), "planted duplicate pair missed")
+    assert(sem.contains((0L, 1000L)), "exact copy of vector 0 missed")
+  }
+
+  test("maxClusterSize caps degenerate cells") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val capped = Clustering.semDedupPairs(emb, 0.95, k, 2, maxClusterSize = Some(5))
+    // every cell has >= 20 members, so the cap drops all of them
+    assert(capped.isEmpty)
+  }
+
+  test("semDedupCorpus keeps one representative per semantic group") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Clustering.semDedupCorpus(emb, 0.95, k, 2)
+      .select("vec_id").as[Long].collect().toSet
+    // the {0, 1000, 1001} group resolves to its min id
+    assert(kept.contains(0L))
+    assert(!kept.contains(1000L) && !kept.contains(1001L))
+    // nothing outside flagged groups is dropped
+    val losers = rows.map(_._1).toSet -- kept
+    val pairMembers = Clustering.semDedupPairs(emb, 0.95, k, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(losers.subsetOf(pairMembers))
+  }
+}

@@ -216,6 +216,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lax == Set(1L, 2L))
   }
 
+  test("DC3 Bloom-prefiltered decontamination is bit-identical to the exact path") {
+    // No false negatives + exact verify on survivors => same report/corpus,
+    // whatever the fpp. Includes a short doc (whole-doc shingle) and a
+    // disjoint doc so both branches of the filter fire.
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro words the quick brown fox jumps over something new"),
+      (2L, "completely disjoint training material about ships and seas"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contaminationReport(docs, bench, "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    // tight filter (few expected items) and sloppy fpp: output must not move
+    for (fpp <- Seq(0.01, 0.3)) {
+      val got = Dedup.contaminationReportBloom(docs, bench, "text", 5,
+        expectedGrams = 64, fpp = fpp).orderBy("doc_id").collect().toSeq
+      assert(got == exact, s"bloom report diverged at fpp=$fpp")
+    }
+    val cleanExact = Dedup.decontaminate(docs, bench, "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val cleanBloom = Dedup.decontaminateBloom(docs, bench, "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanBloom == cleanExact)
+  }
+
+  test("DD9 duplicate-span coverage: closed-form fixture, multiplicity counted") {
+    // 3-token spans. doc 1: "a b c d e" -> spans {a b c, b c d, c d e};
+    // doc 2 repeats "a b c" twice -> its span stream holds "a b c" at two
+    // positions (multiplicity!) plus bridge spans; doc 3 is disjoint.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c a b c"),
+      (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanCoverage(docs, "text", spanTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_spans"), r.getAs[Long]("n_dup_spans"),
+         r.getAs[Double]("dup_fraction"))).toMap
+    // doc 2 spans: [a b c][b c a][c a b][a b c] -> "a b c" occurs 2x inside
+    // doc 2 alone and once in doc 1 (3 total); bridge spans occur once each.
+    assert(got(1L) == ((3, 1L, 0.3333)))  // only "a b c" is global-dup
+    assert(got(2L) == ((4, 2L, 0.5)))     // both "a b c" positions count
+    assert(got(3L) == ((2, 0L, 0.0)))     // x y z / y z w unique
+    // within-doc repetition alone is enough to mark spans duplicated
+    val solo = Dedup.duplicateSpanCoverage(
+      Seq((7L, "p q r p q r")).toDF("doc_id", "text"), "text", 3)
+      .collect().head
+    assert(solo.getAs[Long]("n_dup_spans") == 2L) // the two "p q r" positions
+    // the gate drops high-coverage docs, keeps the rest
+    val kept = Dedup.dropDuplicateSpanDocs(docs, "text", spanTokens = 3,
+      maxFraction = 0.4).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("DD3 MinHash LSH: identical docs collide in every band") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))

@@ -86,4 +86,17 @@ class RecallSpec extends AnyFunSuite {
     assert(row._1 > 100, s"degenerate fixture: only ${row._1} exact pairs")
     assert(row._4 >= 0.9, s"dd6b pair-recall ${row._4} below floor 0.9")
   }
+
+  test("SemDeDup pairs: pair-recall >= 0.9 vs the exact baseline on clustered data") {
+    val emb = corpusRows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(emb, 0.85)
+    val approx = graft.operators.Clustering.semDedupPairs(emb, 0.85, nClusters)
+    val row = Similarity.pairRecall(exact, approx)
+      .select("n_exact", "n_approx", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row._1 > 100, s"degenerate fixture: only ${row._1} exact pairs")
+    assert(row._4 >= 0.9, s"SemDeDup pair-recall ${row._4} below floor 0.9")
+    // precision is exactly 1.0: within-cluster pairs are exact-scored
+    assert(row._2 == row._3, "SemDeDup emitted a pair the exact baseline lacks")
+  }
 }
