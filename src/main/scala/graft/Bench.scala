@@ -91,7 +91,13 @@ object Bench {
     // the robust steady-state estimator, and a third full pass would push
     // the session's execution count into the regime where accumulated
     // session state measurably degrades the tail (see warm-up note).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=name1,name2 times just those queries
+    // (the driver never sets it — full registry remains the default).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))

@@ -705,6 +705,80 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** SS4: TF-IDF cosine near-dup pairs at 0.3 in the df-pruned term space
+    * (cap 0.5) — the lexical near-dup detector: sparse-vector cosine with
+    * no embedding model in the loop. Every floating step is one IEEE op on
+    * 6dp-grid inputs or a decimal sum, so the oracle is exact.
+    */
+  private def ss4TfidfPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lexical.tfidfCosinePairs(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text")), 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SS5: BM25 top-5 retrieval (k1=1.2, b=0.75), querying the corpus with
+    * its own first five documents (the ss1 slice convention — each query's
+    * top hit should be itself, a built-in sanity signal the oracle checks
+    * for free).
+    */
+  private def ss5Bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    graft.operators.Lexical.bm25TopK(docs, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SS6: hybrid retrieval — dense cosine top-10 (ss1's exact path) and
+    * lexical BM25 top-10 (ss5) fused by reciprocal-rank fusion at k=60,
+    * top-5 out. The standard RAG retrieval stack as one composed, fully
+    * oracled plan; vec_id ≡ doc_id in the testdata, which is what makes
+    * the fusion meaningful. rank_a/rank_b carry provenance (0 = the item
+    * was absent from that list; the dense list excludes self-matches by
+    * ss1 convention, BM25 does not — fusion handles the asymmetry).
+    */
+  private def ss6HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val emb = tbl(spark, dir, "embeddings")
+    val qText = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val qVec = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val dense = Similarity.bruteForceTopK(emb, qVec, 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val lexical = graft.operators.Lexical.bm25TopK(docs, qText, 10)
+    Similarity.rrfFuse(dense, lexical, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --------------------------------------------------------------- graph
+
+  /** Customer→supplier edge set (who buys from whom), the natural TPC-H
+    * digraph: one distinct edge per (customer, supplier) trading pair;
+    * supplier nodes offset by 10^6 to keep the id spaces disjoint.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = tbl(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+  }
+
+  /** GR1: PageRank (3 power iterations, d=0.85, dangling redistribution)
+    * over the trade graph — supplier authority scoring. Ranks live on a
+    * 9dp grid with decimal-summed contributions, so the oracle (the same
+    * three iterations unrolled as CTEs) matches bit-for-bit.
+    */
+  private def gr1Pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(tradeEdges(spark, dir), 3)
+      .orderBy(col("node"))
+
+  /** GR2: per-node degree profile of the trade graph — the hub/skew report
+    * that sizes every downstream graph join.
+    */
+  private def gr2Degrees(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.degreeStats(tradeEdges(spark, dir))
+      .orderBy(col("node"))
+
   /** DD6b pair-recall vs the exact cartesian baseline, both at dd6b's
     * registered operating point (planted-near-dup corpus, 0.85 threshold,
     * auto planes). Spec floor >= 0.9 (RecallSpec); theory predicts ~0.99
@@ -1361,6 +1435,11 @@ object SparkEntry {
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
     "ss2_recall" -> (ss2Recall(_, _)),
     "ss3_recall" -> (ss3Recall(_, _)),
+    "ss4_tfidf_pairs" -> (ss4TfidfPairs(_, _)),
+    "ss5_bm25_topk" -> (ss5Bm25Topk(_, _)),
+    "ss6_hybrid_rrf" -> (ss6HybridRrf(_, _)),
+    "gr1_pagerank" -> (gr1Pagerank(_, _)),
+    "gr2_degrees" -> (gr2Degrees(_, _)),
     "dd6b_embedding_pairs_lsh" -> (dd6bEmbeddingPairsLsh(_, _)),
     "dd6b_recall" -> (dd6bRecall(_, _)),
     "ta1_quality" -> (ta1Quality(_, _)),
@@ -1421,6 +1500,43 @@ object SparkEntry {
 
   private def exactSumSql(e: String) =
     s"CAST(SUM(CAST($e AS DECIMAL(38,10))) AS DOUBLE)"
+
+  /** gr1 oracle: `iters` PageRank power iterations over the trade graph,
+    * unrolled as CTE pairs (dangling mass d{i}, contributions c{i}, next
+    * ranks r{i}) — arithmetic, rounding grid, and literals (emitted from
+    * the Scala doubles, so both engines parse identical bit patterns)
+    * mirror Graph.pageRank exactly.
+    */
+  private def gr1PagerankSql(iters: Int, damping: Double): String = {
+    val setup =
+      """e AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+                    FROM e GROUP BY 1),
+         r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes, nn)"""
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (
+           SELECT COALESCE(${exactSumSql("rank")}, 0.0) AS dm
+           FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+           WHERE o.src IS NULL),
+         c$i AS (
+           SELECT e.dst AS node, ${exactSumSql("round(r.rank / o.outdeg, 9)")} AS s
+           FROM e JOIN r${i - 1} r ON e.src = r.node
+                JOIN outdeg o ON e.src = o.src
+           GROUP BY 1),
+         r$i AS (
+           SELECT nd.node,
+             round(${1.0 - damping} / nn.n + $damping *
+               (COALESCE(c.s, 0.0) + d$i.dm / nn.n), 9) AS rank
+           FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node, nn, d$i)"""
+    }.mkString(",\n         ")
+    s"""WITH $setup,
+         $rounds
+         SELECT node, rank FROM r$iters ORDER BY node"""
+  }
 
   /** f3_bpe_count oracle: replay the greedy BPE merge loop rank-for-rank
     * as a recursive CTE over DISTINCT pretokens, then weight by per-doc
@@ -2402,6 +2518,157 @@ ORDER BY d.doc_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // gr1: PageRank's three power iterations unrolled as CTEs — same 9dp
+    // grid, same decimal sums, same dangling/teleport arithmetic (all
+    // literals emitted from the Scala doubles), so the match is bit-exact.
+    "gr1_pagerank" -> gr1PagerankSql(3, 0.85),
+    "gr2_degrees" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         o AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+               FROM e GROUP BY 1),
+         i AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+               FROM e GROUP BY 1)
+         SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(out_deg, CAST(0 AS BIGINT)) AS out_deg,
+           COALESCE(in_deg, CAST(0 AS BIGINT)) AS in_deg
+         FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""",
+    // ss4: TF-IDF cosine pairs. The idf is rounded to the 6dp grid before
+    // weighting (ta11 rule: 1-ulp ln differences cannot reach the result);
+    // dot products and norm-squares go through round-then-decimal-sum, so
+    // summation order cannot move the cosine in either engine.
+    "ss4_tfidf_pairs" ->
+      """WITH t AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM t GROUP BY 1, 2),
+         d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+         w AS (
+           SELECT doc_id, tok, tf * round(ln(n_docs / df), 6) AS w
+           FROM tf JOIN d USING (tok), n
+           WHERE df <= 0.5 * n_docs),
+         nrm AS (
+           SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(38,10))) AS DOUBLE))
+               AS nrm
+           FROM w GROUP BY 1),
+         dot AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(CAST(round(a.w * b.w, 6) AS DECIMAL(38,10))) AS DOUBLE)
+               AS dot
+           FROM w a JOIN w b USING (tok)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         cosed AS (
+           SELECT id_a, id_b,
+             round(CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+               ELSE dot / (na.nrm * nb.nrm) END, 4) AS cosine
+           FROM dot JOIN nrm na ON dot.id_a = na.doc_id
+                    JOIN nrm nb ON dot.id_b = nb.doc_id)
+         SELECT id_a, id_b, cosine FROM cosed
+         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+    // ss5: BM25 top-5. All literals are emitted from the Scala doubles
+    // (shortest round-trip repr), so both engines compute on the identical
+    // bit patterns; parenthesization mirrors the Column expression exactly.
+    "ss5_bm25_topk" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM t GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+                  FROM t GROUP BY 1),
+         d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_toks,
+                     CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id < 5),
+         scored AS (
+           SELECT query_id, tf.doc_id,
+             round(CAST(SUM(CAST(round(
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+                 * (tf * ${1.2 + 1}) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * len /
+                   (total_toks / n_docs))), 6)
+               AS DECIMAL(38,10))) AS DOUBLE), 4) AS score
+           FROM qt JOIN tf USING (tok) JOIN d USING (tok)
+                JOIN lens ON tf.doc_id = lens.doc_id, stats
+           WHERE df <= 0.5 * n_docs
+           GROUP BY 1, 2)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // ss6: the ss1 (dense, k=10) and ss5 (BM25, k=10) oracles composed as
+    // CTEs, fused by RRF — one IEEE division per list (CAST AS DOUBLE:
+    // DuckDB would otherwise divide in DECIMAL) and one addition on a
+    // full-outer join, so exactness is inherited from the two inputs.
+    "ss6_hybrid_rrf" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM t GROUP BY 1, 2),
+         lens AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len
+                  FROM t GROUP BY 1),
+         d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_toks,
+                     CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+         qt AS (
+           SELECT DISTINCT doc_id AS query_id, tok FROM t WHERE doc_id < 5),
+         bmscored AS (
+           SELECT query_id, tf.doc_id,
+             round(CAST(SUM(CAST(round(
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+                 * (tf * ${1.2 + 1}) /
+                 (tf + 1.2 * (1.0 - 0.75 + 0.75 * len /
+                   (total_toks / n_docs))), 6)
+               AS DECIMAL(38,10))) AS DOUBLE), 4) AS score
+           FROM qt JOIN tf USING (tok) JOIN d USING (tok)
+                JOIN lens ON tf.doc_id = lens.doc_id, stats
+           WHERE df <= 0.5 * n_docs
+           GROUP BY 1, 2),
+         bm AS (
+           SELECT query_id, doc_id, rank FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rank FROM bmscored)
+           WHERE rank <= 10),
+         q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings
+               WHERE vec_id < 5),
+         dnscored AS (
+           SELECT q.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+         dn AS (
+           SELECT query_id, vec_id AS doc_id, rank FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM dnscored)
+           WHERE rank <= 10),
+         fused AS (
+           SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CAST(COALESCE(a.rank, 0) AS INT) AS rank_a,
+             CAST(COALESCE(b.rank, 0) AS INT) AS rank_b,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank), 0.0), 9)
+               AS score
+           FROM dn a FULL OUTER JOIN bm b
+             ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+         SELECT query_id, doc_id, rank_a, rank_b, score,
+           CAST(rn AS INT) AS rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rn FROM fused)
+         WHERE rn <= 5 ORDER BY query_id, rank""",
     "qz1_quantize" ->
       s"""WITH $quantizeCte
          SELECT vec_id, round(scale, 6) AS scale,

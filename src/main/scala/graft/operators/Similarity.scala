@@ -279,6 +279,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack et al.
+    * 2009) — the standard hybrid-retrieval combiner: fused score =
+    * Σ_lists 1/(kRrf + rank), summed over the lists that returned the
+    * item; output the top `k` per query by fused score (ties to the lower
+    * id). The canonical use is dense (embedding top-k) + lexical (BM25)
+    * — RRF needs no score calibration between the two, only ranks, which
+    * is exactly why it is the production default for hybrid search.
+    *
+    * Inputs are two (query_id, `idCol`, rank) tables. Exactness: each
+    * reciprocal is one IEEE division on integer inputs and the fusion is
+    * one addition on a full-outer join (never an aggregation), so there
+    * is no summation-order hazard at all; the oracle matches bit-for-bit
+    * whenever the input rank lists do. Plan: one equi-join on (query_id,
+    * id) + a per-query window — trivially cheap next to the retrieval
+    * passes that feed it.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && kRrf >= 0)
+    def side(df: DataFrame, r: String) =
+      df.select(col("query_id"), col(idCol), col("rank").cast("int").as(r))
+    side(a, "rank_a").join(side(b, "rank_b"), Seq("query_id", idCol), "full_outer")
+      .select(col("query_id"), col(idCol),
+        // 0 = absent from that list (ranks start at 1) — keeps the
+        // provenance columns non-null for downstream hashing/compares
+        coalesce(col("rank_a"), lit(0)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).as("rank_b"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0)), 9)
+          .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall@k of an approximate top-k result against the exact baseline —
     * the quantitative check every ANN path needs (an LSH/IVF parameter
     * regression silently passes any "finds the identical vector" test).

@@ -28,7 +28,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     "pipe_mapreduce", "pipe_critique", "pipe_iterative", "pipe_hierarchical",
     "pipe_truncated", "s3_tree_ingest", "ss3_ivf_topk", "ss3_recall",
     "ss2_recall", "dd6b_recall", "eval_pair_metrics", "eval_summary_stats",
-    "eval_judge_scores", "eval_judge_stats", "eval_bertscore")
+    "eval_judge_scores", "eval_judge_stats", "eval_bertscore",
+    // k-means trains (collects centroids) at construction; plan shape
+    // pinned by ClusteringSpec, recall floor by RecallSpec
+    "cl1_cluster_sizes", "cl2_semdedup_pairs", "cl3_semdedup_recall",
+    // power iterations materialize per round (the dd7 rule); shape
+    // pinned by GraphSpec
+    "gr1_pagerank")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
@@ -36,10 +42,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     * BroadcastNestedLoopJoin by construction.
     */
   private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
-    "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall")
+    "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall",
+    "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
-    "ta11_logprob")
+    "ta11_logprob",
+    // one-row corpus-stats scalar broadcast (the ta11 shape)
+    "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf")
 
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager
