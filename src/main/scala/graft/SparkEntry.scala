@@ -705,14 +705,26 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
-  /** SS4: TF-IDF cosine near-dup pairs at 0.3 in the df-pruned term space
-    * (cap 0.5) — the lexical near-dup detector: sparse-vector cosine with
-    * no embedding model in the loop. Every floating step is one IEEE op on
-    * 6dp-grid inputs or a decimal sum, so the oracle is exact.
+  /** SS4: TF-IDF cosine near-dup pairs at 0.8 — the lexical near-dup
+    * detector: sparse-vector cosine with no embedding model in the loop.
+    * Every floating step is one IEEE op on 6dp-grid inputs or a decimal
+    * sum, so the oracle is exact.
+    *
+    * Registration note (r4 advice): the synthetic corpus has a ~31-token
+    * vocabulary where every term but one sits at df ≈ 0.78·n, so the
+    * production default cap (0.5) left a single surviving term and every
+    * pair at cosine exactly 1.0 — the threshold arithmetic was vacuous.
+    * Here we admit the full vocabulary (cap 1.0) and bound the quadratic
+    * pair cost with a 200-doc slice instead; measured cosines then span
+    * 0.02–0.91 with ~500 pairs genuinely straddling the 0.8 threshold.
+    * On a real corpus the df cap (fraction or absolute `maxDf`) is the
+    * scale guard; the slice is purely a testdata-vocabulary artifact.
     */
   private def ss4TfidfPairs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Lexical.tfidfCosinePairs(
-      tbl(spark, dir, "documents").select(col("doc_id"), col("text")), 0.3)
+      tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 200),
+      0.8, maxDfFraction = 1.0)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SS5: BM25 top-5 retrieval (k1=1.2, b=0.75), querying the corpus with
@@ -724,7 +736,12 @@ object SparkEntry {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"), col("text"))
-    graft.operators.Lexical.bm25TopK(docs, queries, 5)
+    // cap 1.0 (r4 advice): with the testdata's 31-token vocabulary every
+    // query term has df ≈ 0.78·n, so the production default (0.5) pruned
+    // the whole query and the oracle passed vacuously at 0 rows. BM25's
+    // idf already discounts ubiquitous terms (≈0.25 at df/n = 0.78), so
+    // admitting them keeps scores meaningful while the ranking is real.
+    graft.operators.Lexical.bm25TopK(docs, queries, 5, maxDfFraction = 1.0)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -745,7 +762,11 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val dense = Similarity.bruteForceTopK(emb, qVec, 10)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
-    val lexical = graft.operators.Lexical.bm25TopK(docs, qText, 10)
+    // cap 1.0 — same testdata-vocabulary rationale as ss5; with the
+    // default cap the BM25 leg was empty and "hybrid" degenerated to the
+    // dense ranking with rank_b = 0 everywhere.
+    val lexical = graft.operators.Lexical.bm25TopK(docs, qText, 10,
+      maxDfFraction = 1.0)
     Similarity.rrfFuse(dense, lexical, 5)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2542,7 +2563,7 @@ ORDER BY d.doc_id"""
       """WITH t AS (
            SELECT doc_id,
              UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
-           FROM documents),
+           FROM documents WHERE doc_id < 200),
          tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
                 FROM t GROUP BY 1, 2),
          d AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -2550,7 +2571,7 @@ ORDER BY d.doc_id"""
          w AS (
            SELECT doc_id, tok, tf * round(ln(n_docs / df), 6) AS w
            FROM tf JOIN d USING (tok), n
-           WHERE df <= 0.5 * n_docs),
+           WHERE df <= 1.0 * n_docs),
          nrm AS (
            SELECT doc_id,
              sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(38,10))) AS DOUBLE))
@@ -2569,7 +2590,7 @@ ORDER BY d.doc_id"""
            FROM dot JOIN nrm na ON dot.id_a = na.doc_id
                     JOIN nrm nb ON dot.id_b = nb.doc_id)
          SELECT id_a, id_b, cosine FROM cosed
-         WHERE cosine >= 0.3 ORDER BY id_a, id_b""",
+         WHERE cosine >= 0.8 ORDER BY id_a, id_b""",
     // ss5: BM25 top-5. All literals are emitted from the Scala doubles
     // (shortest round-trip repr), so both engines compute on the identical
     // bit patterns; parenthesization mirrors the Column expression exactly.
@@ -2597,7 +2618,7 @@ ORDER BY d.doc_id"""
                AS DECIMAL(38,10))) AS DOUBLE), 4) AS score
            FROM qt JOIN tf USING (tok) JOIN d USING (tok)
                 JOIN lens ON tf.doc_id = lens.doc_id, stats
-           WHERE df <= 0.5 * n_docs
+           WHERE df <= 1.0 * n_docs
            GROUP BY 1, 2)
          SELECT query_id, doc_id, score, rank FROM (
            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2631,7 +2652,7 @@ ORDER BY d.doc_id"""
                AS DECIMAL(38,10))) AS DOUBLE), 4) AS score
            FROM qt JOIN tf USING (tok) JOIN d USING (tok)
                 JOIN lens ON tf.doc_id = lens.doc_id, stats
-           WHERE df <= 0.5 * n_docs
+           WHERE df <= 1.0 * n_docs
            GROUP BY 1, 2),
          bm AS (
            SELECT query_id, doc_id, rank FROM (

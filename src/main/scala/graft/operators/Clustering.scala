@@ -43,17 +43,20 @@ object Clustering {
 
   /** K-means cluster assignment: (vec_id, cluster) for every vector.
     * Training runs on a deterministic 1/trainSampleMod sample; assignment
-    * covers every row as one map-only UDF pass (centroids travel in the
-    * closure — metadata-scale, nothing collected but nCells mean vectors
-    * per Lloyd round).
+    * covers every row as one map-only pass against broadcast centroids.
+    * `nClusters <= 0` resolves through [[resolveK]] — the same auto
+    * operating point as [[semDedupPairs]], so the Clustering API is
+    * uniform (r4 advice).
     */
   def kmeansAssign(emb: DataFrame, nClusters: Int, iterations: Int = 2,
-      trainSampleMod: Int = 1): DataFrame = {
+      trainSampleMod: Int = 1, targetClusterSize: Int = 128): DataFrame = {
+    val k = resolveK(emb, nClusters, targetClusterSize)
     val centroids = Similarity.trainKmeans(
-      emb.select(col("vec_id"), col("embedding")), nClusters, iterations,
+      emb.select(col("vec_id"), col("embedding")), k, iterations,
       trainSampleMod)
     emb.select(col("vec_id"),
-      Similarity.bestCellUdf(centroids)(col("embedding")).as("cluster"))
+      Similarity.bestCellUdf(emb.sparkSession, centroids)(col("embedding"))
+        .as("cluster"))
   }
 
   /** Cluster cardinality profile: (cluster, n_vectors) — the one-line
@@ -95,8 +98,8 @@ object Clustering {
       emb.select(col("vec_id"), col("embedding")), k, iterations,
       trainSampleMod)
     val assigned = emb.select(
-      explode(Similarity.bestCellsUdf(centroids, nAssign)(col("embedding")))
-        .as("cluster"),
+      explode(Similarity.bestCellsUdf(emb.sparkSession, centroids, nAssign)(
+        col("embedding"))).as("cluster"),
       col("vec_id").as("id"), col("embedding"),
       vecNormF(col("embedding")).as("norm"))
     val clusters = assigned.groupBy(col("cluster"))

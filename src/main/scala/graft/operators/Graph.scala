@@ -66,12 +66,17 @@ object Graph {
         .select(col("dst").as("node"),
           round(col("rank") / col("outdeg"), 9).as("c"))
         .groupBy(col("node")).agg(exactSum(col("c")).as("s"))
+      val prev = rank
       rank = Materialize(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nDf)).crossJoin(broadcast(dm))
         .select(col("node"),
           round(lit(1.0 - damping) / col("n") +
             lit(damping) * (coalesce(col("s"), lit(0.0)) +
               col("dm") / col("n")), 9).as("rank")))
+      // release the previous round's checkpoint blocks once the new round
+      // is materialized (the CC-loop rule) — at iterations up to 100 the
+      // per-round tables would otherwise accumulate for the whole job
+      prev.unpersist()
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     rank

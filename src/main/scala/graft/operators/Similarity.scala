@@ -138,7 +138,7 @@ object Similarity {
     }
   }
 
-  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def cosLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -152,21 +152,20 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment UDF (cosine, ties to the lowest cell id) —
-    * shared by IVF search and [[Clustering]].
+    * shared by IVF search and [[Clustering]]. The centroid index ships as a
+    * `SparkContext.broadcast` (one copy per executor over the torrent
+    * protocol), NOT closure capture (re-serialized with every task binary —
+    * ~200 MB per task batch at the 65536-cell clamp with d=768); the UDF
+    * closure carries only the broadcast handle. Assignment itself is the
+    * coarse-pruned two-level search of [[CentroidIndex]] — O(√k·d) typical
+    * per row instead of the flat O(k·d) scan, with a conservative bound
+    * that makes the result provably identical to the flat scan.
     */
-  private[operators] def bestCellUdf(cs: Array[Array[Float]]) = udf { (emb: Seq[Float]) =>
-    if (emb == null) -1
-    else {
-      val v = emb.toArray
-      var best = 0
-      var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val s = cosLocal(v, cs(c))
-        if (s > bestScore) { bestScore = s; best = c } // ties: lowest cell
-        c += 1
-      }
-      best
+  private[operators] def bestCellUdf(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[Array[Float]]) = {
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cs))
+    udf { (emb: Seq[Float]) =>
+      if (emb == null) -1 else bc.value.search(emb.toArray, 1)(0)
     }
   }
 
@@ -174,19 +173,16 @@ object Similarity {
     * tie-break by cell id) — the multi-assignment form behind SemDeDup's
     * boundary recovery ([[Clustering.semDedupPairs]] `nAssign`): a vector
     * near a centroid boundary belongs to both cells, the same near-miss
-    * fix as [[lshTopK]]'s multiprobe shell.
+    * fix as [[lshTopK]]'s multiprobe shell. Broadcast + two-level pruned,
+    * like [[bestCellUdf]].
     */
-  private[operators] def bestCellsUdf(cs: Array[Array[Float]], n: Int) =
+  private[operators] def bestCellsUdf(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[Array[Float]], n: Int) = {
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(cs))
     udf { (emb: Seq[Float]) =>
-      if (emb == null) Array.empty[Int]
-      else {
-        val v = emb.toArray
-        cs.indices
-          .map(c => (c, cosLocal(v, cs(c))))
-          .sortBy { case (c, s) => (-s, c) }
-          .take(n).map(_._1).toArray
-      }
+      if (emb == null) Array.empty[Int] else bc.value.search(emb.toArray, n)
     }
+  }
 
   /** Deterministic cosine k-means training (seeding by lowest vec_id,
     * `iterations` Lloyd rounds run as DataFrame jobs) — the coarse
@@ -218,7 +214,7 @@ object Similarity {
 
     for (_ <- 0 until iterations) {
       val means = train
-        .select(bestCellUdf(centroids)(col("embedding")).as("cell"),
+        .select(bestCellUdf(spark, centroids)(col("embedding")).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg((graft.functions.exactSum(col("x")) / count(lit(1))).as("m"))
@@ -243,27 +239,15 @@ object Similarity {
       trainSampleMod: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
+    val spark = corpus.sparkSession
     val centroids = trainKmeans(corpus, nCells, iterations, trainSampleMod)
-
-    val probeUdf = {
-      val cs = centroids
-      val p = nProbe
-      udf { (emb: Seq[Float]) =>
-        if (emb == null) Array.empty[Int]
-        else {
-          val v = emb.toArray
-          cs.indices
-            .map(c => (c, cosLocal(v, cs(c))))
-            .sortBy { case (c, s) => (-s, c) } // deterministic tie-break
-            .take(p).map(_._1).toArray
-        }
-      }
-    }
+    // query-side probe = the same two-level top-n search as assignment
+    val probeUdf = bestCellsUdf(spark, centroids, nProbe)
 
     import graft.functions.{r4, vecDotF, vecNormF}
     val cells = corpus.select(col("vec_id"), col("embedding").as("emb_c"),
       vecNormF(col("embedding")).as("norm_c"),
-      bestCellUdf(centroids)(col("embedding")).as("cell"))
+      bestCellUdf(spark, centroids)(col("embedding")).as("cell"))
     val probes = queries.select(col("query_id"), col("embedding").as("emb_q"),
       vecNormF(col("embedding")).as("norm_q"),
       explode(probeUdf(col("embedding"))).as("cell"))

@@ -80,6 +80,42 @@ class ClusteringSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("CentroidIndex: two-level pruned search identical to the flat scan") {
+    import graft.operators.CentroidIndex
+    // a model big enough that the auto build genuinely splits into many
+    // coarse groups and prunes (256 cells -> 16 groups), over queries that
+    // include centroid-boundary points, exact centroid copies (ties), a
+    // zero vector, and a zero-norm centroid
+    val rnd = new java.util.Random(11)
+    val d = 24
+    val cs: Array[Array[Float]] =
+      Array.tabulate(255)(_ => Array.fill(d)(rnd.nextGaussian().toFloat)) :+
+        Array.fill(d)(0f)
+    val idx = CentroidIndex.build(cs)
+    val queries: Seq[Array[Float]] =
+      (0 until 200).map(_ => Array.fill(d)(rnd.nextGaussian().toFloat)) ++
+        Seq(cs(17).clone(), cs(254).clone(), Array.fill(d)(0f),
+          // exact midpoint of two centroids: a near-tie for the bound
+          Array.tabulate(d)(i => (cs(3)(i) + cs(4)(i)) / 2f))
+    for (q <- queries; n <- Seq(1, 2, 6)) {
+      assert(idx.search(q, n).toSeq == idx.flatSearch(q, n).toSeq,
+        s"pruned search diverged from flat at n=$n")
+    }
+    // a forced fine-grained coarse model (more pruning pressure) agrees too
+    val idx64 = CentroidIndex.build(cs, nCoarse = 64)
+    for (q <- queries)
+      assert(idx64.search(q, 2).toSeq == idx64.flatSearch(q, 2).toSeq)
+  }
+
+  test("kmeansAssign auto-k (nClusters <= 0) resolves like semDedupPairs") {
+    val emb = rows.toDF("vec_id", "embedding")
+    // 82 rows at targetClusterSize 16 -> ceil(82/16) = 6 cells, floor 8
+    val a = Clustering.kmeansAssign(emb, 0, iterations = 1,
+      targetClusterSize = 16).as[(Long, Int)].collect()
+    assert(a.length == rows.size)
+    assert(a.forall { case (_, c) => c >= 0 && c < 8 })
+  }
+
   test("semDedupCorpus keeps one representative per semantic group") {
     val emb = rows.toDF("vec_id", "embedding")
     val kept = Clustering.semDedupCorpus(emb, 0.95, k, 2)
