@@ -105,6 +105,17 @@ final class BpeTokenizer(
   }
 
   def lengthFn: Splitter.LengthFn = count _
+
+  /** Length function matching `len(tokenizer.encode(text))` of a HF
+    * tokenizer that prepends BOS (the reference's splitter length function,
+    * run_full_evaluation_pipeline.py:347-349, with Llama-3.2's
+    * `<|begin_of_text|>`): every measured piece counts one extra special
+    * token. Chunk counts are visibly sensitive to this — the reference's
+    * 1165-token doc splits into 2 chunks at a 1200 cap only because each
+    * measured piece (and the separator between pieces) carries the +1 —
+    * so a user replicating reference chunk boundaries must use this form.
+    */
+  def lengthFnBos: Splitter.LengthFn = t => count(t) + 1
 }
 
 object Bpe {
