@@ -853,6 +853,59 @@ object SparkEntry {
       graft.operators.Clustering.semDedupPairs(emb, 0.85, trainSampleMod = 4))
   }
 
+  /** Containment audit of an approximate pair set against the exact
+    * cartesian baseline on the same corpus/threshold — the driver-visible
+    * form of "precision is exactly 1.0" (r4 verdict next-#4; the qz3_recall
+    * pattern: a quality claim emitted as a hash-checked row). One row:
+    *   - has_pairs:          1 iff the approximate set is non-empty — the
+    *                         non-vacuity guard (an empty approximation
+    *                         would "contain" trivially);
+    *   - n_missing:          approx pairs absent from the exact set (anti
+    *                         join on ids) — any false-positive pair makes
+    *                         this nonzero and breaks the oracle hash;
+    *   - n_cosine_mismatch:  joined pairs whose cosines differ — both
+    *                         sides compute r4(dot/(norm*norm)) with the
+    *                         same IEEE op order, so equality is bit-exact.
+    * The oracle is the literal (1, 0, 0): hard on precision and scoring,
+    * while the (approximate-by-construction) recall stays a measured row
+    * (cl3_semdedup_recall / dd6b_recall).
+    */
+  private def containmentAudit(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("id_a"), col("id_b"), col("cosine"))
+    val e = exact.select(col("id_a"), col("id_b"),
+      col("cosine").as("cosine_exact"))
+    val joined = a.join(e, Seq("id_a", "id_b"), "left")
+    joined.agg(
+      max(lit(1)).as("has_pairs"), // agg over >=1 row iff approx non-empty
+      count(when(col("cosine_exact").isNull, 1)).as("n_missing"),
+      count(when(col("cosine_exact").isNotNull &&
+        col("cosine") =!= col("cosine_exact"), 1)).as("n_cosine_mismatch"))
+      .filter(col("has_pairs").isNotNull)
+  }
+
+  /** CL2 containment: every SemDeDup pair is an exact-cartesian pair at the
+    * same 0.85 threshold with an identical cosine (within-cluster scoring
+    * IS the exact formula — SemDeDup prunes candidates, never relaxes
+    * scoring). Oracled to the literal (1, 0, 0).
+    */
+  private def cl2Containment(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    containmentAudit(
+      graft.operators.Clustering.semDedupPairs(emb, 0.85, trainSampleMod = 4),
+      Dedup.embeddingCosinePairs(emb, 0.85))
+  }
+
+  /** DD6b containment: the LSH prefilter's surviving pairs are exactly
+    * verified (same formula), so dd6b ⊆ dd6 on the same corpus/threshold
+    * with bit-identical cosines. Oracled to the literal (1, 0, 0).
+    */
+  private def dd6bContainment(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    containmentAudit(
+      Dedup.embeddingCosinePairsLsh(emb, 0.85, 64),
+      Dedup.embeddingCosinePairs(emb, 0.85))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** TA1: quality-score gates. */
@@ -1438,6 +1491,8 @@ object SparkEntry {
     "cl1_cluster_sizes" -> (cl1ClusterSizes(_, _)),
     "cl2_semdedup_pairs" -> (cl2SemdedupPairs(_, _)),
     "cl3_semdedup_recall" -> (cl3SemdedupRecall(_, _)),
+    "cl2_containment" -> (cl2Containment(_, _)),
+    "dd6b_containment" -> (dd6bContainment(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
@@ -2700,6 +2755,17 @@ ORDER BY d.doc_id"""
              AS max_abs_err
          FROM qz ORDER BY vec_id""",
     "qz2_topk_quant" -> qz2TopkSql,
+    // cl2/dd6b containment: precision-1.0 as a hash-checked literal — the
+    // Spark side recomputes the violation counters from the two pair sets
+    // (anti-join + cosine equality); any false-positive pair or scoring
+    // drift lands a nonzero counter and breaks the hash. has_pairs guards
+    // vacuity (an empty approximation yields 0 rows, failing rows_match).
+    "cl2_containment" ->
+      """SELECT 1 AS has_pairs, CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_cosine_mismatch""",
+    "dd6b_containment" ->
+      """SELECT 1 AS has_pairs, CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_cosine_mismatch""",
     "qz3_recall" ->
       s"""WITH $quantizeCte,
          $quantScoredCte,
