@@ -168,6 +168,32 @@ object SparkEntry {
       .orderBy(col("l_orderkey"))
   }
 
+  /** G1c: the salted collect on a DELIBERATELY skewed corpus — doc 0
+    * absorbs every fifth order's lines (~20% of all chunks land on one
+    * doc_id), the giant-document regime where the unsalted collect funnels
+    * the whole hot payload through one reducer. Same oracle discipline as
+    * g1b: held to the direct DuckDB string_agg, so the skew path is proven
+    * order-exact on the hot key, not just on benign data. chunk_idx =
+    * l_orderkey*10+l_linenumber keeps hot-doc chunks globally ordered and
+    * unique (duplicate (okey, line) pairs collapse to identical text, so
+    * ties cannot reorder output). segSize=256 bounds any reducer to ~30
+    * chunks even though doc 0 holds ~12k.
+    */
+  private def g1cCollectHotkey(spark: SparkSession, dir: String): DataFrame = {
+    val idx = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    val chunks = tbl(spark, dir, "lineitem").select(
+      when(col("l_orderkey") % 5 === 0, lit(0L))
+        .otherwise(col("l_orderkey")).as("doc_id"),
+      lit(0).as("bin"),
+      idx.as("chunk_idx"),
+      idx.cast("string").as("text"),
+      lit(1L).as("n_tokens"))
+    CorpusOps.concatBinsSalted(chunks, ",", segSize = 256)
+      .select(col("doc_id"), col("n_tokens_in").as("n_lines"),
+        col("text").as("line_numbers"))
+      .orderBy(col("doc_id"))
+  }
+
   /** G6: mean/std/min/max metric block (population std, like numpy's
     * default in the reference eval).
     */
@@ -411,6 +437,30 @@ object SparkEntry {
   private def dd3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", 3, 4, 2)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Boilerplate text planted on every tenth doc for the hot-bucket query:
+    * identical text => identical minhash signature => one LSH bucket holds
+    * n/10 docs in EVERY band (the degenerate "shared header" key real
+    * corpora produce at scale).
+    */
+  private val BoilerText =
+    "standard legal disclaimer header text repeated verbatim on many pages"
+
+  /** DD3b: MinHash LSH on a deliberately skewed corpus — every tenth doc
+    * carries identical boilerplate, creating one bucket of n/10 members per
+    * band whose m^2/2 candidate pairs would dominate the job. The
+    * hot-bucket cap (maxBucketSize=4, firing at every test SF) drops those
+    * buckets; the oracle mirrors the cap with a HAVING clause, so exactly
+    * WHAT the cap drops is hash-checked, not just asserted. See SCALE.md
+    * §hot-bucket for the dropped-pair arithmetic.
+    */
+  private def dd3bMinhashLshCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(BoilerText))
+        .otherwise(col("text")).as("text"))
+    Dedup.minhashLshPairs(docs, "text", 3, 4, 2, maxBucketSize = Some(4))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** DD4: word-3-gram Jaccard near-dup pairs (threshold 0.5). */
   private def dd4Jaccard(spark: SparkSession, dir: String): DataFrame =
@@ -791,6 +841,15 @@ object SparkEntry {
     */
   private def gr1Pagerank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRank(tradeEdges(spark, dir), 3)
+      .orderBy(col("node"))
+
+  /** GR1b: the same PageRank through the salted two-phase contribution
+    * aggregate (celebrity-dst skew path) — held to the SAME oracle SQL as
+    * gr1, so the salted decimal partial-sum is proven bit-exact on real
+    * data (the `g1b` pattern for graphs).
+    */
+  private def gr1bPagerankSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(tradeEdges(spark, dir), 3, saltBuckets = 8)
       .orderBy(col("node"))
 
   /** GR2: per-node degree profile of the trade graph — the hub/skew report
@@ -1466,6 +1525,7 @@ object SparkEntry {
     "g3_binpack_cumsum" -> (g3BinpackCumsum(_, _)),
     "g1_collect_ordered" -> (g1Collect(_, _)),
     "g1b_collect_salted" -> (g1bCollectSalted(_, _)),
+    "g1c_collect_hotkey" -> (g1cCollectHotkey(_, _)),
     "g6_metric_stats" -> (g6Stats(_, _)),
     "g7_histogram" -> (g7Histogram(_, _)),
     "g8_argmax" -> (g8Argmax(_, _)),
@@ -1483,6 +1543,7 @@ object SparkEntry {
     "dd1b_prefix_dups" -> (dd1bPrefixDups(_, _)),
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
+    "dd3b_minhash_lsh_capped" -> (dd3bMinhashLshCapped(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
@@ -1515,6 +1576,7 @@ object SparkEntry {
     "ss5_bm25_topk" -> (ss5Bm25Topk(_, _)),
     "ss6_hybrid_rrf" -> (ss6HybridRrf(_, _)),
     "gr1_pagerank" -> (gr1Pagerank(_, _)),
+    "gr1b_pagerank_salted" -> (gr1bPagerankSalted(_, _)),
     "gr2_degrees" -> (gr2Degrees(_, _)),
     "dd6b_embedding_pairs_lsh" -> (dd6bEmbeddingPairsLsh(_, _)),
     "dd6b_recall" -> (dd6bRecall(_, _)),
@@ -2098,6 +2160,15 @@ ORDER BY d.doc_id"""
       """SELECT l_orderkey, COUNT(*) AS n_lines,
          string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // g1c: the hot-key corpus (doc 0 = every fifth order, ~20% of chunks)
+    // still held to the direct ordered string_agg — the salted path must be
+    // indistinguishable from the unsalted collect ON the skewed key
+    "g1c_collect_hotkey" ->
+      """SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0 ELSE l_orderkey END AS doc_id,
+         COUNT(*) AS n_lines,
+         string_agg(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), ','
+                    ORDER BY l_orderkey * 10 + l_linenumber) AS line_numbers
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "g6_metric_stats" ->
       s"""SELECT l_returnflag,
          round(${exactSumSql("l_extendedprice")} / COUNT(*), 4) AS mean_price,
@@ -2340,6 +2411,7 @@ ORDER BY d.doc_id"""
     // pattern) held to DuckDB parity on a real metric distribution
     "eval_stats_ngram" -> rougeStatsSql,
     "dd3_minhash_lsh" -> minhashLshSql,
+    "dd3b_minhash_lsh_capped" -> minhashLshCappedSql(4),
     // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
     // signature, the 4x15-bit pigeonhole blocking AND the Hamming verify
     // all reproduce exactly in SQL.
@@ -2598,6 +2670,10 @@ ORDER BY d.doc_id"""
     // grid, same decimal sums, same dangling/teleport arithmetic (all
     // literals emitted from the Scala doubles), so the match is bit-exact.
     "gr1_pagerank" -> gr1PagerankSql(3, 0.85),
+    // gr1b: the salted two-phase variant must produce bit-identical ranks,
+    // so it is held to gr1's oracle VERBATIM — any divergence introduced by
+    // the salt partials is a hash mismatch.
+    "gr1b_pagerank_salted" -> gr1PagerankSql(3, 0.85),
     "gr2_degrees" ->
       """WITH e AS (
            SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
@@ -3022,6 +3098,39 @@ ORDER BY d.doc_id"""
          FROM sig, (VALUES (0),(1),(2),(3)) AS b(band))
        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        FROM bands x JOIN bands y USING (band, band_key)
+       WHERE x.doc_id < y.doc_id
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** dd3b oracle: same shingle/minhash/band replay as dd3 but over the
+    * boilerplate-skewed corpus, with the hot-bucket cap mirrored as a
+    * HAVING on bucket size — DuckDB independently decides which buckets
+    * are hot and which pairs the cap drops, so the cap semantics are
+    * hash-checked end to end.
+    */
+  private def minhashLshCappedSql(cap: Int): String = {
+    val bandKey = (0 until 4).map { b =>
+      s"WHEN ${b} THEN md5(CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR))"
+    }.mkString("CASE band ", " ", " END")
+    s"""WITH sdocs AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN '$BoilerText' ELSE text END AS text
+         FROM documents),
+       toks AS (
+         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM sdocs),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+         FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+       sig AS (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, band, $bandKey AS band_key
+         FROM sig, (VALUES (0),(1),(2),(3)) AS b(band)),
+       ok AS (
+         SELECT band, band_key FROM bands GROUP BY 1, 2
+         HAVING COUNT(*) > 1 AND COUNT(*) <= $cap)
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       FROM bands x JOIN bands y USING (band, band_key)
+       JOIN ok USING (band, band_key)
        WHERE x.doc_id < y.doc_id
        ORDER BY doc_a, doc_b"""
   }

@@ -38,10 +38,22 @@ object Graph {
     * output more than once, and untruncated lineage grows exponentially
     * in rounds. The edge and node tables persist across rounds and are
     * released before returning.
+    *
+    * Celebrity-dst skew: `saltBuckets > 1` switches the per-round
+    * contribution aggregate to a two-phase salted form — partial decimal
+    * sums keyed on (dst, hash(src) % saltBuckets), then a final sum of the
+    * ≤saltBuckets partials per dst. Decimal addition is associative, so the
+    * salted result is bit-identical to the flat form (held to the same
+    * oracle as `gr1`). Spark's map-side partial aggregation already
+    * compresses per-task duplicates; the explicit salt additionally bounds
+    * the FINAL reducer's per-key row count when one dst receives edges from
+    * a large fraction of the graph (a hub node at 10^9+ edges) and partial
+    * aggs spill or fall back — the same insurance `concatBinsSalted` gives
+    * the ordered-collect family.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", saltBuckets: Int = 0): DataFrame = {
     require(iterations >= 0 && iterations <= 100, "bounded power iteration")
     require(damping > 0.0 && damping < 1.0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -61,11 +73,22 @@ object Graph {
       // values -> the decimal sum is exact and order-independent)
       val dm = rank.join(outDeg, col("node") === col("src"), "left_anti")
         .agg(coalesce(exactSum(col("rank")), lit(0.0)).as("dm"))
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+      val perEdge = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(outDeg, Seq("src"))
-        .select(col("dst").as("node"),
+        .select(col("src"), col("dst").as("node"),
           round(col("rank") / col("outdeg"), 9).as("c"))
-        .groupBy(col("node")).agg(exactSum(col("c")).as("s"))
+      val contrib =
+        if (saltBuckets > 1)
+          // two-phase: keep partials in decimal (exact, associative) so the
+          // salted sum is bit-identical to the flat exactSum
+          perEdge
+            .withColumn("salt", pmod(hash(col("src")), lit(saltBuckets)))
+            .groupBy(col("node"), col("salt"))
+            .agg(sum(col("c").cast("decimal(38,10)")).as("ps"))
+            .groupBy(col("node"))
+            .agg(sum(col("ps")).cast("double").as("s"))
+        else
+          perEdge.groupBy(col("node")).agg(exactSum(col("c")).as("s"))
       val prev = rank
       rank = Materialize(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nDf)).crossJoin(broadcast(dm))

@@ -42,6 +42,20 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pageRank salted two-phase aggregate is bit-identical to flat") {
+    // hub graph: node 0 receives an edge from every other node (celebrity
+    // dst), plus a chain so ranks land on varied grid values
+    val hub = ((1L to 200L).map(s => (s, 0L)) ++
+      (1L until 200L).map(s => (s, s + 1))).toDF("src", "dst")
+    for (g <- Seq(edges, hub)) {
+      val flat = Graph.pageRank(g, 3).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      val salted = Graph.pageRank(g, 3, saltBuckets = 8).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(flat == salted, "salted partial sums must not change any rank")
+    }
+  }
+
   test("degreeStats counts both directions with zero-fill") {
     val got = Graph.degreeStats(edges).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
