@@ -467,6 +467,19 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DD4b: the linear-scale Jaccard composition — MinHash-LSH candidates
+    * (dd3's exact parameters) verified with exact shingle-intersection
+    * Jaccard. The 10x probe measured dd4's inverted-index form going
+    * candidate-quadratic (93x candidates for 10x docs); this form's
+    * candidate volume follows the flat dd3 curve instead. The oracle
+    * composes dd3's band replay with dd4's intersection arithmetic
+    * restricted to candidate pairs, so both the candidate set AND every
+    * surviving jaccard value are hash-checked.
+    */
+  private def dd4bJaccardLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerifiedPairs(tbl(spark, dir, "documents"), "text", 3, 4, 2, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** DC1: benchmark decontamination report — the train/test-leak guard.
     * Benchmark slice = doc_id % 10 == 0 (an "eval set" carved from the
     * corpus so the near-dup structure guarantees real collisions); corpus =
@@ -1427,6 +1440,20 @@ object SparkEntry {
     graft.operators.Curation.curate(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** The full curation chain with the near-dup stage on the MinHash-LSH →
+    * verify composition (the 100 TB operating point; SCALE.md §scale-probe
+    * measured the exact inverted-index stage going candidate-quadratic at
+    * 10x while this form stays linear) — held to pipe_curation's oracle
+    * VERBATIM: on this corpus banding recall is 1.0 (all near-dup pairs
+    * sit at jaccard ≥ 0.89, where P(band miss) ≤ 2e-3 per pair and the
+    * measured candidate set contains every dd4 pair), so the curated
+    * output must be bit-identical.
+    */
+  private def pipeCurationLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.curate(tbl(spark, dir, "documents"),
+        lshPrefilter = true)
+      .orderBy(col("doc_id"))
+
   /** S3: recursive tree-JSON ingestion, driver-checked end-to-end — chunk
     * trees are serialized to the reference's `{type,text,children}` JSON
     * shape and parsed back through TreeOps.fromJsonStrings; the resulting
@@ -1545,6 +1572,7 @@ object SparkEntry {
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd3b_minhash_lsh_capped" -> (dd3bMinhashLshCapped(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
+    "dd4b_jaccard_lsh" -> (dd4bJaccardLsh(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
     "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
@@ -1611,6 +1639,7 @@ object SparkEntry {
     "mm5_resize" -> (mm5Resize(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
+    "pipe_curation_lsh" -> (pipeCurationLsh(_, _)),
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
@@ -2412,6 +2441,7 @@ ORDER BY d.doc_id"""
     "eval_stats_ngram" -> rougeStatsSql,
     "dd3_minhash_lsh" -> minhashLshSql,
     "dd3b_minhash_lsh_capped" -> minhashLshCappedSql(4),
+    "dd4b_jaccard_lsh" -> jaccardLshVerifiedSql,
     // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
     // signature, the 4x15-bit pigeonhole blocking AND the Hamming verify
     // all reproduce exactly in SQL.
@@ -2875,6 +2905,9 @@ ORDER BY d.doc_id"""
            round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
          FROM j GROUP BY 1 ORDER BY query_id""",
     "pipe_curation" -> curationSql,
+    // the LSH-prefiltered chain must curate identically here (banding
+    // recall 1.0 on this corpus) — same oracle verbatim
+    "pipe_curation_lsh" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
     "pipe_curation_funnel" -> curationFunnelSql,
     // pipe_prep: normalize -> decontaminate -> split, each stage the
@@ -3100,6 +3133,38 @@ ORDER BY d.doc_id"""
        FROM bands x JOIN bands y USING (band, band_key)
        WHERE x.doc_id < y.doc_id
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** dd4b oracle: dd3's minhash/band replay produces the candidate set;
+    * dd4's intersection/size arithmetic is evaluated on candidate pairs
+    * only. Both stages reuse SQL proven on their standalone queries.
+    */
+  private def jaccardLshVerifiedSql: String = {
+    val bandKey = (0 until 4).map { b =>
+      s"WHEN ${b} THEN md5(CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR))"
+    }.mkString("CASE band ", " ", " END")
+    s"""WITH $shingleCte,
+       sig AS (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, band, $bandKey AS band_key
+         FROM sig, (VALUES (0),(1),(2),(3)) AS b(band)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y USING (band, band_key)
+         WHERE x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
+         FROM cand c
+         JOIN sh x ON x.doc_id = c.doc_a
+         JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT doc_a, doc_b,
+           round(cnt * 1.0 / (sa.n + sb.n - cnt), 4) AS jaccard
+         FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id)
+       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
   }
 
   /** dd3b oracle: same shingle/minhash/band replay as dd3 but over the

@@ -46,6 +46,22 @@ object Curation {
   /** Curate (doc_id, text) into the kept-docs stats table
     * (doc_id, lang_pred, n_tokens, n_chars, stopword_ratio).
     */
+  /** Near-dup pair stage shared by [[curate]] and [[curateWithFunnel]]:
+    * `lshPrefilter = false` is the exact inverted-index form (oracle-
+    * checked; candidate volume grows with shingle document frequency);
+    * `true` is the MinHash-LSH→verify composition
+    * ([[Dedup.jaccardVerifiedPairs]]) — the 100 TB operating point, where
+    * the 10x probe measured the exact form going candidate-quadratic
+    * (SCALE.md §scale-probe) while the LSH form stays linear. Identical
+    * results whenever banding recall is 1.0 on the corpus's near-dup
+    * pairs (CurationSpec pins this on the fixture).
+    */
+  private def nearDupPairs(exact: DataFrame, shingleN: Int,
+      jaccardThreshold: Double, lshPrefilter: Boolean): DataFrame =
+    if (lshPrefilter)
+      Dedup.jaccardVerifiedPairs(exact, "text", shingleN, 4, 2, jaccardThreshold)
+    else Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold)
+
   def curate(docs: DataFrame,
       keepLangs: Seq[String] = Seq("en"),
       minStopwordRatio: Double = 0.01,
@@ -53,7 +69,8 @@ object Curation {
       maxPunctRatio: Double = 0.30,
       prefixLen: Int = 100,
       shingleN: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      lshPrefilter: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val gated = gate(docs.select(col("doc_id"), col("text")),
       keepLangs, minStopwordRatio, minTokens, maxPunctRatio)
@@ -75,7 +92,7 @@ object Curation {
     // connectedComponents runs its label fixed-point eagerly (driver loop),
     // so `exact` is materialized into the cache here.
     val losers = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
+        nearDupPairs(exact, shingleN, jaccardThreshold, lshPrefilter))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"))
     // Materialize the (small: stats columns only) curated table while the
@@ -120,7 +137,8 @@ object Curation {
       maxPunctRatio: Double = 0.30,
       prefixLen: Int = 100,
       shingleN: Int = 3,
-      jaccardThreshold: Double = 0.5): (DataFrame, DataFrame) = {
+      jaccardThreshold: Double = 0.5,
+      lshPrefilter: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
@@ -145,7 +163,7 @@ object Curation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
     val losers = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(exact, "text", shingleN, jaccardThreshold))
+        nearDupPairs(exact, shingleN, jaccardThreshold, lshPrefilter))
       .filter(col("component") =!= col("doc_id"))
       .select(col("doc_id"))
     val curated = Materialize(exact.join(losers, Seq("doc_id"), "left_anti")

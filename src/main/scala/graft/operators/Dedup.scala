@@ -594,6 +594,40 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** The linear-scale form of [[ngramJaccardPairs]]: MinHash-LSH candidate
+    * generation → exact Jaccard verify on the candidate pairs ONLY. The
+    * inverted-index form above is candidate-quadratic once shingle
+    * document-frequency grows (measured in the 10x scale probe: candidate
+    * pairs grew 93x for 10x docs on the saturated toy vocabulary — see
+    * SCALE.md §scale-probe); this composition bounds candidates by the
+    * banding collision probability instead, and the verify join's cost is
+    * candidates × shingles-per-doc — linear in corpus size for a fixed
+    * near-dup rate. Recall is the banding curve 1-(1-j^rows)^bands
+    * (≈1.0 at j≥0.8 for 4×2; the trade every production near-dup pipeline
+    * makes). Verified pairs are a subset of [[ngramJaccardPairs]] output
+    * by construction, with identical jaccard values on surviving pairs.
+    */
+  def jaccardVerifiedPairs(docs: DataFrame, textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val cand = minhashLshPairs(docs, textCol, shingleSize, bands,
+      rowsPerBand, maxBucketSize)
+    val sh = shingleTable(docs, textCol, shingleSize)
+    // two equi-joins on compact keys: candidates x |A| shingles, then the
+    // (doc_b, h) match keeps intersection rows only
+    val a = sh.select(col("doc_id").as("doc_a"), col("nsh").as("n_a"), col("h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("nsh").as("n_b"), col("h"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Benchmark decontamination report: for each training doc that shares
     * at least one `ngramSize`-token shingle with the benchmark/eval set,
     * emit (doc_id, n_hits, n_ngrams, overlap) where `overlap` =

@@ -39,6 +39,23 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("lshPrefilter=true curates identically when banding recall is 1.0") {
+    val docs = Seq(
+      1L -> en, 2L -> enNear,
+      3L -> ("der hund und die katze ist nicht ein zu " * 2),
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",
+      5L -> "too few the",
+      6L -> (sharedPrefix + " morning air feels crisp today"),
+      7L -> (sharedPrefix + " evening light fades away slowly"),
+      8L -> ("plain words with zero stop markers " * 3)
+    ).toDF("doc_id", "text")
+    val exact = Curation.curate(docs).select("doc_id").as[Long].collect().toSet
+    val lsh = Curation.curate(docs, lshPrefilter = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lsh == exact,
+      "the LSH-prefiltered near-dup stage must keep the same docs here")
+  }
+
   test("funnel report: per-stage counts match hand-count and curate()") {
     val docs = Seq(
       1L -> en,                 // survives everything

@@ -90,6 +90,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("DD4b LSH-verified Jaccard: subset of dd4 with identical values, twins kept") {
+    // two near-identical twins (one token differs), one unrelated doc, one
+    // exact pair — LSH must surface the high-jaccard pairs and the verify
+    // stage must reproduce dd4's exact jaccard on them
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"),
+      (3L, "z y x w v u t s r q"),
+      (4L, "m n o p q r s t"), (5L, "m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val verified = Dedup.jaccardVerifiedPairs(docs, "text", 3, 4, 2, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(verified.subsetOf(full),
+      s"LSH-verified pairs must be a subset of the exact inverted-index form: $verified vs $full")
+    assert(verified.exists { case (a, b, _) => (a, b) == ((4L, 5L)) },
+      "exact duplicates always collide in every band")
+    assert(verified.exists { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      "high-jaccard twins should survive 4x2 banding")
+  }
+
   test("AJ1 asofJoinPrior: inclusive match, latest-prior wins, null when none") {
     import graft.operators.AsofJoin
     val left = Seq(
