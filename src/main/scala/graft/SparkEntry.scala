@@ -1454,6 +1454,39 @@ object SparkEntry {
         lshPrefilter = true)
       .orderBy(col("doc_id"))
 
+  /** S8: small-files compaction, driver-checked end-to-end — documents are
+    * fragmented into 20 small parquet files (the post-streaming /
+    * per-batch-append shape), compacted by size with
+    * [[operators.CorpusOps.compactParquet]] (coalesce — no shuffle), and
+    * read back. The oracle checks data integrity (every row survives the
+    * roundtrip) AND the compaction itself: n_files_after is a column, and
+    * the oracle pins it to the size-derived expectation (1 at test SF).
+    */
+  private def s8CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s8_").toString
+    tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .repartition(20)
+      .write.mode("overwrite").parquet(s"$out/frag")
+    operators.CorpusOps.compactParquet(spark, s"$out/frag", s"$out/compact")
+    val compacted = spark.read.parquet(s"$out/compact")
+    compacted
+      .withColumn("n_files_after", lit(compacted.inputFiles.length))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CL4: the SemDeDup-deduplicated corpus itself (pairs → components →
+    * min-id keeper anti-join) on the planted near-dup embedding corpus —
+    * rows-only (the pair stage rides the non-SQL k-means model); each
+    * composed stage is oracled on its standalone query and
+    * `cl2_containment` hash-checks the pair set's precision.
+    */
+  private def cl4SemdedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.semDedupCorpus(
+        nearDupEmbeddings(tbl(spark, dir, "embeddings")), 0.85,
+        trainSampleMod = 4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+
   /** S3: recursive tree-JSON ingestion, driver-checked end-to-end — chunk
     * trees are serialized to the reference's `{type,text,children}` JSON
     * shape and parsed back through TreeOps.fromJsonStrings; the resulting
@@ -1631,6 +1664,8 @@ object SparkEntry {
     "s7_health" -> (s7Health(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
     "s4_sink_roundtrip" -> (s4SinkRoundtrip(_, _)),
+    "s8_compact_roundtrip" -> (s8CompactRoundtrip(_, _)),
+    "cl4_semdedup_corpus" -> (cl4SemdedupCorpus(_, _)),
     "s5_report_sink" -> (s5ReportSink(_, _)),
     "mm1_binary_meta" -> (mm1BinaryMeta(_, _)),
     "mm2_decode_meta" -> (mm2DecodeMeta(_, _)),
@@ -2192,6 +2227,10 @@ ORDER BY d.doc_id"""
     // g1c: the hot-key corpus (doc 0 = every fifth order, ~20% of chunks)
     // still held to the direct ordered string_agg — the salted path must be
     // indistinguishable from the unsalted collect ON the skewed key
+    // s8: roundtrip integrity + the size-derived file count (1 at test SF)
+    "s8_compact_roundtrip" ->
+      """SELECT doc_id, n_chars, 1 AS n_files_after
+         FROM documents ORDER BY doc_id""",
     "g1c_collect_hotkey" ->
       """SELECT CASE WHEN l_orderkey % 5 = 0 THEN 0 ELSE l_orderkey END AS doc_id,
          COUNT(*) AS n_lines,
