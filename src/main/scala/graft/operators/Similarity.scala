@@ -198,14 +198,36 @@ object Similarity {
     * driver collects exactly nCells mean vectors (decimal-exact elementwise
     * means, so centroid evolution is partition-order-deterministic).
     */
+  /** Absolute ceiling on Lloyd training vectors. `trainSampleMod` is a
+    * FRACTION knob, so at corpus scale the training set would grow with n
+    * and dominate (the 100x probe measured training+assignment at the
+    * n^1.5 transitional curve — SCALE.md §scale-probe-100x). Lloyd quality
+    * needs a bounded number of points per centroid, not a corpus fraction:
+    * past the ceiling the modulus is raised deterministically (still keyed
+    * on vec_id — layout/retry-independent), capping training cost at
+    * ceiling·√k regardless of n. 2^20 ≈ 16 points/centroid at the 65536-cell
+    * clamp, and far more below it.
+    */
+  private val MaxTrainVectors: Long = 1L << 20
+
   private[operators] def trainKmeans(corpus: DataFrame, nCells: Int,
       iterations: Int, trainSampleMod: Int = 1): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCells > 0 && iterations >= 0 && trainSampleMod >= 1)
-    val train =
+    val fractioned =
       if (trainSampleMod == 1) corpus
       else corpus.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
+    val nTrain = fractioned.count()
+    val train =
+      if (nTrain <= MaxTrainVectors) fractioned
+      else {
+        // raise the modulus (integer arithmetic on the id, nothing float):
+        // vec_id % (mod*extra) == 0 keeps ~1/extra of the fractioned set
+        val extra = ((nTrain + MaxTrainVectors - 1) / MaxTrainVectors).toInt
+        corpus.filter(
+          pmod(col("vec_id"), lit(trainSampleMod.toLong * extra)) === 0)
+      }
 
     var centroids: Array[Array[Float]] = train
       .select(col("vec_id"), col("embedding"))

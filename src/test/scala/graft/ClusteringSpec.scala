@@ -31,6 +31,20 @@ class ClusteringSpec extends AnyFunSuite {
     base ++ Seq((1000L, dup), (1001L, dup.map(x => x * 1.001f)))
   }
 
+  test("training-sample ceiling: capped auto-modulus trains the same model as the explicit modulus") {
+    // 1.2M tiny vectors exceed MaxTrainVectors (2^20): the ceiling raises
+    // the modulus to 2, which must be indistinguishable from the caller
+    // passing trainSampleMod = 2 — model AND assignment identical.
+    val emb = spark.range(1200000L).select(col("id").as("vec_id"),
+      array((col("id") % 17).cast("float"), (col("id") % 5).cast("float"))
+        .as("embedding"))
+    val capped = Clustering.kmeansAssign(emb, 4, iterations = 1)
+    val explicit = Clustering.kmeansAssign(emb, 4, iterations = 1,
+      trainSampleMod = 2)
+    assert(capped.exceptAll(explicit).isEmpty && explicit.exceptAll(capped).isEmpty,
+      "auto-capped training must equal the explicit-modulus training")
+  }
+
   test("kmeansAssign: every vector assigned, clusters within range, deterministic") {
     val emb = rows.toDF("vec_id", "embedding")
     val a = Clustering.kmeansAssign(emb, k, iterations = 2)
