@@ -480,6 +480,18 @@ object SparkEntry {
     Dedup.jaccardVerifiedPairs(tbl(spark, dir, "documents"), "text", 3, 4, 2, 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DD4c: the SHARP banding operating point — 6 bands x 4 rows. The 100x
+    * probe measured (4 x 2) admitting background-similarity candidates
+    * (4.38M candidates -> 23.7k pairs at 500k docs: 0.5% precision);
+    * 4-row bands raise the banding threshold (1-(1-j^4)^6 ≈ 0 below
+    * j~0.5) and cut candidates 189x at 94-98% of the verified pairs
+    * (SCALE.md §scale-probe-100x). Registered so the production geometry,
+    * not just the small-SF anchor, is hash-checked end to end.
+    */
+  private def dd4cJaccardSharp(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerifiedPairs(tbl(spark, dir, "documents"), "text", 3, 6, 4, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** DC1: benchmark decontamination report — the train/test-leak guard.
     * Benchmark slice = doc_id % 10 == 0 (an "eval set" carved from the
     * corpus so the near-dup structure guarantees real collisions); corpus =
@@ -1606,6 +1618,7 @@ object SparkEntry {
     "dd3b_minhash_lsh_capped" -> (dd3bMinhashLshCapped(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dd4b_jaccard_lsh" -> (dd4bJaccardLsh(_, _)),
+    "dd4c_jaccard_sharp" -> (dd4cJaccardSharp(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
     "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
@@ -2480,7 +2493,8 @@ ORDER BY d.doc_id"""
     "eval_stats_ngram" -> rougeStatsSql,
     "dd3_minhash_lsh" -> minhashLshSql,
     "dd3b_minhash_lsh_capped" -> minhashLshCappedSql(4),
-    "dd4b_jaccard_lsh" -> jaccardLshVerifiedSql,
+    "dd4b_jaccard_lsh" -> jaccardLshVerifiedSql(),
+    "dd4c_jaccard_sharp" -> jaccardLshVerifiedSql(nBands = 6, rowsPerBand = 4),
     // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
     // signature, the 4x15-bit pigeonhole blocking AND the Hamming verify
     // all reproduce exactly in SQL.
@@ -3148,9 +3162,11 @@ ORDER BY d.doc_id"""
          SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
          FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k))"""
 
-  private def minhashMins: String = (0 until 8).map { i =>
+  private def minhashMinsN(numHashes: Int): String = (0 until numHashes).map { i =>
     s"MIN(CAST(('0x' || substr(md5('s$i:' || shingle), 1, 15)) AS BIGINT)) AS mh_$i"
   }.mkString(", ")
+
+  private def minhashMins: String = minhashMinsN(8)
 
   private def minhashSigSql: String =
     s"WITH $shingleCte SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id ORDER BY doc_id"
@@ -3174,19 +3190,26 @@ ORDER BY d.doc_id"""
        ORDER BY doc_a, doc_b"""
   }
 
-  /** dd4b oracle: dd3's minhash/band replay produces the candidate set;
-    * dd4's intersection/size arithmetic is evaluated on candidate pairs
-    * only. Both stages reuse SQL proven on their standalone queries.
+  /** dd4b/dd4c oracle: dd3's minhash/band replay produces the candidate
+    * set; dd4's intersection/size arithmetic is evaluated on candidate
+    * pairs only. Both stages reuse SQL proven on their standalone queries.
+    * Parameterized on the banding geometry so the sharp (6 bands x 4 rows)
+    * 100 TB operating point (SCALE.md §scale-probe-100x) is hash-checked
+    * with the same generator as the (4 x 2) small-SF anchor.
     */
-  private def jaccardLshVerifiedSql: String = {
-    val bandKey = (0 until 4).map { b =>
-      s"WHEN ${b} THEN md5(CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR))"
+  private def jaccardLshVerifiedSql(nBands: Int = 4, rowsPerBand: Int = 2): String = {
+    val bandKey = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${rowsPerBand * b + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"WHEN ${b} THEN md5($parts)"
     }.mkString("CASE band ", " ", " END")
+    val bandVals = (0 until nBands).map(b => s"($b)").mkString(",")
     s"""WITH $shingleCte,
-       sig AS (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+       sig AS (SELECT doc_id, ${minhashMinsN(nBands * rowsPerBand)} FROM sh GROUP BY doc_id),
        bands AS (
          SELECT doc_id, band, $bandKey AS band_key
-         FROM sig, (VALUES (0),(1),(2),(3)) AS b(band)),
+         FROM sig, (VALUES $bandVals) AS b(band)),
        cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM bands x JOIN bands y USING (band, band_key)

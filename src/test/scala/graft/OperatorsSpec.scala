@@ -111,6 +111,27 @@ class OperatorsSpec extends AnyFunSuite {
       "high-jaccard twins should survive 4x2 banding")
   }
 
+  test("DD4c sharp banding (6x4): still a subset of dd4, exact dups and near-twins kept") {
+    // sharp banding trades tail recall for candidate precision; the pairs
+    // it DOES emit must carry dd4's exact jaccard values, and j~0.9 twins
+    // (banding prob 1-(1-j^4)^6 ≈ 0.99) plus exact dups must survive
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"),
+      (3L, "z y x w v u t s r q"),
+      (4L, "m n o p q r s t"), (5L, "m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sharp = Dedup.jaccardVerifiedPairs(docs, "text", 3, 6, 4, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(sharp.subsetOf(full),
+      s"sharp-banded verified pairs must be a subset of the exact form: $sharp vs $full")
+    assert(sharp.exists { case (a, b, _) => (a, b) == ((4L, 5L)) },
+      "exact duplicates collide in every band at any geometry")
+    assert(sharp.exists { case (a, b, _) => (a, b) == ((1L, 2L)) },
+      "near-twins (8 shared of 10 shingles) should survive 6x4 banding")
+  }
+
   test("AJ1 asofJoinPrior: inclusive match, latest-prior wins, null when none") {
     import graft.operators.AsofJoin
     val left = Seq(
