@@ -32,13 +32,17 @@ object Clustering {
     * ran 50k clusters at LAION scale — exactly this rule. The n lookup is
     * one count() (metadata-only on parquet sources).
     */
+  /** Returns (k, the corpus count when one was run). The count is threaded
+    * to [[Similarity.trainKmeans]]'s `knownCount` so auto-k and the
+    * training-sample ceiling share one job instead of scanning twice.
+    */
   private def resolveK(emb: DataFrame, nClusters: Int,
-      targetClusterSize: Int): Int =
-    if (nClusters > 0) nClusters
+      targetClusterSize: Int): (Int, Option[Long]) =
+    if (nClusters > 0) (nClusters, None)
     else {
       val n = math.max(1L, emb.count())
       val raw = math.ceil(n.toDouble / targetClusterSize).toInt
-      math.min(65536, math.max(8, raw))
+      (math.min(65536, math.max(8, raw)), Some(n))
     }
 
   /** K-means cluster assignment: (vec_id, cluster) for every vector.
@@ -50,10 +54,10 @@ object Clustering {
     */
   def kmeansAssign(emb: DataFrame, nClusters: Int, iterations: Int = 2,
       trainSampleMod: Int = 1, targetClusterSize: Int = 128): DataFrame = {
-    val k = resolveK(emb, nClusters, targetClusterSize)
+    val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
     val centroids = Similarity.trainKmeans(
       emb.select(col("vec_id"), col("embedding")), k, iterations,
-      trainSampleMod)
+      trainSampleMod, nKnown)
     emb.select(col("vec_id"),
       Similarity.bestCellUdf(emb.sparkSession, centroids)(col("embedding"))
         .as("cluster"))
@@ -92,11 +96,11 @@ object Clustering {
       maxClusterSize: Option[Int] = Some(4096), nAssign: Int = 2,
       targetClusterSize: Int = 128): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
-    val k = resolveK(emb, nClusters, targetClusterSize)
+    val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
     require(nAssign >= 1 && nAssign <= k)
     val centroids = Similarity.trainKmeans(
       emb.select(col("vec_id"), col("embedding")), k, iterations,
-      trainSampleMod)
+      trainSampleMod, nKnown)
     val assigned = emb.select(
       explode(Similarity.bestCellsUdf(emb.sparkSession, centroids, nAssign)(
         col("embedding"))).as("cluster"),

@@ -211,23 +211,25 @@ object Similarity {
   private val MaxTrainVectors: Long = 1L << 20
 
   private[operators] def trainKmeans(corpus: DataFrame, nCells: Int,
-      iterations: Int, trainSampleMod: Int = 1): Array[Array[Float]] = {
+      iterations: Int, trainSampleMod: Int = 1,
+      knownCount: Option[Long] = None): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCells > 0 && iterations >= 0 && trainSampleMod >= 1)
-    val fractioned =
-      if (trainSampleMod == 1) corpus
-      else corpus.filter(pmod(col("vec_id"), lit(trainSampleMod)) === 0)
-    val nTrain = fractioned.count()
+    // Ceiling decision from ONE corpus count — `knownCount` lets auto-k
+    // callers reuse the count resolveK already ran, so the default
+    // clustering path never pays a second scan just to size training.
+    // Expected training rows are n/mod (integer div — deterministic);
+    // past the ceiling the modulus is raised, still keyed on vec_id.
+    val n = knownCount.getOrElse(corpus.count())
+    val expectTrain = n / trainSampleMod
+    val mod: Long =
+      if (expectTrain <= MaxTrainVectors) trainSampleMod.toLong
+      else trainSampleMod.toLong *
+        ((expectTrain + MaxTrainVectors - 1) / MaxTrainVectors)
     val train =
-      if (nTrain <= MaxTrainVectors) fractioned
-      else {
-        // raise the modulus (integer arithmetic on the id, nothing float):
-        // vec_id % (mod*extra) == 0 keeps ~1/extra of the fractioned set
-        val extra = ((nTrain + MaxTrainVectors - 1) / MaxTrainVectors).toInt
-        corpus.filter(
-          pmod(col("vec_id"), lit(trainSampleMod.toLong * extra)) === 0)
-      }
+      if (mod == 1L) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
 
     var centroids: Array[Array[Float]] = train
       .select(col("vec_id"), col("embedding"))
