@@ -705,6 +705,35 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** QZ4: product-quantization top-5 — ADC code scan (m=8 bytes/vector, a
+    * 32x scan cut vs float32) shortlists, exact float rerank ranks.
+    * Rows-only (k-means codebooks aren't SQL-expressible); recall measured
+    * by qz4_recall, rerank-exactness and determinism pinned by PqSpec.
+    */
+  private def qz4PqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    // shortlist 150 (30x k): the near-uniform corpus maximizes ADC
+    // distortion, so the shortlist needs depth (measured recall@5 at
+    // sf0.01: 0.80 at shortlist=50, 0.96 at 150); the extra depth costs
+    // only rerank rows, never a wider code scan
+    graft.operators.Pq.pqTopK(emb, topkQueries(emb), 5, shortlist = 150)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** QZ4 recall@5 of the PQ shortlist+rerank against the exact float
+    * baseline — the hard quality signal for the compressed-scan path on
+    * the driver's near-uniform corpus (the adversarial case for PQ:
+    * no cluster structure to compress).
+    */
+  private def qz4Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      graft.operators.Pq.pqTopK(emb, q, 5, shortlist = 150))
+      .orderBy(col("query_id"))
+  }
+
   /** Near-dup benchmark corpus for the dd6b family. The raw testdata
     * embeddings have NO true near-duplicates (measured max pairwise cosine
     * 0.60 at sf0.1), so an LSH query registered at a semantically-real
@@ -1637,6 +1666,8 @@ object SparkEntry {
     "qz1_quantize" -> (qz1Quantize(_, _)),
     "qz2_topk_quant" -> (qz2TopkQuant(_, _)),
     "qz3_recall" -> (qz3Recall(_, _)),
+    "qz4_pq_topk" -> (qz4PqTopk(_, _)),
+    "qz4_recall" -> (qz4Recall(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),

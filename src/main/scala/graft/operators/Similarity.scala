@@ -208,7 +208,7 @@ object Similarity {
     * ceiling·√k regardless of n. 2^20 ≈ 16 points/centroid at the 65536-cell
     * clamp, and far more below it.
     */
-  private val MaxTrainVectors: Long = 1L << 20
+  private[operators] val MaxTrainVectors: Long = 1L << 20
 
   private[operators] def trainKmeans(corpus: DataFrame, nCells: Int,
       iterations: Int, trainSampleMod: Int = 1,

@@ -32,6 +32,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // k-means trains (collects centroids) at construction; plan shape
     // pinned by ClusteringSpec, recall floor by RecallSpec
     "cl1_cluster_sizes", "cl2_semdedup_pairs", "cl3_semdedup_recall",
+    // PQ trains codebooks + builds query tables at construction; plan
+    // shape (broadcast code scan + shortlist rerank) pinned by PqSpec
+    "qz4_pq_topk", "qz4_recall",
     // containment audits build on the guarded exact cartesian (the
     // dd6b_recall/cl3 shape: count() guard at construction)
     "cl2_containment", "dd6b_containment",
