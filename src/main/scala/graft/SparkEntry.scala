@@ -996,6 +996,25 @@ object SparkEntry {
       .filter(col("has_pairs").isNotNull)
   }
 
+  /** Recall floor emitted as a hash-checked row — the containmentAudit
+    * pattern applied to the measured-recall family. The recall value
+    * itself stays a measured (rows-only) query (the approximate paths ride
+    * non-SQL models: MurmurHash planes / Lloyd centroids / PQ codebooks),
+    * but whether it clears a floor is a deterministic boolean the driver
+    * CAN gate on: every path is seeded, so per-SF the recall is exact, and
+    * a parameter regression (planes, nProbe, shortlist, banding) that
+    * halves recall flips `pass` and breaks the oracle hash. Floors sit
+    * ~0.1-0.2 under the min measured across sf0.001/0.01/0.1 (ProbeRecalls:
+    * ss2 0.84-1.0, ss3 0.72-0.8, qz4 0.84-1.0, dd6b >=0.9995,
+    * cl3 >=0.959) — far above any broken operating point. One row:
+    * (floor_x100, has_rows = non-vacuity guard, pass).
+    */
+  private def recallGate(recall: DataFrame, floorX100: Int): DataFrame =
+    recall.agg(count(lit(1)).as("n"), avg(col("recall")).as("r"))
+      .select(lit(floorX100).as("floor_x100"),
+        (col("n") > 0).cast("int").as("has_rows"),
+        (col("r") >= lit(floorX100.toDouble / 100.0)).cast("int").as("pass"))
+
   /** CL2 containment: every SemDeDup pair is an exact-cartesian pair at the
     * same 0.85 threshold with an identical cosine (within-cluster scoring
     * IS the exact formula — SemDeDup prunes candidates, never relaxes
