@@ -1038,6 +1038,56 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(emb, 0.85))
   }
 
+  /** Recall-floor gates for the measured-recall family ([[recallGate]]):
+    * each turns its rows-only recall query into a hash-checked pass/fail
+    * row against a literal oracle. Floors sit well under the min measured
+    * across sf0.001/0.01/0.1 (ProbeRecalls) so only a genuine parameter
+    * regression flips them.
+    */
+  private def ss2Gate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(ss2Recall(spark, dir), 70)
+
+  private def ss3Gate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(ss3Recall(spark, dir), 60)
+
+  private def qz4Gate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(qz4Recall(spark, dir), 70)
+
+  private def dd6bGate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(dd6bRecall(spark, dir), 95)
+
+  private def cl3Gate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(cl3SemdedupRecall(spark, dir), 90)
+
+  /** CL4 removal-precision audit: the SemDeDup-deduplicated corpus may
+    * only UNDER-remove (missed pairs lower recall), never drop a doc that
+    * lacks a verified near-dup partner — every removed doc must be an
+    * endpoint of an exact-cosine pair at the same threshold (the dd6
+    * cartesian baseline). Structural guarantee: removal happens only
+    * inside a connected component of semDedupPairs, and cl2_containment
+    * proves those pairs ⊆ exact pairs; this query re-derives the claim
+    * from the outputs rather than trusting it. Oracled to the literal
+    * (1, 0).
+    */
+  private def cl4Containment(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    val kept = graft.operators.Clustering
+      .semDedupCorpus(emb, 0.85, trainSampleMod = 4)
+      .select(col("vec_id"))
+    val removed =
+      emb.select(col("vec_id")).join(kept, Seq("vec_id"), "left_anti")
+    val pairs = Dedup.embeddingCosinePairs(emb, 0.85)
+    val endpoints = pairs.select(col("id_a").as("vec_id"))
+      .unionByName(pairs.select(col("id_b").as("vec_id")))
+      .distinct()
+      .withColumn("paired", lit(1))
+    removed.join(endpoints, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_removed"),
+        count(when(col("paired").isNull, 1)).as("n_removed_unpaired"))
+      .select((col("n_removed") > 0).cast("int").as("has_removed"),
+        col("n_removed_unpaired"))
+  }
+
   // --------------------------------------------------------- text analysis
 
   /** TA1: quality-score gates. */
@@ -1227,9 +1277,24 @@ object SparkEntry {
     * arrives as a LongType of epoch-nanos and `ts div 1000` (integer div —
     * a double division would lose precision above 2^53) recovers micros.
     */
+  /** Events with a normalized clock: older driver drops store `ts` as
+    * int64 NANOS (readable only with nanosAsLong), newer drops as a native
+    * microsecond timestamp. Emit BOTH a timestamp `ts` and long micros
+    * `ts_us` so every downstream query is drop-format-independent (the r5
+    * drop silently switched formats and took aj1/ev1-ev4 off the
+    * correctness board — this is the permanent fix).
+    */
   private def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, dir, "events")
+    val raw = tbl(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        val t = col("ts").cast("timestamp_ltz")
+        raw.withColumn("ts_us", unix_micros(t)).withColumn("ts", t)
+    }
   }
 
   /** AJ1: as-of join — every purchase event picks up the most recent
@@ -1240,7 +1305,6 @@ object SparkEntry {
     */
   private def aj1Asof(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsTbl(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
     graft.operators.AsofJoin.asofJoinPrior(
@@ -1254,7 +1318,7 @@ object SparkEntry {
   /** EV1: tumbling-window aggregate (batch form of the streaming agg). */
   private def ev1EventWindow(spark: SparkSession, dir: String): DataFrame =
     eventsTbl(spark, dir)
-      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"),
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -1264,7 +1328,6 @@ object SparkEntry {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     eventsTbl(spark, dir)
-      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
@@ -1284,7 +1347,7 @@ object SparkEntry {
     import graft.streaming.EventStreams
     val ev = eventsTbl(spark, dir)
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        expr("ts div 1000").as("ts_us"))
+        col("ts_us"))
       .as[EventStreams.SessionEvent]
     EventStreams.sessionize(ev, 30).toDF()
       .orderBy(col("user_id"), col("event_id"))
@@ -1295,7 +1358,6 @@ object SparkEntry {
     */
   private def ev4StreamWindow(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsTbl(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     graft.streaming.EventStreams.windowedAgg(ev, "1 hour", "30 minutes")
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n"), r4(col("total_value")).as("total_value"))
@@ -1676,6 +1738,12 @@ object SparkEntry {
     "cl3_semdedup_recall" -> (cl3SemdedupRecall(_, _)),
     "cl2_containment" -> (cl2Containment(_, _)),
     "dd6b_containment" -> (dd6bContainment(_, _)),
+    "cl4_containment" -> (cl4Containment(_, _)),
+    "ss2_gate" -> (ss2Gate(_, _)),
+    "ss3_gate" -> (ss3Gate(_, _)),
+    "qz4_gate" -> (qz4Gate(_, _)),
+    "dd6b_gate" -> (dd6bGate(_, _)),
+    "cl3_gate" -> (cl3Gate(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
@@ -2975,6 +3043,18 @@ ORDER BY d.doc_id"""
     "dd6b_containment" ->
       """SELECT 1 AS has_pairs, CAST(0 AS BIGINT) AS n_missing,
            CAST(0 AS BIGINT) AS n_cosine_mismatch""",
+    // cl4 removal precision: every removed doc has an exactly-verified
+    // near-dup partner (see cl4Containment scaladoc).
+    "cl4_containment" ->
+      """SELECT 1 AS has_removed, CAST(0 AS BIGINT) AS n_removed_unpaired""",
+    // Recall-floor gates (recallGate): pass/fail is deterministic (seeded
+    // approximate paths), so the driver hash-checks it even though the
+    // recall VALUE rides non-SQL models (planes / centroids / codebooks).
+    "ss2_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "ss3_gate" -> "SELECT 60 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "qz3_recall" ->
       s"""WITH $quantizeCte,
          $quantScoredCte,

@@ -106,6 +106,48 @@ object Sampling {
       .drop("__k", "__pid", "__rn", "__off")
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual/domain
+    * rebalancing standard (exponential smoothing, XLM/mT5 style): domain d
+    * with n_d docs gets target share q_d ∝ n_d^alpha (alpha < 1 flattens
+    * the head, boosting tail domains), and the corpus is downsampled to
+    * ~`targetFraction` of its rows with those shares. Per-domain keep rate
+    * rate_d = min(1, q_d·T / n_d) with T = targetFraction·n_total — capped
+    * at keeping every doc of a small domain (no upsampling here; compose
+    * with [[weightedResample]] for weights > 1). The keep decision is the
+    * same keyed unit hash as every sampler in this file: deterministic in
+    * (seed, id), layout/retry-independent.
+    *
+    * Scale shape: one hash-aggregate over the domain column (|domains|
+    * rows — metadata), rates derived on that tiny side and broadcast back;
+    * the corpus itself is touched by exactly one map-only filter pass.
+    * Float caveat: each n_d^alpha is snapped to a 9dp grid and Z summed as
+    * DECIMAL — order-independent, so the SQL oracle reproduces the rates
+    * bit-exactly (the PageRank decimal-grid convention).
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: Column,
+      alpha: Double = 0.5, targetFraction: Double = 0.5,
+      seed: String = "temp", idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && targetFraction > 0 && targetFraction <= 1,
+      s"bad mixture params: alpha=$alpha targetFraction=$targetFraction")
+    val counts = docs.groupBy(domainCol.as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+    val powG = round(pow(col("__nd").cast("double"), alpha), 9)
+    val totals = counts.agg(
+      sum(col("__nd")).as("__ntot"),
+      sum(powG.cast("decimal(38,10)")).cast("double").as("__z"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("__dom"),
+        least(lit(1.0),
+          powG / col("__z") *
+            (lit(targetFraction) * col("__ntot").cast("double")) /
+            col("__nd").cast("double")).as("__rate"))
+    val u = unitHash(col(idCol), seed)
+    docs.join(broadcast(rates), domainCol === col("__dom"))
+      .filter(u < col("__rate"))
+      .withColumn("keep_rate", col("__rate"))
+      .drop("__dom", "__rate")
+  }
+
   /** Per-stratum exact-fraction sample: keep each row iff its unit hash
     * falls under its stratum's fraction. `fractions` maps stratum value →
     * keep fraction; strata absent from the map keep `defaultFraction`.

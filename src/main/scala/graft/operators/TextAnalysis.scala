@@ -382,4 +382,108 @@ object TextAnalysis {
       conv(substring(md5(array_join(
         regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)),
         " ")), 1, 15), 16, 10).cast("long").as("fingerprint"))
+
+  /** The Gopher "required words" — function words whose total absence marks
+    * non-prose (Rae et al. 2021, appendix A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule battery (Rae et al. 2021, §A1.1 — the public
+    * MassiveText filter set, since reused by RefinedWeb/Dolma/FineWeb):
+    * per-document signals plus one boolean per rule and an all-rules
+    * `gopher_pass`. Thresholds are the paper's:
+    * 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; symbol-to-word ratio
+    * (# / …) ≤ 0.1; ≤ 30% of lines ending in ellipsis; ≤ 90% of lines
+    * starting with a bullet; ≥ 80% of words contain a letter; ≥ 2 of the
+    * eight required function words present.
+    *
+    * Scale shape: pure Column expressions over one scan — whole-stage
+    * codegen, no shuffle, filters push down; a 100 TB corpus gates in one
+    * map-only pass. Every signal is exactly reproducible in SQL (DuckDB
+    * string/list functions), so the whole battery carries a hard oracle.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nWords = tokenCount(t)
+    val nonSpace = charCount(regexp_replace(t, "\\s", ""))
+    val meanWordLen = when(nWords === 0, 0.0)
+      .otherwise(nonSpace.cast("double") / nWords)
+    val nSymbols = charCount(t) - charCount(regexp_replace(t, "[#…]", ""))
+    val symbolRatio = when(nWords === 0, 0.0)
+      .otherwise(nSymbols.cast("double") / nWords)
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val bulletLines = size(filter(lines, l =>
+      Seq("-", "*", "•", "‣", "▪").map(b => ltrim(l).startsWith(b))
+        .reduce(_ || _)))
+    val ellipsisRatio = when(nLines === 0, 0.0)
+      .otherwise(ellipsisLines.cast("double") / nLines)
+    val bulletRatio = when(nLines === 0, 0.0)
+      .otherwise(bulletLines.cast("double") / nLines)
+    val alphaWords = size(filter(toks, w => w.rlike("\\p{L}")))
+    val alphaRatio = when(nWords === 0, 0.0)
+      .otherwise(alphaWords.cast("double") / nWords)
+    val lowerToks = split(lower(trim(t)), "\\s+")
+    val stopHits = GopherStopwords
+      .map(w => when(array_contains(lowerToks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    val passWords = nWords >= 50 && nWords <= 100000
+    val passWordLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val passSymbol = symbolRatio <= 0.1
+    val passEllipsis = ellipsisRatio <= 0.3
+    val passBullet = bulletRatio <= 0.9
+    val passAlpha = alphaRatio >= 0.8
+    val passStop = stopHits >= 2
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      r4(meanWordLen).as("mean_word_len"),
+      r4(symbolRatio).as("symbol_ratio"),
+      r4(ellipsisRatio).as("ellipsis_line_ratio"),
+      r4(bulletRatio).as("bullet_line_ratio"),
+      r4(alphaRatio).as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      passWords.cast("int").as("pass_words"),
+      passWordLen.cast("int").as("pass_word_len"),
+      passSymbol.cast("int").as("pass_symbol"),
+      passEllipsis.cast("int").as("pass_ellipsis"),
+      passBullet.cast("int").as("pass_bullet"),
+      passAlpha.cast("int").as("pass_alpha"),
+      passStop.cast("int").as("pass_stopwords"),
+      (passWords && passWordLen && passSymbol && passEllipsis && passBullet &&
+        passAlpha && passStop).cast("int").as("gopher_pass"))
+  }
+
+  /** URL extraction: all `http(s)://` URLs in the text plus their distinct
+    * registrable hosts, sorted for deterministic output. Pure Column
+    * (regexp_extract_all) — scan-speed, exact SQL oracle (RE2 and Java
+    * agree on this conservative pattern).
+    */
+  private val UrlPattern = "https?://[a-z0-9.-]+[a-z0-9](/[^\\s]*)?"
+  private val HostPattern = "https?://([a-z0-9.-]+[a-z0-9])"
+
+  def urlSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val urls = regexp_extract_all(lower(col(textCol)), lit(UrlPattern), lit(0))
+    val hosts = array_sort(array_distinct(
+      transform(urls, u => regexp_extract(u, HostPattern, 1))))
+    docs.withColumn("urls", urls)
+      .withColumn("hosts", hosts)
+      .withColumn("n_urls", size(urls).cast("long"))
+  }
+
+  /** Domain-blocklist gate over [[urlSignals]]: a doc is blocked when any
+    * of its hosts equals a blocked domain or sits under one
+    * (`host = d OR host LIKE '%.d'`). The blocklist rides the Column
+    * expression (real-world lists are ~100k entries — at that size swap
+    * the expression for a broadcast join against a blocklist table; same
+    * semantics, still no corpus shuffle).
+    */
+  def domainBlocked(hosts: Column, blocked: Seq[String]): Column =
+    if (blocked.isEmpty) lit(false)
+    else exists(hosts, h =>
+      blocked.map(d => h === lit(d) || h.endsWith(s".$d")).reduce(_ || _))
 }

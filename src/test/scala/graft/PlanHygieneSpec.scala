@@ -37,7 +37,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz4_pq_topk", "qz4_recall",
     // containment audits build on the guarded exact cartesian (the
     // dd6b_recall/cl3 shape: count() guard at construction)
-    "cl2_containment", "dd6b_containment",
+    "cl2_containment", "dd6b_containment", "cl4_containment",
+    // recall gates wrap the eager recall queries above
+    "ss2_gate", "ss3_gate", "qz4_gate", "dd6b_gate", "cl3_gate",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
