@@ -1166,6 +1166,71 @@ object SparkEntry {
   private def ta12LengthStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthStats(tbl(spark, dir, "documents"))
 
+  /** TA13: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — all
+    * seven rules as per-doc signals + booleans + the combined gate, every
+    * signal exactly mirrored in the SQL oracle. The synthetic vocabulary
+    * contains only one of the eight Gopher function words, so the
+    * stopword rule would fail every doc; planting the function-word
+    * sentence on even doc_ids (the ta14/decoy pattern) makes BOTH
+    * branches of every rule — and the combined gate — live: the 50-word
+    * minimum already splits the corpus, and the planted half splits the
+    * stopword rule.
+    */
+  private def ta13Gopher(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        lit(" the be to of and that have with")).otherwise(lit("")))
+    TextAnalysis.gopherRules(
+        tbl(spark, dir, "documents").withColumn("text", planted))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TA14: URL extraction + domain-blocklist gate. The synthetic corpus
+    * carries no URLs, so the query plants them deterministically in-query
+    * (one per doc from (source, doc_id), plus a blocklisted tracker URL on
+    * every 7th doc) — the extraction regex, host derivation, and
+    * subdomain-aware blocklist then run on real text and are exactly
+    * replayed by the oracle.
+    */
+  private def ta14UrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val planted = concat(col("text"),
+      lit(" see https://"), col("source"), lit(".example."), tld,
+      lit("/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" http://tracker.spam.bad/x"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+    TextAnalysis.urlSignals(
+        tbl(spark, dir, "documents").withColumn("text", planted))
+      .select(col("doc_id"), col("n_urls"),
+        array_join(col("hosts"), ",").as("hosts_csv"),
+        TextAnalysis.domainBlocked(col("hosts"), Seq("spam.bad"))
+          .cast("int").as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MX2: temperature-flattened mixture downsampling (alpha 0.5, target
+    * half the corpus) — the domain-rebalancing pass. The testdata `source`
+    * column is uniform (every rate would collapse to one value), so the
+    * query derives a SKEWED domain from doc_id (11:3:1:1) — the flattening
+    * then shows all three regimes: the head domain down-sampled hardest,
+    * the mid domain lightly, and the tail domains clamped at keep-all
+    * (rate 1.0). Rates land on a 9dp decimal grid so the whole sample is
+    * hash-exact against the oracle.
+    */
+  private def mx2Temperature(spark: SparkSession, dir: String): DataFrame = {
+    val dom = when(col("doc_id") % 16 < 11, "web")
+      .when(col("doc_id") % 16 < 14, "books")
+      .when(col("doc_id") % 16 < 15, "code")
+      .otherwise("wiki")
+    graft.operators.Sampling.temperatureMixture(
+        tbl(spark, dir, "documents").withColumn("domain", dom), col("domain"),
+        alpha = 0.5, targetFraction = 0.5)
+      .select(col("doc_id"), col("domain"), r4(col("keep_rate")).as("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TA11: unigram log-prob quality score (self-trained corpus model). */
   private def ta11LogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(tbl(spark, dir, "documents"))
@@ -1784,6 +1849,9 @@ object SparkEntry {
     "ta10_compress" -> (ta10Compress(_, _)),
     "ta11_logprob" -> (ta11LogProb(_, _)),
     "ta12_length_stats" -> (ta12LengthStats(_, _)),
+    "ta13_gopher" -> (ta13Gopher(_, _)),
+    "ta14_url_filter" -> (ta14UrlFilter(_, _)),
+    "mx2_temperature" -> (mx2Temperature(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -3055,6 +3123,33 @@ ORDER BY d.doc_id"""
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "ta13_gopher" -> gopherSql,
+    "ta14_url_filter" -> urlFilterSql,
+    "mx2_temperature" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 16 < 11 THEN 'web'
+                  WHEN doc_id % 16 < 14 THEN 'books'
+                  WHEN doc_id % 16 < 15 THEN 'code'
+                  ELSE 'wiki' END AS domain
+           FROM documents),
+         c AS (
+           SELECT domain, COUNT(*) AS nd FROM d GROUP BY domain),
+         t AS (
+           SELECT CAST(SUM(nd) AS DOUBLE) AS ntot,
+             CAST(SUM(CAST(round(pow(CAST(nd AS DOUBLE), 0.5), 9)
+               AS DECIMAL(38,10))) AS DOUBLE) AS z
+           FROM c),
+         r AS (
+           SELECT domain,
+             least(1.0, round(pow(CAST(nd AS DOUBLE), 0.5), 9) / z
+               * (0.5 * ntot) / CAST(nd AS DOUBLE)) AS rate
+           FROM c, t)
+         SELECT d.doc_id, d.domain, round(r.rate, 4) AS keep_rate
+         FROM d JOIN r USING (domain)
+         WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) / 1152921504606846976.0 < r.rate
+         ORDER BY d.doc_id""",
     "qz3_recall" ->
       s"""WITH $quantizeCte,
          $quantScoredCte,
@@ -3554,6 +3649,91 @@ SELECT
          ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1.0 / length(text) END, 4) AS upper_ratio
        FROM documents ORDER BY doc_id"""
   }
+
+  /** DuckDB mirror of [[TextAnalysis.gopherRules]] — same token/line
+    * derivations, ratios on the same grid, same thresholds.
+    */
+  private def gopherSql: String = {
+    val stops = TextAnalysis.GopherStopwords
+      .map(w => s"CAST(list_contains(lt, '$w') AS INT)").mkString(" + ")
+    s"""WITH pl AS (
+       SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+           THEN ' the be to of and that have with' ELSE '' END AS text
+       FROM documents),
+     g AS (
+       SELECT doc_id,
+         $tokSql AS n_words,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         string_split_regex(lower(trim(text)), '\\s+') AS lt,
+         string_split(text, chr(10)) AS lines,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS nsym
+       FROM pl),
+     s AS (
+       SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE nonspace * 1.0 / n_words END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE nsym * 1.0 / n_words END AS symbol_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+           len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+             OR ends_with(rtrim(l), '…'))) * 1.0 / len(lines) END AS ellipsis_line_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+           len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+             OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')
+             OR starts_with(ltrim(l), '‣') OR starts_with(ltrim(l), '▪')))
+           * 1.0 / len(lines) END AS bullet_line_ratio,
+         CASE WHEN n_words = 0 THEN 0.0 ELSE
+           len(list_filter(toks, w -> regexp_matches(w, '[\\p{L}]')))
+           * 1.0 / n_words END AS alpha_word_ratio,
+         CAST($stops AS INT) AS stop_hits
+       FROM g)
+     SELECT doc_id, n_words,
+       round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(ellipsis_line_ratio, 4) AS ellipsis_line_ratio,
+       round(bullet_line_ratio, 4) AS bullet_line_ratio,
+       round(alpha_word_ratio, 4) AS alpha_word_ratio,
+       stop_hits,
+       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS pass_words,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS pass_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol,
+       CAST(ellipsis_line_ratio <= 0.3 AS INT) AS pass_ellipsis,
+       CAST(bullet_line_ratio <= 0.9 AS INT) AS pass_bullet,
+       CAST(alpha_word_ratio >= 0.8 AS INT) AS pass_alpha,
+       CAST(stop_hits >= 2 AS INT) AS pass_stopwords,
+       CAST(n_words >= 50 AND n_words <= 100000
+         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         AND symbol_ratio <= 0.1 AND ellipsis_line_ratio <= 0.3
+         AND bullet_line_ratio <= 0.9 AND alpha_word_ratio >= 0.8
+         AND stop_hits >= 2 AS INT) AS gopher_pass
+     FROM s ORDER BY doc_id"""
+  }
+
+  /** DuckDB mirror of the ta14 planted-URL corpus + [[TextAnalysis
+    * .urlSignals]] extraction + blocklist gate.
+    */
+  private def urlFilterSql: String =
+    s"""WITH p AS (
+       SELECT doc_id, lower(text || ' see https://' || source || '.example.'
+           || (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1]
+           || '/p/' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' http://tracker.spam.bad/x' || CAST(doc_id AS VARCHAR)
+                ELSE '' END) AS t
+       FROM documents),
+     u AS (
+       SELECT doc_id,
+         regexp_extract_all(t, 'https?://[a-z0-9.-]+[a-z0-9](/[^\\s]*)?', 0) AS urls
+       FROM p),
+     h AS (
+       SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+         list_sort(list_distinct(list_transform(urls,
+           x -> regexp_extract(x, 'https?://([a-z0-9.-]+[a-z0-9])', 1)))) AS hosts
+       FROM u)
+     SELECT doc_id, n_urls,
+       array_to_string(hosts, ',') AS hosts_csv,
+       CAST(len(list_filter(hosts, x -> x = 'spam.bad'
+         OR ends_with(x, '.spam.bad'))) > 0 AS INT) AS blocked
+     FROM h ORDER BY doc_id"""
 
   private def langIdSql: String = {
     val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted

@@ -168,6 +168,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strictGot(10L) == Some(3L))   // earlier rows unaffected
   }
 
+  test("TA13 gopherRules: each rule fires on its designed violator") {
+    import graft.operators.TextAnalysis
+    // 60 words, mean len 3.83, stop hits {the, that}: every rule passes
+    val longText = ("the word that hold some text " * 10).trim
+    val docs = Seq(
+      (1L, longText),
+      (2L, "short doc"),                                     // < 50 words
+      (3L, ("xx " * 60).trim),                               // no Gopher stopwords
+      (4L, (("the be " * 30) + "## # ## # ## # ## #").trim), // symbol-heavy
+      (5L, ("a " * 60).trim),                                // mean word len < 3
+      (6L, (1 to 10).map(i => s"- item the be $i").mkString("\n")), // all bullets
+      (7L, (("the be " * 30) + "\n" + (1 to 9).map(_ => "line...").mkString("\n")).trim),
+      (8L, ("12 34 " * 30).trim))                            // words without letters
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("gopher_pass") == 1)
+    assert(got(2L).getAs[Int]("pass_words") == 0)
+    assert(got(3L).getAs[Int]("pass_stopwords") == 0)
+    assert(got(3L).getAs[Int]("stop_hits") == 0)
+    assert(got(4L).getAs[Int]("pass_symbol") == 0)
+    assert(got(5L).getAs[Int]("pass_word_len") == 0)
+    assert(got(6L).getAs[Int]("pass_bullet") == 0)
+    assert(got(7L).getAs[Int]("pass_ellipsis") == 0)
+    assert(got(8L).getAs[Int]("pass_alpha") == 0)
+    // the violators really fail the combined gate
+    Seq(2L, 3L, 4L, 5L, 6L, 8L).foreach(id =>
+      assert(got(id).getAs[Int]("gopher_pass") == 0, s"doc $id"))
+  }
+
+  test("TA14 urlSignals + domainBlocked: extraction, hosts, subdomain match") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "see https://docs.example.com/a/b and http://example.org plain"),
+      (2L, "no urls here"),
+      (3L, "dup https://x.io/1 https://x.io/2 and https://ads.spam.bad/px"))
+      .toDF("doc_id", "text")
+    val sig = TextAnalysis.urlSignals(docs)
+    val got = sig.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_urls") == 2L)
+    assert(got(1L).getAs[scala.collection.Seq[String]]("hosts").toSeq ==
+      Seq("docs.example.com", "example.org"))
+    assert(got(2L).getAs[Long]("n_urls") == 0L)
+    assert(got(3L).getAs[scala.collection.Seq[String]]("hosts").toSeq ==
+      Seq("ads.spam.bad", "x.io"))
+    val blocked = sig.withColumn("b",
+      TextAnalysis.domainBlocked(col("hosts"), Seq("spam.bad")).cast("int"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("b")).toMap
+    assert(blocked == Map(1L -> 0, 2L -> 0, 3L -> 1)) // subdomain ads.spam.bad hits
+  }
+
   test("TA9 normalizeText: NFC precompose, control strip, zero-width strip") {
     val docs = Seq(
       (1L, "cafe\u0301 combining"),          // NFC: e + U+0301 -> \u00e9

@@ -56,7 +56,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
-    "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf")
+    "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf",
+    // one-row (ntot, z) mixture-totals broadcast onto the domain table
+    "mx2_temperature")
 
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager

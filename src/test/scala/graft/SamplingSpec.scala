@@ -97,6 +97,36 @@ class SamplingSpec extends AnyFunSuite {
     assert((0L until 300L).exists(id => e1(id) != expected(id)))
   }
 
+  test("MX2 temperatureMixture: flattening, clamp, determinism, target size") {
+    // skewed domains: 'big' 12/16 of rows, 'mid' 3/16, 'tiny' 1/16
+    val docs = ids(1600).withColumn("dom",
+      when(col("doc_id") % 16 < 12, "big")
+        .when(col("doc_id") % 16 < 15, "mid").otherwise("tiny"))
+    val out = Sampling.temperatureMixture(docs, col("dom"),
+      alpha = 0.5, targetFraction = 0.5)
+    val rates = out.groupBy("dom").agg(first(col("keep_rate")).as("r"))
+      .as[(String, Double)].collect().toMap
+    // alpha<1 flattens: the head domain is cut hardest, the tail clamps at 1
+    assert(rates("big") < rates("mid"))
+    assert(rates("tiny") == 1.0) // q_tiny*T > n_tiny => keep everything
+    val tinyKept = out.filter(col("dom") === "tiny").count()
+    assert(tinyKept == 100L) // clamp means ALL tiny rows survive
+    // overall size lands near the target fraction
+    val n = out.count()
+    assert(n > 600 && n < 1000, s"kept $n of 1600 at target 0.5")
+    // keyed hash: partition layout cannot change the sample
+    val again = Sampling.temperatureMixture(docs.repartition(13), col("dom"),
+      alpha = 0.5, targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // alpha=1 is proportional sampling: every domain gets the same rate
+    val prop = Sampling.temperatureMixture(docs, col("dom"),
+      alpha = 1.0, targetFraction = 0.5)
+      .groupBy("dom").agg(first(col("keep_rate")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(prop.values.toSet.size == 1)
+  }
+
   test("SP2 stratifiedSample: fraction 1 keeps stratum, default 0 drops rest") {
     val docs = ids(200)
     val stratum = when(col("doc_id") % 2 === 0, "even").otherwise("odd")
