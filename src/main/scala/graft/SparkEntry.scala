@@ -1210,6 +1210,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BT1: distributed BPE tokenizer training — 8 merges learned from the
+    * documents corpus (char-level base symbols, `[\p{L}\p{N}]+`
+    * pretokens, min pair count 2). The oracle re-learns the table from
+    * scratch in DuckDB: 8 unrolled rounds of weighted pair-count →
+    * deterministic argmax → recursive leftmost-merge replay, so every
+    * rank, symbol pair, AND winning count is independently re-derived —
+    * a full second implementation of the training loop, not a replay of
+    * Spark's output.
+    */
+  private def bt1BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainMerges(tbl(spark, dir, "documents"), 8)
+      .orderBy(col("rank"))
+
   /** MX2: temperature-flattened mixture downsampling (alpha 0.5, target
     * half the corpus) — the domain-rebalancing pass. The testdata `source`
     * column is uniform (every rate would collapse to one value), so the
@@ -1852,6 +1865,7 @@ object SparkEntry {
     "ta13_gopher" -> (ta13Gopher(_, _)),
     "ta14_url_filter" -> (ta14UrlFilter(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
+    "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -1990,6 +2004,58 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
   }
 
+
+  /** bt1_bpe_train oracle: re-LEARN the merge table in DuckDB — `n`
+    * unrolled rounds, each being (1) weighted adjacent-pair counts over
+    * the current word-state table, (2) argmax with the (count DESC, a, b)
+    * tie-break and the min-pair-count-2 stop, (3) a recursive
+    * leftmost-merge walk applying the winner (iterated leftmost-occurrence
+    * merging ≡ the single-pass skip-after-merge scan, since a merge can
+    * never create an earlier occurrence of the same pair). Rounds where
+    * b{r} is empty (training exhausted) contribute no output row and leave
+    * the state unchanged, matching trainMerges' early stop.
+    */
+  private def bpeTrainSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"w${r - 1}"
+      // MATERIALIZED: w{r-1} is referenced by both p$r and m$r — without
+      // the hint DuckDB inlines the whole prior-round chain into each
+      // reference and the plan doubles per round (2^rounds).
+      s"""p$r AS MATERIALIZED (
+       SELECT toks[i] AS a, toks[i + 1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+       FROM (SELECT c, toks, unnest(range(1, len(toks))) AS i FROM $prev)
+       GROUP BY 1, 2),
+     b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r WHERE cnt >= 2
+       ORDER BY cnt DESC, a, b LIMIT 1),
+     m$r AS (
+       SELECT w, c, toks, 0 AS step FROM $prev
+       UNION ALL
+       SELECT w, c,
+         toks[1:pos - 1] || [mab] || toks[pos + 2:],
+         step + 1
+       FROM (
+         SELECT w, c, toks, step, bb.a || bb.b AS mab,
+           list_position(list_transform(range(1, len(toks)),
+             i -> CASE WHEN toks[i] = bb.a AND toks[i + 1] = bb.b
+               THEN 1 ELSE 0 END), 1) AS pos
+         FROM m$r, b$r bb) s
+       WHERE pos > 0),
+     w$r AS MATERIALIZED (
+       SELECT w, c, arg_max(toks, step) AS toks FROM m$r GROUP BY w, c)"""
+    }.mkString(",\n")
+    val sel = (1 to numMerges)
+      .map(r => s"SELECT $r AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r")
+      .mkString("\n UNION ALL ")
+    raw"""WITH RECURSIVE
+w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+    list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
+  FROM (SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS w
+        FROM documents)
+  GROUP BY w),
+$rounds
+$sel ORDER BY rank"""
+  }
 
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
     * eval_rouge_ngram and the stats wrapper eval_stats_ngram).
@@ -3125,6 +3191,7 @@ ORDER BY d.doc_id"""
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "ta13_gopher" -> gopherSql,
     "ta14_url_filter" -> urlFilterSql,
+    "bt1_bpe_train" -> bpeTrainSql(8),
     "mx2_temperature" ->
       """WITH d AS (
            SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrain
+
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("applyMerge: greedy left-to-right, scan resumes after a merge") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),        // only the FIRST pair merges
+      (2L, Seq("a", "a", "a", "a")),   // (0,1) and (2,3)
+      (3L, Seq("x", "a", "a", "y")),   // interior pair
+      (4L, Seq("b", "a")),             // wrong order: untouched
+      (5L, Seq("a")),                  // too short: untouched
+      (6L, Seq.empty[String]))         // empty: stays empty
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        BpeTrain.applyMerge(col("toks"), "a", "a").as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("aa", "a"))
+    assert(got(2L) == Seq("aa", "aa"))
+    assert(got(3L) == Seq("x", "aa", "y"))
+    assert(got(4L) == Seq("b", "a"))
+    assert(got(5L) == Seq("a"))
+    assert(got(6L) == Seq.empty)
+    // distinct pair: non-adjacent occurrences all merge
+    val ab = df.filter(col("id") === 2L)
+      .select(BpeTrain.applyMerge(
+        typedLit(Seq("a", "b", "c", "a", "b")), "a", "b"))
+      .as[Seq[String]].head()
+    assert(ab == Seq("ab", "c", "ab"))
+  }
+
+  test("distributed trainMerges == single-node Bpe.train, rank for rank") {
+    val texts = Seq(
+      "low lower lowest low low newest",
+      "new newer newest new lowest wide",
+      "wide wider widest lowest low newer",
+      "he she the then there hen")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = BpeTrain.trainMerges(docs, 12, minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toVector
+    val local = graft.core.Bpe.train(texts, 12,
+      pretokenRegex = "[\\p{L}\\p{N}]+", byteLevel = false,
+      minPairCount = 2).merges
+    assert(dist == local,
+      s"distributed merges $dist must equal the sequential reference $local")
+    assert(dist.nonEmpty && dist.size <= 12)
+    // ranks are 1..n and pair counts are the winning counts, descending-ish
+    val full = BpeTrain.trainMerges(docs, 12, minPairCount = 2L)
+      .orderBy("rank").collect()
+    assert(full.map(_.getAs[Int]("rank")).toSeq == (1 to full.length))
+    assert(full.forall(_.getAs[Long]("pair_count") >= 2L))
+  }
+
+  test("trainMerges: early stop when no pair reaches minPairCount") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    // every adjacent pair occurs exactly once -> nothing to learn at min 2
+    val merges = BpeTrain.trainMerges(docs, 5, minPairCount = 2L).collect()
+    assert(merges.isEmpty)
+  }
+}
