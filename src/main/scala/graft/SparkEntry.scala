@@ -1588,6 +1588,63 @@ object SparkEntry {
     Seq(acc.value).toDF("n_curated")
   }
 
+  /** Streaming exact (prefix-fingerprint) dedup, driver-checked end to
+    * end: the documents table replayed as a file-source stream through the
+    * watermarked `dropDuplicatesWithinWatermark` path (state TTL — see
+    * CorpusStreams.curateStream's scaladoc), survivors counted in
+    * foreachBatch. First-arrival-wins over the whole table equals distinct
+    * fingerprints, which is the oracle.
+    */
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
+        glob = "documents.parquet")
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
+    val deduped = docs
+      .withColumn("fp", md5(substring(col("text"), 1, 100)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val acc = spark.sparkContext.longAccumulator("graft.streamDedup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_").toString
+    val q = deduped.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+      .start()
+    q.awaitTermination()
+    Seq(acc.value).toDF("n_unique")
+  }
+
+  /** Streaming benchmark decontamination, driver-checked: the corpus side
+    * streams through the STATELESS broadcast-shingle filter
+    * (decontaminateStream — no state store, no watermark) against the
+    * static eval slice; survivor count held to the dc2 oracle's
+    * composition (same 5-gram shingles, same doc_id%10 split).
+    */
+  private def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
+        glob = "documents.parquet")
+    val bench = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+    val clean = graft.streaming.CorpusStreams.decontaminateStream(
+      docs.filter(col("doc_id") % 10 =!= 0), bench, "text", 5)
+    val acc = spark.sparkContext.longAccumulator("graft.streamDecontam")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sx_").toString
+    val q = clean.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+      .start()
+    q.awaitTermination()
+    Seq(acc.value).toDF("n_clean")
+  }
+
   /** Composed data-prep flagship: NFC normalization → benchmark
     * decontamination → deterministic split assignment as ONE chained plan
     * — each stage is the proven form of its standalone query (ta9, dc2,
@@ -1892,6 +1949,8 @@ object SparkEntry {
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
+    "stream_dedup" -> (streamDedup(_, _)),
+    "stream_decontam" -> (streamDecontam(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
@@ -3286,6 +3345,25 @@ $sel ORDER BY rank"""
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
+    // stream_dedup: first-arrival-wins over one replay == distinct prefix
+    // fingerprints (the dd1b derivation)
+    "stream_dedup" ->
+      """SELECT CAST(COUNT(DISTINCT md5(substr(text, 1, 100))) AS BIGINT)
+           AS n_unique FROM documents""",
+    // stream_decontam: the dc2 composition as a survivor count
+    "stream_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+4], ' ') AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) AS u(k)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         flagged AS (
+           SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+           WHERE doc_id % 10 <> 0)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_clean FROM documents
+         WHERE doc_id % 10 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
     "ta1_quality" -> qualitySql,
     "ta2_lang_id" -> langIdSql,
     "ta3_token_stats" ->

@@ -21,7 +21,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     * specs (CurationSpec scan-count, StreamingSpec, dev PlanProbe).
     */
   private val eager = Set(
-    "stream_curation", "s4_sink_roundtrip", "s5_report_sink",
+    "stream_curation", "stream_dedup", "stream_decontam",
+    "s4_sink_roundtrip", "s5_report_sink",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
     "dd7_components", "pk1_pack", "sh1_shuffle",
