@@ -938,6 +938,22 @@ object SparkEntry {
       tbl(spark, dir, "embeddings"), 8, 2)
       .orderBy(col("cluster"))
 
+  /** CL1 coverage gate: k-means assignment must PARTITION the corpus —
+    * cluster sizes sum to exactly the embedding count (no row dropped or
+    * double-assigned) and every one of the 8 cells is non-empty on this
+    * corpus. The centroid values ride a non-SQL model (hence cl1 stays
+    * rows-only) but the partition invariant is a hard driver-checkable
+    * boolean. Oracled to the literal (8, 1).
+    */
+  private def cl1Gate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val sizes = graft.operators.Clustering.clusterSizes(emb, 8, 2)
+    sizes.agg(count(lit(1)).as("cells"), sum(col("n_vectors")).as("assigned"))
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("total"))))
+      .select(col("cells").cast("int").as("n_cells"),
+        (col("assigned") === col("total")).cast("int").as("coverage_ok"))
+  }
+
   /** CL2: SemDeDup near-dup pairs (Abbas et al. 2023) on the planted
     * near-dup corpus at the realistic 0.85 threshold — within-cluster exact
     * cosine only, the n²/k pruning. Registered at the AUTO operating point
@@ -1222,6 +1238,25 @@ object SparkEntry {
   private def bt1BpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.trainMerges(tbl(spark, dir, "documents"), 8)
       .orderBy(col("rank"))
+
+  /** BT2: the full tokenizer LIFECYCLE — train the bt1 merge table
+    * distributed, collect it (8 rows — metadata), build a BpeTokenizer,
+    * and encode the whole corpus with it (per-doc token counts). The
+    * oracle re-learns AND re-encodes in DuckDB, so train→encode is
+    * verified end to end with no shared state between the engines.
+    */
+  private def bt2BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val merges = graft.operators.BpeTrain.trainMerges(docs, 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toVector
+    val tok = new graft.core.BpeTokenizer(merges, "[\\p{L}\\p{N}]+",
+      byteLevel = false)
+    docs.select(col("doc_id"),
+        graft.functions.udfs.bpeCountUdf(tok)(col("text"))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** MX2: temperature-flattened mixture downsampling (alpha 0.5, target
     * half the corpus) — the domain-rebalancing pass. The testdata `source`
@@ -1879,6 +1914,7 @@ object SparkEntry {
     "qz4_gate" -> (qz4Gate(_, _)),
     "dd6b_gate" -> (dd6bGate(_, _)),
     "cl3_gate" -> (cl3Gate(_, _)),
+    "cl1_gate" -> (cl1Gate(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
@@ -1923,6 +1959,7 @@ object SparkEntry {
     "ta14_url_filter" -> (ta14UrlFilter(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
+    "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -2114,6 +2151,56 @@ w0 AS MATERIALIZED (
   GROUP BY w),
 $rounds
 $sel ORDER BY rank"""
+  }
+
+  /** bt2_bpe_encode oracle: DuckDB re-LEARNS the merge table (the
+    * bpeTrainSql rounds verbatim), builds the rank map from its own b{r}
+    * outputs, and re-ENCODES every pretoken with the f3-style
+    * lowest-rank-leftmost recursive walk — the full tokenizer lifecycle
+    * (train → encode) independently re-derived end to end.
+    */
+  private def bpeEncodeSql(numMerges: Int): String = {
+    val trainSql = bpeTrainSql(numMerges)
+    val ctes = trainSql
+      .stripPrefix("WITH RECURSIVE\n")
+      .split("\n(?=SELECT 1 AS rank)").head.trim.stripSuffix(",")
+    val mtUnion = (1 to numMerges)
+      .map(r => s"SELECT $r AS rnk, a, b FROM b$r").mkString(" UNION ALL ")
+    val pair = "toks[i] || ' ' || toks[i + 1]"
+    val bi = "CAST(best % 1000000000000 AS INT)"
+    raw"""WITH RECURSIVE
+$ctes,
+mt AS MATERIALIZED (
+  SELECT MAP(list(a || ' ' || b ORDER BY rnk), list(rnk ORDER BY rnk)) AS mm
+  FROM ($mtUnion)),
+pts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS w
+  FROM documents),
+wcnt AS (SELECT doc_id, w, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+wenc AS (SELECT DISTINCT w FROM pts),
+enc_walk AS (
+  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS toks,
+    0 AS step
+  FROM wenc
+  UNION ALL
+  SELECT w,
+    toks[1:$bi - 1] || [toks[$bi] || toks[$bi + 1]] || toks[$bi + 2:],
+    step + 1
+  FROM (
+    SELECT w, toks, step,
+      list_min([
+        CASE WHEN len(element_at(mm, $pair)) > 0
+          THEN element_at(mm, $pair)[1] * 1000000000000 + i END
+        FOR i IN range(1, len(toks))]) AS best
+    FROM enc_walk, mt) s
+  WHERE best IS NOT NULL),
+wtok AS (SELECT w, len(arg_max(toks, step)) AS n FROM enc_walk GROUP BY w),
+agg AS (
+  SELECT wc.doc_id, SUM(wc.c * wt.n) AS n
+  FROM wcnt wc JOIN wtok wt ON wt.w = wc.w GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id"""
   }
 
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
@@ -3248,9 +3335,12 @@ $sel ORDER BY rank"""
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // cl1 partition invariant: 8 non-empty cells covering every vector
+    "cl1_gate" -> "SELECT 8 AS n_cells, 1 AS coverage_ok",
     "ta13_gopher" -> gopherSql,
     "ta14_url_filter" -> urlFilterSql,
     "bt1_bpe_train" -> bpeTrainSql(8),
+    "bt2_bpe_encode" -> bpeEncodeSql(8),
     "mx2_temperature" ->
       """WITH d AS (
            SELECT doc_id,

@@ -40,10 +40,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dd6b_recall/cl3 shape: count() guard at construction)
     "cl2_containment", "dd6b_containment", "cl4_containment",
     // recall gates wrap the eager recall queries above
-    "ss2_gate", "ss3_gate", "qz4_gate", "dd6b_gate", "cl3_gate",
+    "ss2_gate", "ss3_gate", "qz4_gate", "dd6b_gate", "cl3_gate", "cl1_gate",
     // BPE training runs its merge loop (per-round argmax collect) at
     // construction; plan shape pinned by BpeTrainSpec
-    "bt1_bpe_train",
+    "bt1_bpe_train", "bt2_bpe_encode",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
