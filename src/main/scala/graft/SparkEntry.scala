@@ -1606,9 +1606,10 @@ object SparkEntry {
     // one micro-batch for the whole table: this entry proves batch parity,
     // not trigger pacing (StreamingSpec covers multi-batch semantics), and
     // per-batch state-store commit overhead would otherwise dominate
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
     val docs = graft.streaming.CorpusStreams
-      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
-        glob = "documents.parquet")
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
       .withColumn("ts",
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val curated = graft.streaming.CorpusStreams.curateStream(docs)
@@ -1633,9 +1634,10 @@ object SparkEntry {
   private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
     val docs = graft.streaming.CorpusStreams
-      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
-        glob = "documents.parquet")
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
       .withColumn("ts",
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val deduped = docs
@@ -1662,9 +1664,10 @@ object SparkEntry {
   private def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
     val docs = graft.streaming.CorpusStreams
-      .readDocStream(spark, dir, schema, maxFilesPerTrigger = 4096,
-        glob = "documents.parquet")
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
     val bench = tbl(spark, dir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
     val clean = graft.streaming.CorpusStreams.decontaminateStream(

@@ -36,6 +36,22 @@ object CorpusStreams {
       .option("pathGlobFilter", glob)
       .parquet(dir)
 
+  /** Resolve (basePath, leaf glob) for a table that may be either a single
+    * parquet FILE inside a mixed directory (the driver testdata shape) or
+    * a parquet DIRECTORY of part files (any Spark-written table).
+    * `pathGlobFilter` matches LEAF file names only — streaming a directory
+    * table through its parent + name glob silently matches NOTHING (zero
+    * rows, no error), so a directory must be streamed from its own path.
+    * Uses the Hadoop FS API so the check is correct on any filesystem.
+    */
+  def tableStreamPath(spark: SparkSession, dir: String,
+      table: String): (String, String) = {
+    val path = new org.apache.hadoop.fs.Path(dir, table)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.getFileStatus(path).isDirectory) (path.toString, "*.parquet")
+    else (dir, table)
+  }
+
   /** Q1 over a stream: stateless per-row summarize — no watermark, no
     * state store; scales as a projection.
     */
