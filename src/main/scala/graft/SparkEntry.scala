@@ -1226,6 +1226,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DD10: global repeated-paragraph removal. The corpus has no newlines,
+    * so the query plants a boilerplate paragraph (newsletter banner) above
+    * every 3rd doc and below every 5th — ~267 occurrences at sf0.01 —
+    * while each doc's own text stays a unique single paragraph. The pass
+    * must strip every banner and nothing else, and the oracle re-derives
+    * the hot set, the rewrite, and the counts.
+    */
+  private def dd10ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates"
+    val planted = concat(
+      when(col("doc_id") % 3 === 0, lit(boiler + "\n")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 5 === 0, lit("\n" + boiler)).otherwise(lit("")))
+    Dedup.dropRepeatedParagraphs(
+        tbl(spark, dir, "documents").withColumn("text", planted),
+        minOccurrences = 10L)
+      .orderBy(col("doc_id"))
+  }
+
   /** BT1: distributed BPE tokenizer training — 8 merges learned from the
     * documents corpus (char-level base symbols, `[\p{L}\p{N}]+`
     * pretokens, min pair count 2). The oracle re-learns the table from
@@ -1963,6 +1982,7 @@ object SparkEntry {
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
+    "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -3344,6 +3364,37 @@ ORDER BY d.doc_id"""
     "ta14_url_filter" -> urlFilterSql,
     "bt1_bpe_train" -> bpeTrainSql(8),
     "bt2_bpe_encode" -> bpeEncodeSql(8),
+    "dd10_paragraph_dedup" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'subscribe to our newsletter for updates' || chr(10)
+               ELSE '' END
+             || text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'subscribe to our newsletter for updates'
+               ELSE '' END AS t
+           FROM documents),
+         p AS (
+           SELECT doc_id, ps[k] AS para, k AS pos
+           FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM planted),
+             LATERAL UNNEST(generate_series(1, len(ps))) AS u(k)),
+         hot AS (
+           SELECT md5(para) AS ph FROM p GROUP BY 1 HAVING COUNT(*) >= 10),
+         kept AS (
+           SELECT doc_id, para, pos FROM p
+           WHERE md5(para) NOT IN (SELECT ph FROM hot)),
+         agg AS (
+           SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         tot AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+           FROM p GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           t.n_paras, t.n_paras - COALESCE(a.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
     "mx2_temperature" ->
       """WITH d AS (
            SELECT doc_id,

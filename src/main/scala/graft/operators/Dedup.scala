@@ -562,6 +562,50 @@ object Dedup {
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
 
+  /** DD10: global repeated-paragraph removal — the RefinedWeb/Dolma
+    * boilerplate pass. A paragraph (`sep`-delimited block) whose exact
+    * content occurs at least `minOccurrences` times ACROSS THE CORPUS is
+    * removed from every document; surviving paragraphs are reassembled in
+    * their original order. Unlike [[dropDuplicateSpanDocs]] (which gates
+    * whole docs on their duplicate-span fraction), this REWRITES docs —
+    * navigation chrome, cookie banners, and license footers disappear
+    * while the unique prose stays.
+    *
+    * Scale shape: one explode + hash-aggregate finds the hot set (by
+    * definition ≤ totalParas/minOccurrences rows, and hot paragraphs are
+    * keyed by md5 so the aggregate is map-side-combined); removal is a
+    * broadcast-able anti-join on the hash; reassembly is the g1
+    * ordered-collect shape (one shuffle on doc_id). At 100 TB swap the
+    * anti-join for the dc3 Bloom prefilter if the hot set outgrows a
+    * broadcast — same no-false-negative argument as decontamination.
+    * Output keeps every input doc: (doc_id, clean_text — possibly empty,
+    * n_paras, n_removed).
+    */
+  def dropRepeatedParagraphs(docs: DataFrame, textCol: String = "text",
+      sep: String = "\n", minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2")
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("ph", md5(col("para")))
+    val hot = paras.groupBy(col("ph")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select(col("ph"))
+    val kept = paras.join(broadcast(hot), Seq("ph"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("clean_text"))
+    val totals = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-doc distinct shingle-hash rows (doc_id, nsh, h) — the REUSABLE
     * form of the near-dup join's left half. An incremental pipeline
     * persists this table for its curated corpus once and unions each new

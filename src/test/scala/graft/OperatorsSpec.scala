@@ -132,6 +132,24 @@ class OperatorsSpec extends AnyFunSuite {
       "near-twins (8 shared of 10 shingles) should survive 6x4 banding")
   }
 
+  test("DD10 dropRepeatedParagraphs: global boilerplate stripped, order kept") {
+    val b = "COOKIE BANNER"
+    val docs = Seq(
+      (1L, s"$b\nalpha text\nbeta text"),
+      (2L, s"gamma text\n$b"),
+      (3L, b), // only boilerplate: row survives with empty text
+      (4L, "delta text\nalpha text")) // 'alpha text' x2 total: under min 3
+      .toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedParagraphs(docs, minOccurrences = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_paras"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("alpha text\nbeta text", 3L, 1L)))
+    assert(got(2L) == (("gamma text", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 1L)))
+    assert(got(4L) == (("delta text\nalpha text", 2L, 0L)))
+  }
+
   test("AJ1 asofJoinPrior: inclusive match, latest-prior wins, null when none") {
     import graft.operators.AsofJoin
     val left = Seq(
