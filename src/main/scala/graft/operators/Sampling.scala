@@ -142,7 +142,9 @@ object Sampling {
             (lit(targetFraction) * col("__ntot").cast("double")) /
             col("__nd").cast("double")).as("__rate"))
     val u = unitHash(col(idCol), seed)
-    docs.join(broadcast(rates), domainCol === col("__dom"))
+    // null-safe join: a null domain is a real stratum (crawl rows without
+    // a source tag) — a plain equi-join would silently DROP those rows
+    docs.join(broadcast(rates), domainCol <=> col("__dom"))
       .filter(u < col("__rate"))
       .withColumn("keep_rate", col("__rate"))
       .drop("__dom", "__rate")

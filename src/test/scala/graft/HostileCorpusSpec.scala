@@ -41,6 +41,38 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(TextAnalysis.topNgrams(hostile, 3, 5).count() <= 5)
   }
 
+  test("round-6 family survives hostile rows") {
+    import graft.operators.{BpeTrain, Sampling}
+    // gopher rules: every row classified, no NPE, gate is 0/1 (null text
+    // rides the null row through — same contract as qualityScore)
+    val g = TextAnalysis.gopherRules(hostile).collect()
+    assert(g.length == 8)
+    assert(g.filter(!_.isNullAt(g.head.fieldIndex("gopher_pass")))
+      .forall(r => Set(0, 1)(r.getAs[Int]("gopher_pass"))))
+    // url signals: no urls anywhere, blocklist false, null-safe
+    val u = TextAnalysis.urlSignals(hostile)
+    assert(u.count() == 8)
+    assert(u.filter(col("n_urls") > 0).count() == 0)
+    assert(u.withColumn("b",
+      TextAnalysis.domainBlocked(col("hosts"), Seq("x.bad")))
+      .filter(col("b")).count() == 0)
+    // paragraph removal: null text must not NPE; hostile rows have no
+    // repeated paragraphs so nothing is removed from non-null rows
+    val p = Dedup.dropRepeatedParagraphs(
+      hostile.filter(col("text").isNotNull), minOccurrences = 2)
+    assert(p.count() == 7 && p.filter(col("n_removed") > 0).count() == 0)
+    // temperature mixture on a null-bearing domain column: null domain
+    // groups like any other value
+    val m = Sampling.temperatureMixture(
+      hostile.withColumn("dom", when(col("doc_id") % 2 === 0, "a")),
+      col("dom"), alpha = 0.5, targetFraction = 1.0)
+    assert(m.count() == 8) // target 1.0 => every rate clamps to 1, none drop
+    // BPE training on a corpus with nothing to merge / null rows
+    val t = BpeTrain.trainMerges(
+      hostile.filter(col("text").isNotNull), 4, minPairCount = 2L)
+    assert(t.count() <= 4) // learns at most what repeats; must not throw
+  }
+
   test("PII redaction + repetition signals survive hostile rows") {
     assert(TextAnalysis.redactPii(hostile).count() == 8)
     val rep = TextAnalysis.repetitionSignals(hostile)
