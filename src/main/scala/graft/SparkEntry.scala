@@ -1226,6 +1226,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** S9: deterministic sharded export, driver-checked end to end — the
+    * corpus is exported in 64-row shards (md5-ordered, the SH1 shuffle),
+    * read BACK from disk, and summarized per shard (row count + id sum,
+    * which pins shard MEMBERSHIP, not just sizes). The oracle recomputes
+    * the shard assignment from the same closed-form rank, so the write →
+    * partition layout → read-back roundtrip is hash-verified.
+    */
+  private def s9ShardedExport(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s9_").toString
+    val back = operators.Sinks.exportShards(
+      tbl(spark, dir, "documents").select(col("doc_id")), s"$out/shards", 64L)
+    // partition-column read-back infers int; cast to long for the oracle
+    back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("shard"))
+  }
+
   /** DD10: global repeated-paragraph removal. The corpus has no newlines,
     * so the query plants a boilerplate paragraph (newsletter banner) above
     * every 3rd doc and below every 5th — ~267 occurrences at sf0.01 —
@@ -1983,6 +2000,7 @@ object SparkEntry {
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
+    "s9_sharded_export" -> (s9ShardedExport(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
@@ -3489,6 +3507,18 @@ ORDER BY d.doc_id"""
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
+    // s9: shard = rank-over-md5-order div 64; id_sum pins membership
+    "s9_sharded_export" ->
+      """WITH r AS (
+           SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS pos
+           FROM documents)
+         SELECT CAST(pos // 64 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1 ORDER BY 1""",
     // stream_dedup: first-arrival-wins over one replay == distinct prefix
     // fingerprints (the dd1b derivation)
     "stream_dedup" ->

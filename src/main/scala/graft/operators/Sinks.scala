@@ -20,6 +20,29 @@ object Sinks {
   def writeSummaryTable(summaries: DataFrame, path: String): Unit =
     summaries.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** S9: deterministic sharded export — the training-data drop format
+    * (webdataset/Megatron-style fixed-size shards). Rows get a
+    * deterministic global order via [[Sampling.deterministicShuffle]]
+    * (keyed md5 — layout/retry-independent, reproducible on any cluster)
+    * and land in shards of exactly `rowsPerShard` rows (last shard
+    * partial), written as one partition directory per shard. Every
+    * property — shard membership, per-shard counts, order — is a closed
+    * function of (seed, id), so the whole export is SQL-oracle-checkable
+    * and re-running it on any cluster size produces byte-identical shard
+    * assignment. One range-shuffle (the SH1 two-pass rank) + one write.
+    * For byte-targeted shards, derive rowsPerShard from targetBytes /
+    * avg-row-bytes measured on a keyed-hash sample — the assignment stays
+    * deterministic because the sample is.
+    */
+  def exportShards(docs: DataFrame, outPath: String, rowsPerShard: Long,
+      seed: String = "shard", idCol: String = "doc_id"): DataFrame = {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1: $rowsPerShard")
+    Sampling.deterministicShuffle(docs, seed, idCol)
+      .withColumn("shard", expr(s"shuffle_pos div $rowsPerShard"))
+      .write.partitionBy("shard").mode(SaveMode.Overwrite).parquet(outPath)
+    docs.sparkSession.read.parquet(outPath)
+  }
+
   /** S4 (compatibility): one `<doc_id>.txt` per row, written from the
     * executors. `dir` must be a path every executor can reach (local dir in
     * local mode, shared filesystem on a cluster).

@@ -132,6 +132,29 @@ class OperatorsSpec extends AnyFunSuite {
       "near-twins (8 shared of 10 shingles) should survive 6x4 banding")
   }
 
+  test("S9 exportShards: deterministic membership, exact sizes, layout-independent") {
+    import graft.operators.{Sampling, Sinks}
+    val docs = (0L until 10L).toDF("doc_id")
+    val out = java.nio.file.Files.createTempDirectory("graft_s9spec_").toString
+    val back = Sinks.exportShards(docs, s"$out/a", 4L)
+    val got = back.select(col("shard").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    // reference assignment: rank in (md5('shard:'||id), id) order div 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(s"shard:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = (0L until 10L).sortBy(id => (hex(id), id)).zipWithIndex
+      .map { case (id, i) => (i / 4).toLong -> id }.toSet
+    assert(got == expect)
+    assert(back.groupBy("shard").count().collect()
+      .map(_.getAs[Long]("count")).sorted.toSeq == Seq(2L, 4L, 4L))
+    // partition layout cannot change the assignment
+    val again = Sinks.exportShards(docs.repartition(7), s"$out/b", 4L)
+      .select(col("shard").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(again == expect)
+  }
+
   test("DD10 dropRepeatedParagraphs: global boilerplate stripped, order kept") {
     val b = "COOKIE BANNER"
     val docs = Seq(

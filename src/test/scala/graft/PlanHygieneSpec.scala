@@ -22,7 +22,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     */
   private val eager = Set(
     "stream_curation", "stream_dedup", "stream_decontam",
-    "s4_sink_roundtrip", "s5_report_sink",
+    "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
     "dd7_components", "pk1_pack", "sh1_shuffle",
