@@ -622,6 +622,20 @@ object SparkEntry {
       .select(col("doc_id"), length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** DD8b: the near-dup-deduplicated corpus under the QUALITY keeper
+    * policy — longest member (ties: min id) survives each dd4/dd7
+    * component instead of the min-id member. Oracle recomputes the
+    * closure AND the argmax.
+    */
+  private def dd8bDedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.nearDupCorpusBestKeeper(docs,
+        Dedup.ngramJaccardPairs(docs, "text", 3, 0.5),
+        length(col("text")).cast("long"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DD5: SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
   private def dd5Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
@@ -1967,6 +1981,7 @@ object SparkEntry {
     "qz4_recall" -> (qz4Recall(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
+    "dd8b_dedup_best" -> (dd8bDedupBest(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
@@ -3166,6 +3181,46 @@ ORDER BY d.doc_id"""
            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
          SELECT src AS doc_id, MIN(dst) AS component
          FROM reach GROUP BY src ORDER BY doc_id""",
+    // dd8b: the dd7 closure + per-component argmax keeper (length, -id)
+    "dd8b_dedup_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach AS (
+           SELECT DISTINCT a AS src, a AS dst FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+         , comp AS (
+           SELECT src AS doc_id, MIN(dst) AS component
+           FROM reach GROUP BY src),
+         scored AS (
+           SELECT d.doc_id, length(d.text) AS n_chars, c.component
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         keepers AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+             FROM scored WHERE component IS NOT NULL)
+           WHERE rn = 1)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM scored
+         WHERE component IS NULL
+            OR doc_id IN (SELECT doc_id FROM keepers)
+         ORDER BY doc_id""",
     // dd8: keep the min doc_id per distinct text
     "dd8_dedup_corpus" ->
       """SELECT doc_id, length(text) AS n_chars FROM (

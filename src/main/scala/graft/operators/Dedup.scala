@@ -442,6 +442,36 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** DD8b: near-dup deduplicated corpus with a QUALITY keeper policy —
+    * for each connected component of the near-dup pair graph keep the
+    * member maximizing `scoreCol` (ties: smallest doc_id), not the min-id
+    * member. The production knob the min-id form lacks: when a cluster
+    * holds a full article and its truncated syndication copies, you want
+    * the longest/highest-quality copy, not the earliest id. Docs outside
+    * any component always survive.
+    *
+    * Scale shape: components from [[connectedComponents]] (pair-graph
+    * sized, not corpus sized), one per-component hash-agg argmax
+    * (max over a (score, -id) struct — one pass, no window over the
+    * corpus), and a keeper join back. The corpus itself is only joined,
+    * never shuffled by score.
+    */
+  def nearDupCorpusBestKeeper(docs: DataFrame, pairs: DataFrame,
+      scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("doc_id"), col("component"))
+    val scored = docs.withColumn("__score", scoreCol)
+      .join(comps, Seq("doc_id"), "left")
+    val keepers = scored.filter(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(max(struct(col("__score").as("s"), (-col("doc_id")).as("negid")))
+        .as("b"))
+      .select((-col("b.negid")).as("doc_id"), lit(1).as("__keep"))
+    scored.join(keepers, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("__keep").isNotNull)
+      .drop("component", "__score", "__keep")
+  }
+
   /** N-gram Jaccard near-dup pairs above `minJaccard`: bucket docs by shared
     * shingle (only docs sharing a shingle meet), count intersections, compute
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). Semantically the classic

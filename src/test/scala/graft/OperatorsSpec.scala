@@ -132,6 +132,29 @@ class OperatorsSpec extends AnyFunSuite {
       "near-twins (8 shared of 10 shingles) should survive 6x4 banding")
   }
 
+  test("DD8b nearDupCorpusBestKeeper: quality argmax survives, singletons kept") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // component {1,2,3}: 3 is longest
+      (2L, "a b c d e f g h i"),
+      (3L, "a b c d e f g h i j k"),
+      (4L, "z y x w v u t s"))       // singleton: always kept
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", 3, 0.5)
+    val kept = Dedup.nearDupCorpusBestKeeper(docs, pairs,
+        length(col("text")).cast("long"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // min-id tie-break: equal scores keep the smallest id
+    val tie = Seq((5L, "p q r s t u v w"), (6L, "p q r s t u v w"),
+      (7L, "only one here alone"))
+      .toDF("doc_id", "text")
+    val tiePairs = Dedup.ngramJaccardPairs(tie, "text", 3, 0.5)
+    val tieKept = Dedup.nearDupCorpusBestKeeper(tie, tiePairs,
+        length(col("text")).cast("long"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(tieKept == Set(5L, 7L))
+  }
+
   test("S9 exportShards: deterministic membership, exact sizes, layout-independent") {
     import graft.operators.{Sampling, Sinks}
     val docs = (0L until 10L).toDF("doc_id")
