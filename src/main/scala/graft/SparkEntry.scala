@@ -636,6 +636,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DD11: content-defined chunking — boundary-after-gram-hash-on-grid
+    * (expected ~16-token chunks), the shift-robust segmentation for
+    * chunk-level dedup. Every cut decision and chunk hash replays exactly
+    * in SQL (md5-prefix grid).
+    */
+  private def dd11CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contentDefinedChunks(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** DD5: SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
   private def dd5Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
@@ -1982,6 +1991,7 @@ object SparkEntry {
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd8b_dedup_best" -> (dd8bDedupBest(_, _)),
+    "dd11_cdc_chunks" -> (dd11CdcChunks(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
@@ -3562,6 +3572,34 @@ ORDER BY d.doc_id"""
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
+    // dd11: cut after token i iff md5-grid hit on gram (i, i+1)
+    "dd11_cdc_chunks" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 2 THEN list_filter(range(1, len(t)), i ->
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))
+                 AS BIGINT) % 16 = 0)
+             ELSE [] END AS cuts
+           FROM d),
+         s AS (
+           SELECT doc_id, t,
+             list_concat([1], list_transform(cuts, b -> b + 1)) AS starts,
+             list_concat(cuts, [n]) AS ends
+           FROM c),
+         x AS (
+           SELECT doc_id, k - 1 AS chunk_idx,
+             array_to_string(t[starts[k]:ends[k]], ' ') AS chunk
+           FROM s, LATERAL UNNEST(generate_series(1, len(starts))) AS u(k))
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(CASE WHEN length(chunk) = 0 THEN 0
+             ELSE len(string_split(chunk, ' ')) END AS BIGINT) AS n_toks,
+           md5(chunk) AS chunk_md5
+         FROM x ORDER BY doc_id, chunk_idx""",
     // s9: shard = rank-over-md5-order div 64; id_sum pins membership
     "s9_sharded_export" ->
       """WITH r AS (

@@ -442,6 +442,47 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** DD11: content-defined chunking (the rsync/LBFS/FastCDC idea on token
+    * streams): a chunk boundary falls AFTER token i whenever the hash of
+    * the (i, i+1) token gram lands on the cut grid (`hash % modulus == 0`,
+    * expected chunk length ≈ `modulus` tokens). Because the cut decision
+    * depends only on LOCAL content, inserting or deleting text re-cuts
+    * only the chunk it touches — every downstream chunk keeps its
+    * identity, which is what makes chunk-level dedup robust to shifted /
+    * edited near-copies (fixed-stride chunking loses every boundary after
+    * an insertion).
+    *
+    * Pure Column expressions end to end — the gram hash is the md5-prefix
+    * long (the MinHash/fingerprint family derivation), so the whole
+    * operator replays exactly in SQL. One map-only pass + explode; chunk
+    * rows carry (chunk_idx, n_toks, chunk_md5) ready for a corpus-level
+    * hash-agg dedup.
+    */
+  def contentDefinedChunks(docs: DataFrame, textCol: String = "text",
+      modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2: $modulus")
+    val t = lower(trim(col(textCol)))
+    val toks = when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+    val n = size(toks)
+    val gramHash = (i: Column) =>
+      conv(substring(md5(concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1))), 1, 15), 16, 10)
+        .cast("long")
+    val cuts = when(n >= 2,
+        filter(sequence(lit(1), n - 1), i => gramHash(i) % modulus === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(cuts, b => b + 1))
+    val ends = concat(cuts, array(n))
+    val chunks = zip_with(starts, ends,
+      (s, e) => array_join(slice(toks, s, e - s + 1), " "))
+    docs.select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        when(length(col("chunk")) === 0, 0L)
+          .otherwise(size(split(col("chunk"), " ")).cast("long")).as("n_toks"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** DD8b: near-dup deduplicated corpus with a QUALITY keeper policy —
     * for each connected component of the near-dup pair graph keep the
     * member maximizing `scoreCol` (ties: smallest doc_id), not the min-id

@@ -132,6 +132,30 @@ class OperatorsSpec extends AnyFunSuite {
       "near-twins (8 shared of 10 shingles) should survive 6x4 banding")
   }
 
+  test("DD11 contentDefinedChunks: partition exact, shift-robust, edge cases") {
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX INSERTED " + base), // shifted copy
+      (3L, "solo"),                    // single token: one chunk
+      (4L, ""))                        // empty: one empty chunk row
+      .toDF("doc_id", "text")
+    val got = Dedup.contentDefinedChunks(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // chunks partition the token stream exactly
+    assert(got(1L).map(_.getAs[Long]("n_toks")).sum == 200L)
+    assert(got(3L).map(_.getAs[Long]("n_toks")).toSeq == Seq(1L))
+    assert(got(4L).map(_.getAs[Long]("n_toks")).toSeq == Seq(0L))
+    // shift-robustness: the inserted prefix re-cuts only the FIRST
+    // region; the tail chunk hashes of doc 2 match doc 1's
+    val h1 = got(1L).map(_.getAs[String]("chunk_md5")).toSet
+    val h2 = got(2L).map(_.getAs[String]("chunk_md5")).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= h1.size - 2,
+      s"expected all but the head chunk shared, got $shared of ${h1.size}")
+    assert(got(1L).length > 5) // the grid actually cuts (expected ~12 chunks)
+  }
+
   test("DD8b nearDupCorpusBestKeeper: quality argmax survives, singletons kept") {
     val docs = Seq(
       (1L, "a b c d e f g h"),       // component {1,2,3}: 3 is longest
