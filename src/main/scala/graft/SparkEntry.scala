@@ -1742,6 +1742,42 @@ object SparkEntry {
     Seq(acc.value).toDF("n_clean")
   }
 
+  /** Round-6 composed flagship: the full training-mix pipeline as ONE
+    * chained plan — plant boilerplate → global paragraph removal (dd10) →
+    * language/quality gate (the curation gate) → temperature-flattened
+    * domain mixture (mx2) → deterministic split assignment (sp1) → per
+    * (domain, split) counts. Five operator families, each the proven form
+    * of its standalone query; the oracle replays the whole chain, so the
+    * COMPOSITION (each stage consuming the previous stage's exact output)
+    * is what gets hash-checked. Scale shape: every stage is the
+    * documented scale shape of its standalone op — nothing new joins the
+    * plan except one broadcast of the |domains|-row rate table.
+    */
+  private def pipeTrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = "subscribe to our newsletter for updates"
+    val planted = concat(
+      when(col("doc_id") % 3 === 0, lit(boiler + "\n")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 5 === 0, lit("\n" + boiler)).otherwise(lit("")))
+    val cleaned = Dedup.dropRepeatedParagraphs(
+        tbl(spark, dir, "documents").withColumn("text", planted),
+        minOccurrences = 10L)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val gated = graft.operators.Curation.gate(cleaned)
+    val dom = when(col("doc_id") % 16 < 11, "web")
+      .when(col("doc_id") % 16 < 14, "books")
+      .when(col("doc_id") % 16 < 15, "code")
+      .otherwise("wiki")
+    val mixed = graft.operators.Sampling.temperatureMixture(
+      gated.withColumn("domain", dom), col("domain"),
+      alpha = 0.5, targetFraction = 0.5)
+    graft.operators.Sampling.assignSplits(mixed,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .groupBy(col("domain"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("domain"), col("split"))
+  }
+
   /** Composed data-prep flagship: NFC normalization → benchmark
     * decontamination → deterministic split assignment as ONE chained plan
     * — each stage is the proven form of its standalone query (ta9, dc2,
@@ -2051,6 +2087,7 @@ object SparkEntry {
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
+    "pipe_training_mix" -> (pipeTrainingMix(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
@@ -2268,6 +2305,68 @@ SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
   }
+
+  /** pipe_training_mix oracle: the dd10 paragraph-removal CTEs feed the
+    * curation gate CTEs (gateCtes parameterized on the cleaned corpus),
+    * then the mx2 rate derivation over the GATED domain counts, then the
+    * sp1 keyed-hash split thresholds — the full five-stage replay.
+    */
+  private def trainingMixSql: String =
+    s"""WITH planted AS (
+       SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+           THEN 'subscribe to our newsletter for updates' || chr(10)
+           ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 5 = 0
+           THEN chr(10) || 'subscribe to our newsletter for updates'
+           ELSE '' END AS t
+       FROM documents),
+     pp AS (
+       SELECT doc_id, ps[k] AS para, k AS pos
+       FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM planted),
+         LATERAL UNNEST(generate_series(1, len(ps))) AS u(k)),
+     hot AS (
+       SELECT md5(para) AS ph FROM pp GROUP BY 1 HAVING COUNT(*) >= 10),
+     cleaned AS (
+       SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) ORDER BY pos)
+           FILTER (WHERE md5(para) NOT IN (SELECT ph FROM hot)), '') AS text
+       FROM pp GROUP BY doc_id),
+     ${gateCtes("cleaned")},
+     dom AS (
+       SELECT doc_id,
+         CASE WHEN doc_id % 16 < 11 THEN 'web'
+              WHEN doc_id % 16 < 14 THEN 'books'
+              WHEN doc_id % 16 < 15 THEN 'code'
+              ELSE 'wiki' END AS domain
+       FROM cgated),
+     dc AS (SELECT domain, COUNT(*) AS nd FROM dom GROUP BY domain),
+     dt AS (
+       SELECT CAST(SUM(nd) AS DOUBLE) AS ntot,
+         CAST(SUM(CAST(round(pow(CAST(nd AS DOUBLE), 0.5), 9)
+           AS DECIMAL(38,10))) AS DOUBLE) AS z
+       FROM dc),
+     dr AS (
+       SELECT domain,
+         least(1.0, round(pow(CAST(nd AS DOUBLE), 0.5), 9) / z
+           * (0.5 * ntot) / CAST(nd AS DOUBLE)) AS rate
+       FROM dc, dt),
+     samp AS (
+       SELECT d.doc_id, d.domain FROM dom d JOIN dr USING (domain)
+       WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / 1152921504606846976.0 < dr.rate),
+     spl AS (
+       SELECT doc_id, domain,
+         CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+              ELSE 'test' END AS split
+       FROM (
+         SELECT doc_id, domain,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0 AS u
+         FROM samp))
+     SELECT domain, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+     FROM spl GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
     * eval_rouge_ngram and the stats wrapper eval_stats_ngram).
@@ -3572,6 +3671,7 @@ ORDER BY d.doc_id"""
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
+    "pipe_training_mix" -> trainingMixSql,
     // dd11: cut after token i iff md5-grid hit on gram (i, i+1)
     "dd11_cdc_chunks" ->
       """WITH d AS (
@@ -3909,7 +4009,7 @@ ORDER BY d.doc_id"""
     * oracle and the `stream_curation` count oracle, mirroring how
     * `Curation.gate` is the single Scala definition behind both paths.
     */
-  private def gateCtes: String = {
+  private def gateCtes(src: String = "documents"): String = {
     val en = TextAnalysis.StopwordMarkers("en").map(s => s"'$s'").mkString(", ")
     val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted
     def hits(l: String) = {
@@ -3925,13 +4025,13 @@ ORDER BY d.doc_id"""
       ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([$en], x))) * 1.0 / $tokSql END, 4) AS stopword_ratio,
     round(CASE WHEN length(text) = 0 THEN 0.0
       ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END, 4) AS punct_ratio
-  FROM documents),
+  FROM $src),
 cl AS (
   SELECT doc_id, CASE WHEN m <= 0 THEN 'und' $caseExpr END AS lang_pred
-  FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM documents)),
+  FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM $src)),
 cgated AS (
   SELECT d.doc_id, d.text, cl.lang_pred, cq.n_tokens, cq.n_chars, cq.stopword_ratio
-  FROM documents d JOIN cq USING (doc_id) JOIN cl USING (doc_id)
+  FROM $src d JOIN cq USING (doc_id) JOIN cl USING (doc_id)
   WHERE cl.lang_pred = 'en' AND cq.stopword_ratio >= 0.01
     AND cq.n_tokens >= 5 AND cq.punct_ratio <= 0.30)"""
   }
@@ -3941,7 +4041,7 @@ cgated AS (
     * reproduce regardless of which group member arrived first.
     */
   private def streamCurationSql: String =
-    s"""WITH $gateCtes
+    s"""WITH ${gateCtes()}
 SELECT CAST(COUNT(DISTINCT md5(substr(text, 1, 100))) AS BIGINT) AS n_curated
 FROM cgated"""
 
@@ -3953,7 +4053,7 @@ FROM cgated"""
     * fragments as the batch oracle.
     */
   private def curationIncrSql: String = {
-    s"""WITH RECURSIVE $gateCtes,
+    s"""WITH RECURSIVE ${gateCtes()},
 ngated AS (SELECT * FROM cgated WHERE doc_id % 2 = 1),
 exist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 nkeep AS (
@@ -4023,7 +4123,7 @@ closers AS (
   SELECT src AS doc_id FROM creach GROUP BY src HAVING MIN(dst) <> src)"""
 
   private def curationSql: String = {
-    s"""WITH RECURSIVE $gateCtes,
+    s"""WITH RECURSIVE ${gateCtes()},
 $curationChainCtes
 SELECT doc_id, lang_pred, n_tokens, n_chars, stopword_ratio
 FROM cexact WHERE doc_id NOT IN (SELECT doc_id FROM closers)
@@ -4035,7 +4135,7 @@ ORDER BY doc_id"""
     * pipeline it describes is worse than none).
     */
   private def curationFunnelSql: String = {
-    s"""WITH RECURSIVE $gateCtes,
+    s"""WITH RECURSIVE ${gateCtes()},
 $curationChainCtes
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,

@@ -62,7 +62,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // one-row corpus-stats scalar broadcast (the ta11 shape)
     "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
-    "mx2_temperature")
+    "mx2_temperature", "pipe_training_mix")
 
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager
