@@ -629,8 +629,11 @@ object SparkEntry {
     */
   private def dd8bDedupBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
+    // LSH-verified pair stage (the linear 100 TB path) held to the
+    // EXACT-closure oracle — valid because banding recall is 1.0 on this
+    // corpus (the pipe_curation_lsh pattern; measured in SCALE.md)
     Dedup.nearDupCorpusBestKeeper(docs,
-        Dedup.ngramJaccardPairs(docs, "text", 3, 0.5),
+        Dedup.jaccardVerifiedPairs(docs, "text", 3, 4, 2, 0.5),
         length(col("text")).cast("long"))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
