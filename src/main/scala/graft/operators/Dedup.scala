@@ -673,8 +673,13 @@ object Dedup {
   def dropRepeatedParagraphs(docs: DataFrame, textCol: String = "text",
       sep: String = "\n", minOccurrences: Long = 2L): DataFrame = {
     require(minOccurrences >= 2, s"minOccurrences must be >= 2")
+    // posexplode_OUTER: split() never yields an empty array on non-null
+    // text, so output is identical — but non-outer Generate gets an
+    // InferFiltersFromGenerate pre-filter with the full split chain
+    // substituted in (the dd11 interpreted-filter hazard; see
+    // PlanHygieneSpec's monster-filter audit)
     val paras = docs.select(col("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
       .withColumn("ph", md5(col("para")))
     val hot = paras.groupBy(col("ph")).agg(count(lit(1)).as("occ"))

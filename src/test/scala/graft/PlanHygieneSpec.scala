@@ -64,6 +64,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
     "mx2_temperature", "pipe_training_mix")
 
+  /** Plans where a lambda-bearing Filter is the CURATION GATE predicate:
+    * Catalyst pushes the gate's filter through the quality/lang-ID
+    * projections, substituting their (stopword-count lambda) expressions
+    * into the condition. That recompute is bounded (~2x one scan's
+    * tokenization — the gate IS the query) — unlike the dd11 case this
+    * audit exists for, where an inferred size()-filter re-evaluated a
+    * whole nested-HOF chunking chain per row.
+    */
+  private val allowFilterLambda = Set("pipe_training_mix")
+
   test("no unlisted cartesian / nested-loop join / global window in any lazy plan") {
     val names = SparkEntry.queries.keySet -- eager
     val violations = names.toSeq.sorted.flatMap { name =>
@@ -74,12 +84,25 @@ class PlanHygieneSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       }.nonEmpty
+      // InferFiltersFromGenerate can substitute a generator's FULL input
+      // expression into a size(...)>0 pre-filter; with nested HOFs that
+      // filter evaluates interpreted per row (dd11 measured 33.6 s -> 1.3 s
+      // at sf0.1). Flag any Filter whose condition inlines a giant lambda
+      // expression — fix is posexplode_outer or exploding a pre-projected
+      // column.
+      val monsterFilter = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("lambdafunction") &&
+            f.condition.toString.length > 4000 => f
+      }.nonEmpty
       Seq(
         Option.when(s.contains("CartesianProduct") &&
           !allowCartesian(name))(s"$name: CartesianProduct"),
         Option.when(s.contains("BroadcastNestedLoopJoin") &&
           !allowBnlj(name))(s"$name: BroadcastNestedLoopJoin"),
-        Option.when(globalWindow)(s"$name: window with empty partitionSpec")
+        Option.when(globalWindow)(s"$name: window with empty partitionSpec"),
+        Option.when(monsterFilter && !allowFilterLambda(name))(
+          s"$name: interpreted monster filter (inferred from Generate?)")
       ).flatten
     }
     assert(violations.isEmpty, violations.mkString("; "))
