@@ -1320,6 +1320,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BT3: the learned tokenizer's vocabulary table (base symbols then
+    * merge products, contiguous ids — the HF `model.vocab` shape). The
+    * global window inside vocabTable ranks the BASE SYMBOL table, which
+    * is alphabet-sized (36 rows here), not corpus-sized. Oracle re-learns
+    * the merges and re-derives both id ranges.
+    */
+  private def bt3BpeVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.vocabTable(tbl(spark, dir, "documents"), 8)
+      .orderBy(col("token_id"))
+
   /** MX2: temperature-flattened mixture downsampling (alpha 0.5, target
     * half the corpus) — the domain-rebalancing pass. The testdata `source`
     * column is uniform (every rate would collapse to one value), so the
@@ -2063,6 +2073,7 @@ object SparkEntry {
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
+    "bt3_bpe_vocab" -> (bt3BpeVocab(_, _)),
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
     "s9_sharded_export" -> (s9ShardedExport(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
@@ -2307,6 +2318,31 @@ agg AS (
 SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+  }
+
+  /** bt3_bpe_vocab oracle: re-learn (bpeTrainSql rounds), then base ids
+    * from the ranked distinct corpus symbols, merge ids appended in rank
+    * order.
+    */
+  private def bpeVocabSql(numMerges: Int): String = {
+    val trainSql = bpeTrainSql(numMerges)
+    val ctes = trainSql
+      .stripPrefix("WITH RECURSIVE\n")
+      .split("\n(?=SELECT 1 AS rank)").head.trim.stripSuffix(",")
+    val mtUnion = (1 to numMerges)
+      .map(r => s"SELECT $r AS rnk, a, b FROM b$r").mkString(" UNION ALL ")
+    raw"""WITH RECURSIVE
+$ctes,
+vbase AS (
+  SELECT DISTINCT tok AS token FROM (SELECT unnest(toks) AS tok FROM w0)),
+vbi AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+  FROM vbase),
+vm AS (SELECT rnk, a || b AS token FROM ($mtUnion))
+SELECT CAST(token_id AS BIGINT) AS token_id, token, 'base' AS kind FROM vbi
+UNION ALL
+SELECT (SELECT COUNT(*) FROM vbase) + rnk - 1, token, 'merge' FROM vm
+ORDER BY token_id"""
   }
 
   /** pipe_training_mix oracle: the dd10 paragraph-removal CTEs feed the
@@ -3549,6 +3585,7 @@ ORDER BY d.doc_id"""
     "ta14_url_filter" -> urlFilterSql,
     "bt1_bpe_train" -> bpeTrainSql(8),
     "bt2_bpe_encode" -> bpeEncodeSql(8),
+    "bt3_bpe_vocab" -> bpeVocabSql(8),
     "dd10_paragraph_dedup" ->
       """WITH planted AS (
            SELECT doc_id,

@@ -118,4 +118,31 @@ object BpeTrain {
         learned.result().map { case (r, a, b, c) => Row(r, a, b, c) }, 1),
       schema)
   }
+
+  /** The learned tokenizer's VOCABULARY table: corpus base symbols
+    * (sorted) get ids 0..B-1, then each merge product gets the next id in
+    * learn order — the (id, token) map a trained tokenizer ships with
+    * (HF tokenizer.json `model.vocab` shape). `kind` distinguishes base
+    * symbols from merge products. One distinct-aggregate over the corpus
+    * chars plus the (tiny) merge table.
+    */
+  def vocabTable(docs: DataFrame, numMerges: Int,
+      pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
+      minPairCount: Long = 2L): DataFrame = {
+    val merges = trainMerges(docs, numMerges, pretokenRegex, textCol,
+      minPairCount)
+    val base = wordStates(docs, pretokenRegex, textCol)
+      .select(explode(col("toks")).as("token")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+    val baseIds = base
+      .withColumn("token_id", row_number().over(w).cast("long") - 1)
+      .withColumn("kind", lit("base"))
+    val nBase = baseIds.count()
+    val mergeIds = merges.select(
+      (col("rank").cast("long") - 1 + nBase).as("token_id"),
+      concat(col("lhs"), col("rhs")).as("token"),
+      lit("merge").as("kind"))
+    baseIds.select(col("token_id"), col("token"), col("kind"))
+      .unionByName(mergeIds)
+  }
 }

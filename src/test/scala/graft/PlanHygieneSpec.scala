@@ -43,7 +43,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss2_gate", "ss3_gate", "qz4_gate", "dd6b_gate", "cl3_gate", "cl1_gate",
     // BPE training runs its merge loop (per-round argmax collect) at
     // construction; plan shape pinned by BpeTrainSpec
-    "bt1_bpe_train", "bt2_bpe_encode",
+    "bt1_bpe_train", "bt2_bpe_encode", "bt3_bpe_vocab",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
