@@ -280,10 +280,45 @@ object Main {
       if (opts.contains("normalize"))
         docs = graft.operators.TextAnalysis.normalizeText(docs)
           .select(col("doc_id"), col("norm_text").as("text"))
+      // --paragraph-dedup <minOccurrences>: strip globally repeated
+      // paragraphs (boilerplate) BEFORE shingle-based stages see them
+      opts.get("paragraph-dedup").foreach { m =>
+        docs = graft.operators.Dedup
+          .dropRepeatedParagraphs(docs, minOccurrences = m.toLong)
+          .filter(length(col("clean_text")) > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+      }
+      // --gopher: keep only docs passing the full Gopher rule battery
+      if (opts.contains("gopher")) {
+        val pass = graft.operators.TextAnalysis.gopherRules(docs)
+          .filter(col("gopher_pass") === 1).select("doc_id")
+        docs = docs.join(pass, Seq("doc_id"), "left_semi")
+      }
+      // --url-blocklist d1,d2: drop docs containing a URL on (or under) a
+      // blocked domain
+      opts.get("url-blocklist").foreach { spec =>
+        val blocked = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        docs = graft.operators.TextAnalysis.urlSignals(docs)
+          .filter(!graft.operators.TextAnalysis.domainBlocked(col("hosts"), blocked))
+          .drop("urls", "hosts", "n_urls")
+      }
       opts.get("benchmark").foreach { b =>
         val n = opts.get("ngram").map(_.toInt).getOrElse(13)
         docs = graft.operators.Dedup.decontaminate(
           docs, loadDocs(spark, b), "text", n)
+      }
+      // --mix-domain <col> [--mix-alpha a] [--mix-fraction f]:
+      // temperature-flattened domain rebalance (keep_rate column retained
+      // for observability). The domain column is re-joined from the
+      // parquet source (loadDocs standardizes to doc_id/text).
+      opts.get("mix-domain").foreach { d =>
+        val domSrc = spark.read.parquet(opts("docs"))
+          .select(col("doc_id").cast("long"), col(d))
+        docs = graft.operators.Sampling.temperatureMixture(
+          docs.join(domSrc, Seq("doc_id")), col(d),
+          alpha = opts.get("mix-alpha").map(_.toDouble).getOrElse(0.5),
+          targetFraction =
+            opts.get("mix-fraction").map(_.toDouble).getOrElse(0.5))
       }
       val prepared = opts.get("split") match {
         case Some(spec) =>
@@ -307,6 +342,12 @@ object Main {
           graft.operators.Sampling.deterministicShuffle(
             prepared.select(col("doc_id")), seed = s)
             .write.mode("overwrite").parquet(s"$out/order"))
+      }
+      // --shards <rowsPerShard>: deterministic fixed-size training shards
+      opts.get("shards").foreach { n =>
+        timed("write shards")(
+          graft.operators.Sinks.exportShards(prepared, s"$out/shards",
+            n.toLong))
       }
       println(s"[graft] prepared corpus -> $out/prepared")
     } finally if (owned) spark.stop()

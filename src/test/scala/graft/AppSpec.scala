@@ -142,6 +142,35 @@ class AppSpec extends AnyFunSuite {
     assert(order.select("shuffle_pos").as[Long].collect().toSet == Set(0L, 1L))
   }
 
+  test("CLI prep: paragraph-dedup + gopher + url-blocklist + mix + shards") {
+    val dir = tmpDir("graft_prep6")
+    val banner = "subscribe now"
+    val good = ("the word that hold some text " * 10).trim // passes Gopher
+    Seq(
+      (1L, s"$banner\n$good", "web"),
+      (2L, s"$good extra tail words here\n$banner", "web"),
+      (3L, s"$good but see https://ads.spam.bad/x", "web"),  // blocked URL
+      (4L, "too short", "books"))                            // fails Gopher
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val out = tmpDir("graft_prep6_out")
+    graft.app.Main.main(Array(
+      "prep", "--docs", s"$dir/docs", "--out", out,
+      "--paragraph-dedup", "2", "--gopher",
+      "--url-blocklist", "spam.bad",
+      "--mix-domain", "source", "--mix-fraction", "1.0",
+      "--shards", "1"))
+    val prep = spark.read.parquet(s"$out/prepared")
+    // banner stripped (so 1 and 2 pass Gopher), 3 blocked by URL, 4 short
+    assert(prep.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!prep.filter(col("doc_id") === 1).select("text").as[String].head()
+      .contains(banner))
+    assert(prep.columns.contains("keep_rate")) // mixture observability
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(shards.select("shard").distinct().count() == 2) // 1 row/shard
+  }
+
   test("CLI demo: runs all five strategies on one doc without error") {
     val docs = writeDocsParquet()
     // exercises the full dispatch incl. Hierarchical over a synthesized tree
