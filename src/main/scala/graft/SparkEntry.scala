@@ -1500,6 +1500,28 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** AJ2: grid-binned interval join — purchases matched to every 30-minute
+    * post-signup window of the same user that contains them (inclusive
+    * bounds; a purchase inside two overlapping windows appears twice).
+    * Oracled against DuckDB's plain inequality join — the binning must be
+    * invisible in the result.
+    */
+  private def aj2IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val intervals = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("window_id"), col("user_id"),
+        col("ts_us").as("w_start"),
+        (col("ts_us") + 1800000000L).as("w_end"))
+    graft.operators.AsofJoin.intervalJoin(points, intervals,
+        "user_id", "ts_us", "w_start", "w_end", gridUs = 1800000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("window_id"), col("w_start"))
+      .orderBy(col("event_id"), col("window_id"))
+  }
+
   /** EV1: tumbling-window aggregate (batch form of the streaming agg). */
   private def ev1EventWindow(spark: SparkSession, dir: String): DataFrame =
     eventsTbl(spark, dir)
@@ -2078,6 +2100,7 @@ object SparkEntry {
     "s9_sharded_export" -> (s9ShardedExport(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
+    "aj2_interval_join" -> (aj2IntervalJoin(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -3799,6 +3822,19 @@ ORDER BY token_id"""
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p.event_id""",
+    // aj2: the grid binning must be invisible — plain inequality join
+    "aj2_interval_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         s AS (
+           SELECT event_id AS window_id, user_id, epoch_us(ts) AS w_start,
+             epoch_us(ts) + 1800000000 AS w_end
+           FROM events WHERE event_type = 'signup')
+         SELECT p.event_id, p.user_id, p.ts_us, s.window_id, s.w_start
+         FROM p JOIN s ON p.user_id = s.user_id
+           AND p.ts_us BETWEEN s.w_start AND s.w_end
+         ORDER BY p.event_id, s.window_id""",
     "ev2_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -66,5 +66,32 @@ object AsofJoin {
       .filter(col("__side") === leftSide)
     joined.select(left.columns.map(col) ++
       rightPayload.map(c => col("__state").getField(c).as(s"$prefix$c")): _*)
+  }
+
+  /** AJ2: interval (point-in-range) join — every left point row matched to
+    * the right INTERVAL rows of the same key that contain it
+    * (`start <= ts <= end`, inclusive). The naive `ON key AND ts BETWEEN
+    * start AND end` plans as a per-key cross product (the range-join
+    * cliff). This is the grid-binning form every scale engine uses:
+    * intervals explode to the `gridUs` cells they overlap, points map to
+    * ONE cell, the join runs as an equi-join on (key, cell), and a final
+    * containment filter discards the false candidates at the cell edges.
+    * Cost: |right| × (span/grid + 1) expansion (bounded — pick gridUs
+    * near the typical span), one hash-partitioned equi-join, no pair
+    * explosion. Inner join: unmatched points drop; a point inside k
+    * overlapping intervals yields k rows.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCol: String, tsCol: String, startCol: String, endCol: String,
+      gridUs: Long): DataFrame = {
+    require(gridUs >= 1, s"gridUs must be >= 1: $gridUs")
+    val cellOf = (c: Column) => floor(c / gridUs).cast("long")
+    val iCells = intervals
+      .withColumn("__cell", explode(sequence(
+        cellOf(col(startCol)), cellOf(col(endCol)))))
+    val pCells = points.withColumn("__cell", cellOf(col(tsCol)))
+    pCells.join(iCells, Seq(keyCol, "__cell"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__cell")
   }
 }

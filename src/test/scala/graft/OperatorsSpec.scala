@@ -220,6 +220,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == (("delta text\nalpha text", 2L, 0L)))
   }
 
+  test("AJ2 intervalJoin: inclusive bounds, overlap fan-out, grid-edge exact") {
+    import graft.operators.AsofJoin
+    val points = Seq(
+      (1L, 1L, 100L), (2L, 1L, 150L), (3L, 1L, 151L),
+      (4L, 2L, 100L), // other key: must not match key-1 windows
+      (5L, 1L, 99L))  // before every window
+      .toDF("event_id", "user_id", "ts_us")
+    val intervals = Seq(
+      (10L, 1L, 100L, 150L),  // inclusive both ends
+      (11L, 1L, 140L, 260L),  // overlaps the first; spans grid cells
+      (12L, 3L, 0L, 1000L))   // key never queried
+      .toDF("window_id", "user_id", "w_start", "w_end")
+    // tiny grid (7) forces intervals across many cells — binning must be
+    // invisible in the result
+    val got = AsofJoin.intervalJoin(points, intervals,
+        "user_id", "ts_us", "w_start", "w_end", gridUs = 7L)
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+    // a coarse grid (every interval inside one or two cells) agrees
+    val coarse = AsofJoin.intervalJoin(points, intervals,
+        "user_id", "ts_us", "w_start", "w_end", gridUs = 1000L)
+      .select("event_id", "window_id").as[(Long, Long)].collect().toSet
+    assert(coarse == got)
+  }
+
   test("AJ1 asofJoinPrior: inclusive match, latest-prior wins, null when none") {
     import graft.operators.AsofJoin
     val left = Seq(
