@@ -73,6 +73,34 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(t.count() <= 4) // learns at most what repeats; must not throw
   }
 
+  test("interval join + sharded export + CDC chunks survive hostile/empty inputs") {
+    import graft.operators.{AsofJoin, Dedup, Sinks}
+    val emptyPts = Seq.empty[(Long, Long, Long)]
+      .toDF("event_id", "user_id", "ts_us")
+    val ivs = Seq((1L, 1L, 0L, 10L)).toDF("window_id", "user_id", "w_start", "w_end")
+    assert(AsofJoin.intervalJoin(emptyPts, ivs,
+      "user_id", "ts_us", "w_start", "w_end", 5L).count() == 0)
+    val pts = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts_us")
+    val emptyIvs = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("window_id", "user_id", "w_start", "w_end")
+    assert(AsofJoin.intervalJoin(pts, emptyIvs,
+      "user_id", "ts_us", "w_start", "w_end", 5L).count() == 0)
+    // degenerate zero-length interval still matches its exact instant
+    val instant = Seq((9L, 1L, 5L, 5L)).toDF("window_id", "user_id", "w_start", "w_end")
+    assert(AsofJoin.intervalJoin(pts, instant,
+      "user_id", "ts_us", "w_start", "w_end", 1000L).count() == 1)
+    // sharded export of hostile text (incl. null) round-trips every row
+    val out = java.nio.file.Files.createTempDirectory("graft_hs9_").toString
+    assert(Sinks.exportShards(hostile, s"$out/sh", 3L).count() == 8)
+    // CDC chunking over hostile rows: non-null rows chunk, tokens conserved
+    val nonNull = hostile.filter(col("text").isNotNull)
+    val cdcToks = Dedup.contentDefinedChunks(nonNull)
+      .select(sum(col("n_toks"))).as[Long].head()
+    val srcToks = nonNull
+      .select(sum(graft.functions.tokenCount(col("text")))).as[Long].head()
+    assert(cdcToks == srcToks)
+  }
+
   test("PII redaction + repetition signals survive hostile rows") {
     assert(TextAnalysis.redactPii(hostile).count() == 8)
     val rep = TextAnalysis.repetitionSignals(hostile)
