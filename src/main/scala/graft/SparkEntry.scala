@@ -1269,6 +1269,25 @@ object SparkEntry {
       .orderBy(col("shard"))
   }
 
+  /** Planted boilerplate banner (shared by dd10 and pipe_training_mix):
+    * above every 3rd doc, below every 5th — ~267 occurrences at sf0.01.
+    */
+  private val BannerText = "subscribe to our newsletter for updates"
+  private def plantedBoiler: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 3 === 0, lit(BannerText + "\n")).otherwise(lit("")),
+    col("text"),
+    when(col("doc_id") % 5 === 0, lit("\n" + BannerText)).otherwise(lit("")))
+
+  /** Skewed synthetic domain from doc_id (11:3:1:1 — shared by mx2 and
+    * pipe_training_mix; the uniform testdata `source` column would
+    * collapse every temperature rate to one value).
+    */
+  private def syntheticDomain: org.apache.spark.sql.Column =
+    when(col("doc_id") % 16 < 11, "web")
+      .when(col("doc_id") % 16 < 14, "books")
+      .when(col("doc_id") % 16 < 15, "code")
+      .otherwise("wiki")
+
   /** DD10: global repeated-paragraph removal. The corpus has no newlines,
     * so the query plants a boilerplate paragraph (newsletter banner) above
     * every 3rd doc and below every 5th — ~267 occurrences at sf0.01 —
@@ -1276,17 +1295,11 @@ object SparkEntry {
     * must strip every banner and nothing else, and the oracle re-derives
     * the hot set, the rewrite, and the counts.
     */
-  private def dd10ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val boiler = "subscribe to our newsletter for updates"
-    val planted = concat(
-      when(col("doc_id") % 3 === 0, lit(boiler + "\n")).otherwise(lit("")),
-      col("text"),
-      when(col("doc_id") % 5 === 0, lit("\n" + boiler)).otherwise(lit("")))
+  private def dd10ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.dropRepeatedParagraphs(
-        tbl(spark, dir, "documents").withColumn("text", planted),
+        tbl(spark, dir, "documents").withColumn("text", plantedBoiler),
         minOccurrences = 10L)
       .orderBy(col("doc_id"))
-  }
 
   /** BT1: distributed BPE tokenizer training — 8 merges learned from the
     * documents corpus (char-level base symbols, `[\p{L}\p{N}]+`
@@ -1340,12 +1353,9 @@ object SparkEntry {
     * hash-exact against the oracle.
     */
   private def mx2Temperature(spark: SparkSession, dir: String): DataFrame = {
-    val dom = when(col("doc_id") % 16 < 11, "web")
-      .when(col("doc_id") % 16 < 14, "books")
-      .when(col("doc_id") % 16 < 15, "code")
-      .otherwise("wiki")
     graft.operators.Sampling.temperatureMixture(
-        tbl(spark, dir, "documents").withColumn("domain", dom), col("domain"),
+        tbl(spark, dir, "documents").withColumn("domain", syntheticDomain),
+        col("domain"),
         alpha = 0.5, targetFraction = 0.5)
       .select(col("doc_id"), col("domain"), r4(col("keep_rate")).as("keep_rate"))
       .orderBy(col("doc_id"))
@@ -1789,22 +1799,13 @@ object SparkEntry {
     * plan except one broadcast of the |domains|-row rate table.
     */
   private def pipeTrainingMix(spark: SparkSession, dir: String): DataFrame = {
-    val boiler = "subscribe to our newsletter for updates"
-    val planted = concat(
-      when(col("doc_id") % 3 === 0, lit(boiler + "\n")).otherwise(lit("")),
-      col("text"),
-      when(col("doc_id") % 5 === 0, lit("\n" + boiler)).otherwise(lit("")))
     val cleaned = Dedup.dropRepeatedParagraphs(
-        tbl(spark, dir, "documents").withColumn("text", planted),
+        tbl(spark, dir, "documents").withColumn("text", plantedBoiler),
         minOccurrences = 10L)
       .select(col("doc_id"), col("clean_text").as("text"))
     val gated = graft.operators.Curation.gate(cleaned)
-    val dom = when(col("doc_id") % 16 < 11, "web")
-      .when(col("doc_id") % 16 < 14, "books")
-      .when(col("doc_id") % 16 < 15, "code")
-      .otherwise("wiki")
     val mixed = graft.operators.Sampling.temperatureMixture(
-      gated.withColumn("domain", dom), col("domain"),
+      gated.withColumn("domain", syntheticDomain), col("domain"),
       alpha = 0.5, targetFraction = 0.5)
     graft.operators.Sampling.assignSplits(mixed,
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
@@ -4255,7 +4256,11 @@ SELECT
          string_split_regex(lower(trim(text)), '\\s+') AS lt,
          string_split(text, chr(10)) AS lines,
          length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-         length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS nsym
+         (length(text) - length(regexp_replace(text, '#', '', 'g')))
+           + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+           + CAST((length(text)
+               - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+             AS BIGINT) AS nsym
        FROM pl),
      s AS (
        SELECT doc_id, n_words,

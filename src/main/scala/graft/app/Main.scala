@@ -312,7 +312,16 @@ object Main {
       // for observability). The domain column is re-joined from the
       // parquet source (loadDocs standardizes to doc_id/text).
       opts.get("mix-domain").foreach { d =>
-        val domSrc = spark.read.parquet(opts("docs"))
+        val src = opts("docs")
+        // loadDocs standardizes to (doc_id, text); the domain column must
+        // come from a parquet source — a text-dir corpus carries none
+        require(
+          !(new java.io.File(src).isDirectory &&
+            new java.io.File(src).listFiles() != null &&
+            new java.io.File(src).listFiles().exists(_.getName.endsWith(".txt"))),
+          s"--mix-domain requires a parquet corpus carrying column '$d'; " +
+            s"$src is a text directory")
+        val domSrc = spark.read.parquet(src)
           .select(col("doc_id").cast("long"), col(d))
         docs = graft.operators.Sampling.temperatureMixture(
           docs.join(domSrc, Seq("doc_id")), col(d),

@@ -85,7 +85,12 @@ object AsofJoin {
       keyCol: String, tsCol: String, startCol: String, endCol: String,
       gridUs: Long): DataFrame = {
     require(gridUs >= 1, s"gridUs must be >= 1: $gridUs")
-    val cellOf = (c: Column) => floor(c / gridUs).cast("long")
+    // exact floor-division via decimal: Column `/` on longs is IEEE double
+    // division, which loses integer precision above 2^53 — nanosecond
+    // timestamps (~1.7e18) near a cell boundary would round into the
+    // wrong cell and silently drop genuine matches (the eventsTbl hazard)
+    val cellOf = (c: Column) =>
+      floor(c.cast("decimal(38,0)") / lit(gridUs)).cast("long")
     val iCells = intervals
       .withColumn("__cell", explode(sequence(
         cellOf(col(startCol)), cellOf(col(endCol)))))

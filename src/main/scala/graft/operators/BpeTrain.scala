@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -76,11 +76,20 @@ object BpeTrain {
     */
   def trainMerges(docs: DataFrame, numMerges: Int,
       pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L): DataFrame =
+    mergesFromStates(docs.sparkSession,
+      Materialize(wordStates(docs, pretokenRegex, textCol)),
+      numMerges, minPairCount)
+
+  /** The merge loop over an already-materialized word-state table (shared
+    * by [[trainMerges]] and [[vocabTable]] so the corpus-sized wordcount
+    * scan happens once). Consumes (and unpersists) `states`.
+    */
+  private def mergesFromStates(spark: SparkSession, states: DataFrame,
+      numMerges: Int, minPairCount: Long): DataFrame = {
     require(numMerges >= 1 && minPairCount >= 1,
       s"bad params: numMerges=$numMerges minPairCount=$minPairCount")
-    val spark = docs.sparkSession
-    var words = Materialize(wordStates(docs, pretokenRegex, textCol))
+    var words = states
     val learned = Vector.newBuilder[(Int, String, String, Long)]
     var k = 0
     var exhausted = false
@@ -129,20 +138,23 @@ object BpeTrain {
   def vocabTable(docs: DataFrame, numMerges: Int,
       pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
       minPairCount: Long = 2L): DataFrame = {
-    val merges = trainMerges(docs, numMerges, pretokenRegex, textCol,
-      minPairCount)
-    val base = wordStates(docs, pretokenRegex, textCol)
-      .select(explode(col("toks")).as("token")).distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
-    val baseIds = base
-      .withColumn("token_id", row_number().over(w).cast("long") - 1)
-      .withColumn("kind", lit("base"))
-    val nBase = baseIds.count()
+    val spark = docs.sparkSession
+    val states = Materialize(wordStates(docs, pretokenRegex, textCol))
+    // base symbols from the SAME materialized states the loop consumes —
+    // alphabet-sized, so collect + driver id assignment, no second corpus
+    // scan and no window
+    val baseTokens = states.select(explode(col("toks")).as("token"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val merges = mergesFromStates(spark, states, numMerges, minPairCount)
+    val nBase = baseTokens.length.toLong
+    import spark.implicits._
+    val baseIds = baseTokens.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "base") }.toSeq
+      .toDF("token_id", "token", "kind")
     val mergeIds = merges.select(
       (col("rank").cast("long") - 1 + nBase).as("token_id"),
       concat(col("lhs"), col("rhs")).as("token"),
       lit("merge").as("kind"))
-    baseIds.select(col("token_id"), col("token"), col("kind"))
-      .unionByName(mergeIds)
+    baseIds.unionByName(mergeIds)
   }
 }

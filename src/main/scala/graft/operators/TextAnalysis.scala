@@ -394,7 +394,8 @@ object TextAnalysis {
     * per-document signals plus one boolean per rule and an all-rules
     * `gopher_pass`. Thresholds are the paper's:
     * 50 ≤ words ≤ 100k; 3 ≤ mean word length ≤ 10; symbol-to-word ratio
-    * (# / …) ≤ 0.1; ≤ 30% of lines ending in ellipsis; ≤ 90% of lines
+    * ('#' chars + ellipses in both '…' and ASCII '...' forms) ≤ 0.1;
+    * ≤ 30% of lines ending in ellipsis; ≤ 90% of lines
     * starting with a bullet; ≥ 80% of words contain a letter; ≥ 2 of the
     * eight required function words present.
     *
@@ -410,7 +411,15 @@ object TextAnalysis {
     val nonSpace = charCount(regexp_replace(t, "\\s", ""))
     val meanWordLen = when(nWords === 0, 0.0)
       .otherwise(nonSpace.cast("double") / nWords)
-    val nSymbols = charCount(t) - charCount(regexp_replace(t, "[#…]", ""))
+    // symbols = '#' chars + ellipses in BOTH forms ('…' and ASCII '...',
+    // each three-dot run counted once — the form the paper's rule and its
+    // reimplementations actually gate on)
+    val nHash = charCount(t) - charCount(regexp_replace(t, "#", ""))
+    val nUniEllipsis = charCount(t) - charCount(regexp_replace(t, "…", ""))
+    val nAsciiEllipsis =
+      ((charCount(t) - charCount(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val nSymbols = nHash + nUniEllipsis + nAsciiEllipsis
     val symbolRatio = when(nWords === 0, 0.0)
       .otherwise(nSymbols.cast("double") / nWords)
     val lines = split(t, "\n")
