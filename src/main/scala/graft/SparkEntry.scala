@@ -1335,9 +1335,11 @@ object SparkEntry {
 
   /** BT3: the learned tokenizer's vocabulary table (base symbols then
     * merge products, contiguous ids — the HF `model.vocab` shape). The
-    * global window inside vocabTable ranks the BASE SYMBOL table, which
-    * is alphabet-sized (36 rows here), not corpus-sized. Oracle re-learns
-    * the merges and re-derives both id ranges.
+    * base-symbol table is alphabet-sized (36 rows here), not corpus-sized,
+    * so vocabTable collects it and assigns ids on the driver in code-point
+    * order (matching the oracle's ROW_NUMBER() OVER (ORDER BY token) under
+    * DuckDB's code-point collation). Oracle re-learns the merges and
+    * re-derives both id ranges.
     */
   private def bt3BpeVocab(spark: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.vocabTable(tbl(spark, dir, "documents"), 8)

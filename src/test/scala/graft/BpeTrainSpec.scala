@@ -59,6 +59,55 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(full.forall(_.getAs[Long]("pair_count") >= 2L))
   }
 
+  test("batched rounds == strictly sequential rounds, rank for rank") {
+    // the fixture has shared symbols between top pairs (lo/ow/we/es/st all
+    // chain through common letters) so disjointPrefix must serialize some
+    // candidates AND batch others — both paths are exercised
+    val texts = Seq(
+      "low lower lowest low low newest",
+      "new newer newest new lowest wide",
+      "wide wider widest lowest low newer",
+      "he she the then there hen")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seq = BpeTrain.trainMerges(docs, 12, minPairCount = 2L,
+        maxMergesPerRound = 1)
+      .orderBy("rank").collect().map(_.toSeq).toVector
+    val batched = BpeTrain.trainMerges(docs, 12, minPairCount = 2L,
+        maxMergesPerRound = 256)
+      .orderBy("rank").collect().map(_.toSeq).toVector
+    assert(batched == seq,
+      s"batched $batched must equal sequential $seq (ranks, pairs, counts)")
+  }
+
+  test("batched rounds survive adversarial ties and self-pairs") {
+    // ties at equal count, a self-pair (a,a) whose product chains (aa,a),
+    // and a product string ("ab") colliding with a pre-existing symbol
+    // sequence — the cases where naive top-N-disjoint batching diverges
+    // from the sequential argmax; the exact-bound prefix must not
+    val texts = Seq(
+      "aaa aaa aaa aaa",          // (a,a) then (aa,a) chains
+      "zq zq zq zq",              // disjoint pair tied with others
+      "ab ab ab cab cab",         // 'ab' product collides with literal ab
+      "xy xy yx yx xy")           // (x,y) and (y,x) share both symbols
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seqRows = BpeTrain.trainMerges(docs, 10, minPairCount = 2L,
+        maxMergesPerRound = 1)
+      .orderBy("rank").collect().map(_.toSeq).toVector
+    val batched = BpeTrain.trainMerges(docs, 10, minPairCount = 2L,
+        maxMergesPerRound = 256)
+      .orderBy("rank").collect().map(_.toSeq).toVector
+    assert(batched == seqRows)
+    // and both equal the single-node reference
+    val local = graft.core.Bpe.train(texts, 10,
+      pretokenRegex = "[\\p{L}\\p{N}]+", byteLevel = false,
+      minPairCount = 2).merges
+    val got = batched.map(r => (r(1), r(2)))
+    assert(got == local,
+      s"batched merges $got must equal the sequential reference $local")
+  }
+
   test("trainMerges: early stop when no pair reaches minPairCount") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     // every adjacent pair occurs exactly once -> nothing to learn at min 2
