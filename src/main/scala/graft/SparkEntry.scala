@@ -1762,10 +1762,13 @@ object SparkEntry {
   }
 
   /** Streaming benchmark decontamination, driver-checked: the corpus side
-    * streams through the STATELESS broadcast-shingle filter
-    * (decontaminateStream — no state store, no watermark) against the
-    * static eval slice; survivor count held to the dc2 oracle's
-    * composition (same 5-gram shingles, same doc_id%10 split).
+    * streams through the STATELESS per-batch Bloom-prefilter + exact
+    * verify-join path (CorpusStreams.decontaminator — distributed-built
+    * Bloom broadcast, no driver-collected gram set, no state store, no
+    * watermark) against the static eval slice; survivor count held to the
+    * dc2 oracle's composition (same 5-gram shingles, same doc_id%10
+    * split). Exactness at any fpp: the verify join removes every Bloom
+    * false positive, so this count is independent of the filter sizing.
     */
   private def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1776,16 +1779,18 @@ object SparkEntry {
       .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
     val bench = tbl(spark, dir, "documents")
       .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
-    val clean = graft.streaming.CorpusStreams.decontaminateStream(
-      docs.filter(col("doc_id") % 10 =!= 0), bench, "text", 5)
+    val decontam = graft.streaming.CorpusStreams.decontaminator(
+      bench, "text", ngramSize = 5)
     val acc = spark.sparkContext.longAccumulator("graft.streamDecontam")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sx_").toString
-    val q = clean.writeStream
+    val q = docs.filter(col("doc_id") % 10 =!= 0).writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        acc.add(decontam(batch).count()) }
       .start()
     q.awaitTermination()
+    decontam.close()
     Seq(acc.value).toDF("n_clean")
   }
 

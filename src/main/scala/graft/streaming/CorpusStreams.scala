@@ -102,27 +102,81 @@ object CorpusStreams {
       .drop("fp", "punct_ratio")
   }
 
-  /** Streaming benchmark decontamination: drop streaming docs sharing any
-    * `ngramSize`-token shingle with a STATIC eval set. The benchmark's
-    * distinct shingle-hash set is collected once (an eval set is small by
-    * definition — the same premise as the batch operator's broadcast join)
-    * and shipped as a broadcast variable inside a projection-only filter,
-    * so the stage is STATELESS: no state store, no watermark, streams at
-    * scan speed. A growing benchmark means restarting the query with a
-    * fresh broadcast — the accepted operational trade (eval sets change
-    * per release, not per micro-batch).
+  /** Streaming benchmark decontamination — drop streaming docs sharing any
+    * `ngramSize`-token shingle with a STATIC eval set, exactly. Built once
+    * per streaming query ([[decontaminator]]) and applied per micro-batch
+    * inside `foreachBatch`:
+    *
+    *  - The benchmark's distinct shingle hashes are aggregated DISTRIBUTED
+    *    into a fixed-size Bloom filter (~1.2 MB per million grams at 1%
+    *    fpp) and broadcast. The previous form collected the distinct
+    *    hashes into a driver-side Set, which grows linearly with the eval
+    *    suite (the 100x probe measured 0.89 -> 9.63 s as the eval slice
+    *    grew); the Bloom build never lands the gram set on the driver —
+    *    the same swap the batch path made for dc3
+    *    ([[graft.operators.Dedup.contaminationReportBloom]]).
+    *  - Each micro-batch then runs the dc3 plan: per-gram Bloom prefilter
+    *    (prunes the corpus gram stream to true hits + fpp of the rest)
+    *    followed by an exact semi-join against the PERSISTED benchmark
+    *    gram table. Bloom filters have no false negatives and the verify
+    *    join removes the false positives, so the kept set is bit-identical
+    *    to [[graft.operators.Dedup.decontaminate]] at ANY fpp
+    *    (StreamingSpec pins parity at 0.01 and 0.3).
+    *
+    * The stage stays STATELESS across batches (decontamination is
+    * per-doc; no state store, no watermark). foreachBatch rather than a
+    * per-row streaming filter because EXACT verification ("no shingle is
+    * a member") needs the distributed gram table — a per-row filter can
+    * only consult a driver-collected structure, which is exactly the
+    * scaling defect this replaces. A growing benchmark still means
+    * restarting the query with a fresh instance (eval sets change per
+    * release, not per micro-batch). Call [[StreamDecontaminator.close]]
+    * when the query stops to release the persisted gram table.
     */
-  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
-      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, not, udf}
-    val hs = graft.operators.Dedup.shingleHashesUdf(ngramSize)
-    val benchSet = benchmark.select(explode(hs(col(textCol))).as("h"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val bc = docs.sparkSession.sparkContext.broadcast(benchSet)
-    val contaminated = udf { (hashes: Seq[Long]) =>
-      hashes != null && hashes.exists(bc.value.contains)
+  final class StreamDecontaminator private[streaming] (
+      benchGrams: DataFrame,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      textCol: String, ngramSize: Int, idCol: String) {
+
+    /** The clean subset of one micro-batch (any exact shingle hit drops
+      * the doc — the strict maxOverlap = 0 form of the batch operator).
+      */
+    def apply(batch: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{col, explode, udf}
+      val hs = graft.operators.Dedup.shingleHashesUdf(ngramSize)
+      val bc = bloomBc // local binding: the udf must not capture `this`
+      val mightContain = udf { (h: Long) => bc.value.mightContainLong(h) }
+      val flagged = batch
+        .select(col(idCol), explode(hs(col(textCol))).as("h"))
+        .filter(mightContain(col("h")))
+        .join(benchGrams, Seq("h"), "left_semi")
+        .select(col(idCol)).distinct()
+      batch.join(flagged, Seq(idCol), "left_anti")
     }
-    docs.filter(not(contaminated(hs(col(textCol)))))
+
+    def close(): Unit = {
+      benchGrams.unpersist()
+      bloomBc.unpersist()
+    }
+  }
+
+  /** Build the per-query decontamination state (distributed Bloom +
+    * persisted exact gram table) for [[StreamDecontaminator]]. Size
+    * `expectedGrams`/`fpp` for the eval suite; parity with the batch
+    * operator holds at any fpp — the knobs trade prefilter selectivity
+    * (join input volume) against broadcast size only.
+    */
+  def decontaminator(benchmark: DataFrame, textCol: String = "text",
+      ngramSize: Int = 13, idCol: String = "doc_id",
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): StreamDecontaminator = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val hs = graft.operators.Dedup.shingleHashesUdf(ngramSize)
+    val benchGrams = benchmark
+      .select(explode(hs(col(textCol))).as("h")).distinct().persist()
+    val bloom = benchGrams.stat.bloomFilter("h", expectedGrams, fpp)
+    val bc = benchmark.sparkSession.sparkContext.broadcast(bloom)
+    new StreamDecontaminator(benchGrams, bc, textCol, ngramSize, idCol)
   }
 
   /** Full map-reduce summarization per micro-batch, written to `outPath`

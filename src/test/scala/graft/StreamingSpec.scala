@@ -121,7 +121,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("decontaminateStream: static-benchmark filter over a stream, batch parity") {
+  test("stream decontaminator: Bloom + exact verify per batch, batch parity") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
@@ -129,26 +129,35 @@ class StreamingSpec extends AnyFunSuite {
     val clean1 = "completely unrelated material about ships and the wide sea"
     val clean2 = "it is that the sun and the moon share the sky at dusk"
     val dirty = "intro words then the quick brown fox jumps over everything"
-    val input = MemoryStream[(Long, String)]
-    val df = input.toDF().toDF("doc_id", "text")
-    val q = graft.streaming.CorpusStreams.decontaminateStream(df, bench, "text", 5)
-      .writeStream.format("memory").queryName("decontam_out")
-      .outputMode("append").start()
-    try {
-      input.addData((1L, clean1), (2L, dirty))
-      q.processAllAvailable()
-      input.addData((3L, clean2)) // second micro-batch reuses the broadcast
-      q.processAllAvailable()
-      val ids = spark.table("decontam_out")
-        .select("doc_id").as[Long].collect().toSet
-      assert(ids == Set(1L, 3L))
-      // the stream's keep-set equals the batch operator's on the same rows
-      val batchIds = graft.operators.Dedup.decontaminate(
-          Seq((1L, clean1), (2L, dirty), (3L, clean2)).toDF("doc_id", "text"),
-          bench, "text", 5)
-        .select("doc_id").as[Long].collect().toSet
-      assert(batchIds == ids)
-    } finally q.stop()
+    val allRows = Seq((1L, clean1), (2L, dirty), (3L, clean2))
+    val batchIds = graft.operators.Dedup.decontaminate(
+        allRows.toDF("doc_id", "text"), bench, "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchIds == Set(1L, 3L))
+    // parity at a tight AND a deliberately lossy Bloom sizing: fpp 0.3
+    // floods the prefilter with false positives, the exact verify join
+    // must remove every one — the kept set is fpp-independent
+    for (fpp <- Seq(0.01, 0.3)) {
+      val decontam = graft.streaming.CorpusStreams.decontaminator(
+        bench, "text", ngramSize = 5, fpp = fpp)
+      val got = scala.collection.mutable.Set.empty[Long]
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = decontam(b).select("doc_id").as[Long].collect()
+          got.synchronized { got ++= ids }
+          ()
+        }
+        .start()
+      try {
+        input.addData((1L, clean1), (2L, dirty))
+        q.processAllAvailable()
+        input.addData((3L, clean2)) // second micro-batch reuses the state
+        q.processAllAvailable()
+        assert(got.toSet == batchIds,
+          s"stream keep-set ${got.toSet} must equal batch $batchIds at fpp $fpp")
+      } finally { q.stop(); decontam.close() }
+    }
   }
 
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
