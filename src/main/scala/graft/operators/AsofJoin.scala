@@ -83,18 +83,39 @@ object AsofJoin {
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
       keyCol: String, tsCol: String, startCol: String, endCol: String,
-      gridUs: Long): DataFrame = {
+      gridUs: Long, maxCellsPerInterval: Int = 65536): DataFrame = {
     require(gridUs >= 1, s"gridUs must be >= 1: $gridUs")
-    // exact floor-division via decimal: Column `/` on longs is IEEE double
-    // division, which loses integer precision above 2^53 — nanosecond
-    // timestamps (~1.7e18) near a cell boundary would round into the
-    // wrong cell and silently drop genuine matches (the eventsTbl hazard)
-    val cellOf = (c: Column) =>
-      floor(c.cast("decimal(38,0)") / lit(gridUs)).cast("long")
+    require(maxCellsPerInterval >= 1,
+      s"maxCellsPerInterval must be >= 1: $maxCellsPerInterval")
+    // exact floor division on longs: (c - pmod(c, g)) div g — pure integer
+    // arithmetic, and a true floor for negative timestamps too because
+    // pmod is nonnegative. Column `/` is IEEE double division (loses
+    // integer precision above 2^53) and decimal division rounds HALF_UP at
+    // scale 6 — either can misplace a value within ~5e-7*gridUs of a cell
+    // boundary on nanosecond clocks; a consistent monotone binning would
+    // still join correctly, but exactness costs nothing here.
+    def cellOf(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${gridUs}L)) div ${gridUs}L")
+    val nCells = cellOf(endCol) - cellOf(startCol) + lit(1L)
     val iCells = intervals
+      // inverted intervals (start > end) contain no point; sequence() would
+      // happily step BACKWARD through them, silently manufacturing cells
+      // for a never-matching interval — drop them before the explode
+      .filter(col(startCol) <= col(endCol))
       .withColumn("__cell", explode(sequence(
-        cellOf(col(startCol)), cellOf(col(endCol)))))
-    val pCells = points.withColumn("__cell", cellOf(col(tsCol)))
+        cellOf(startCol),
+        // tripwire, not a tuning knob: expansion is span/gridUs + 1 rows
+        // per interval and the operator is only linear while that is
+        // O(1)-ish; a degenerate interval (a year-long span on a seconds
+        // grid) would quietly emit millions of rows per input row. Fail
+        // loudly with the offending interval instead.
+        when(nCells <= lit(maxCellsPerInterval.toLong), cellOf(endCol))
+          .otherwise(raise_error(format_string(
+            s"intervalJoin: interval [%s, %s] spans %s grid cells at" +
+              s" gridUs=$gridUs (cap $maxCellsPerInterval); choose a grid" +
+              " near the typical span or raise maxCellsPerInterval",
+            col(startCol), col(endCol), nCells)).cast("long")))))
+    val pCells = points.withColumn("__cell", cellOf(tsCol))
     pCells.join(iCells, Seq(keyCol, "__cell"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__cell")

@@ -89,6 +89,30 @@ class HostileCorpusSpec extends AnyFunSuite {
     val instant = Seq((9L, 1L, 5L, 5L)).toDF("window_id", "user_id", "w_start", "w_end")
     assert(AsofJoin.intervalJoin(pts, instant,
       "user_id", "ts_us", "w_start", "w_end", 1000L).count() == 1)
+    // INVERTED interval (start > end): contains no point, so it is dropped
+    // before the explode — sequence() must never step backward through it
+    val inverted = Seq((8L, 1L, 10L, 0L), (9L, 1L, 4L, 6L))
+      .toDF("window_id", "user_id", "w_start", "w_end")
+    assert(AsofJoin.intervalJoin(pts, inverted,
+      "user_id", "ts_us", "w_start", "w_end", 5L)
+      .select("window_id").as[Long].collect().toSeq == Seq(9L))
+    // degenerate YEAR-LONG interval on a 1s grid: ~31.5M cells per row —
+    // the expansion tripwire must fail loudly, not quietly explode
+    val yearLong = Seq((7L, 1L, 0L, 365L * 86400L * 1000000L))
+      .toDF("window_id", "user_id", "w_start", "w_end")
+    val e = intercept[Exception] {
+      AsofJoin.intervalJoin(pts, yearLong,
+        "user_id", "ts_us", "w_start", "w_end", 1000000L).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("grid cells"),
+      s"expected the cell-cap tripwire, got: ${e.getMessage}")
+    // ...and a day-long interval (86,401 cells — over the default cap)
+    // passes when the caller sizes the cap for it, and still matches
+    val dayLong = Seq((6L, 1L, 0L, 86400L * 1000000L))
+      .toDF("window_id", "user_id", "w_start", "w_end")
+    assert(AsofJoin.intervalJoin(pts, dayLong, "user_id", "ts_us",
+      "w_start", "w_end", 1000000L,
+      maxCellsPerInterval = 128 * 1024).count() == 1)
     // sharded export of hostile text (incl. null) round-trips every row
     val out = java.nio.file.Files.createTempDirectory("graft_hs9_").toString
     assert(Sinks.exportShards(hostile, s"$out/sh", 3L).count() == 8)
