@@ -648,6 +648,20 @@ object SparkEntry {
     Dedup.contentDefinedChunks(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** DD11b: the composed CDC story end to end — content-defined chunks →
+    * shared-chunk containment pairs (≥ 0.5 of the smaller doc's chunk
+    * mass, ≥ 4-token chunks, 256-doc boilerplate cap) → connected
+    * components → min-id keeper. The shift-robust near-dup removal dd11's
+    * segmentation exists for: an edited copy keeps every untouched chunk,
+    * so it pairs with its source where whole-doc hashing sees two
+    * unrelated rows. Oracle replays chunking, weights, cap, containment,
+    * AND the component closure.
+    */
+  private def dd11bCdcDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedupCorpus(tbl(spark, dir, "documents"))
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** DD5: SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
   private def dd5Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(tbl(spark, dir, "documents"), "text", 3)
@@ -2071,6 +2085,7 @@ object SparkEntry {
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd8b_dedup_best" -> (dd8bDedupBest(_, _)),
     "dd11_cdc_chunks" -> (dd11CdcChunks(_, _)),
+    "dd11b_cdc_dedup_corpus" -> (dd11bCdcDedup(_, _)),
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
@@ -3771,6 +3786,64 @@ ORDER BY token_id"""
              ELSE len(string_split(chunk, ' ')) END AS BIGINT) AS n_toks,
            md5(chunk) AS chunk_md5
          FROM x ORDER BY doc_id, chunk_idx""",
+    // dd11b: dd11's chunk derivation -> per-doc distinct chunk weights ->
+    // boilerplate cap -> shared-mass containment pairs -> component
+    // closure -> min-id survivors
+    "dd11b_cdc_dedup_corpus" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+               ELSE string_split_regex(lower(trim(text)), '\s+') END AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 2 THEN list_filter(range(1, len(t)), i ->
+               CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))
+                 AS BIGINT) % 16 = 0)
+             ELSE [] END AS cuts
+           FROM d),
+         s AS (
+           SELECT doc_id, t,
+             list_concat([1], list_transform(cuts, b -> b + 1)) AS starts,
+             list_concat(cuts, [n]) AS ends
+           FROM c),
+         x AS (
+           SELECT doc_id,
+             array_to_string(t[starts[k]:ends[k]], ' ') AS chunk
+           FROM s, LATERAL UNNEST(generate_series(1, len(starts))) AS u(k)),
+         xt AS (
+           SELECT doc_id, md5(chunk) AS h,
+             CASE WHEN length(chunk) = 0 THEN 0
+               ELSE len(string_split(chunk, ' ')) END AS nt
+           FROM x),
+         ch AS (
+           SELECT doc_id, h, MAX(nt) AS w FROM xt WHERE nt >= 4 GROUP BY 1, 2),
+         tot AS (SELECT doc_id, SUM(w) AS tot FROM ch GROUP BY 1),
+         hot AS (SELECT h FROM ch GROUP BY h HAVING COUNT(*) > 256),
+         pr AS (
+           SELECT ch.doc_id, ch.h, ch.w, tot.tot
+           FROM ch JOIN tot USING (doc_id)
+           WHERE ch.h NOT IN (SELECT h FROM hot)),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(SUM(a.w) * 1.0 / LEAST(a.tot, b.tot), 4) AS containment
+             FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, a.tot, b.doc_id, b.tot)
+           WHERE containment >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT DISTINCT a AS src, a AS dst FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         comp AS (SELECT src AS doc_id, MIN(dst) AS component
+           FROM reach GROUP BY src)
+         SELECT dd.doc_id, CAST(length(dd.text) AS INT) AS n_chars
+         FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.doc_id
+         WHERE comp.component IS NULL OR comp.component = dd.doc_id
+         ORDER BY dd.doc_id""",
     // s9: shard = rank-over-md5-order div 64; id_sum pins membership
     "s9_sharded_export" ->
       """WITH r AS (

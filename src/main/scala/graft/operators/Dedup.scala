@@ -501,6 +501,74 @@ object Dedup {
         md5(col("chunk")).as("chunk_md5"))
   }
 
+  /** DD11b (pairs stage): chunk-level containment pairs over
+    * content-defined chunks — the shift-robust near-dup signal
+    * [[contentDefinedChunks]] exists for. Two docs pair when the token
+    * mass of their SHARED chunk hashes covers at least `minContainment`
+    * of the smaller doc's chunk mass: an edited / boilerplate-shifted
+    * copy keeps every chunk its edit didn't touch (CDC boundaries are
+    * local), so containment stays high where fixed-stride chunking or
+    * whole-doc hashing would see two unrelated documents.
+    *
+    * Scale shape: chunks → distinct (doc, chunk) with token weights
+    * (hash-agg), per-doc totals joined back (doc-count-sized equi-join),
+    * then the dd3-style bucket join on chunk_md5 — only docs sharing a
+    * chunk ever meet. `maxDocsPerChunk` is the df-cap: a chunk hash
+    * present in more docs than the cap is boilerplate, not near-dup
+    * evidence, and expanding it is quadratic — those buckets are dropped
+    * (mirrored in the oracle), bounding pair expansion to
+    * |chunks| x cap. Sub-`minChunkToks` chunks are noise grams and are
+    * excluded from both evidence and mass.
+    */
+  def cdcContainmentPairs(docs: DataFrame, textCol: String = "text",
+      modulus: Int = 16, minChunkToks: Long = 4,
+      minContainment: Double = 0.5, maxDocsPerChunk: Long = 256): DataFrame = {
+    require(maxDocsPerChunk >= 2, s"maxDocsPerChunk must be >= 2: $maxDocsPerChunk")
+    val chunks = contentDefinedChunks(docs, textCol, modulus)
+      .filter(col("n_toks") >= minChunkToks)
+    // a chunk repeated WITHIN a doc counts once — identity, not multiplicity
+    // (same hash => same text => same n_toks, so max() just reads the value)
+    val docChunks = chunks.groupBy(col("doc_id"), col("chunk_md5"))
+      .agg(max(col("n_toks")).as("w"))
+    val totals = docChunks.groupBy(col("doc_id")).agg(sum(col("w")).as("tot"))
+    val hot = docChunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > maxDocsPerChunk)
+      .select(col("chunk_md5"))
+    val pruned = docChunks.join(hot, Seq("chunk_md5"), "left_anti")
+      .join(totals, Seq("doc_id"))
+    val l = pruned.select(col("chunk_md5"), col("doc_id").as("doc_a"),
+      col("tot").as("tot_a"), col("w"))
+    val r = pruned.select(col("chunk_md5"), col("doc_id").as("doc_b"),
+      col("tot").as("tot_b"))
+    l.join(r, Seq("chunk_md5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("tot_a"), col("doc_b"), col("tot_b"))
+      .agg(sum(col("w")).as("shared_toks"))
+      .withColumn("containment",
+        round(col("shared_toks").cast("double") /
+          least(col("tot_a"), col("tot_b")), 4))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "shared_toks", "containment")
+  }
+
+  /** DD11b: the deduplicated corpus through CDC chunk containment —
+    * [[cdcContainmentPairs]] edges, connected components, min-id keeper
+    * per component (the dd8 policy). This is the end-to-end
+    * segmentation + dedup story: robust to insertions/shifted boilerplate
+    * because the pair evidence is chunk identity, not document identity.
+    */
+  def cdcDedupCorpus(docs: DataFrame, textCol: String = "text",
+      modulus: Int = 16, minChunkToks: Long = 4,
+      minContainment: Double = 0.5, maxDocsPerChunk: Long = 256): DataFrame = {
+    val pairs = cdcContainmentPairs(docs, textCol, modulus, minChunkToks,
+      minContainment, maxDocsPerChunk)
+    val losers = connectedComponents(pairs)
+      .filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** DD8b: near-dup deduplicated corpus with a QUALITY keeper policy —
     * for each connected component of the near-dup pair graph keep the
     * member maximizing `scoreCol` (ties: smallest doc_id), not the min-id

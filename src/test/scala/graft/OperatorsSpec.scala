@@ -156,6 +156,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L).length > 5) // the grid actually cuts (expected ~12 chunks)
   }
 
+  test("DD11b cdcDedupCorpus: shifted copy deduped, unrelated docs kept") {
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val other = (1 to 200).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX INSERTED " + base), // shifted near-copy of 1
+      (3L, other),                     // unrelated, same length
+      (4L, "tiny doc here"))           // all chunks under minChunkToks
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcContainmentPairs(docs)
+    val p = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p == Set((1L, 2L)),
+      s"only the shifted pair should meet containment, got $p")
+    // containment is shared-mass / smaller doc's mass, high for the twin
+    assert(pairs.select("containment").as[Double].head() >= 0.8)
+    val kept = Dedup.cdcDedupCorpus(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L),
+      "min-id keeper drops the shifted copy, keeps source + unrelated + tiny")
+    // boilerplate cap: a chunk shared by MORE than maxDocsPerChunk docs is
+    // not pair evidence — with cap 2, three docs sharing one hot chunk
+    // produce no pairs at all
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val hotDocs = Seq((10L, boiler), (11L, boiler), (12L, boiler))
+      .toDF("doc_id", "text")
+    assert(Dedup.cdcContainmentPairs(hotDocs, maxDocsPerChunk = 2)
+      .count() == 0)
+    assert(Dedup.cdcContainmentPairs(hotDocs).count() == 3)
+  }
+
   test("DD8b nearDupCorpusBestKeeper: quality argmax survives, singletons kept") {
     val docs = Seq(
       (1L, "a b c d e f g h"),       // component {1,2,3}: 3 is longest
