@@ -112,7 +112,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      val best = math.min(first, once())
+      var best = math.min(first, once())
+      // stream queries get a THIRD sample: each run pays Structured
+      // Streaming machinery (fresh checkpoint dir, state-store commits,
+      // AvailableNow startup) on top of the compute, so their timings are
+      // the noisiest in the registry (r6: stream_curation 6.3 -> 10.0 s
+      // with no operator change; its own 10x probe showed 4.3 s). Min-of-3
+      // pins the steady-state number without pushing the whole registry
+      // into the session-degradation regime — only three queries pay it.
+      if (name.startsWith("stream_")) best = math.min(best, once())
       sweepLeakedBlocks()
       name -> best
     }
