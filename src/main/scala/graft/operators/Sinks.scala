@@ -33,6 +33,18 @@ object Sinks {
     * For byte-targeted shards, derive rowsPerShard from targetBytes /
     * avg-row-bytes measured on a keyed-hash sample — the assignment stays
     * deterministic because the sample is.
+    *
+    * Small-files shape (the 64k-shard question): the write PRESERVES the
+    * shuffle's range clustering — deterministicShuffle ends range-
+    * partitioned by the shuffle key, and the broadcast offset join plus
+    * the map-only shard projection keep that layout — so each write task
+    * holds a CONTIGUOUS shuffle_pos range and each `shard=` directory
+    * receives files from at most the two tasks whose range crosses its
+    * boundary: per-shard file count is 1-2 (plus ceil(rowsPerShard /
+    * task rows) when one shard intentionally spans many tasks — bounded
+    * file sizes, not fan-out). Without that clustering a dynamic
+    * partitionBy write degrades to tasks x shards files; OperatorsSpec
+    * asserts the per-shard count so a layout regression fails loudly.
     */
   def exportShards(docs: DataFrame, outPath: String, rowsPerShard: Long,
       seed: String = "shard", idCol: String = "doc_id"): DataFrame = {

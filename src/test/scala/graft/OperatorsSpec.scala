@@ -230,6 +230,21 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("shard").cast("long"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
     assert(again == expect)
+    // small-files audit: the write preserves deterministicShuffle's range
+    // clustering (shuffle_pos contiguous per task), so each shard=... dir
+    // receives files from at most the 2 tasks whose pos range crosses its
+    // boundary — per-shard file count must stay O(1), never O(tasks)
+    val big = (0L until 600L).toDF("doc_id")
+    Sinks.exportShards(big, s"$out/c", 100L)
+    val shardDirs = new java.io.File(s"$out/c").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 6)
+    shardDirs.foreach { d =>
+      val nFiles = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nFiles >= 1 && nFiles <= 2,
+        s"${d.getName}: $nFiles parquet files — shard dirs must hold 1-2" +
+          " files, a per-task fan-out would mean the range clustering broke")
+    }
   }
 
   test("DD10 dropRepeatedParagraphs: global boilerplate stripped, order kept") {
