@@ -129,6 +129,17 @@ object BpeTrain {
   def trainMerges(docs: DataFrame, numMerges: Int,
       pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
       minPairCount: Long = 2L, maxMergesPerRound: Int = 256): DataFrame =
+    trainMergesWithRounds(docs, numMerges, pretokenRegex, textCol,
+      minPairCount, maxMergesPerRound)._1
+
+  /** [[trainMerges]] plus the number of driver-synchronized rounds the
+    * batched loop actually ran — the scale-probe observable (rounds, not
+    * merges, are what a 100 TB run pays driver latency for).
+    */
+  private[graft] def trainMergesWithRounds(docs: DataFrame, numMerges: Int,
+      pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
+      minPairCount: Long = 2L,
+      maxMergesPerRound: Int = 256): (DataFrame, Int) =
     mergesFromStates(docs.sparkSession,
       Materialize(wordStates(docs, pretokenRegex, textCol)),
       numMerges, minPairCount, maxMergesPerRound)
@@ -209,15 +220,18 @@ object BpeTrain {
     * batch. Consumes (and unpersists) `states`.
     */
   private def mergesFromStates(spark: SparkSession, states: DataFrame,
-      numMerges: Int, minPairCount: Long, maxMergesPerRound: Int): DataFrame = {
+      numMerges: Int, minPairCount: Long,
+      maxMergesPerRound: Int): (DataFrame, Int) = {
     require(numMerges >= 1 && minPairCount >= 1 && maxMergesPerRound >= 1,
       s"bad params: numMerges=$numMerges minPairCount=$minPairCount" +
         s" maxMergesPerRound=$maxMergesPerRound")
     var words = states
     val learned = Vector.newBuilder[(Int, String, String, Long)]
     var k = 0
+    var rounds = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
+      rounds += 1
       val pairs = Materialize(words
         .select(col("c"), explode(when(size(col("toks")) >= 2,
           expr("transform(sequence(0, size(toks)-2)," +
@@ -257,10 +271,10 @@ object BpeTrain {
       StructField("lhs", StringType, nullable = false),
       StructField("rhs", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
-    spark.createDataFrame(
+    (spark.createDataFrame(
       spark.sparkContext.parallelize(
         learned.result().map { case (r, a, b, c) => Row(r, a, b, c) }, 1),
-      schema)
+      schema), rounds)
   }
 
   /** Code-point string order (== UTF-8 byte order, == DuckDB's default
@@ -299,7 +313,7 @@ object BpeTrain {
     val baseTokens = states.select(explode(col("toks")).as("token"))
       .distinct().collect().map(_.getString(0)).sortWith(codePointLt)
     val merges = mergesFromStates(spark, states, numMerges, minPairCount,
-      maxMergesPerRound)
+      maxMergesPerRound)._1
     val nBase = baseTokens.length.toLong
     import spark.implicits._
     val baseIds = baseTokens.zipWithIndex

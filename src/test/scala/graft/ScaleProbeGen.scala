@@ -106,6 +106,38 @@ object ScaleProbeGen {
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
+    // events: the driver table's shape (5 uniform event types, ~1500*mult
+    // users, microsecond timestamps over a 30-day window, double value)
+    // PLUS a planted HOT KEY — user 0 receives ~20% of ALL events (the
+    // g1c pattern), so the as-of union-window, the interval join's
+    // (key, cell) buckets, and sessionization are probed under real key
+    // skew, not just row count. All columns are pure functions of
+    // event_id (seeded), so reruns are bit-identical.
+    val nEvents = 100000L * mult
+    val nUsers = 1500L * mult
+    val evTypes = Array("signup", "click", "error", "view", "purchase")
+    val evType = udf { (id: Long) =>
+      evTypes(rngFor(id, 0x1B873593L).nextInt(evTypes.length)) }
+    val evUser = udf { (id: Long) =>
+      val r = rngFor(id, 0x85EBCA6BL)
+      if (r.nextDouble() < 0.2) 0L
+      else 1L + (r.nextLong() & Long.MaxValue) % (nUsers - 1)
+    }
+    val evTsUs = udf { (id: Long) =>
+      1704067200000000L +
+        (rngFor(id, 0xC2B2AE35L).nextDouble() * 30L * 86400L * 1000000L).toLong }
+    val evValue = udf { (id: Long) =>
+      rngFor(id, 0x27220A95L).nextDouble() * 100.0 }
+    spark.range(nEvents)
+      .select(col("id").as("event_id"),
+        timestamp_micros(evTsUs(col("id"))).as("ts"),
+        evUser(col("id")).as("user_id"),
+        evType(col("id")).as("event_type"),
+        evValue(col("id")).as("value"),
+        lit("{}").as("props"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
     // relational tables: `mult` disjoint replicas (offsets keep every key
     // space separate so the instance is mult independent copies of sf0.1)
     val reps = spark.range(mult).select(col("id").as("rep"))
