@@ -1556,6 +1556,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** AJ1b: the as-of join under a HOT KEY — the time-block-salted
+    * distributed prefix scan (AsofJoin.asofJoinPriorSalted, 1-day blocks)
+    * held to aj1's DuckDB ASOF JOIN oracle verbatim: identical rows,
+    * skew-proof plan (the events probe's user 0 holds ~20% of the table;
+    * aj1's per-key window sorts all of it in one task, this bounds tasks
+    * by the key's busiest day).
+    */
+  private def aj1bAsofSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    graft.operators.AsofJoin.asofJoinPriorSalted(
+      ev.filter(col("event_type") === "purchase").drop("event_type"),
+      ev.filter(col("event_type") === "signup").drop("event_type"),
+      keyCol = "user_id", tsCol = "ts_us", idCol = "event_id",
+      rightPayload = Seq("event_id", "value"), blockUs = 86400000000L)
+      .orderBy(col("event_id"))
+  }
+
   /** EV2: gap-based sessionization (30-minute inactivity boundary). */
   private def ev2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1569,6 +1588,21 @@ object SparkEntry {
         sum(col("is_new")).over(cum).as("session_id"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** EV2b: sessionization under the same hot key — the time-block-salted
+    * prefix-scan form (EventOps.sessionizeSalted, 1-day blocks) held to
+    * ev2's flat window-cumsum oracle verbatim. Local cumsum per
+    * (user, day), per-user carry over the tiny day-summary table, one
+    * join back on the already-established (user, day) exchange.
+    */
+  private def ev2bSessionizeSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionizeSalted(
+        eventsTbl(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        "user_id", "ts_us", "event_id",
+        gapUs = 1800000000L, blockUs = 86400000000L)
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy(col("user_id"), col("event_id"))
 
   /** EV3: gap sessionization via the stateful streaming operator
     * (flatMapGroupsWithState) run in batch mode — one implementation serves
@@ -2123,7 +2157,9 @@ object SparkEntry {
     "s9_sharded_export" -> (s9ShardedExport(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
+    "aj1b_asof_salted" -> (aj1bAsofSalted(_, _)),
     "aj2_interval_join" -> (aj2IntervalJoin(_, _)),
+    "ev2b_sessionize_salted" -> (ev2bSessionizeSalted(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -3903,6 +3939,20 @@ ORDER BY token_id"""
          FROM p ASOF LEFT JOIN s
            ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
          ORDER BY p.event_id""",
+    // aj1b: the SALTED prefix-scan form must be invisible — held to the
+    // identical ASOF JOIN oracle as aj1 (the gr1b/g1b convention)
+    "aj1b_asof_salted" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+         s AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'signup')
+         SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           s.event_id AS asof_event_id, s.value AS asof_value
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts_us >= s.ts_us
+         ORDER BY p.event_id""",
     // aj2: the grid binning must be invisible — plain inequality join
     "aj2_interval_join" ->
       """WITH p AS (
@@ -3917,6 +3967,17 @@ ORDER BY token_id"""
            AND p.ts_us BETWEEN s.w_start AND s.w_end
          ORDER BY p.event_id, s.window_id""",
     "ev2_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM e ORDER BY user_id, event_id""",
+    // ev2b: the salted prefix-scan must be invisible — ev2's oracle verbatim
+    "ev2b_sessionize_salted" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -37,10 +37,14 @@ object AsofJoin {
     * the same instant as the observation must NOT be visible to it. In the
     * union ordering that is just left-before-right at equal ts.
     */
-  def asofJoinPrior(left: DataFrame, right: DataFrame,
+  /** Shared side-tagging for the union+window forms: left rows carry a
+    * null state struct, right rows deposit their payload as one nullable
+    * struct, and `__side` encodes the tie order at equal ts (inclusive:
+    * right first; strict: left first).
+    */
+  private def tagSides(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
-      rightPayload: Seq[String], prefix: String = "asof_",
-      strict: Boolean = false): DataFrame = {
+      rightPayload: Seq[String], strict: Boolean): (DataFrame, Int) = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val shared = Seq(keyCol, tsCol, idCol)
     val stateType = StructType(rightPayload.map(c =>
@@ -58,11 +62,76 @@ object AsofJoin {
     } :+ struct(rightPayload.map(col): _*).cast(stateType).as("__state")
     val rTagged = right.select(rCols: _*)
       .withColumn("__side", lit(1 - leftSide))
+    (lTagged.unionByName(rTagged), leftSide)
+  }
+
+  def asofJoinPrior(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightPayload: Seq[String], prefix: String = "asof_",
+      strict: Boolean = false): DataFrame = {
+    val (unioned, leftSide) = tagSides(left, right, keyCol, tsCol, idCol,
+      rightPayload, strict)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = lTagged.unionByName(rTagged)
+    val joined = unioned
       .withColumn("__state", last(col("__state"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide)
+    joined.select(left.columns.map(col) ++
+      rightPayload.map(c => col("__state").getField(c).as(s"$prefix$c")): _*)
+  }
+
+  /** AJ1b: [[asofJoinPrior]] with TIME-BLOCK salting for skewed keys —
+    * identical output, different plan. The plain form's window partitions
+    * by key alone, so a key holding 20% of a 100 TB corpus sorts 20% of
+    * the corpus in ONE task (the hot-user shape the events scale probe
+    * measures). Here the running `last(state)` is computed as a
+    * distributed prefix scan instead:
+    *
+    *  1. rows get a contiguous time block (`ts div blockUs` — map-only);
+    *     the local window partitions by (key, block), bounding any task by
+    *     the hot key's busiest block, not the whole key;
+    *  2. each (key, block)'s FINAL deposited state (max_by over the block
+    *     order; `max_by` so the payload itself never needs to be
+    *     orderable) forms a blocks-per-key-sized summary table;
+    *  3. a per-key window over that tiny table computes each block's
+    *     carry-in (last non-null final among earlier blocks), joined back
+    *     on (key, block) — the same exchange the local window already
+    *     established;
+    *  4. a row's state = coalesce(local running state, carry-in).
+    *
+    * Equal timestamps always share a block (blocks partition time), so
+    * the (ts, side, id) tie order is preserved exactly; the result is the
+    * global running last, row for row. Pick blockUs so a busy key's
+    * block holds memory-partition-sized rows (e.g. a day for
+    * clickstreams); the summary table costs keys x active-blocks rows.
+    */
+  def asofJoinPriorSalted(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightPayload: Seq[String], blockUs: Long, prefix: String = "asof_",
+      strict: Boolean = false): DataFrame = {
+    require(blockUs >= 1, s"blockUs must be >= 1: $blockUs")
+    val (tagged, leftSide) = tagSides(left, right, keyCol, tsCol, idCol,
+      rightPayload, strict)
+    val unioned = tagged.withColumn("__blk",
+      expr(s"(`$tsCol` - pmod(`$tsCol`, ${blockUs}L)) div ${blockUs}L"))
+    val wLocal = Window.partitionBy(col(keyCol), col("__blk"))
+      .orderBy(col(tsCol), col("__side"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = unioned.withColumn("__stateLocal",
+      last(col("__state"), ignoreNulls = true).over(wLocal))
+    val blockFinal = withLocal.filter(col("__state").isNotNull)
+      .groupBy(col(keyCol), col("__blk"))
+      .agg(max_by(col("__state"),
+        struct(col(tsCol), col("__side"), col(idCol))).as("__final"))
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = unioned.select(col(keyCol), col("__blk")).distinct()
+      .join(blockFinal, Seq(keyCol, "__blk"), "left")
+      .withColumn("__carry", last(col("__final"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__blk"), col("__carry"))
+    val joined = withLocal.join(carries, Seq(keyCol, "__blk"))
+      .withColumn("__state", coalesce(col("__stateLocal"), col("__carry")))
       .filter(col("__side") === leftSide)
     joined.select(left.columns.map(col) ++
       rightPayload.map(c => col("__state").getField(c).as(s"$prefix$c")): _*)
