@@ -1604,6 +1604,30 @@ object SparkEntry {
       .select(col("user_id"), col("event_id"), col("session_id"))
       .orderBy(col("user_id"), col("event_id"))
 
+  /** EV5: composed session analytics — sessionization (the salted
+    * prefix-scan form, so the composition itself runs the skew-proof
+    * plan) flowing into per-session aggregates: event count, span,
+    * purchase count and order-independent purchase value. The canonical
+    * events workload composed end to end; the oracle extends ev2's
+    * window CTE with the grouping, so the session ASSIGNMENT + the
+    * aggregation chain is what gets hash-checked.
+    */
+  private def ev5SessionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionizeSalted(
+        eventsTbl(spark, dir).select(col("user_id"), col("event_id"),
+          col("ts_us"), col("event_type"), col("value")),
+        "user_id", "ts_us", "event_id",
+        gapUs = 1800000000L, blockUs = 86400000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        r4(exactSum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))).as("purchase_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
   /** EV3: gap sessionization via the stateful streaming operator
     * (flatMapGroupsWithState) run in batch mode — one implementation serves
     * both execution modes, and the batch run is held to the SAME oracle as
@@ -2160,6 +2184,7 @@ object SparkEntry {
     "aj1b_asof_salted" -> (aj1bAsofSalted(_, _)),
     "aj2_interval_join" -> (aj2IntervalJoin(_, _)),
     "ev2b_sessionize_salted" -> (ev2bSessionizeSalted(_, _)),
+    "ev5_session_stats" -> (ev5SessionStats(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -3997,6 +4022,26 @@ ORDER BY token_id"""
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM e ORDER BY user_id, event_id""",
+    // ev5: ev2's session-assignment CTE + per-session grouping — the
+    // composed chain (assignment feeding aggregates) is what hashes
+    "ev5_session_stats" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, ts, event_type, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM e)
+         SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us) - MIN(ts_us) AS span_us,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+           round(${exactSumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}, 4) AS purchase_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "ev4_stream_window" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
          round(${exactSumSql("value")}, 4) AS total_value

@@ -207,7 +207,22 @@ object Bpe {
       }
       if (pairs.isEmpty) exhausted = true
       else {
-        val (best, cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in CODE-POINT order (== UTF-8 byte order), matching
+        // Spark's binary string sort and DuckDB's collation — Java's
+        // natural String order is UTF-16 code-unit order, which ranks
+        // supplementary-plane symbols before U+E000..U+FFFF and would
+        // silently diverge from the distributed trainer on such ties
+        implicit val cpOrd: Ordering[String] =
+          (x: String, y: String) => {
+            val c = x.codePoints().iterator()
+            val d = y.codePoints().iterator()
+            var r = 0
+            while (r == 0 && c.hasNext && d.hasNext)
+              r = Integer.compare(c.next(), d.next())
+            if (r != 0) r else java.lang.Boolean.compare(c.hasNext, d.hasNext)
+          }
+        val (best, cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, cpOrd, cpOrd))
         if (cnt < minPairCount) exhausted = true
         else {
           merges += best

@@ -108,6 +108,28 @@ class BpeTrainSpec extends AnyFunSuite {
       s"batched merges $got must equal the sequential reference $local")
   }
 
+  test("non-BMP tie-break: distributed == local, in code-point order") {
+    // U+FF21 (fullwidth A, BMP letter) vs U+1D400 (math bold A,
+    // supplementary): UTF-16 code-unit order ranks the surrogate pair
+    // (\uD835...) FIRST, code-point / UTF-8 order (Spark's binary sort,
+    // DuckDB's collation) ranks it LAST. A count tie between the two must
+    // break the same way on every engine.
+    val w = "Ａ"                                    // U+FF21
+    val s = new String(Character.toChars(0x1D400))      // U+1D400
+    val texts = Seq(s"${w}a ${w}a ${s}a ${s}a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = BpeTrain.trainMerges(docs, 2, minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toVector
+    val local = graft.core.Bpe.train(texts, 2,
+      pretokenRegex = "[\\p{L}\\p{N}]+", byteLevel = false,
+      minPairCount = 2).merges
+    assert(dist == local, s"distributed $dist != local $local")
+    assert(dist == Vector((w, "a"), (s, "a")),
+      s"code-point order must rank U+FF21 before U+1D400, got $dist")
+  }
+
   test("trainMerges: early stop when no pair reaches minPairCount") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     // every adjacent pair occurs exactly once -> nothing to learn at min 2
