@@ -564,6 +564,17 @@ object SparkEntry {
       Map("even" -> 0.75), defaultFraction = 0.25)
       .orderBy(col("doc_id"))
 
+  /** SP3: deterministic fixed-SIZE uniform sample — exactly 100 docs by
+    * smallest md5(seed‖id) key with a dense 1-based rank (the eval-set
+    * carve; TakeOrderedAndProject, never a global sort). Lowercase-hex md5
+    * collates identically in both engines (the sh1 convention), so
+    * membership AND ranks carry a full hash oracle.
+    */
+  private def sp3FixedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedSample(
+      tbl(spark, dir, "documents").select(col("doc_id")), 100)
+      .orderBy(col("sample_rank"))
+
   /** MX1: weighted deterministic resampling — the corpus-mixing primitive.
     * Weights by id class: 2.5x upsample / 0.25 downsample / 1.0 keep / 0
     * drop (all binary-exact fractions; see sp1).
@@ -705,6 +716,37 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.ivfTopK(emb, queries, 5, 64, trainSampleMod = 4)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SS7: IVF index LIFECYCLE gate — build the index (coarse quantizer +
+    * inverted file) at ss3's operating point, persist it to parquet, load
+    * it back, and serve the same query batch from BOTH the fresh and the
+    * loaded index. At corpus scale the index outlives any query batch
+    * (train/assign once, store, serve forever); this gate pins that the
+    * store→load round trip is lossless — floats round-trip parquet
+    * exactly, so the served top-k must be row-identical. Oracled to the
+    * literal (1, 0, 1): results exist, zero rows differ, pass.
+    */
+  private def ss7IndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (cells, cs) = Similarity.buildIvfIndex(emb, 16, 2, trainSampleMod = 4)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.saveIvfIndex(cells, cs, idxDir)
+    val (cells2, cs2) = Similarity.loadIvfIndex(spark, idxDir)
+    val fresh = Similarity.ivfSearch(cells, cs, queries, 5, 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    val served = Similarity.ivfSearch(cells2, cs2, queries, 5, 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    val diff = served.exceptAll(fresh).count() + fresh.exceptAll(served).count()
+    val n = served.count()
+    import spark.implicits._
+    Seq(((n > 0), diff, (diff == 0L)))
+      .toDF("has_rows", "n_diff", "pass")
+      .select(col("has_rows").cast("int").as("has_rows"),
+        col("n_diff").cast("long").as("n_diff"),
+        col("pass").cast("int").as("pass"))
   }
 
   /** QZ1: per-vector symmetric int8 quantization with worst-case
@@ -1178,6 +1220,15 @@ object SparkEntry {
   private def ta5bVocabHll(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStatsApprox(tbl(spark, dir, "documents"))
 
+  /** TA15: sketch-pruned exact heavy hitters at k=50 (count > 2% of all
+    * tokens). Full oracle — the exact SQL replay recomputes every heavy
+    * token; a Misra-Gries sketch that dropped one would break the hash
+    * (the sketch's containment guarantee IS the checked property).
+    */
+  private def ta15HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(tbl(spark, dir, "documents"), 50)
+      .orderBy(col("cnt").desc, col("token"))
+
   /** TA7: PII redaction on a PII-bearing corpus derived in-query (the
     * clean test corpus carries none, so deterministic email / phone / IPv4
     * tokens are appended per doc — both redaction branches and the
@@ -1221,6 +1272,14 @@ object SparkEntry {
   /** TA12: corpus length-distribution report (exact quantiles). */
   private def ta12LengthStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthStats(tbl(spark, dir, "documents"))
+
+  /** TA12b: the percentile_approx swap's GK rank-error contract as a
+    * driver-checked gate (the estimate itself is merge-order-dependent
+    * and can't be hashed; its guarantee can — the ta5b pattern). Oracled
+    * to the literal (1, 1, 1).
+    */
+  private def ta12bLengthApprox(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthStatsApproxGate(tbl(spark, dir, "documents"))
 
   /** TA13: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — all
     * seven rules as per-doc signals + booleans + the combined gate, every
@@ -1866,6 +1925,49 @@ object SparkEntry {
     Seq(acc.value).toDF("n_clean")
   }
 
+  /** EV6: stream-STREAM attribution join, driver-checked end to end — the
+    * purchase and click slices of the events table replayed as two
+    * independent file-source streams, joined live on user + 30-minute
+    * event-time window (symmetric hash join, per-side watermarked state —
+    * see EventStreams.attributionJoin), appended to a parquet sink and
+    * read back. Unlike the other stream_ entries this oracle checks the
+    * full JOINED ROWS (ids, user, gap), not a count: stream-stream join
+    * output is order-free and exactly the batch equi+range join's set.
+    */
+  private def ev6StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "events.parquet")
+    def sideStream(tpe: String, idAs: String, userAs: String, tsAs: String) = {
+      val raw = graft.streaming.CorpusStreams
+        .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+      val norm = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("__ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("__ts", col("ts").cast("timestamp_ltz"))
+      }
+      norm.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("__ts").as(tsAs))
+    }
+    val joined = graft.streaming.EventStreams.attributionJoin(
+      sideStream("purchase", "purchase_id", "user_id", "p_ts"),
+      sideStream("click", "click_id", "c_user", "c_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val out = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjc_").toString
+    val q = joined.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    spark.read.schema(joined.schema).parquet(out)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Round-6 composed flagship: the full training-mix pipeline as ONE
     * chained plan — plant boilerplate → global paragraph removal (dd10) →
     * language/quality gate (the curation gate) → temperature-flattened
@@ -2124,12 +2226,14 @@ object SparkEntry {
     "cl4_containment" -> (cl4Containment(_, _)),
     "ss2_gate" -> (ss2Gate(_, _)),
     "ss3_gate" -> (ss3Gate(_, _)),
+    "ss7_index_roundtrip" -> (ss7IndexRoundtrip(_, _)),
     "qz4_gate" -> (qz4Gate(_, _)),
     "dd6b_gate" -> (dd6bGate(_, _)),
     "cl3_gate" -> (cl3Gate(_, _)),
     "cl1_gate" -> (cl1Gate(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
+    "sp3_fixed_sample" -> (sp3FixedSample(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
     "pk1_pack" -> (pk1Pack(_, _)),
     "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
@@ -2171,8 +2275,10 @@ object SparkEntry {
     "ta10_compress" -> (ta10Compress(_, _)),
     "ta11_logprob" -> (ta11LogProb(_, _)),
     "ta12_length_stats" -> (ta12LengthStats(_, _)),
+    "ta12b_length_approx" -> (ta12bLengthApprox(_, _)),
     "ta13_gopher" -> (ta13Gopher(_, _)),
     "ta14_url_filter" -> (ta14UrlFilter(_, _)),
+    "ta15_heavy_hitters" -> (ta15HeavyHitters(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
@@ -2185,6 +2291,7 @@ object SparkEntry {
     "aj2_interval_join" -> (aj2IntervalJoin(_, _)),
     "ev2b_sessionize_salted" -> (ev2bSessionizeSalted(_, _)),
     "ev5_session_stats" -> (ev5SessionStats(_, _)),
+    "ev6_stream_join" -> (ev6StreamJoin(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -2607,6 +2714,17 @@ ORDER BY token_id"""
          SELECT COUNT(DISTINCT tok) AS vocab_size, COUNT(*) AS n_tokens,
            round(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 4) AS type_token_ratio
          FROM t""",
+    // ta15: exact heavy hitters — the SQL replay recomputes every token
+    // with count > n/50; a Misra-Gries candidate pass that dropped a true
+    // heavy would leave the Spark output short a row and break the hash
+    "ta15_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         n AS (SELECT COUNT(*) AS n_total FROM t),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1)
+         SELECT tok AS token, cnt, round(cnt * 1.0 / n_total, 4) AS freq
+         FROM c, n WHERE cnt * 50 > n_total ORDER BY cnt DESC, token""",
     // ta5b: the exact stats reproduce in SQL; the HLL bound is asserted as
     // a constant because a correct sketch at rsd=2% sits far inside the 5%
     // tolerance — a broken estimator flips the flag and fails the hash
@@ -2652,6 +2770,11 @@ ORDER BY token_id"""
            round(quantile_cont(n, 0.99), 4) AS p99,
            MAX(n) AS max_tokens
          FROM d""",
+    // ta12b: the GK sketch's rank-error contract holds under any merge
+    // order — the flags are layout-independent even though the estimate
+    // itself is not
+    "ta12b_length_approx" ->
+      "SELECT 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok",
     // ta11: corpus-ML unigram logprob; ln rounded to 6dp on both engines
     // BEFORE the order-independent decimal sum (1-ulp libm differences
     // cannot survive the 6dp grid except exactly on a .0000005 boundary)
@@ -3349,6 +3472,16 @@ ORDER BY token_id"""
            FROM documents)
          WHERE u < CASE WHEN doc_id % 2 = 0 THEN 0.75 ELSE 0.25 END
          ORDER BY doc_id""",
+    // sp3: exact-size sample = first n rows in keyed-md5 order (the sh1
+    // collation argument: lowercase hex == identical order both engines)
+    "sp3_fixed_sample" ->
+      """SELECT doc_id, sample_rank FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS INT) AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= 100 ORDER BY sample_rank""",
     "mx1_resample" ->
       """WITH w AS (
            SELECT doc_id,
@@ -3683,6 +3816,10 @@ ORDER BY token_id"""
     // recall VALUE rides non-SQL models (planes / centroids / codebooks).
     "ss2_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "ss3_gate" -> "SELECT 60 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // ss7: the persisted IVF index serves bit-identical results to the
+    // freshly built one (floats round-trip parquet exactly)
+    "ss7_index_roundtrip" ->
+      "SELECT 1 AS has_rows, CAST(0 AS BIGINT) AS n_diff, 1 AS pass",
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
@@ -4046,6 +4183,17 @@ ORDER BY token_id"""
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
          round(${exactSumSql("value")}, 4) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // ev6: the stream-stream join's output set == the batch equi+range
+    // join (watermarks only bound state, never drop in-window rows here:
+    // the whole replay fits one micro-batch per side)
+    "ev6_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM events p JOIN events c ON p.user_id = c.user_id
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
     "mm2_decode_meta" ->
       """SELECT doc_id,
          ['jpeg','png','wav','mp4'][(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 4) + 1] AS format,

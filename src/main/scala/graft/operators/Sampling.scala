@@ -150,6 +150,38 @@ object Sampling {
       .drop("__dom", "__rate")
   }
 
+  /** SP3: deterministic fixed-SIZE uniform sample — the "carve an exact
+    * n-doc eval/audit set out of the corpus" primitive. Fraction samplers
+    * ([[stratifiedSample]]) give a binomial size; here the n rows with the
+    * smallest md5(seed‖id) keys are kept, with a dense 1-based
+    * `sample_rank` in key order, so the result has EXACTLY min(n, |corpus|)
+    * rows and is a uniform random subset (md5 order is independent of any
+    * data order).
+    *
+    * Scale shape: `orderBy(key).limit(n)` plans as TakeOrderedAndProject —
+    * every partition keeps its local top-n and the driver merges
+    * n·partitions rows, which is metadata-scale for eval-set n; the corpus
+    * is never globally sorted. The rank window afterwards runs over the n
+    * surviving rows only. Deterministic in (seed, id) and
+    * partition-layout/retry-independent like every sampler here; the
+    * trade vs [[assignSplits]] is append-stability — a fixed-size sample
+    * necessarily re-ranks when smaller keys arrive (expected O(n/N)
+    * membership churn per append), where a fraction split never does.
+    */
+  def fixedSample(docs: DataFrame, n: Int, seed: String = "sample",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1: $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    docs.withColumn("__k", key)
+      .orderBy(col("__k"), col(idCol))
+      .limit(n)
+      // n rows at this point — the unpartitioned window is metadata-scale
+      .withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("__k"), col(idCol))))
+      .drop("__k")
+  }
+
   /** Per-stratum exact-fraction sample: keep each row iff its unit hash
     * falls under its stratum's fraction. `fractions` maps stratum value →
     * keep fraction; strata absent from the map keep `defaultFraction`.

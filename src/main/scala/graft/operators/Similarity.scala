@@ -261,17 +261,37 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 6, iterations: Int = 2,
       trainSampleMod: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nCells > 0 && nProbe > 0 && nProbe <= nCells)
-    val spark = corpus.sparkSession
     val centroids = trainKmeans(corpus, nCells, iterations, trainSampleMod)
+    ivfSearch(ivfAssign(corpus, centroids), centroids, queries, k, nProbe)
+  }
+
+  /** The corpus half of an IVF index — each vector with its precomputed
+    * norm and nearest-centroid cell (the "inverted file"). Split out of
+    * [[ivfTopK]] so the assignment can be built ONCE and persisted
+    * ([[saveIvfIndex]]): at corpus scale the index outlives any single
+    * query batch, and reloading it skips both retraining and the full
+    * reassignment scan.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    import graft.functions.vecNormF
+    corpus.select(col("vec_id"), col("embedding").as("emb_c"),
+      vecNormF(col("embedding")).as("norm_c"),
+      bestCellUdf(corpus.sparkSession, centroids)(col("embedding")).as("cell"))
+  }
+
+  /** Serve approximate top-k from a prebuilt IVF index ([[ivfAssign]]
+    * output + centroid model): each query probes its `nProbe` nearest
+    * centroids and reranks exactly within those cells.
+    */
+  def ivfSearch(cells: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe > 0 && nProbe <= centroids.length)
+    val spark = cells.sparkSession
     // query-side probe = the same two-level top-n search as assignment
     val probeUdf = bestCellsUdf(spark, centroids, nProbe)
-
     import graft.functions.{r4, vecDotF, vecNormF}
-    val cells = corpus.select(col("vec_id"), col("embedding").as("emb_c"),
-      vecNormF(col("embedding")).as("norm_c"),
-      bestCellUdf(spark, centroids)(col("embedding")).as("cell"))
     val probes = queries.select(col("query_id"), col("embedding").as("emb_q"),
       vecNormF(col("embedding")).as("norm_q"),
       explode(probeUdf(col("embedding"))).as("cell"))
@@ -285,6 +305,42 @@ object Similarity {
           .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Train the coarse quantizer and build the inverted file in one call —
+    * the index-construction half of the lifecycle (see [[saveIvfIndex]]).
+    */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int = 16, iterations: Int = 2,
+      trainSampleMod: Int = 1): (DataFrame, Array[Array[Float]]) = {
+    val cs = trainKmeans(corpus, nCells, iterations, trainSampleMod)
+    (ivfAssign(corpus, cs), cs)
+  }
+
+  /** SS7: persist an IVF index — the centroid model (nCells rows) and the
+    * inverted file (one row per corpus vector) as two parquet tables. The
+    * index-lifecycle half of the ANN story: train/assign once over the
+    * corpus, store, then serve arbitrarily many query batches from the
+    * loaded index. Floats round-trip parquet exactly, so a loaded index
+    * serves bit-identical results to the freshly built one (pinned by the
+    * ss7 gate query and RecallSpec).
+    */
+  def saveIvfIndex(cells: DataFrame, centroids: Array[Array[Float]],
+      dir: String): Unit = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cells.write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Load a persisted IVF index: (inverted file, centroid model). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Array[Array[Float]]) = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).as[(Int, Array[Float])].collect().map(_._2)
+    (spark.read.parquet(s"$dir/cells"), cs)
   }
 
   /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack et al.

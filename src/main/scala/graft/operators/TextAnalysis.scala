@@ -174,6 +174,44 @@ object TextAnalysis {
           <= col("vocab_size").cast("double") * tolerance).as("hll_ok"))
   }
 
+  /** TA15: exact corpus heavy hitters via a sketch-pruned two-pass scan —
+    * every token whose frequency STRICTLY exceeds n/k, with its exact
+    * count. The 100 TB shape is the point: a single groupBy over all
+    * tokens shuffles the entire vocabulary to find a handful of hot rows,
+    * so pass 1 runs Spark's Misra-Gries sketch (`stat.freqItems` —
+    * fixed-size per-partition counter maps, merge-pruned; GUARANTEED to
+    * contain every item with count > n·support) to get a ≤1/support
+    * candidate set, and pass 2 aggregates the corpus into at most
+    * |candidates|+1 groups (candidate tokens + one "rest" bucket, which
+    * also yields the exact n) — map-side partials collapse each partition
+    * to that bounded row count before the shuffle.
+    *
+    * The MG containment guarantee is what makes the operator fully
+    * oracle-able despite the sketch: if the sketch ever dropped a true
+    * heavy hitter, the output would MISS a row the exact SQL replay has —
+    * the hash check IS the sketch's correctness gate. Candidate false
+    * positives are harmless (the exact pass-2 counts filter them).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"heavy-hitter k must be >= 2: $k")
+    val toks = docs.select(
+      explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)))
+        .as("tok"))
+    val cand = toks.stat.freqItems(Seq("tok"), 1.0 / k)
+      .first().getSeq[String](0)
+    val bucketed = toks
+      .groupBy(when(col("tok").isInCollection(cand), col("tok")).as("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    // |candidates|+1 rows here — the window over them is metadata-scale
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    bucketed.withColumn("n_total", sum(col("cnt")).over(w))
+      .filter(col("tok").isNotNull && col("cnt") * k > col("n_total"))
+      .select(col("tok").as("token"), col("cnt"),
+        r4(col("cnt").cast("double") / col("n_total")).as("freq"))
+  }
+
   /** TA7: PII tagging + redaction — the scrub pass every training-data
     * pipeline runs before release. Patterns (emails, phone-like digit
     * runs, IPv4) are deliberately RE2-compatible (no lookaround, no
@@ -249,6 +287,43 @@ object TextAnalysis {
         r4(percentile(col("n"), lit(0.9))).as("p90"),
         r4(percentile(col("n"), lit(0.99))).as("p99"),
         max(col("n")).as("max_tokens"))
+  }
+
+  /** TA12b: the 100 TB percentile swap, driver-gated. [[lengthStats]]'s
+    * exact `percentile` is deterministic but buffers every value per
+    * group; at scale the sketch form (`percentile_approx` — Greenwald-
+    * Khanna, fixed-size mergeable summaries) is the only shape that
+    * survives, and its merge order makes the ESTIMATE itself
+    * run-dependent — so the estimate can't be hash-checked. What CAN be:
+    * GK's guarantee. For target rank φ and accuracy a, the returned value
+    * sits within rank error n/a of φ·n, under ANY merge order. This gate
+    * computes each approx percentile, then its exact rank interval
+    * [count(<v), count(<=v)] in one second aggregate, and passes iff the
+    * target rank is within `slack`·n of that interval — a
+    * layout-independent boolean per percentile, oracled to literal 1s
+    * (the ta5b/qz3 pattern: the approximation's CONTRACT is the checked
+    * row, not its noise).
+    */
+  def lengthStatsApproxGate(docs: DataFrame, textCol: String = "text",
+      accuracy: Int = 1000, slack: Double = 0.005): DataFrame = {
+    val n = tokenCount(col(textCol))
+    val nt = docs.select(n.as("n"))
+    val appx = nt.agg(
+      percentile_approx(col("n"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(accuracy)).as("ap"),
+      count(lit(1)).as("n_rows"))
+    val ranks = nt.crossJoin(broadcast(appx))
+    def ok(i: Int, phi: Double): Column = {
+      val v = col("ap").getItem(i)
+      val below = sum(when(col("n") < v, 1L).otherwise(0L))
+      val atOrBelow = sum(when(col("n") <= v, 1L).otherwise(0L))
+      val target = lit(phi) * first(col("n_rows")).cast("double")
+      val tol = lit(slack) * first(col("n_rows")).cast("double")
+      (below.cast("double") - tol <= target &&
+        atOrBelow.cast("double") + tol >= target).cast("int")
+    }
+    ranks.agg(ok(0, 0.5).as("p50_ok"), ok(1, 0.9).as("p90_ok"),
+      ok(2, 0.99).as("p99_ok"))
   }
 
   /** TA11: unigram log-probability quality score — the CCNet/KenLM-style

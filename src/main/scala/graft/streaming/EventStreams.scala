@@ -86,6 +86,43 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
   }
 
+  /** EV6: stream-STREAM attribution join — every purchase-side row pairs
+    * with the click-side rows of the same user that happened within
+    * `windowMinutes` BEFORE it (inclusive on both ends). The one streaming
+    * shape the window/session operators above don't exercise: two live
+    * inputs joined on key + event-time range, which Structured Streaming
+    * runs as a symmetric hash join with per-side state stores.
+    *
+    * Scale shape: both sides carry a watermark AND the join predicate
+    * bounds `click.ts` to a closed interval around `purchase.ts`, so Spark
+    * derives a state watermark for each side and EVICTS rows that can no
+    * longer match (without the range bound, both states grow forever).
+    * State per side ≈ rate × (watermark delay + window) per key — constant
+    * in stream length. One hash partitioning on `user_id` per side; in
+    * batch mode the watermarks are no-ops and this is a plain equi+range
+    * join, so the operator carries a full SQL oracle.
+    *
+    * Sides arrive pre-projected with DISTINCT column names (both streams
+    * typically read the same source, so relying on `df("col")` lineage
+    * disambiguation is fragile — the caller renames instead; the
+    * registered query uses purchase_id/p_ts vs click_id/c_user/c_ts).
+    * Inner join: unattributed purchases drop; a purchase with k in-window
+    * clicks yields k rows (the aj2 fan-out semantics, but live).
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      userLeft: String = "user_id", userRight: String = "c_user",
+      tsLeft: String = "p_ts", tsRight: String = "c_ts",
+      windowMinutes: Int = 30, watermarkDelay: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark(tsLeft, watermarkDelay)
+    val c = clicks.withWatermark(tsRight, watermarkDelay)
+    p.join(c,
+      col(userLeft) === col(userRight) &&
+        col(tsRight) >= col(tsLeft) - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col(tsRight) <= col(tsLeft),
+      "inner")
+      .drop(userRight)
+  }
+
   /** Streaming exact-dedup: keep the first occurrence of each content hash,
     * with state bounded by the watermark (duplicates arriving later than
     * the delay are the accepted trade-off at unbounded scale).

@@ -408,6 +408,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_tokens") == 5L)
   }
 
+  test("TA12b lengthStatsApproxGate: GK contract holds on uniform and skewed corpora") {
+    // uniform 1..2000 tokens-ish lengths (cheap: repeat a word i%40+1 times)
+    val uni = (0 until 2000).map(i => (i.toLong, Seq.fill(i % 40 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.lengthStatsApproxGate(uni)
+      .as[(Int, Int, Int)].head() == ((1, 1, 1)))
+    // heavy skew: 95% short docs, 5% hundred-word docs — the sketch must
+    // still land within rank tolerance at every percentile
+    val skew = (0 until 2000).map { i =>
+      val len = if (i % 20 == 0) 100 else 2
+      (i.toLong, Seq.fill(len)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.lengthStatsApproxGate(skew)
+      .as[(Int, Int, Int)].head() == ((1, 1, 1)))
+    // flags are layout-independent even though the estimate may not be
+    assert(graft.operators.TextAnalysis
+      .lengthStatsApproxGate(skew.repartition(13))
+      .as[(Int, Int, Int)].head() == ((1, 1, 1)))
+  }
+
   test("TA11 unigramLogProb: typical docs outscore rare-token docs; exact on fixture") {
     val docs = Seq(
       (1L, "the the the"),    // p(the)=6/8 -> 3 * ln(0.75)
@@ -672,6 +692,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3).sorted.sameElements(1 to got.length))
   }
 
+  test("SS7 IVF index lifecycle: save/load round trip serves identical results") {
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f; v(7 - i % 8) += 0.25f * (i % 3)
+      (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((100L, { val v = Array.fill(8)(0f); v(0) = 1f; v }),
+      (101L, { val v = Array.fill(8)(0.5f); v }))
+      .toDF("query_id", "embedding")
+    val (cells, cs) = Similarity.buildIvfIndex(corpus, nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(cells, cs, dir)
+    val (cells2, cs2) = Similarity.loadIvfIndex(spark, dir)
+    // the centroid model survives byte-for-byte (float parquet exactness)
+    assert(cs2.length == cs.length)
+    assert(cs.zip(cs2).forall { case (a, b) => a.sameElements(b) })
+    val fresh = Similarity.ivfSearch(cells, cs, queries, 3, 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val served = Similarity.ivfSearch(cells2, cs2, queries, 3, 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(fresh.nonEmpty && fresh.toSeq == served.toSeq)
+    // and the composed path equals the one-shot operator
+    val oneShot = Similarity.ivfTopK(corpus, queries, 3, 8, nCells = 4,
+        nProbe = 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(oneShot.toSeq == fresh.toSeq)
+  }
+
   test("DD6b LSH-prefiltered embedding pairs: identical vectors always pair") {
     val base = Array.fill(8)(0.5f)
     val vecs = Seq((1L, base), (2L, base),
@@ -778,6 +829,25 @@ class OperatorsSpec extends AnyFunSuite {
     val got = graft.operators.TextAnalysis.vocabStats(docs)
       .as[(Long, Long, Double)].collect().head
     assert(got == ((3L, 5L, 0.6))) // vocab {a,b,c}, 5 occurrences
+  }
+
+  test("TA15 heavyHitters: exact counts, strict threshold, layout-independent") {
+    // 100 tokens total: "hot" x30, "warm" x10, "edge" x5 (exactly n/k at
+    // k=20 -> strict > excludes it), 55 singletons
+    val words = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      Seq.fill(5)("edge") ++ (0 until 55).map(i => s"rare$i")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.heavyHitters(docs, k = 20)
+      .select("token", "cnt").as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 30L, "warm" -> 10L)) // edge: 5*20 == 100, not >
+    val relaid = graft.operators.TextAnalysis
+      .heavyHitters(docs.repartition(7), k = 20)
+      .select("token", "cnt").as[(String, Long)].collect().toMap
+    assert(relaid == got)
+    // k=2 (count > 50%) finds nothing here
+    assert(graft.operators.TextAnalysis.heavyHitters(docs, k = 2).count() == 0)
   }
 
   test("TA6 topNgrams: corpus-frequency top-k with deterministic ties") {

@@ -137,4 +137,27 @@ class SamplingSpec extends AnyFunSuite {
       Map("even" -> 1.0, "odd" -> 0.5)).count()
     assert(half > 120 && half < 180)
   }
+
+  test("SP3 fixedSample: exact size, dense ranks, layout-independent, reference order") {
+    val docs = ids(1000)
+    val a = Sampling.fixedSample(docs, 50)
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(a.length == 50)
+    assert(a.map(_._2).toSeq == (1 to 50)) // dense 1-based ranks
+    // reference: the 50 smallest md5("sample:<id>") keys, locally computed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"sample:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0L until 1000L).sortBy(key).take(50)
+    assert(a.map(_._1).toSeq == want)
+    // layout cannot change membership or ranks
+    val b = Sampling.fixedSample(docs.repartition(7), 50)
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(a.toSeq == b.toSeq)
+    // n > corpus keeps everything; different seeds pick different sets
+    assert(Sampling.fixedSample(ids(30), 50).count() == 30)
+    val other = Sampling.fixedSample(docs, 50, seed = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != a.map(_._1).toSet)
+  }
 }

@@ -160,6 +160,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("attributionJoin: stream-stream join, cross-batch state, window bounds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset from epoch 0: a row whose event time EQUALS the initial
+    // watermark (1970-01-01T00:00:00) sits exactly on the state-eviction
+    // boundary — a fixture artifact, not a semantics case worth pinning
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = EventStreams.attributionJoin(
+        pIn.toDF().toDF("p_ts", "user_id", "purchase_id"),
+        cIn.toDF().toDF("c_ts", "c_user", "click_id"))
+      .select("purchase_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks only — user 1 at t=0 and t=40, user 2 at t=5
+      cIn.addData((ts(0), 1L, 100L), (ts(40), 1L, 101L), (ts(5), 2L, 200L))
+      q.processAllAvailable()
+      // batch 2: purchase user1@30 joins click@0 (inclusive 30-min edge)
+      // but NOT click@40 (future click); CROSS-BATCH — clicks are state
+      pIn.addData((ts(30), 1L, 1L))
+      q.processAllAvailable()
+      // batch 3: purchase@50 joins click@40 only (click@0 outside window);
+      // purchase@41 joins click@40 too (fan-in onto one click);
+      // user 3 purchase never matches
+      pIn.addData((ts(50), 1L, 2L), (ts(41), 1L, 4L), (ts(10), 3L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("attr_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (2L, 101L), (4L, 101L)))
+    } finally q.stop()
+    // batch mode: watermarks no-op, same operator = plain equi+range join
+    val pB = Seq((ts(30), 1L, 1L), (ts(50), 1L, 2L))
+      .toDF("p_ts", "user_id", "purchase_id")
+    val cB = Seq((ts(0), 1L, 100L), (ts(40), 1L, 101L))
+      .toDF("c_ts", "c_user", "click_id")
+    val batch = EventStreams.attributionJoin(pB, cB)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L), (2L, 101L)))
+  }
+
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
