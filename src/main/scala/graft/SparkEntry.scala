@@ -787,6 +787,39 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** QZ5: matryoshka-truncated cosine top-5 — search on the 32-dim prefix
+    * of the 64-dim embeddings (half the scan bytes and half the
+    * dot-product cost, no codebook). Deterministic arithmetic → full
+    * oracle, like qz2.
+    */
+  private def qz5MatryoshkaTopk(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.operators.Quantize.matryoshkaTruncate(
+      tbl(spark, dir, "embeddings"), 32)
+    val queries = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(t, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** QZ5 recall: truncated-prefix search vs the full-dim exact baseline —
+    * deterministic both sides, so the recall is oracled, not just
+    * measured (the qz3 pattern). On these structureless synthetic vectors
+    * the measured value IS the worst case; MRL-trained embeddings sit far
+    * above it.
+    */
+  private def qz5Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val t = graft.operators.Quantize.matryoshkaTruncate(emb, 32)
+    val qT = t.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, queries, 5),
+      Similarity.bruteForceTopK(t, qT, 5))
+      .orderBy(col("query_id"))
+  }
+
   /** QZ4: product-quantization top-5 — ADC code scan (m=8 bytes/vector, a
     * 32x scan cut vs float32) shortlists, exact float rerank ranks.
     * Rows-only (k-means codebooks aren't SQL-expressible); recall measured
@@ -1280,6 +1313,15 @@ object SparkEntry {
     */
   private def ta12bLengthApprox(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.lengthStatsApproxGate(tbl(spark, dir, "documents"))
+
+  /** TA16: interpolated bigram LM score (λ=0.75, self-trained) — the
+    * order-2 LM quality gate next to ta11's unigram. Full oracle: the SQL
+    * replay re-trains both count tables and re-derives every interpolated
+    * probability on the 6dp grid.
+    */
+  private def ta16BigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(tbl(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
 
   /** TA13: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — all
     * seven rules as per-doc signals + booleans + the combined gate, every
@@ -2241,6 +2283,8 @@ object SparkEntry {
     "qz1_quantize" -> (qz1Quantize(_, _)),
     "qz2_topk_quant" -> (qz2TopkQuant(_, _)),
     "qz3_recall" -> (qz3Recall(_, _)),
+    "qz5_matryoshka_topk" -> (qz5MatryoshkaTopk(_, _)),
+    "qz5_recall" -> (qz5Recall(_, _)),
     "qz4_pq_topk" -> (qz4PqTopk(_, _)),
     "qz4_recall" -> (qz4Recall(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
@@ -2279,6 +2323,7 @@ object SparkEntry {
     "ta13_gopher" -> (ta13Gopher(_, _)),
     "ta14_url_filter" -> (ta14UrlFilter(_, _)),
     "ta15_heavy_hitters" -> (ta15HeavyHitters(_, _)),
+    "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
@@ -2789,6 +2834,39 @@ ORDER BY token_id"""
            SELECT doc_id, round(ln(c / total), 6) AS lp
            FROM t JOIN f USING (tok), tot)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_logprob
+         FROM lp GROUP BY 1 ORDER BY doc_id""",
+    // ta16: both count tables re-trained in SQL; interpolation arithmetic
+    // written operation-for-operation as the Spark side (0.75*(c12/c1) +
+    // 0.25*(cu/total)) so IEEE results agree bit-for-bit before the 6dp
+    // ln grid; DuckDB lists are 1-based (toks[i], toks[i+1], i in
+    // 1..len-1) where Spark's sequence is 0-based — same pairs
+    "ta16_bigram_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         arr AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+             toks[CAST(g.i AS INT) + 1] AS w2
+           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+         lp AS (
+           SELECT big.doc_id,
+             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
+           FROM big
+           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+           JOIN c1 ON big.w1 = c1.w1
+           JOIN uni ON big.w2 = uni.tok, tot)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
              AS avg_logprob
          FROM lp GROUP BY 1 ORDER BY doc_id""",
@@ -3631,6 +3709,69 @@ ORDER BY token_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // qz5: ss1's cosine replay on the 32-dim list prefix (list_slice is
+    // Spark's slice(_, 1, 32) — both inclusive 1-based)
+    "qz5_matryoshka_topk" ->
+      """WITH m AS (SELECT vec_id, list_slice(embedding, 1, 32) AS embedding
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS eq FROM m WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM m c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // qz5_recall: truncated top-5 vs full-dim top-5, both re-derived —
+    // the qz3 recall-composition shape
+    "qz5_recall" ->
+      """WITH m AS (SELECT vec_id, list_slice(embedding, 1, 32) AS embedding
+                    FROM embeddings),
+         tq AS (SELECT vec_id AS query_id, embedding AS eq FROM m WHERE vec_id < 5),
+         tscored AS (
+           SELECT tq.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(tq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(tq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM m c, tq WHERE c.vec_id <> tq.query_id),
+         ap AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM tscored)
+           WHERE rank <= 5),
+         fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         fscored AS (
+           SELECT fq.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, fq WHERE c.vec_id <> fq.query_id),
+         ex AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM fscored)
+           WHERE rank <= 5),
+         j AS (
+           SELECT ex.query_id,
+             CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+         FROM j GROUP BY 1 ORDER BY query_id""",
     // gr1: PageRank's three power iterations unrolled as CTEs — same 9dp
     // grid, same decimal sums, same dangling/teleport arithmetic (all
     // literals emitted from the Scala doubles), so the match is bit-exact.

@@ -76,4 +76,23 @@ object Quantize {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** QZ5: matryoshka truncation — keep the first `dims` coordinates of
+    * the embedding (Kusupati et al. 2022: MRL-trained models front-load
+    * information, so the prefix is itself a usable lower-dim embedding).
+    * The third scan-cut axis next to int8 ([[quantizeInt8]]) and PQ
+    * codes: halving dims halves scan bytes AND dot-product cost with no
+    * codebook to train. Cosine over the truncated vectors is plain
+    * [[Similarity.bruteForceTopK]] on the sliced column — deterministic
+    * arithmetic, so both the truncated search and its recall against the
+    * full-dim baseline carry exact SQL oracles (the quantize-family
+    * property). On non-MRL (structureless) embeddings truncation recall
+    * is the measured floor, not a guarantee — which is exactly what the
+    * oracled qz5_recall row reports.
+    */
+  def matryoshkaTruncate(emb: DataFrame, dims: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    emb.withColumn(vecCol, slice(col(vecCol), 1, dims))
+  }
 }

@@ -354,6 +354,53 @@ object TextAnalysis {
         r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
   }
 
+  /** TA16: interpolated bigram LM quality score — one Markov order up from
+    * [[unigramLogProb]], the next step toward the CCNet/KenLM perplexity
+    * gate: per-doc mean ln of p(w2|w1) = λ·c(w1w2)/c(w1·) +
+    * (1−λ)·c(w2)/N, with all counts self-trained on the corpus in two
+    * hash-aggs (bigram and unigram tables). Interpolation (λ < 1) keeps
+    * unseen-context mass nonzero, so every observed bigram scores finite;
+    * word-salad text pairs frequent words in unseen orders and drops to
+    * the unigram backoff term, which is exactly the signal the gate keys
+    * on. Docs with fewer than two tokens carry no bigram and are absent
+    * from the output (they are the length gate's business, not the LM's).
+    *
+    * Scale shape: the probability lookup is a shuffle join on the bigram
+    * (a 100 TB bigram table won't broadcast), then on w1, then on w2;
+    * the corpus total is one scalar broadcast. Exactness: λ must be
+    * binary-exact (default 0.75); ln snapped to the 6dp grid before the
+    * order-independent decimal sum — the ta11 discipline, so the operator
+    * carries a full hash oracle.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      lambda: Double = 0.75): DataFrame = {
+    import graft.functions.exactSum
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val arr = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0))
+    val toks = docs.select(col("doc_id"), explode(arr).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val totalDf = uni.agg(sum(col("cu")).cast("double").as("total"))
+    val bg = docs.select(col("doc_id"), arr.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"),
+        round(log(
+          lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+            lit(1 - lambda) * (col("cu").cast("double") / col("total"))), 6)
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
+  }
+
   /** TA10: compression-ratio quality signal — deflate(text).length /
     * utf8(text).length (level 6, the zlib default). Highly repetitive or
     * templated documents compress far below natural prose (~0.3-0.6 for

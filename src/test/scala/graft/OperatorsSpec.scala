@@ -443,6 +443,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(3L)._2) // typicality orders as expected
   }
 
+  test("TA16 bigramLogProb: exact on fixture; unseen word orders score lower") {
+    // uni: a:3 b:3 x:1 (N=7); bigrams: (a,b)x2 (b,a)x2; c1: a:2 b:2
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramLogProb(docs)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(3L)) // single-token doc has no bigram
+    // every bigram here is p = 0.75*(2/2) + 0.25*(3/7); rint-grid rounding
+    // mirrors the ta11 spec idiom
+    val lp = math.rint(math.log(0.75 * (2.0 / 2.0) + 0.25 * (3.0 / 7.0)) * 1e6) / 1e6
+    assert(got(1L) == ((3L, math.rint(lp * 1e4) / 1e4)))
+    assert(got(2L) == ((1L, math.rint(lp * 1e4) / 1e4)))
+    // word salad: same unigrams, unseen orders -> only the backoff term
+    val sep = Seq.tabulate(5)(i => (i.toLong, "u v w u v w")) :+
+      ((9L, "w u w v v u"))
+    val scores = graft.operators.TextAnalysis
+      .bigramLogProb(sep.toDF("doc_id", "text"))
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(9L) < scores(0L))
+  }
+
   test("TA10 compressionRatio: repetition compresses, prose does not, deterministic") {
     val docs = Seq(
       (1L, "the " * 500),                    // pure repetition

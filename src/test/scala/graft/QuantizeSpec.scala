@@ -61,4 +61,28 @@ class QuantizeSpec extends AnyFunSuite {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(top1e == top1q)
   }
+
+  test("QZ5 matryoshkaTruncate: prefix slice; info-bearing prefix keeps the ranking") {
+    val emb = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val t = Quantize.matryoshkaTruncate(emb, 2)
+      .as[(Long, Array[Float])].head()
+    assert(t._2.toSeq == Seq(1f, 2f))
+    // MRL-shaped corpus: direction lives in the first 2 dims, the tail is
+    // a constant pad — truncated search must reproduce the full ranking
+    val vecs = (0 until 12).map { i =>
+      val v = Array.fill(4)(0.1f); v(i % 2) = 1f + i * 0.01f; (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Similarity.bruteForceTopK(corpus, queries, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val tc = Quantize.matryoshkaTruncate(corpus, 2)
+    val tq = tc.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val trunc = Similarity.bruteForceTopK(tc, tq, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = full.intersect(trunc).size.toDouble / full.size
+    assert(recall >= 0.8, s"prefix search lost the ranking: $recall")
+  }
 }
