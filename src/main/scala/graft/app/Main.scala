@@ -41,7 +41,8 @@ object Main {
           "[--existing CURATED_PATH] [--funnel]\n" +
           "       graft prep --docs PATH --out DIR [--normalize] " +
           "[--benchmark PATH] [--ngram N] [--split train=0.9,val=0.1] " +
-          "[--pack-budget N] [--shuffle-seed S]")
+          "[--pack-budget N] [--shuffle-seed S] [--lm-min LP] " +
+          "[--heavy-hitters K] [--eval-sample N]")
       sys.exit(2)
   }
 
@@ -302,6 +303,15 @@ object Main {
           .filter(!graft.operators.TextAnalysis.domainBlocked(col("hosts"), blocked))
           .drop("urls", "hosts", "n_urls")
       }
+      // --lm-min <lp>: interpolated bigram-LM quality gate — drop docs
+      // whose mean bigram logprob falls below the threshold (word salad
+      // pairs frequent words in unseen orders and lands low); docs with
+      // <2 tokens carry no LM evidence and are dropped too
+      opts.get("lm-min").foreach { t =>
+        val keep = graft.operators.TextAnalysis.bigramLogProb(docs)
+          .filter(col("avg_logprob") >= t.toDouble).select("doc_id")
+        docs = docs.join(keep, Seq("doc_id"), "left_semi")
+      }
       opts.get("benchmark").foreach { b =>
         val n = opts.get("ngram").map(_.toInt).getOrElse(13)
         docs = graft.operators.Dedup.decontaminate(
@@ -357,6 +367,18 @@ object Main {
         timed("write shards")(
           graft.operators.Sinks.exportShards(prepared, s"$out/shards",
             n.toLong))
+      }
+      // --heavy-hitters <k>: corpus heavy-hitter report (count > n/k)
+      opts.get("heavy-hitters").foreach { k =>
+        timed("write heavy_hitters")(
+          graft.operators.TextAnalysis.heavyHitters(prepared, k.toInt)
+            .write.mode("overwrite").parquet(s"$out/heavy_hitters"))
+      }
+      // --eval-sample <n>: deterministic fixed-size held-out sample
+      opts.get("eval-sample").foreach { n =>
+        timed("write eval_sample")(
+          graft.operators.Sampling.fixedSample(prepared, n.toInt)
+            .write.mode("overwrite").parquet(s"$out/eval_sample"))
       }
       println(s"[graft] prepared corpus -> $out/prepared")
     } finally if (owned) spark.stop()

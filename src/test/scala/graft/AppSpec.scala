@@ -159,7 +159,8 @@ class AppSpec extends AnyFunSuite {
       "--paragraph-dedup", "2", "--gopher",
       "--url-blocklist", "spam.bad",
       "--mix-domain", "source", "--mix-fraction", "1.0",
-      "--shards", "1"))
+      "--lm-min", "-20.0", // repeated-phrase docs score far above -20
+      "--shards", "1", "--heavy-hitters", "10", "--eval-sample", "1"))
     val prep = spark.read.parquet(s"$out/prepared")
     // banner stripped (so 1 and 2 pass Gopher), 3 blocked by URL, 4 short
     assert(prep.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
@@ -169,6 +170,14 @@ class AppSpec extends AnyFunSuite {
     val shards = spark.read.parquet(s"$out/shards")
     assert(shards.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     assert(shards.select("shard").distinct().count() == 2) // 1 row/shard
+    // heavy-hitter report: the 10x-repeated phrase words dominate
+    val hh = spark.read.parquet(s"$out/heavy_hitters")
+      .select("token").as[String].collect().toSet
+    assert(hh.contains("the") && hh.contains("word"))
+    // fixed eval sample: exactly one survivor doc, rank 1
+    val es = spark.read.parquet(s"$out/eval_sample")
+      .select("doc_id", "sample_rank").as[(Long, Int)].collect()
+    assert(es.length == 1 && es.head._2 == 1 && Set(1L, 2L)(es.head._1))
   }
 
   test("CLI demo: runs all five strategies on one doc without error") {

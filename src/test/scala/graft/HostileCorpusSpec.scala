@@ -253,6 +253,24 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(got.size == 3) // no crash on NaN/Inf rows
   }
 
+  test("round-7 family survives hostile rows") {
+    // heavy hitters: nulls/empties tokenize to nothing; "x"*10000 is one
+    // token occurring once — with so few tokens anything repeated can
+    // qualify, the contract is no crash + exact counts on what remains
+    val hh = TextAnalysis.heavyHitters(hostile, k = 2).collect()
+    assert(hh.forall(_.getAs[Long]("cnt") >= 1L))
+    // bigram LM: only docs with >= 2 tokens appear; no NPE on null text
+    val bg = TextAnalysis.bigramLogProb(hostile)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bg.subsetOf(Set(6L, 7L, 8L)) && bg.contains(8L))
+    // approx-quantile gate holds on the tiny hostile corpus (slack wide
+    // enough for n=8: every value is within one rank of any target)
+    assert(TextAnalysis.lengthStatsApproxGate(hostile, slack = 0.2)
+      .as[(Int, Int, Int)].head() == ((1, 1, 1)))
+    // fixed sample of more rows than exist keeps everything, null text included
+    assert(graft.operators.Sampling.fixedSample(hostile, 100).count() == 8)
+  }
+
   test("metrics survive null gen/ref pairs") {
     val pairs = Seq(
       (1L, null.asInstanceOf[String], "the reference text here"),

@@ -44,6 +44,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // BPE training runs its merge loop (per-round argmax collect) at
     // construction; plan shape pinned by BpeTrainSpec
     "bt1_bpe_train", "bt2_bpe_encode", "bt3_bpe_vocab",
+    // ev6 runs a streaming query at construction (StreamingSpec pins the
+    // join); ta15's MG candidate pass collects one row at construction
+    // (its second pass is the bounded-bucket hash-agg by construction);
+    // ss7 builds + persists the IVF index and counts the diff
+    "ev6_stream_join", "ta15_heavy_hitters", "ss7_index_roundtrip",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
@@ -55,14 +60,24 @@ class PlanHygieneSpec extends AnyFunSuite {
     */
   private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
     "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall",
+    // qz5 is ss1's broadcast-query scan on the sliced column
+    "qz5_matryoshka_topk", "qz5_recall",
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
     "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf",
+    // one-row totals/approx-percentile scalar broadcasts (ta11 shape)
+    "ta16_bigram_logprob", "ta12b_length_approx",
+    "qz5_matryoshka_topk", "qz5_recall",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
     "mx2_temperature", "pipe_training_mix")
+
+  /** Bounded unpartitioned windows: sp3 ranks AFTER `limit(n)` — the
+    * window input is the n-row sample, metadata-scale by construction.
+    */
+  private val allowGlobalWindow = Set("sp3_fixed_sample")
 
   /** Plans where a lambda-bearing Filter is the CURATION GATE predicate:
     * Catalyst pushes the gate's filter through the quality/lang-ID
@@ -100,7 +115,8 @@ class PlanHygieneSpec extends AnyFunSuite {
           !allowCartesian(name))(s"$name: CartesianProduct"),
         Option.when(s.contains("BroadcastNestedLoopJoin") &&
           !allowBnlj(name))(s"$name: BroadcastNestedLoopJoin"),
-        Option.when(globalWindow)(s"$name: window with empty partitionSpec"),
+        Option.when(globalWindow && !allowGlobalWindow(name))(
+          s"$name: window with empty partitionSpec"),
         Option.when(monsterFilter && !allowFilterLambda(name))(
           s"$name: interpreted monster filter (inferred from Generate?)")
       ).flatten
