@@ -749,6 +749,39 @@ object SparkEntry {
         col("pass").cast("int").as("pass"))
   }
 
+  /** SS8: IVF-PQ (IVFADC) approximate top-5 — the two quantizers composed
+    * into the FAISS billion-scale default: coarse cells prune the probe
+    * set to nProbe/nCells of the corpus AND the probed cells scan m-byte
+    * residual codes instead of float vectors, with the exact float rerank
+    * on the shortlist. Rows-only (two k-means models in the loop); recall
+    * measured by ss8_recall, floored by ss8_gate, determinism + rerank
+    * exactness pinned by PqSpec. Same ss3/qz4 operating points: 16 cells,
+    * probe 6, m=8/ksub=16 on residuals, sampled training, shortlist 150
+    * (the corpus is adversarial for BOTH quantizers — near-uniform vectors
+    * give weak cells and maximal ADC distortion).
+    */
+  private def ss8IvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.operators.Pq.ivfPqTopK(emb, topkQueries(emb), 5,
+        trainSampleMod = 4, shortlist = 150)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SS8 recall@5 vs the exact ss1 baseline — the composed index pays both
+    * pruning losses (unprobed cells + ADC shortlist misses), so this is
+    * the number that says whether composing the quantizers kept enough
+    * signal.
+    */
+  private def ss8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      graft.operators.Pq.ivfPqTopK(emb, q, 5,
+        trainSampleMod = 4, shortlist = 150))
+      .orderBy(col("query_id"))
+  }
+
   /** QZ1: per-vector symmetric int8 quantization with worst-case
     * reconstruction error carried per row.
     */
@@ -1183,6 +1216,9 @@ object SparkEntry {
 
   private def qz4Gate(spark: SparkSession, dir: String): DataFrame =
     recallGate(qz4Recall(spark, dir), 70)
+
+  private def ss8Gate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(ss8Recall(spark, dir), 50)
 
   private def dd6bGate(spark: SparkSession, dir: String): DataFrame =
     recallGate(dd6bRecall(spark, dir), 95)
@@ -2287,6 +2323,9 @@ object SparkEntry {
     "qz5_recall" -> (qz5Recall(_, _)),
     "qz4_pq_topk" -> (qz4PqTopk(_, _)),
     "qz4_recall" -> (qz4Recall(_, _)),
+    "ss8_ivfpq_topk" -> (ss8IvfPqTopk(_, _)),
+    "ss8_recall" -> (ss8Recall(_, _)),
+    "ss8_gate" -> (ss8Gate(_, _)),
     "dd7_components" -> (dd7Components(_, _)),
     "dd8_dedup_corpus" -> (dd8DedupCorpus(_, _)),
     "dd8b_dedup_best" -> (dd8bDedupBest(_, _)),
@@ -3962,6 +4001,7 @@ ORDER BY token_id"""
     "ss7_index_roundtrip" ->
       "SELECT 1 AS has_rows, CAST(0 AS BIGINT) AS n_diff, 1 AS pass",
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "ss8_gate" -> "SELECT 50 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // cl1 partition invariant: 8 non-empty cells covering every vector

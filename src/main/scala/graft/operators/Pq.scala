@@ -158,6 +158,168 @@ object Pq {
 
   private def codeAt(codes: Array[Byte], s: Int): Int = codes(s).toInt + 128
 
+  /** IVF-PQ (IVFADC) — the two quantizers composed, exactly the FAISS
+    * billion-scale default (Jégou et al. 2011 §V): a coarse quantizer
+    * ([[Similarity.trainKmeans]]) routes each vector to a cell, and PQ
+    * encodes the RESIDUAL (vector − cell centroid) rather than the vector
+    * itself. Composing them multiplies the two scan cuts: the query probes
+    * `nProbe`/`nCells` of the corpus (IVF pruning) and scans `m` bytes per
+    * candidate instead of `4·dim` (PQ compression) — and residual encoding
+    * beats plain PQ at equal code budget because residuals concentrate
+    * near 0, so the per-subspace codebooks cover a tighter distribution.
+    *
+    * ADC with residuals: for query q and a row in cell c with codes
+    * (b_1..b_m), dot(q, x) ≈ dot(q, centroid_c) + Σ_s dotTable(s)(b_s)
+    * where dotTable(s)(j) = dot(q_s, codebook_s(j)) — per query one
+    * `m × ksub` table shared across all cells (shared residual codebooks)
+    * plus `nProbe` centroid dots. The inverted file keeps each row's EXACT
+    * float norm (8 bytes next to m code bytes), so the ADC estimate
+    * divides by the true ‖x‖ — only the dot is approximated. As in
+    * [[pqTopK]] the ADC scan shortlists and an exact float rerank ranks,
+    * so surviving rows carry cosines bit-identical to
+    * [[Similarity.bruteForceTopK]] and recall is governed by
+    * (nProbe, shortlist), not reconstruction error.
+    *
+    * Returns (index, model): index = (vec_id, cell, codes, norm_c) — the
+    * persistable inverted file; model = (centroids, residual codebooks),
+    * metadata-scale. Train scans are sample-bounded like every model here.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+      ksub: Int = 16, iterations: Int = 2, trainSampleMod: Int = 1):
+      (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    import graft.functions.vecNormF
+    val spark = corpus.sparkSession
+    val centroids = Similarity.trainKmeans(corpus, nCells, iterations,
+      trainSampleMod)
+    val bcCs = spark.sparkContext.broadcast(centroids)
+    val residUdf = udf { (cell: Int, v: Seq[Float]) =>
+      if (v == null || cell < 0) null
+      else {
+        val c = bcCs.value(cell)
+        val n = math.min(v.length, c.length)
+        Array.tabulate(v.length)(i =>
+          if (i < n) (v(i) - c(i)) else v(i))
+      }
+    }
+    // one assignment pass: cell + residual + exact norm per row
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"),
+        vecNormF(col("embedding")).as("norm_c"),
+        Similarity.bestCellUdf(spark, centroids)(col("embedding")).as("cell"))
+      .withColumn("residual", residUdf(col("cell"), col("embedding")))
+    // PQ trains on residual space (feed residuals through the standard
+    // trainer via the embedding column contract)
+    val residView = assigned.select(col("vec_id"),
+      col("residual").as("embedding"))
+    val codebooks = trainPq(residView, m, ksub, iterations, trainSampleMod)
+    val index = pqEncode(residView, codebooks)
+      .join(assigned.select(col("vec_id"), col("cell"), col("norm_c")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("norm_c"))
+    (index, centroids, codebooks)
+  }
+
+  /** Serve approximate cosine top-k from an IVF-PQ index: probe, ADC-scan
+    * the probed cells' codes, shortlist per query, exact float rerank
+    * (`corpus` supplies float vectors for shortlist rows only).
+    */
+  def ivfPqSearch(index: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], corpus: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 6,
+      shortlist: Int = 50): DataFrame = {
+    import graft.functions.{vecDotF, vecNormF}
+    require(k >= 1 && shortlist >= k && nProbe >= 1 &&
+      nProbe <= centroids.length)
+    val spark = index.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+
+    // per-query metadata: probed cells (same two-level search as
+    // assignment), centroid dots for those cells, residual dot tables,
+    // query norm — queries × (nProbe + m·ksub) doubles, broadcast once
+    val qRows = queries.select(col("query_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cidx = CentroidIndex.build(centroids)
+    val qMeta: Map[Long, (Map[Int, Double], Array[Array[Double]], Double)] =
+      qRows.map { case (qid, qv) =>
+        val probed = cidx.search(qv, nProbe)
+        val cellDots = probed.map { c =>
+          val cent = centroids(c)
+          var d = 0.0; var i = 0
+          val n = math.min(qv.length, cent.length)
+          while (i < n) { d += qv(i).toDouble * cent(i).toDouble; i += 1 }
+          c -> d
+        }.toMap
+        val dots = Array.tabulate(m) { s =>
+          codebooks(s).map { cent =>
+            var d = 0.0; var i = 0
+            while (i < cent.length) {
+              d += qv(s * dsub + i).toDouble * cent(i).toDouble; i += 1
+            }
+            d
+          }
+        }
+        var qn = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        (qid, (cellDots, dots, math.sqrt(qn)))
+      }.toMap
+    val bcMeta = spark.sparkContext.broadcast(qMeta)
+
+    val adcUdf = udf { (qid: Long, cell: Int, cs: Array[Byte], normC: Double) =>
+      val (cellDots, dots, qnorm) = bcMeta.value(qid)
+      var dot = cellDots(cell)
+      var s = 0
+      while (s < cs.length) { dot += dots(s)(codeAt(cs, s)); s += 1 }
+      val den = qnorm * normC
+      if (den == 0.0) 0.0 else dot / den
+    }
+    // probe table: (query_id, cell) pairs — queries × nProbe rows; the
+    // equi-join on cell is the IVF pruning (non-probed cells never scan)
+    val probes = qMeta.toSeq
+      .flatMap { case (qid, (cellDots, _, _)) => cellDots.keys.map((qid, _)) }
+      .toDF("query_id", "cell")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlisted = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcUdf(col("query_id"), col("cell"), col("codes"), col("norm_c"))
+          .as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+
+    val denom = col("norm_c") * col("norm_q")
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    shortlisted
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb_c"),
+        vecNormF(col("embedding")).as("norm_c")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("emb_q"),
+        vecNormF(col("embedding")).as("norm_q"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+  }
+
+  /** One-shot IVF-PQ top-k: build + search. The composed-index operating
+    * point next to [[Similarity.ivfTopK]] (IVF, float scan) and [[pqTopK]]
+    * (PQ, full scan) — same output shape, so [[Similarity.recallAtK]]
+    * applies directly.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, m: Int = 8, ksub: Int = 16,
+      iterations: Int = 2, trainSampleMod: Int = 1,
+      shortlist: Int = 50): DataFrame = {
+    val (index, cs, cbs) = buildIvfPqIndex(corpus, nCells, m, ksub,
+      iterations, trainSampleMod)
+    ivfPqSearch(index, cs, cbs, corpus, queries, k, nProbe, shortlist)
+  }
+
   /** Approximate cosine top-k via the ADC scan + exact float rerank.
     * Stage 1 scans CODES only: per (query, code-row) the approximate
     * cosine is `Σ_s dotTable(q)(s)(code_s) / (|q| · √Σ_s normTable(s)(code_s))`

@@ -36,6 +36,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // PQ trains codebooks + builds query tables at construction; plan
     // shape (broadcast code scan + shortlist rerank) pinned by PqSpec
     "qz4_pq_topk", "qz4_recall",
+    // IVF-PQ trains BOTH models (coarse cells + residual codebooks) at
+    // construction; plan shape pinned by PqSpec's IVF-PQ cases
+    "ss8_ivfpq_topk", "ss8_recall", "ss8_gate",
     // containment audits build on the guarded exact cartesian (the
     // dd6b_recall/cl3 shape: count() guard at construction)
     "cl2_containment", "dd6b_containment", "cl4_containment",

@@ -82,4 +82,60 @@ class PqSpec extends AnyFunSuite {
     assert(mismatches == 0,
       "reranked cosines must be bit-identical to the exact arithmetic")
   }
+
+  test("IVF-PQ: deterministic, recall floor on clustered data, index shape") {
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val queries = corpusRows.take(6)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "embedding")
+    val (index, cs, cbs) = Pq.buildIvfPqIndex(corpus, nCells = 8)
+    // inverted file: one row per vector, m code bytes, cell in range
+    val rows = index.select($"vec_id", $"cell",
+        org.apache.spark.sql.functions.length($"codes").as("nb"))
+      .as[(Long, Int, Int)].collect()
+    assert(rows.length == corpusRows.length)
+    assert(rows.forall { case (_, c, nb) => c >= 0 && c < 8 && nb == 8 })
+    // clustered fixture: the coarse cells recover the planted clusters
+    // well enough that probe-6-of-8 + shortlist-50 clears 0.9
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+    val approx = Pq.ivfPqSearch(index, cs, cbs, corpus, queries, 5, nProbe = 6)
+    val recalls = Similarity.recallAtK(exact, approx)
+      .select("recall").as[Double].collect()
+    val r = recalls.sum / recalls.length
+    assert(r >= 0.9, s"IVF-PQ mean recall@5 $r below floor 0.9")
+    // two builds + searches are row-identical (all seeding is keyed)
+    val again = Pq.ivfPqTopK(corpus, queries, 5, nCells = 8, nProbe = 6)
+    val once = Pq.ivfPqTopK(corpus, queries, 5, nCells = 8, nProbe = 6)
+    assert(again.exceptAll(once).count() == 0 &&
+      once.exceptAll(again).count() == 0)
+  }
+
+  test("IVF-PQ rerank exactness and probe pruning") {
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val queries = corpusRows.take(4)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "embedding")
+    val (index, cs, cbs) = Pq.buildIvfPqIndex(corpus, nCells = 8)
+    // emitted cosines are the exact brute-force arithmetic (stage-2 rerank)
+    val exactAll = Similarity.bruteForceTopK(corpus, queries, corpusRows.length)
+      .select($"query_id", $"vec_id", $"cosine".as("cos_exact"))
+    val got = Pq.ivfPqSearch(index, cs, cbs, corpus, queries, 5, nProbe = 6)
+      .select($"query_id", $"vec_id", $"cosine")
+    val joined = got.join(exactAll, Seq("query_id", "vec_id"))
+    assert(joined.count() == got.count())
+    assert(joined.filter($"cosine" =!= $"cos_exact").count() == 0)
+    // probe pruning: with nProbe = 1 every hit lies in the query's own
+    // nearest cell — no result may come from an unprobed cell
+    val one = Pq.ivfPqSearch(index, cs, cbs, corpus, queries, 5, nProbe = 1)
+      .select($"query_id", $"vec_id")
+    val cellOf = index.select($"vec_id", $"cell").as[(Long, Int)]
+      .collect().toMap
+    val qCells = corpusRows.take(4).map { case (id, v) =>
+      (id + 1000L) -> cellOf(id) // query vector == corpus vector id
+    }.toMap
+    val hits = one.as[(Long, Long)].collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall { case (qid, vid) => cellOf(vid) == qCells(qid) },
+      "nProbe=1 results must all come from the single probed cell")
+  }
 }
