@@ -1359,6 +1359,15 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(tbl(spark, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** TA17: CCNet perplexity bucketing — per-source head/middle/tail
+    * terciles of the ta16 bigram-LM score. Full oracle: ta16's re-trained
+    * count tables + NTILE(3) over the identical (score desc, doc_id)
+    * total order.
+    */
+  private def ta17PplBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(tbl(spark, dir, "documents"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** TA13: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — all
     * seven rules as per-doc signals + booleans + the combined gate, every
     * signal exactly mirrored in the SQL oracle. The synthetic vocabulary
@@ -2363,6 +2372,7 @@ object SparkEntry {
     "ta14_url_filter" -> (ta14UrlFilter(_, _)),
     "ta15_heavy_hitters" -> (ta15HeavyHitters(_, _)),
     "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
+    "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
@@ -2909,6 +2919,47 @@ ORDER BY token_id"""
            round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
              AS avg_logprob
          FROM lp GROUP BY 1 ORDER BY doc_id""",
+    // ta17: the ta16 LM replay + NTILE(3) per source over the identical
+    // (avg_logprob DESC, doc_id) total order — both engines implement
+    // SQL-standard ntile (first n mod 3 buckets take the extra row)
+    "ta17_ppl_buckets" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         arr AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+             toks[CAST(g.i AS INT) + 1] AS w2
+           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+         lp AS (
+           SELECT big.doc_id,
+             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
+           FROM big
+           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+           JOIN c1 ON big.w1 = c1.w1
+           JOIN uni ON big.w2 = uni.tok, tot),
+         lm AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_logprob
+           FROM lp GROUP BY 1),
+         ranked AS (
+           SELECT lm.doc_id, d.source AS domain, lm.n_bigrams, lm.avg_logprob,
+             NTILE(3) OVER (PARTITION BY d.source
+               ORDER BY lm.avg_logprob DESC, lm.doc_id) AS tercile
+           FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+         SELECT doc_id, domain, n_bigrams, avg_logprob, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM ranked ORDER BY doc_id""",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->

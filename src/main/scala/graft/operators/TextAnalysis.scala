@@ -401,6 +401,47 @@ object TextAnalysis {
         r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
   }
 
+  /** TA17: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3) —
+    * rank each document by its LM score WITHIN its domain/language and cut
+    * the ranking into head / middle / tail terciles: head = the
+    * best-scoring (lowest-perplexity) third, the slice CCNet keeps or
+    * upweights for training. The LM is the self-trained interpolated
+    * bigram of [[bigramLogProb]] (higher avg_logprob = lower perplexity);
+    * per-domain ranking is the point — an absolute threshold would judge
+    * every domain by the head domain's register, CCNet buckets each
+    * language against itself.
+    *
+    * Determinism: avg_logprob is on the 4dp grid and ties break on doc_id,
+    * so the tercile assignment is total-order exact and oracle-replayable
+    * (`NTILE(3)` is SQL-standard: first `n mod 3` buckets take the extra
+    * rows in both engines). Docs with <2 tokens carry no LM evidence and
+    * are absent, as in ta16.
+    *
+    * Scale shape: the LM passes are ta16's hash-aggs + shuffle joins; the
+    * bucketing adds ONE window partitioned by domain — a sort per domain,
+    * never global. A pathologically hot domain makes that one sorted
+    * partition large; at corpus scale swap the exact tercile for CCNet's
+    * actual production design — learn the two per-domain cut scores on a
+    * [[Sampling.fixedSample]] slice, broadcast the (|domains| × 2) cut
+    * table, and bucket in a map-only pass (exact tercile SIZES traded for
+    * O(1) memory; bucket boundaries converge as the sample grows).
+    */
+  def perplexityBuckets(docs: DataFrame, domainCol: Column,
+      textCol: String = "text", lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLogProb(docs, textCol, lambda)
+    val t = ntile(3).over(Window.partitionBy(col("__dom"))
+      .orderBy(col("avg_logprob").desc, col("doc_id")))
+    docs.select(col("doc_id"), domainCol.as("__dom"))
+      .join(lm, Seq("doc_id"))
+      .withColumn("tercile", t)
+      .select(col("doc_id"), col("__dom").as("domain"), col("n_bigrams"),
+        col("avg_logprob"), col("tercile"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** TA10: compression-ratio quality signal — deflate(text).length /
     * utf8(text).length (level 6, the zlib default). Highly repetitive or
     * templated documents compress far below natural prose (~0.3-0.6 for

@@ -465,6 +465,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores(9L) < scores(0L))
   }
 
+  test("TA17 perplexityBuckets: per-domain terciles, word salad lands in tail") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // domain A: five identical fluent docs + one word salad (same unigrams,
+    // unseen orders — ta16 proves it scores lower); domain B: three docs
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "u v w u v w", "A")) :+
+      ((9L, "w u w v v u", "A"))) ++
+      Seq((20L, "p q p q", "B"), (21L, "q p", "B"), (22L, "p p q q", "B"))
+    val got = graft.operators.TextAnalysis
+      .perplexityBuckets(docs.toDF("doc_id", "text", "source"), col("source"))
+      .select("doc_id", "domain", "tercile", "bucket")
+      .as[(Long, String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A has 6 docs -> terciles of 2/2/2; the salad scores strictly lowest
+    assert(got(9L) == (("A", 3, "tail")))
+    // ties broken by doc_id: the five identical docs fill head/middle in
+    // id order (0,1 head; 2,3 middle; 4 shares tail with the salad)
+    assert(got(0L)._2 == 1 && got(1L)._2 == 1)
+    assert(got(2L)._2 == 2 && got(3L)._2 == 2)
+    assert(got(4L) == (("A", 3, "tail")))
+    // B ranks independently of A's score range: 3 docs, one per tercile
+    assert(Seq(20L, 21L, 22L).map(got(_)._1).forall(_ == "B"))
+    assert(Seq(20L, 21L, 22L).map(got(_)._2).sorted == Seq(1, 2, 3))
+    // buckets name the terciles
+    assert(got.values.forall { case (_, t, b) =>
+      b == Seq("head", "middle", "tail")(t - 1) })
+  }
+
   test("TA10 compressionRatio: repetition compresses, prose does not, deterministic") {
     val docs = Seq(
       (1L, "the " * 500),                    // pure repetition
