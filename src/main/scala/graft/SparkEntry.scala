@@ -1523,6 +1523,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MX3: UniMax water-filling mixture on the skewed synthetic domain.
+    * budget=400, maxEpochs=2 on (web 344, books 94, code 31, wiki 31 at
+    * sf0.01) exercises all three regimes at once: code/wiki hit the
+    * 2-epoch cap (every doc emitted exactly twice), books take a
+    * fractional upsample (~1.47 epochs), web downsamples (~0.40). The
+    * oracle replays the waterfall: sorted-caps window, decimal prefix
+    * sums, first-uncapped water level, keyed-hash copies.
+    */
+  private def mx3Unimax(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.unimaxMixture(
+        tbl(spark, dir, "documents").withColumn("domain", syntheticDomain)
+          .select(col("doc_id"), col("domain")),
+        col("domain"), budget = 400.0, maxEpochs = 2.0)
+      .select(col("doc_id"), col("domain"), col("copy"), col("target_epochs"))
+      .orderBy(col("doc_id"), col("copy"))
+
   /** TA11: unigram log-prob quality score (self-trained corpus model). */
   private def ta11LogProb(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLogProb(tbl(spark, dir, "documents"))
@@ -2322,6 +2338,7 @@ object SparkEntry {
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "sp3_fixed_sample" -> (sp3FixedSample(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
+    "mx3_unimax" -> (mx3Unimax(_, _)),
     "pk1_pack" -> (pk1Pack(_, _)),
     "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
     "sh1_shuffle" -> (sh1Shuffle(_, _)),
@@ -4118,6 +4135,57 @@ ORDER BY token_id"""
          WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
            AS BIGINT) / 1152921504606846976.0 < r.rate
          ORDER BY d.doc_id""",
+    // mx3: the whole waterfall replayed — sorted-cap window with decimal
+    // prefix sums, water level = share at the FIRST uncapped index
+    // (arg-min by i, not min over shares), then mx1's floor+fraction
+    // keyed-hash copies. Same derived skewed domain as mx2.
+    "mx3_unimax" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 16 < 11 THEN 'web'
+                  WHEN doc_id % 16 < 14 THEN 'books'
+                  WHEN doc_id % 16 < 15 THEN 'code'
+                  ELSE 'wiki' END AS domain
+           FROM documents),
+         c AS (
+           SELECT domain, COUNT(*) AS nd,
+             round(CAST(COUNT(*) AS DOUBLE) * 2.0, 9) AS cap
+           FROM d GROUP BY domain),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndom FROM c),
+         ranked AS (
+           SELECT domain, nd, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, domain NULLS FIRST) AS i,
+             COALESCE(SUM(CAST(cap AS DECIMAL(38,10))) OVER (
+               ORDER BY cap, domain NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(38,10))) AS cumprev
+           FROM c),
+         shares AS (
+           SELECT domain, nd, cap, i,
+             (400.0 - CAST(cumprev AS DOUBLE)) /
+               CAST(t.ndom - i + 1 AS DOUBLE) AS share
+           FROM ranked, t),
+         sstar AS (
+           SELECT share AS s FROM shares WHERE cap >= share
+           ORDER BY i LIMIT 1),
+         r AS (
+           SELECT domain,
+             least(cap, COALESCE((SELECT s FROM sstar), cap))
+               / CAST(nd AS DOUBLE) AS w
+           FROM shares),
+         base AS (
+           SELECT d.doc_id, d.domain, r.w,
+             CAST(('0x' || substr(md5('unimax:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM d JOIN r USING (domain)),
+         cp AS (
+           SELECT doc_id, domain, w,
+             CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS n
+           FROM base)
+         SELECT doc_id, domain, CAST(g.k AS INT) AS copy,
+           round(w, 6) AS target_epochs
+         FROM cp, LATERAL UNNEST(generate_series(1, n)) AS g(k)
+         ORDER BY doc_id, copy""",
     "qz3_recall" ->
       s"""WITH $quantizeCte,
          $quantScoredCte,

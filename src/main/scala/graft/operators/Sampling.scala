@@ -150,6 +150,72 @@ object Sampling {
       .drop("__dom", "__rate")
   }
 
+  /** MX3: UniMax mixture sampling (Chung et al. 2023) — the OTHER standard
+    * answer to corpus mixing, complementary to [[temperatureMixture]]:
+    * instead of smoothing shares by n^alpha, distribute a total example
+    * `budget` as UNIFORMLY as possible across domains subject to a
+    * per-domain repetition cap of `maxEpochs` epochs (cap_d = maxEpochs ×
+    * n_d). Small domains hit their epoch cap and take cap_d; the leftover
+    * budget spreads evenly over the rest — the classic water-filling
+    * allocation. UniMax's published win over temperature sampling is
+    * exactly this cap: tail languages are boosted to the uniform share but
+    * never repeated past `maxEpochs`, so they can't overfit-dominate.
+    *
+    * Closed form (provably the greedy loop's fixpoint): sort domains by
+    * cap ascending; at index i the candidate uniform share is
+    * s_i = (budget − Σ_{j<i} cap_j) / (D − i + 1); while cap_i < s_i the
+    * domain is capped (shares only grow as capped domains drop out —
+    * s_{i+1} − s_i ∝ s_i − cap_i > 0), and the water level s* is the
+    * share at the FIRST uncapped index (NOT the min over candidates:
+    * later candidates recompute with full-cap prefixes and undershoot).
+    * Then alloc_d = min(cap_d, s*), and Σ alloc = budget exactly whenever
+    * budget ≤ Σ cap (else every domain caps and the result is maxEpochs
+    * epochs of everything). Each doc is emitted with expectation
+    * alloc_d / n_d copies via [[weightedResample]]'s keyed-hash
+    * floor+fraction — epochs > 1 genuinely repeat docs, epochs < 1
+    * downsample.
+    *
+    * Scale shape: the waterfall runs on the |domains|-row aggregate
+    * (metadata — its global window sorts D rows, the sp3 discipline), the
+    * rate table broadcasts back, and the corpus is touched by exactly one
+    * map-only explode pass. Decimal prefix sums + one IEEE division per
+    * row keep every rate bit-reproducible in the SQL oracle.
+    */
+  def unimaxMixture(docs: DataFrame, domainCol: Column, budget: Double,
+      maxEpochs: Double = 4.0, seed: String = "unimax",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && maxEpochs > 0,
+      s"bad unimax params: budget=$budget maxEpochs=$maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(domainCol.as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+      .withColumn("__cap", round(col("__nd").cast("double") * maxEpochs, 9))
+    // waterfall over the domain table: D rows, metadata-scale
+    val w = Window.orderBy(col("__cap"), col("__dom").asc_nulls_first)
+    val ranked = counts
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__cumprev",
+        coalesce(sum(col("__cap").cast("decimal(38,10)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,10)")))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("__ndom"))))
+      .withColumn("__share",
+        (lit(budget) - col("__cumprev").cast("double")) /
+          (col("__ndom") - col("__i") + 1).cast("double"))
+    val sStar = ranked.agg(
+      min(when(col("__cap") >= col("__share"),
+        struct(col("__i"), col("__share")))).getField("__share").as("__sstar"))
+    val rates = ranked.crossJoin(broadcast(sStar))
+      .select(col("__dom"),
+        (least(col("__cap"), coalesce(col("__sstar"), col("__cap"))) /
+          col("__nd").cast("double")).as("__w"))
+    // null-safe join (the mx2 rule): a null domain is a real stratum
+    val joined = docs.join(broadcast(rates), domainCol <=> col("__dom"))
+    weightedResample(joined, col("__w"), seed, idCol)
+      .withColumn("target_epochs", round(col("__w"), 6))
+      .drop("__dom", "__w")
+  }
+
   /** SP3: deterministic fixed-SIZE uniform sample — the "carve an exact
     * n-doc eval/audit set out of the corpus" primitive. Fraction samplers
     * ([[stratifiedSample]]) give a binomial size; here the n rows with the

@@ -73,14 +73,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss4_tfidf_pairs", "ss5_bm25_topk", "ss6_hybrid_rrf",
     // one-row totals/approx-percentile scalar broadcasts (ta11 shape)
     "ta16_bigram_logprob", "ta12b_length_approx",
+    // ta17 inherits ta16's totals broadcast; mx3's ndom + water-level
+    // scalars are one-row crossJoins onto the |domains|-row table
+    "ta17_ppl_buckets", "mx3_unimax",
     "qz5_matryoshka_topk", "qz5_recall",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
     "mx2_temperature", "pipe_training_mix")
 
   /** Bounded unpartitioned windows: sp3 ranks AFTER `limit(n)` — the
-    * window input is the n-row sample, metadata-scale by construction.
+    * window input is the n-row sample; mx3's waterfall window runs on the
+    * |domains|-row aggregate. Both metadata-scale by construction.
     */
-  private val allowGlobalWindow = Set("sp3_fixed_sample")
+  private val allowGlobalWindow = Set("sp3_fixed_sample", "mx3_unimax")
 
   /** Plans where a lambda-bearing Filter is the CURATION GATE predicate:
     * Catalyst pushes the gate's filter through the quality/lang-ID

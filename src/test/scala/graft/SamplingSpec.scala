@@ -138,6 +138,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(half > 120 && half < 180)
   }
 
+  test("MX3 unimaxMixture: water level, epoch cap, budget met, layout-independent") {
+    // caps at maxEpochs=2: A 2, B 20, C 20; budget 24. Waterfall:
+    // i=1 A: share 24/3=8 > cap 2 -> capped, alloc 2
+    // i=2 B: share (24-2)/2=11, cap 20 >= 11 -> s*=11
+    // i=3 C: share (24-22)/1=2 would UNDERSHOOT — s* must come from the
+    //        FIRST uncapped index, pinning the arg-min-by-i bug class
+    // allocs (2, 11, 11): epochs A=2 (cap), B=C=1.1
+    val docs = ((0L until 1L).map((_, "A")) ++
+      (10L until 20L).map((_, "B")) ++
+      (30L until 40L).map((_, "C"))).toDF("doc_id", "dom")
+    val got = Sampling.unimaxMixture(docs, col("dom"), budget = 24.0,
+      maxEpochs = 2.0)
+    val eps = got.select("dom", "target_epochs").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(eps("A") == 2.0 && eps("B") == 1.1 && eps("C") == 1.1)
+    // capped domain: exactly cap copies; fractional: n*1 <= emitted <= n*2
+    val byDom = got.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("A") == 2L)
+    assert(byDom("B") >= 10L && byDom("B") <= 20L)
+    // expectation sums to the budget; the keyed-hash draw is the only noise
+    assert(got.count() >= 22L && got.count() <= 26L)
+    // budget >= total capacity: every domain at the epoch cap exactly
+    val all = Sampling.unimaxMixture(docs, col("dom"), budget = 1000.0,
+      maxEpochs = 2.0)
+    assert(all.count() == 42L) // 2 * 21 docs
+    assert(all.select("target_epochs").distinct().as[Double].collect()
+      .toSeq == Seq(2.0))
+    // deterministic across partition layouts
+    val a = got.select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq
+    val b = Sampling.unimaxMixture(docs.repartition(7), col("dom"),
+        budget = 24.0, maxEpochs = 2.0)
+      .select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("SP3 fixedSample: exact size, dense ranks, layout-independent, reference order") {
     val docs = ids(1000)
     val a = Sampling.fixedSample(docs, 50)
