@@ -42,6 +42,8 @@ object Main {
           "       graft prep --docs PATH --out DIR [--normalize] " +
           "[--benchmark PATH] [--ngram N] [--split train=0.9,val=0.1] " +
           "[--pack-budget N] [--shuffle-seed S] [--lm-min LP] " +
+          "[--ppl-keep head,middle [--ppl-domain COL]] " +
+          "[--mix-unimax BUDGET[:EPOCHS]] " +
           "[--heavy-hitters K] [--eval-sample N]")
       sys.exit(2)
   }
@@ -312,6 +314,22 @@ object Main {
           .filter(col("avg_logprob") >= t.toDouble).select("doc_id")
         docs = docs.join(keep, Seq("doc_id"), "left_semi")
       }
+      // --ppl-keep BUCKETS [--ppl-domain col]: CCNet perplexity-bucket
+      // gate — rank by the bigram-LM score within each domain and keep
+      // only the named terciles (e.g. "head,middle")
+      opts.get("ppl-keep").foreach { spec =>
+        val keepBuckets = spec.split(",").map(_.trim).toSet
+        require(keepBuckets.subsetOf(Set("head", "middle", "tail")),
+          s"--ppl-keep buckets must be head/middle/tail: $spec")
+        val d = opts.getOrElse("ppl-domain", "source")
+        val domSrc = spark.read.parquet(opts("docs"))
+          .select(col("doc_id").cast("long"), col(d))
+        val keep = graft.operators.TextAnalysis.perplexityBuckets(
+            docs.join(domSrc, Seq("doc_id")), col(d))
+          .filter(col("bucket").isInCollection(keepBuckets))
+          .select("doc_id")
+        docs = docs.join(keep, Seq("doc_id"), "left_semi")
+      }
       opts.get("benchmark").foreach { b =>
         val n = opts.get("ngram").map(_.toInt).getOrElse(13)
         docs = graft.operators.Dedup.decontaminate(
@@ -333,11 +351,24 @@ object Main {
             s"$src is a text directory")
         val domSrc = spark.read.parquet(src)
           .select(col("doc_id").cast("long"), col(d))
-        docs = graft.operators.Sampling.temperatureMixture(
-          docs.join(domSrc, Seq("doc_id")), col(d),
-          alpha = opts.get("mix-alpha").map(_.toDouble).getOrElse(0.5),
-          targetFraction =
-            opts.get("mix-fraction").map(_.toDouble).getOrElse(0.5))
+        // --mix-unimax BUDGET[:EPOCHS] swaps the temperature rebalance for
+        // UniMax water-filling (budget docs spread uniformly, each domain
+        // capped at EPOCHS repetitions — default 4); otherwise n^alpha
+        opts.get("mix-unimax") match {
+          case Some(spec) =>
+            val parts = spec.split(":")
+            docs = graft.operators.Sampling.unimaxMixture(
+              docs.join(domSrc, Seq("doc_id")), col(d),
+              budget = parts(0).toDouble,
+              maxEpochs =
+                if (parts.length > 1) parts(1).toDouble else 4.0)
+          case None =>
+            docs = graft.operators.Sampling.temperatureMixture(
+              docs.join(domSrc, Seq("doc_id")), col(d),
+              alpha = opts.get("mix-alpha").map(_.toDouble).getOrElse(0.5),
+              targetFraction =
+                opts.get("mix-fraction").map(_.toDouble).getOrElse(0.5))
+        }
       }
       val prepared = opts.get("split") match {
         case Some(spec) =>

@@ -180,6 +180,43 @@ class AppSpec extends AnyFunSuite {
     assert(es.length == 1 && es.head._2 == 1 && Set(1L, 2L)(es.head._1))
   }
 
+  test("CLI prep: --ppl-keep tercile gate and --mix-unimax epoch cap") {
+    val dir = tmpDir("graft_prep7")
+    // domain A: five fluent docs + one word salad (ta17's fixture — the
+    // salad ranks strictly last, so tercile 3 = {4, 9} by tie-break)
+    val docs = (Seq.tabulate(5)(i =>
+        (i.toLong, "u v w u v w u v w u v w", "A")) :+
+      ((9L, "w u w v v u w u w v v u", "A"))) ++
+      Seq((20L, "p q p q p q p q", "B"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val out = tmpDir("graft_prep7_out")
+    graft.app.Main.main(Array(
+      "prep", "--docs", s"$dir/docs", "--out", out,
+      "--ppl-keep", "head,middle"))
+    val kept = spark.read.parquet(s"$out/prepared")
+      .select("doc_id").as[Long].collect().toSet
+    // A keeps terciles 1-2 = ids 0..3; the salad (9) and tie-loser (4)
+    // drop; B's single doc is its own head
+    assert(kept == Set(0L, 1L, 2L, 3L, 20L))
+
+    // unimax: budget 9, cap 2 epochs; caps are A(6 docs)=12, B(1)=2.
+    // waterfall: i=1 B share 9/2=4.5 > cap 2 -> capped 2; i=2 A share
+    // (9-2)/1=7 <= cap 12 -> alloc 7 -> epochs A=7/6, B=2.0
+    val out2 = tmpDir("graft_prep7b_out")
+    graft.app.Main.main(Array(
+      "prep", "--docs", s"$dir/docs", "--out", out2,
+      "--mix-domain", "source", "--mix-unimax", "9:2"))
+    val mixed = spark.read.parquet(s"$out2/prepared")
+    val byDom = mixed.select("source", "doc_id")
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(byDom("B").length == 2)          // capped: exactly 2 epochs
+    assert(byDom("A").length >= 6)          // 7/6 epochs: >= one full pass
+    val eps = mixed.select("source", "target_epochs").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(eps("A") == 1.166667 && eps("B") == 2.0)
+  }
+
   test("CLI demo: runs all five strategies on one doc without error") {
     val docs = writeDocsParquet()
     // exercises the full dispatch incl. Hierarchical over a synthesized tree
