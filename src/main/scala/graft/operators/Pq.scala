@@ -189,7 +189,11 @@ object Pq {
       (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
     import graft.functions.vecNormF
     val spark = corpus.sparkSession
-    val centroids = Similarity.trainKmeans(corpus, nCells, iterations,
+    // null and m-indivisible rows can't be residual-coded (trainPq's own
+    // filter); dropping them HERE keeps the k-means seeds clean too
+    val base = corpus.filter(col("embedding").isNotNull &&
+      size(col("embedding")) % m === 0)
+    val centroids = Similarity.trainKmeans(base, nCells, iterations,
       trainSampleMod)
     val bcCs = spark.sparkContext.broadcast(centroids)
     val residUdf = udf { (cell: Int, v: Seq[Float]) =>
@@ -202,7 +206,7 @@ object Pq {
       }
     }
     // one assignment pass: cell + residual + exact norm per row
-    val assigned = corpus
+    val assigned = base
       .select(col("vec_id"), col("embedding"),
         vecNormF(col("embedding")).as("norm_c"),
         Similarity.bestCellUdf(spark, centroids)(col("embedding")).as("cell"))

@@ -227,9 +227,12 @@ object Similarity {
       if (expectTrain <= MaxTrainVectors) trainSampleMod.toLong
       else trainSampleMod.toLong *
         ((expectTrain + MaxTrainVectors - 1) / MaxTrainVectors)
+    // a null embedding among the lowest-id seeds would NPE centroid
+    // construction (found by the hostile sweep) — train on real rows only
+    val nonNull = corpus.filter(col("embedding").isNotNull)
     val train =
-      if (mod == 1L) corpus
-      else corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      if (mod == 1L) nonNull
+      else nonNull.filter(pmod(col("vec_id"), lit(mod)) === 0)
 
     var centroids: Array[Array[Float]] = train
       .select(col("vec_id"), col("embedding"))

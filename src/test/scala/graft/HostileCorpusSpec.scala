@@ -271,6 +271,42 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(graft.operators.Sampling.fixedSample(hostile, 100).count() == 8)
   }
 
+  test("ss8/ta17/mx3 survive hostile rows") {
+    // ta17: buckets only docs with >= 2 tokens (the ta16 contract), one
+    // tercile set per domain including the null domain
+    val dom = when(col("doc_id") <= 4, lit("a"))
+      .when(col("doc_id") <= 6, lit(null).cast("string")).otherwise(lit("b"))
+    val buckets = TextAnalysis.perplexityBuckets(
+      hostile.withColumn("dom", dom), col("dom"))
+    val ids = buckets.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(6L, 7L, 8L)) && ids.contains(8L))
+    assert(buckets.filter(col("bucket").isNull).count() == 0)
+    // mx3: null-domain stratum kept (the mx2 rule); zero-token docs are
+    // still rows to mix — every doc lands somewhere with epochs > 0
+    val mixed = graft.operators.Sampling.unimaxMixture(
+      hostile.withColumn("dom", dom), col("dom"), budget = 8.0,
+      maxEpochs = 1.0)
+    assert(mixed.select("doc_id").distinct().count() == 8)
+    assert(mixed.filter(col("target_epochs") <= 0).count() == 0)
+    // ss8 on hostile vectors: null embedding rows are dropped by encode,
+    // the rest search fine (4-dim corpus, m=2)
+    val vecs = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(0f, 0f, 0f, 0f)), // zero vector: cosine defined as 0
+      (3L, Array(1f, 0f, 0f, 0f)), (4L, Array(0.9f, 0.1f, 0f, 0f)),
+      (5L, Array(0f, 1f, 0f, 0f)), (6L, Array(0f, 0.9f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "embedding")
+    val got = graft.operators.Pq.ivfPqTopK(vecs, q, 3, nCells = 2,
+      nProbe = 2, m = 2, ksub = 4, shortlist = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty && !got.contains(1L)) // null row never surfaces
+    // plain IVF had the same latent seed NPE (null among lowest vec_ids)
+    val ivf = graft.operators.Similarity.ivfTopK(vecs, q, 3, 4, nCells = 2,
+      nProbe = 2).select("vec_id").as[Long].collect().toSet
+    assert(ivf.nonEmpty && !ivf.contains(1L))
+  }
+
   test("metrics survive null gen/ref pairs") {
     val pairs = Seq(
       (1L, null.asInstanceOf[String], "the reference text here"),
