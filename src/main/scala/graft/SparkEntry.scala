@@ -2098,6 +2098,38 @@ object SparkEntry {
       .orderBy(col("domain"), col("split"))
   }
 
+  /** Composed CCNet flagship (Wenzek et al. 2020, the pipeline order of
+    * the paper): paragraph-hash boilerplate removal (dd10) → language
+    * identification + 'und' gate (ta2's marker argmax as a projection) →
+    * per-LANGUAGE perplexity terciles on the cleaned text (ta17, LM
+    * self-trained on the gated corpus) → keep head+middle, CCNet's
+    * default training slice. One chained plan; the oracle replays all
+    * four stages (dd10's hot-set CTEs → the ta2 SELECT on the cleaned
+    * corpus → the ta16/ta17 LM + NTILE chain trained on the gated set).
+    * Per-doc output, so the hash pins every doc's language, LM score AND
+    * bucket through the whole composition.
+    */
+  private def pipeCcnet(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.dropRepeatedParagraphs(
+        tbl(spark, dir, "documents").withColumn("text", plantedBoiler),
+        minOccurrences = 10L)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // Materialize the gated corpus: the LM trains on it through THREE
+    // plan branches (unigram, bigram, final join), and without the cut
+    // Catalyst substitutes the 5-language argmax lambda into each
+    // branch's filter and recomputes dd10 per branch (measured 8.2 s →
+    // the sum of its stages at sf0.1). Same persisted-gate-subtree
+    // discipline as pipe_curation.
+    val gated = graft.operators.Materialize(TextAnalysis.withLangPred(cleaned)
+      .filter(col("lang_pred") =!= "und")
+      .select(col("doc_id"), col("text"), col("lang_pred")))
+    TextAnalysis.perplexityBuckets(gated, col("lang_pred"))
+      .filter(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("domain").as("lang"), col("n_bigrams"),
+        col("avg_logprob"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composed data-prep flagship: NFC normalization → benchmark
     * decontamination → deterministic split assignment as ONE chained plan
     * — each stage is the proven form of its standalone query (ta9, dc2,
@@ -2426,6 +2458,7 @@ object SparkEntry {
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
+    "pipe_ccnet" -> (pipeCcnet(_, _)),
     "pipe_training_mix" -> (pipeTrainingMix(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
@@ -2732,6 +2765,74 @@ ORDER BY token_id"""
      SELECT domain, split, CAST(COUNT(*) AS BIGINT) AS n_docs
      FROM spl GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** pipe_ccnet oracle: dd10's hot-set removal CTEs → the ta2 lang-ID
+    * SELECT on the cleaned corpus (langIdSqlOn, reused verbatim) → the
+    * ta16 LM chain RE-TRAINED ON THE GATED SET → ta17's NTILE per
+    * language → drop the tail tercile.
+    */
+  private def ccnetSql: String =
+    s"""WITH planted AS (
+       SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+           THEN 'subscribe to our newsletter for updates' || chr(10)
+           ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 5 = 0
+           THEN chr(10) || 'subscribe to our newsletter for updates'
+           ELSE '' END AS t
+       FROM documents),
+     pp AS (
+       SELECT doc_id, ps[k] AS para, k AS pos
+       FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM planted),
+         LATERAL UNNEST(generate_series(1, len(ps))) AS u(k)),
+     hot AS (
+       SELECT md5(para) AS ph FROM pp GROUP BY 1 HAVING COUNT(*) >= 10),
+     cleaned AS (
+       SELECT doc_id,
+         COALESCE(string_agg(para, chr(10) ORDER BY pos)
+           FILTER (WHERE md5(para) NOT IN (SELECT ph FROM hot)), '') AS text
+       FROM pp GROUP BY doc_id),
+     lang AS (${langIdSqlOn("cleaned")}),
+     gated AS (
+       SELECT c.doc_id, c.text, l.lang_pred
+       FROM cleaned c JOIN lang l USING (doc_id)
+       WHERE l.lang_pred <> 'und'),
+     tok AS (
+       SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+       FROM gated),
+     uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
+     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+     arr AS (
+       SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS toks
+       FROM gated),
+     big AS (
+       SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+         toks[CAST(g.i AS INT) + 1] AS w2
+       FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+     c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+     c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+     lp AS (
+       SELECT big.doc_id,
+         round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+           + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
+       FROM big
+       JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+       JOIN c1 ON big.w1 = c1.w1
+       JOIN uni ON big.w2 = uni.tok, tot),
+     $lmMicroCte,
+     lm2 AS (
+       SELECT doc_id, n_bigrams, $lmAvgExpr AS avg_logprob FROM lm),
+     ranked AS (
+       SELECT lm2.doc_id, g.lang_pred AS lang, lm2.n_bigrams,
+         lm2.avg_logprob,
+         NTILE(3) OVER (PARTITION BY g.lang_pred
+           ORDER BY lm2.avg_logprob DESC, lm2.doc_id) AS tercile
+       FROM lm2 JOIN gated g ON lm2.doc_id = g.doc_id)
+     SELECT doc_id, lang, n_bigrams, avg_logprob,
+       CASE tercile WHEN 1 THEN 'head' ELSE 'middle' END AS bucket
+     FROM ranked WHERE tercile <> 3 ORDER BY doc_id"""
+
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
     * eval_rouge_ngram and the stats wrapper eval_stats_ngram).
     */
@@ -2890,64 +2991,38 @@ ORDER BY token_id"""
     // BEFORE the order-independent decimal sum (1-ulp libm differences
     // cannot survive the 6dp grid except exactly on a .0000005 boundary)
     "ta11_logprob" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id,
-             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
            FROM documents),
          f AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t),
          lp AS (
            SELECT doc_id, round(ln(c / total), 6) AS lp
-           FROM t JOIN f USING (tok), tot)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_logprob
-         FROM lp GROUP BY 1 ORDER BY doc_id""",
+           FROM t JOIN f USING (tok), tot),
+         lm AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) * 100 AS d
+           FROM lp GROUP BY 1)
+         SELECT doc_id, n_tokens, $lmAvgExpr AS avg_logprob
+         FROM lm ORDER BY doc_id""",
     // ta16: both count tables re-trained in SQL; interpolation arithmetic
     // written operation-for-operation as the Spark side (0.75*(c12/c1) +
     // 0.25*(cu/total)) so IEEE results agree bit-for-bit before the 6dp
     // ln grid; DuckDB lists are 1-based (toks[i], toks[i+1], i in
-    // 1..len-1) where Spark's sequence is 0-based — same pairs
+    // 1..len-1) where Spark's sequence is 0-based — same pairs. The 4dp
+    // mean is integer HALF-UP on micro-units (lp is on the 6dp grid) —
+    // round(double) diverges between engines on exact 4dp halves.
     "ta16_bigram_logprob" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
            SELECT doc_id,
-             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
            FROM documents),
          uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
          tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
          arr AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
-           FROM documents),
-         big AS (
-           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
-             toks[CAST(g.i AS INT) + 1] AS w2
-           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
-         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
-         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
-         lp AS (
-           SELECT big.doc_id,
-             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-               + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
-           FROM big
-           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
-           JOIN c1 ON big.w1 = c1.w1
-           JOIN uni ON big.w2 = uni.tok, tot)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_logprob
-         FROM lp GROUP BY 1 ORDER BY doc_id""",
-    // ta17: the ta16 LM replay + NTILE(3) per source over the identical
-    // (avg_logprob DESC, doc_id) total order — both engines implement
-    // SQL-standard ntile (first n mod 3 buckets take the extra row)
-    "ta17_ppl_buckets" ->
-      """WITH tok AS (
-           SELECT doc_id,
-             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
-           FROM documents),
-         uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
-         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
-         arr AS (
-           SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS toks
+           SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS toks
            FROM documents),
          big AS (
            SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
@@ -2963,16 +3038,45 @@ ORDER BY token_id"""
            JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
            JOIN c1 ON big.w1 = c1.w1
            JOIN uni ON big.w2 = uni.tok, tot),
-         lm AS (
-           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             round(CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_logprob
-           FROM lp GROUP BY 1),
+         $lmMicroCte
+         SELECT doc_id, n_bigrams, $lmAvgExpr AS avg_logprob
+         FROM lm ORDER BY doc_id""",
+    // ta17: the ta16 LM replay + NTILE(3) per source over the identical
+    // (avg_logprob DESC, doc_id) total order — both engines implement
+    // SQL-standard ntile (first n mod 3 buckets take the extra row)
+    "ta17_ppl_buckets" ->
+      s"""WITH tok AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         arr AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+             toks[CAST(g.i AS INT) + 1] AS w2
+           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+         lp AS (
+           SELECT big.doc_id,
+             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
+           FROM big
+           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+           JOIN c1 ON big.w1 = c1.w1
+           JOIN uni ON big.w2 = uni.tok, tot),
+         $lmMicroCte,
+         lm2 AS (
+           SELECT doc_id, n_bigrams, $lmAvgExpr AS avg_logprob FROM lm),
          ranked AS (
-           SELECT lm.doc_id, d.source AS domain, lm.n_bigrams, lm.avg_logprob,
+           SELECT lm2.doc_id, d.source AS domain, lm2.n_bigrams,
+             lm2.avg_logprob,
              NTILE(3) OVER (PARTITION BY d.source
-               ORDER BY lm.avg_logprob DESC, lm.doc_id) AS tercile
-           FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+               ORDER BY lm2.avg_logprob DESC, lm2.doc_id) AS tercile
+           FROM lm2 JOIN documents d ON lm2.doc_id = d.doc_id)
          SELECT doc_id, domain, n_bigrams, avg_logprob, tercile,
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
              ELSE 'tail' END AS bucket
@@ -4256,6 +4360,7 @@ ORDER BY token_id"""
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
     "pipe_training_mix" -> trainingMixSql,
+    "pipe_ccnet" -> ccnetSql,
     // dd11: cut after token i iff md5-grid hit on gram (i, i+1)
     "dd11_cdc_chunks" ->
       """WITH d AS (
@@ -4962,7 +5067,34 @@ SELECT
          OR ends_with(x, '.spam.bad'))) > 0 AS INT) AS blocked
      FROM h ORDER BY doc_id"""
 
-  private def langIdSql: String = {
+  private def langIdSql: String = s"${langIdSqlOn("documents")} ORDER BY doc_id"
+
+  /** Shared bigram-LM aggregation tail (ta16/ta17/pipe_ccnet): per-doc
+    * EXACT micro-unit sum of the 6dp-grid lp values. The 4dp mean then
+    * comes from [[lmAvgExpr]]'s integer HALF-UP division — round(double)
+    * is NOT cross-engine stable when the true mean lands on a 4dp half
+    * (Spark rounds the exact binary value; DuckDB's float multiply can
+    * land exactly on the half — observed at sf0.001 doc 180, mean exactly
+    * -3.36275).
+    */
+  private val lmMicroCte: String =
+    """lm AS (
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) * 100 AS d
+       FROM lp GROUP BY 1)"""
+
+  /** Integer HALF-UP mean on the 4dp grid: sign-aware (2|s| + d) // (2d),
+    * all BIGINT, then one exact double division by 10^4.
+    */
+  private val lmAvgExpr: String =
+    "(CASE WHEN s >= 0 THEN (2*s + d) // (2*d) " +
+      "ELSE -((-2*s + d) // (2*d)) END) / 10000.0"
+
+  /** The ta2 lang-ID SELECT (no ORDER BY) parameterized on the source
+    * relation — reused verbatim as a CTE inside the pipe_ccnet oracle.
+    */
+  private def langIdSqlOn(rel: String): String = {
     val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted
     def hits(l: String) = {
       val words = TextAnalysis.StopwordMarkers(l).map(s => s"'$s'").mkString(", ")
@@ -4974,7 +5106,6 @@ SELECT
     s"""SELECT doc_id,
        CASE WHEN m <= 0 THEN 'und' $caseExpr END AS lang_pred,
        ${langs.map(l => s"hits_$l").mkString(", ")}
-       FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM documents)
-       ORDER BY doc_id"""
+       FROM (SELECT doc_id, $hitCols, $maxExpr AS m FROM $rel)"""
   }
 }

@@ -339,7 +339,6 @@ object TextAnalysis {
     * result is independent of aggregation order (exactSum discipline).
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import graft.functions.exactSum
     val toks = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0)))
         .as("tok"))
@@ -351,7 +350,12 @@ object TextAnalysis {
         round(log(col("c").cast("double") / col("total")), 6).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
+        // same exact-integer 4dp mean as [[bigramLogProb]] — see the
+        // cross-engine round(double) note there
+        sum(round(col("lp") * 1e6).cast("long")).as("__sum_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (halfUpDiv(col("__sum_micro"), col("n_tokens") * 100) / 10000.0)
+          .as("avg_logprob"))
   }
 
   /** TA16: interpolated bigram LM quality score — one Markov order up from
@@ -374,7 +378,6 @@ object TextAnalysis {
     */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       lambda: Double = 0.75): DataFrame = {
-    import graft.functions.exactSum
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
     val arr = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{N}]+"), lit(0))
     val toks = docs.select(col("doc_id"), explode(arr).as("tok"))
@@ -398,7 +401,32 @@ object TextAnalysis {
           .as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        r4(exactSum(col("lp")) / count(lit(1))).as("avg_logprob"))
+        // lp sits on the 6dp grid, so the per-doc sum is an EXACT integer
+        // of micro-units; the 4dp mean is then computed by integer
+        // HALF-UP division, never by round(double) — round-of-double
+        // diverges between engines when the true mean lands on a 4dp
+        // half (Spark rounds the exact binary value, DuckDB's float
+        // multiply can land on the half; found by pipe_ccnet at sf0.001,
+        // doc 180: mean exactly -3.36275)
+        sum(round(col("lp") * 1e6).cast("long")).as("__sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (halfUpDiv(col("__sum_micro"), col("n_bigrams") * 100) / 10000.0)
+          .as("avg_logprob"))
+  }
+
+  /** Exact HALF-UP integer division t/d (d > 0): the sign-aware
+    * (2|t| + d) div (2d) identity — both engines' integer division agrees
+    * on non-negative operands, so the result is bit-reproducible where
+    * round(double) is not.
+    */
+  private def halfUpDiv(t: Column, d: Column): Column = {
+    val mag = (abs(t) * 2 + d).cast("long")
+    val den = (d * 2).cast("long")
+    // floor division via subtract-remainder: mag - pmod is an exact
+    // multiple of den and both fit far under 2^53, so the final double
+    // division is exact
+    val q = ((mag - pmod(mag, den)) / den).cast("long")
+    signum(t).cast("long") * q
   }
 
   /** TA17: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3) —

@@ -50,8 +50,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // ev6 runs a streaming query at construction (StreamingSpec pins the
     // join); ta15's MG candidate pass collects one row at construction
     // (its second pass is the bounded-bucket hash-agg by construction);
-    // ss7 builds + persists the IVF index and counts the diff
+    // ss7 builds + persists the IVF index and counts the diff;
+    // pipe_ccnet Materializes its gated subtree (the pipe_curation
+    // persisted-gate discipline — kills the 3x lang-lambda recompute)
     "ev6_stream_join", "ta15_heavy_hitters", "ss7_index_roundtrip",
+    "pipe_ccnet",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
