@@ -782,6 +782,38 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** SS7b: index APPEND gate — train the coarse model on the even-id half
+    * only, build its inverted file, then append the odd-id half against
+    * the frozen centroids. Serving the same query batch from the appended
+    * index must be row-identical to the index built over the full corpus
+    * in one shot WITH THE SAME model (assignment is a pure function of
+    * (vector, centroids)) — the maintenance story a 100 TB index needs:
+    * appends re-assign the delta only, retraining is a rebuild decision.
+    * Oracled to the literal (1, 0, 1).
+    */
+  private def ss7bIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    val (evenCells, cs) = Similarity.buildIvfIndex(even, 16, 2,
+      trainSampleMod = 4)
+    val appended = Similarity.ivfAppend(evenCells, cs, odd)
+    val oneShot = Similarity.ivfAssign(emb, cs)
+    val a = Similarity.ivfSearch(appended, cs, queries, 5, 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    val b = Similarity.ivfSearch(oneShot, cs, queries, 5, 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    val n = a.count()
+    import spark.implicits._
+    Seq(((n > 0), diff, (diff == 0L))).toDF("has_rows", "n_diff", "pass")
+      .select(col("has_rows").cast("int").as("has_rows"),
+        col("n_diff").cast("long").as("n_diff"),
+        col("pass").cast("int").as("pass"))
+  }
+
   /** QZ1: per-vector symmetric int8 quantization with worst-case
     * reconstruction error carried per row.
     */
@@ -2362,6 +2394,7 @@ object SparkEntry {
     "ss2_gate" -> (ss2Gate(_, _)),
     "ss3_gate" -> (ss3Gate(_, _)),
     "ss7_index_roundtrip" -> (ss7IndexRoundtrip(_, _)),
+    "ss7b_index_append" -> (ss7bIndexAppend(_, _)),
     "qz4_gate" -> (qz4Gate(_, _)),
     "dd6b_gate" -> (dd6bGate(_, _)),
     "cl3_gate" -> (cl3Gate(_, _)),
@@ -4171,6 +4204,9 @@ ORDER BY token_id"""
     // ss7: the persisted IVF index serves bit-identical results to the
     // freshly built one (floats round-trip parquet exactly)
     "ss7_index_roundtrip" ->
+      "SELECT 1 AS has_rows, CAST(0 AS BIGINT) AS n_diff, 1 AS pass",
+    // ss7b: appended index ≡ one-shot index under the same frozen model
+    "ss7b_index_append" ->
       "SELECT 1 AS has_rows, CAST(0 AS BIGINT) AS n_diff, 1 AS pass",
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "ss8_gate" -> "SELECT 50 AS floor_x100, 1 AS has_rows, 1 AS pass",

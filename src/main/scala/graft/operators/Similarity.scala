@@ -337,6 +337,21 @@ object Similarity {
     cells.write.mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** SS7b: incremental index append — assign a batch of NEW vectors
+    * against the FROZEN centroid model and union them into the inverted
+    * file. This is the index-maintenance half of the lifecycle: at corpus
+    * scale an append re-assigns only the delta (one map-only pass over
+    * the new batch), never retrains or rescans the existing corpus, and
+    * because assignment is a pure function of (vector, centroids) the
+    * appended index is row-identical to one built from scratch with the
+    * same model (pinned by ss7b's gate). Centroid drift from skewed
+    * appends is a REBUILD decision, not an append-time one — the standard
+    * IVF production trade (FAISS add vs train).
+    */
+  def ivfAppend(index: DataFrame, centroids: Array[Array[Float]],
+      newVectors: DataFrame): DataFrame =
+    index.unionByName(ivfAssign(newVectors, centroids))
+
   /** Load a persisted IVF index: (inverted file, centroid model). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Array[Array[Float]]) = {

@@ -772,6 +772,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(oneShot.toSeq == fresh.toSeq)
   }
 
+  test("SS7b ivfAppend: appended index == one-shot index under frozen model") {
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f; v(7 - i % 8) += 0.25f * (i % 3)
+      (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = Seq((100L, { val v = Array.fill(8)(0f); v(0) = 1f; v }),
+      (101L, { val v = Array.fill(8)(0.5f); v }))
+      .toDF("query_id", "embedding")
+    val old = corpus.filter($"vec_id" < 12)
+    val batch = corpus.filter($"vec_id" >= 12)
+    val (oldCells, cs) = Similarity.buildIvfIndex(old, nCells = 4)
+    val appended = Similarity.ivfAppend(oldCells, cs, batch)
+    // every new vector landed in the file, assigned like the one-shot
+    val oneShot = Similarity.ivfAssign(corpus, cs)
+    assert(appended.count() == 24)
+    val aCells = appended.select("vec_id", "cell").as[(Long, Int)]
+      .collect().toMap
+    val oCells = oneShot.select("vec_id", "cell").as[(Long, Int)]
+      .collect().toMap
+    assert(aCells == oCells)
+    // served results identical
+    val a = Similarity.ivfSearch(appended, cs, queries, 3, 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val b = Similarity.ivfSearch(oneShot, cs, queries, 3, 2)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // new-batch vectors are actually retrievable (not just stored)
+    val qNew = Seq((200L, vecs(23)._2)).toDF("query_id", "embedding")
+    val hits = Similarity.ivfSearch(appended, cs, qNew, 3, 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(23L))
+  }
+
   test("DD6b LSH-prefiltered embedding pairs: identical vectors always pair") {
     val base = Array.fill(8)(0.5f)
     val vecs = Seq((1L, base), (2L, base),

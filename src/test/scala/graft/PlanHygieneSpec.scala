@@ -54,7 +54,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // pipe_ccnet Materializes its gated subtree (the pipe_curation
     // persisted-gate discipline — kills the 3x lang-lambda recompute)
     "ev6_stream_join", "ta15_heavy_hitters", "ss7_index_roundtrip",
-    "pipe_ccnet",
+    "ss7b_index_append", "pipe_ccnet",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
     "gr1_pagerank")
