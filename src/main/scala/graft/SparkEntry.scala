@@ -1849,6 +1849,19 @@ object SparkEntry {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** EV7: native session_window aggregation — one row per (user,
+    * session) with the engine's own gap-merge; oracle re-derives the
+    * sessions with the >= boundary split (see
+    * [[graft.streaming.EventStreams.sessionWindowAgg]]).
+    */
+  private def ev7SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionWindowAgg(eventsTbl(spark, dir))
+      .select(col("user_id"),
+        col("win.start").as("session_start"),
+        col("win.end").as("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------- joins on corpus
 
   /** S2/J1: paired scan — documents with their embedding row. */
@@ -2472,6 +2485,7 @@ object SparkEntry {
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
+    "ev7_session_window" -> (ev7SessionWindow(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
     "s3_tree_ingest" -> (s3TreeIngest(_, _)),
     "s7_health" -> (s7Health(_, _)),
@@ -4579,6 +4593,27 @@ ORDER BY token_id"""
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM e ORDER BY user_id, event_id""",
+    // ev7: the native session_window gap-merge re-derived — the split is
+    // ev2's `> gap` (an event at EXACTLY gap distance from the previous
+    // MERGES: session_window extends the window end inclusively, pinned
+    // by StreamingSpec's boundary case)
+    "ev7_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     // ev2b: the salted prefix-scan must be invisible — ev2's oracle verbatim
     "ev2b_sessionize_salted" ->
       """WITH e AS (

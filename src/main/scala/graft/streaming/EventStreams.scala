@@ -50,6 +50,30 @@ object EventStreams {
       // and streaming merges partials in arrival order (graft.functions.exactSum)
       .agg(count(lit(1)).as("n"), graft.functions.exactSum(col("value")).as("total_value"))
 
+  /** EV7 (native form): Spark's built-in `session_window` aggregation —
+    * the engine's own gap-merge, completing the sessionization triptych
+    * next to the hand-built window-cumsum (ev2) and the
+    * flatMapGroupsWithState form (ev3). One row per (user, session):
+    * window start = first event, end = last event + gap (the engine
+    * extends the window end per event and merges overlaps). In batch
+    * mode the watermark is a no-op and the result is the closed-form
+    * gap-merge; in streaming, closed sessions emit once the watermark
+    * passes their end.
+    *
+    * Boundary semantics match ev2's `gap > threshold` split exactly: an
+    * event at EXACTLY gap distance from the previous MERGES into the
+    * session — session_window extends the window end inclusively
+    * (measured; pinned by StreamingSpec's boundary case, and the reason
+    * the oracle reuses ev2's `>` split, not `>=`).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.exactSum(col("value")).as("total_value"))
+
   /** EV2 (stateful form): gap-based sessionization via
     * flatMapGroupsWithState. Session ids are 1-based per user and increment
     * whenever the gap to the previous event exceeds `gapMinutes` — the

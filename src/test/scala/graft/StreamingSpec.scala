@@ -65,6 +65,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg: native gap-merge, cross-batch merge, boundary semantics") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionWindowAgg(df, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      // batch 1 opens a session; batch 2's first event is 20 min after the
+      // last -> MERGES across the micro-batch boundary (window end
+      // extends); the second is EXACTLY 30 min after that -> also merges
+      // (inclusive end — the ev2 `> gap` split, pinned here); the third
+      // is 30m01s after -> finally a new session
+      input.addData((1L, t(1, 0), 1.0), (1L, t(1, 10), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, t(1, 30), 4.0), (1L, t(2, 0), 8.0),
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 02:30:01"), 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sw_out")
+        .select(col("user_id"), col("win.start").cast("string"),
+          col("win.end").cast("string"), col("n_events"), col("total_value"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (1L, "2026-01-01 01:00:00", "2026-01-01 02:30:00", 4L, 15.0),
+        (1L, "2026-01-01 02:30:01", "2026-01-01 03:00:01", 1L, 16.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first occurrence per content hash") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
