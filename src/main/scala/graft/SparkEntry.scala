@@ -1461,6 +1461,25 @@ object SparkEntry {
       .orderBy(col("shard"))
   }
 
+  /** S10: Hive-partitioned export gate — write documents partitioned by
+    * (synthetic domain, sp1 split), read the tree back, and emit
+    * per-(domain, split) counts + id-sums: membership THROUGH the
+    * write→read-back roundtrip is what hashes (the s9 discipline for the
+    * partitioned layout).
+    */
+  private def s10PartitionedExport(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s10_").toString
+    val docs = graft.operators.Sampling.assignSplits(
+      tbl(spark, dir, "documents").select(col("doc_id"))
+        .withColumn("domain", syntheticDomain),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val back = operators.Sinks.exportPartitioned(docs, s"$out/byDomain",
+      Seq("domain", "split"))
+    back.groupBy(col("domain"), col("split"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("domain"), col("split"))
+  }
+
   /** Planted boilerplate banner (shared by dd10 and pipe_training_mix):
     * above every 3rd doc, below every 5th — ~267 occurrences at sf0.01.
     */
@@ -2474,6 +2493,7 @@ object SparkEntry {
     "bt3_bpe_vocab" -> (bt3BpeVocab(_, _)),
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
     "s9_sharded_export" -> (s9ShardedExport(_, _)),
+    "s10_partitioned_export" -> (s10PartitionedExport(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "aj1b_asof_salted" -> (aj1bAsofSalted(_, _)),
@@ -4509,6 +4529,24 @@ ORDER BY token_id"""
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM r GROUP BY 1 ORDER BY 1""",
+    // s10: per-(domain, split) membership through the partitioned
+    // write→read-back roundtrip — domain and split re-derived exactly
+    "s10_partitioned_export" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 16 < 11 THEN 'web'
+                  WHEN doc_id % 16 < 14 THEN 'books'
+                  WHEN doc_id % 16 < 15 THEN 'code'
+                  ELSE 'wiki' END AS domain,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM documents)
+         SELECT domain,
+           CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     // stream_dedup: first-arrival-wins over one replay == distinct prefix
     // fingerprints (the dd1b derivation)
     "stream_dedup" ->

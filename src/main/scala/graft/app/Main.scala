@@ -31,6 +31,8 @@ object Main {
     case "demo" :: rest => runDemo(parseOpts(rest))
     case "curate" :: rest => runCurate(parseOpts(rest))
     case "prep" :: rest => runPrep(parseOpts(rest))
+    case "index" :: "build" :: rest => runIndexBuild(parseOpts(rest))
+    case "index" :: "search" :: rest => runIndexSearch(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
@@ -44,7 +46,11 @@ object Main {
           "[--pack-budget N] [--shuffle-seed S] [--lm-min LP] " +
           "[--ppl-keep head,middle [--ppl-domain COL]] " +
           "[--mix-unimax BUDGET[:EPOCHS]] " +
-          "[--heavy-hitters K] [--eval-sample N]")
+          "[--heavy-hitters K] [--eval-sample N]\n" +
+          "       graft index build --embeddings PATH --out DIR [--pq] " +
+          "[--cells N] [--m M] [--ksub K] [--iterations I] [--sample-mod S]\n" +
+          "       graft index search --index DIR --queries PATH --out DIR " +
+          "[--k K] [--probe P] [--shortlist S] [--embeddings PATH]")
       sys.exit(2)
   }
 
@@ -59,6 +65,69 @@ object Main {
         case other :: _ => throw new IllegalArgumentException(s"unexpected arg: $other")
       }
     loop(args, Map.empty)
+  }
+
+  /** ANN index lifecycle, build half: train the coarse quantizer (and,
+    * with --pq, the residual codebooks — the IVF-PQ/IVFADC form) over a
+    * (vec_id, embedding) parquet table and persist the index. Train once,
+    * serve query batches forever ([[runIndexSearch]]); appends re-assign
+    * deltas against the frozen model (Similarity.ivfAppend).
+    */
+  private def runIndexBuild(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      val emb = spark.read.parquet(opts("embeddings"))
+        .select(col("vec_id").cast("long"), col("embedding"))
+      val out = opts("out")
+      val cells = opts.get("cells").map(_.toInt).getOrElse(16)
+      val iters = opts.get("iterations").map(_.toInt).getOrElse(2)
+      val mod = opts.get("sample-mod").map(_.toInt).getOrElse(1)
+      if (opts.contains("pq")) {
+        val m = opts.get("m").map(_.toInt).getOrElse(8)
+        val ksub = opts.get("ksub").map(_.toInt).getOrElse(16)
+        val (idx, cs, cbs) = graft.operators.Pq.buildIvfPqIndex(
+          emb, cells, m, ksub, iters, mod)
+        graft.operators.Pq.saveIvfPqIndex(idx, cs, cbs, out)
+      } else {
+        val (idx, cs) = graft.operators.Similarity.buildIvfIndex(
+          emb, cells, iters, mod)
+        graft.operators.Similarity.saveIvfIndex(idx, cs, out)
+      }
+      println(s"[graft] index -> $out")
+    } finally if (owned) spark.stop()
+  }
+
+  /** ANN index lifecycle, serve half: load a persisted index (the
+    * codebooks table's presence selects the IVF-PQ path) and write the
+    * top-k per query. IVF-PQ's exact rerank joins float vectors for
+    * shortlist rows, so that path needs --embeddings (the corpus the
+    * index was built over).
+    */
+  private def runIndexSearch(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      val dir = opts("index")
+      val qRaw = spark.read.parquet(opts("queries"))
+      val queries = (if (qRaw.columns.contains("query_id")) qRaw
+        else qRaw.withColumnRenamed("vec_id", "query_id"))
+        .select(col("query_id").cast("long"), col("embedding"))
+      val k = opts.get("k").map(_.toInt).getOrElse(10)
+      val probe = opts.get("probe").map(_.toInt).getOrElse(6)
+      val result =
+        if (new java.io.File(s"$dir/codebooks").exists) {
+          val corpus = spark.read.parquet(opts("embeddings"))
+            .select(col("vec_id").cast("long"), col("embedding"))
+          val (idx, cs, cbs) = graft.operators.Pq.loadIvfPqIndex(spark, dir)
+          graft.operators.Pq.ivfPqSearch(idx, cs, cbs, corpus, queries, k,
+            probe, opts.get("shortlist").map(_.toInt)
+              .getOrElse(math.max(50, k * 10)))
+        } else {
+          val (idx, cs) = graft.operators.Similarity.loadIvfIndex(spark, dir)
+          graft.operators.Similarity.ivfSearch(idx, cs, queries, k, probe)
+        }
+      result.write.mode("overwrite").parquet(opts("out"))
+      println(s"[graft] top-$k -> ${opts("out")}")
+    } finally if (owned) spark.stop()
   }
 
   /** getOrCreate, remembering whether the session was ours to stop — a

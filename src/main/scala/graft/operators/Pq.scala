@@ -310,6 +310,40 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** Persist an IVF-PQ index: the centroid model, the residual codebooks
+    * (m × ksub rows), and the inverted file (vec_id, cell, codes, norm_c)
+    * as three parquet tables — the [[Similarity.saveIvfIndex]] lifecycle
+    * extended with the codebook table. Floats and code bytes round-trip
+    * parquet exactly, so a loaded index serves bit-identical results.
+    */
+  def saveIvfPqIndex(index: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], dir: String): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    (for (s <- codebooks.indices; c <- codebooks(s).indices)
+      yield (s, c, codebooks(s)(c))).toDF("s", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Load a persisted IVF-PQ index: (inverted file, centroids, codebooks). */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String):
+      (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).as[(Int, Array[Float])].collect().map(_._2)
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Float])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val ksub = cbRows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Float]](m, ksub)
+    cbRows.foreach { case (s, c, v) => cbs(s)(c) = v }
+    (spark.read.parquet(s"$dir/cells"), cs, cbs)
+  }
+
   /** One-shot IVF-PQ top-k: build + search. The composed-index operating
     * point next to [[Similarity.ivfTopK]] (IVF, float scan) and [[pqTopK]]
     * (PQ, full scan) — same output shape, so [[Similarity.recallAtK]]

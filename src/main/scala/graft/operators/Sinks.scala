@@ -55,6 +55,29 @@ object Sinks {
     docs.sparkSession.read.parquet(outPath)
   }
 
+  /** S10: Hive-partitioned export — the OTHER standard training-data
+    * layout next to [[exportShards]]'s fixed-size shards: one
+    * `col=value/` directory tree per partition-column combination
+    * (domain/split is the canonical pair), so a trainer reads exactly
+    * the slice it needs via partition pruning and an incremental drop
+    * replaces one subtree. The small-files discipline is explicit here
+    * where s9 got it structurally: repartition on the partition columns
+    * FIRST, so each (domain, split) directory is written by exactly the
+    * task(s) owning that key — without it a dynamic partitionBy write
+    * degrades to tasks × partitions files. `maxRecordsPerFile` bounds
+    * file size within a hot partition (a skewed domain splits into more
+    * files, never bigger ones).
+    */
+  def exportPartitioned(docs: DataFrame, outPath: String,
+      partitionCols: Seq[String], maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    docs.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite).parquet(outPath)
+    docs.sparkSession.read.parquet(outPath)
+  }
+
   /** S4 (compatibility): one `<doc_id>.txt` per row, written from the
     * executors. `dir` must be a path every executor can reach (local dir in
     * local mode, shared filesystem on a cluster).

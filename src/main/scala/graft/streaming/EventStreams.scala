@@ -65,6 +65,14 @@ object EventStreams {
     * session — session_window extends the window end inclusively
     * (measured; pinned by StreamingSpec's boundary case, and the reason
     * the oracle reuses ev2's `>` split, not `>=`).
+    *
+    * Skew bound: the engine merges each key's session windows in one
+    * task, so a hot key serializes (measured 25.9 s vs the salted
+    * cumsum's 5.9 s at the 100x hot-key probe — SCALE.md). Prefer this
+    * form for its engine-maintained streaming state; under measured key
+    * skew route the batch path to [[graft.operators.EventOps
+    * .sessionizeSalted]] (ev2b) — same oracle family, pick by key
+    * distribution.
     */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
       watermarkDelay: String = "30 minutes"): DataFrame =

@@ -217,6 +217,41 @@ class AppSpec extends AnyFunSuite {
     assert(eps("A") == 1.166667 && eps("B") == 2.0)
   }
 
+  test("CLI index: build + search round trip, IVF and IVF-PQ forms") {
+    val dir = tmpDir("graft_idx")
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(8)(0f); v(i % 4) = 1f; v((i + 1) % 8) += 0.2f * (i % 3)
+      (i.toLong, v)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    // query = vector 7's direction; its identical self must top the list
+    Seq((700L, vecs(7)._2)).toDF("query_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/q")
+
+    graft.app.Main.main(Array("index", "build",
+      "--embeddings", s"$dir/emb", "--out", s"$dir/ivf", "--cells", "4"))
+    graft.app.Main.main(Array("index", "search",
+      "--index", s"$dir/ivf", "--queries", s"$dir/q",
+      "--out", s"$dir/hits", "--k", "3", "--probe", "2"))
+    val hits = spark.read.parquet(s"$dir/hits")
+      .orderBy(col("rank")).select("vec_id", "cosine")
+      .as[(Long, Double)].collect()
+    assert(hits.nonEmpty && hits.head._1 == 7L && hits.head._2 == 1.0)
+
+    graft.app.Main.main(Array("index", "build",
+      "--embeddings", s"$dir/emb", "--out", s"$dir/ivfpq", "--pq",
+      "--cells", "4", "--m", "2", "--ksub", "4"))
+    graft.app.Main.main(Array("index", "search",
+      "--index", s"$dir/ivfpq", "--queries", s"$dir/q",
+      "--embeddings", s"$dir/emb",
+      "--out", s"$dir/hits_pq", "--k", "3", "--probe", "2"))
+    val hitsPq = spark.read.parquet(s"$dir/hits_pq")
+      .orderBy(col("rank")).select("vec_id", "cosine")
+      .as[(Long, Double)].collect()
+    assert(hitsPq.nonEmpty && hitsPq.head._1 == 7L && hitsPq.head._2 == 1.0)
+  }
+
   test("CLI demo: runs all five strategies on one doc without error") {
     val docs = writeDocsParquet()
     // exercises the full dispatch incl. Hierarchical over a synthesized tree

@@ -247,6 +247,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("S10 exportPartitioned: directory tree, membership, file discipline") {
+    import graft.operators.Sinks
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 4 == 0) "web" else "books",
+        if (i % 10 < 8) "train" else "val"))
+      .toDF("doc_id", "domain", "split")
+    val out = java.nio.file.Files.createTempDirectory("graft_s10spec_").toString
+    val back = Sinks.exportPartitioned(docs.repartition(16), s"$out/p",
+      Seq("domain", "split"))
+    // membership through the roundtrip
+    val got = back.select("doc_id", "domain", "split")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == docs.as[(Long, String, String)].collect().toSet)
+    // pruned read touches one subtree only
+    val webTrain = spark.read.parquet(s"$out/p")
+      .filter(col("domain") === "web" && col("split") === "train")
+    assert(webTrain.count() == (0L until 200L)
+      .count(i => i % 4 == 0 && i % 10 < 8))
+    // file discipline: the pre-write repartition on the partition cols
+    // means each (domain, split) dir is written by its owning task(s),
+    // not by all 16 input tasks
+    val dirs = for {
+      d <- new java.io.File(s"$out/p").listFiles().toSeq
+      if d.isDirectory && d.getName.startsWith("domain=")
+      s <- d.listFiles().toSeq if s.isDirectory
+    } yield s
+    assert(dirs.size == 4)
+    dirs.foreach { s =>
+      val n = s.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= 2,
+        s"${s.getPath}: $n files — partitionBy fan-out means the " +
+          "pre-write repartition was lost")
+    }
+  }
+
   test("DD10 dropRepeatedParagraphs: global boilerplate stripped, order kept") {
     val b = "COOKIE BANNER"
     val docs = Seq(

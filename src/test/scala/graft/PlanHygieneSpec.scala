@@ -23,6 +23,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val eager = Set(
     "stream_curation", "stream_dedup", "stream_decontam",
     "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
+    "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
     "dd7_components", "dd8b_dedup_best", "pk1_pack", "sh1_shuffle",
