@@ -885,6 +885,27 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** QZ6: sign-quantized Hamming top-5 — one bit per dimension, the
+    * codebook-free deepest scan cut (8 B/vector at dim 64, integer-only
+    * search). Deterministic packing and integer distances → full oracle,
+    * like qz2/qz5; recall vs the float baseline is the oracled quality
+    * row.
+    */
+  private def qz6SignTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.operators.Quantize.signTopK(emb, topkQueries(emb), 5, 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qz6Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      graft.operators.Quantize.signTopK(emb, q, 5, 64))
+      .orderBy(col("query_id"))
+  }
+
   /** QZ4: product-quantization top-5 — ADC code scan (m=8 bytes/vector, a
     * 32x scan cut vs float32) shortlists, exact float rerank ranks.
     * Rows-only (k-means codebooks aren't SQL-expressible); recall measured
@@ -2444,6 +2465,8 @@ object SparkEntry {
     "qz3_recall" -> (qz3Recall(_, _)),
     "qz5_matryoshka_topk" -> (qz5MatryoshkaTopk(_, _)),
     "qz5_recall" -> (qz5Recall(_, _)),
+    "qz6_sign_topk" -> (qz6SignTopk(_, _)),
+    "qz6_recall" -> (qz6Recall(_, _)),
     "qz4_pq_topk" -> (qz4PqTopk(_, _)),
     "qz4_recall" -> (qz4Recall(_, _)),
     "ss8_ivfpq_topk" -> (ss8IvfPqTopk(_, _)),
@@ -4050,6 +4073,59 @@ ORDER BY token_id"""
            CAST(SUM(hit) AS BIGINT) AS n_hit,
            round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
          FROM j GROUP BY 1 ORDER BY query_id""",
+    // qz6: the sign packing replayed exactly — bit j of word w set iff
+    // embedding[w*32 + j + 1] >= 0 (POWER(2, j) is double-exact to 2^31);
+    // Hamming = popcount of per-word XOR. Integers end to end.
+    "qz6_sign_topk" ->
+      s"""WITH $signSigCte,
+         q AS (SELECT vec_id AS query_id, sig AS sig_q FROM sig WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.sig, q.sig_q),
+               p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+           FROM sig c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, vec_id, hamming, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, vec_id ASC) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // qz6_recall: sign top-5 vs the float exact top-5, both re-derived
+    "qz6_recall" ->
+      s"""WITH $signSigCte,
+         q AS (SELECT vec_id AS query_id, sig AS sig_q FROM sig WHERE vec_id < 5),
+         hscored AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.sig, q.sig_q),
+               p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+           FROM sig c, q WHERE c.vec_id <> q.query_id),
+         ap AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, vec_id ASC) AS rank FROM hscored)
+           WHERE rank <= 5),
+         fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         fscored AS (
+           SELECT fq.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, fq WHERE c.vec_id <> fq.query_id),
+         ex AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM fscored)
+           WHERE rank <= 5),
+         j AS (
+           SELECT ex.query_id,
+             CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+         FROM j GROUP BY 1 ORDER BY query_id""",
     // gr1: PageRank's three power iterations unrolled as CTEs — same 9dp
     // grid, same decimal sums, same dangling/teleport arithmetic (all
     // literals emitted from the Scala doubles), so the match is bit-exact.
@@ -5177,6 +5253,20 @@ SELECT
      FROM h ORDER BY doc_id"""
 
   private def langIdSql: String = s"${langIdSqlOn("documents")} ORDER BY doc_id"
+
+  /** Shared qz6 signature CTE: the 32-bit-word sign packing of the 64-dim
+    * embeddings, exactly [[graft.operators.Quantize.signBits]].
+    */
+  private val signSigCte: String =
+    """sig AS (
+       SELECT vec_id,
+         [CAST(list_sum(list_transform(range(0, 32),
+            i -> CASE WHEN embedding[CAST(i + 1 AS INT)] >= 0
+              THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT),
+          CAST(list_sum(list_transform(range(0, 32),
+            i -> CASE WHEN embedding[CAST(i + 33 AS INT)] >= 0
+              THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT)] AS sig
+       FROM embeddings)"""
 
   /** Shared bigram-LM aggregation tail (ta16/ta17/pipe_ccnet): per-doc
     * EXACT micro-unit sum of the 6dp-grid lp values. The 4dp mean then

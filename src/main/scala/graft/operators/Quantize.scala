@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,5 +94,58 @@ object Quantize {
       vecCol: String = "embedding"): DataFrame = {
     require(dims >= 1, s"dims must be >= 1: $dims")
     emb.withColumn(vecCol, slice(col(vecCol), 1, dims))
+  }
+
+  /** QZ6: binary (sign) quantization — one bit per dimension, packed 32
+    * bits per long word: a 64-dim float32 vector (256 B) becomes 8 B, the
+    * deepest rung of the scan-cut ladder (int8 4x → matryoshka ~2x → PQ
+    * 32x → sign 32x with NO codebook and integer-only search). Search
+    * ranks by Hamming distance (popcount of XOR — for sign bits, Hamming
+    * is monotone in angular distance, the charikar-LSH identity), all
+    * integer ops on deterministic packings, so BOTH the search and its
+    * recall carry exact SQL oracles like the rest of this family.
+    *
+    * Packing: bit (i mod 32) of word (i div 32) is set iff v(i) >= 0.
+    * 32-bit words (not 64) so every partial sum stays far from long
+    * overflow and the SQL replay can use exact POWER(2, j) arithmetic.
+    */
+  def signBits(vecCol: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val lo = w * 32
+      val hi = math.min(dim, lo + 32) - 1
+      aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+        (acc, i) => acc + when(element_at(vecCol, i + 1) >= 0f,
+          pow(lit(2.0), i - lit(lo)).cast("long")).otherwise(lit(0L)))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures ([[signBits]]). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Sign-quantized top-k: rank corpus rows per query by Hamming distance
+    * between packed sign signatures (ties to the lowest vec_id). The scan
+    * touches 8 B/vector at dim 64; one XOR + popcount per word replaces
+    * the dim-length float dot product. Output (query_id, vec_id, hamming,
+    * rank) — integers end to end, exact oracle.
+    */
+  def signTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val sig = signBits(col("embedding"), dim)
+    val c = corpus.select(col("vec_id"), sig.as("sig_c"))
+    val q = queries.select(col("query_id"), sig.as("sig_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        hammingDist(col("sig_c"), col("sig_q")).as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

@@ -85,4 +85,26 @@ class QuantizeSpec extends AnyFunSuite {
     val recall = full.intersect(trunc).size.toDouble / full.size
     assert(recall >= 0.8, s"prefix search lost the ranking: $recall")
   }
+
+  test("QZ6 signBits/signTopK: exact packing, Hamming order, octant recovery") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Quantize
+    // dim 40 -> 2 words (32 + 8 bits); known pattern: alternating signs
+    val v = Array.tabulate(40)(i => if (i % 2 == 0) 1f else -1f)
+    val sig = Seq((1L, v)).toDF("vec_id", "embedding")
+      .select(Quantize.signBits(col("embedding"), 40).as("s"))
+      .as[Array[Long]].head()
+    // bits 0,2,4,..,30 of word 0 -> 0x55555555; bits 0,2,4,6 of word 1
+    assert(sig.toSeq == Seq(0x55555555L, 0x55L))
+    // identical vector -> hamming 0 -> rank 1; sign-flipped -> last
+    val base = Array.tabulate(16)(i => 0.1f * (i % 5) + 0.05f) // all positive
+    def flip(n: Int) = Array.tabulate(16)(i => if (i < n) -base(i) else base(i))
+    val corpus = Seq((10L, base), (11L, flip(2)), (12L, flip(8)),
+      (13L, flip(16))).toDF("vec_id", "embedding")
+    val q = Seq((100L, base)).toDF("query_id", "embedding")
+    val got = Quantize.signTopK(corpus, q, 4, 16)
+      .orderBy(col("rank")).select("vec_id", "hamming")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 0L), (11L, 2L), (12L, 8L), (13L, 16L)))
+  }
 }
