@@ -906,6 +906,29 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** QZ6b: sign shortlist + exact rerank — the production two-stage form,
+    * and the one two-stage ANN whose ENTIRE chain is fully oracled
+    * (integer shortlist + deterministic rerank; the model-backed stages
+    * can only gate recall). Shortlist 100 (20x k) recovers most of the
+    * pure-sign loss on this corpus.
+    */
+  private def qz6bSignRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.operators.Quantize.signTopKReranked(emb, topkQueries(emb), 5, 64,
+        shortlist = 100)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qz6bRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      graft.operators.Quantize.signTopKReranked(emb, q, 5, 64,
+        shortlist = 100))
+      .orderBy(col("query_id"))
+  }
+
   /** QZ4: product-quantization top-5 — ADC code scan (m=8 bytes/vector, a
     * 32x scan cut vs float32) shortlists, exact float rerank ranks.
     * Rows-only (k-means codebooks aren't SQL-expressible); recall measured
@@ -2467,6 +2490,8 @@ object SparkEntry {
     "qz5_recall" -> (qz5Recall(_, _)),
     "qz6_sign_topk" -> (qz6SignTopk(_, _)),
     "qz6_recall" -> (qz6Recall(_, _)),
+    "qz6b_sign_rerank" -> (qz6bSignRerank(_, _)),
+    "qz6b_recall" -> (qz6bRecall(_, _)),
     "qz4_pq_topk" -> (qz4PqTopk(_, _)),
     "qz4_recall" -> (qz4Recall(_, _)),
     "ss8_ivfpq_topk" -> (ss8IvfPqTopk(_, _)),
@@ -4088,6 +4113,93 @@ ORDER BY token_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY hamming ASC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // qz6b: the FULL two-stage replay — integer Hamming shortlist (<=100)
+    // then the exact cosine rerank on shortlist rows only
+    "qz6b_sign_rerank" ->
+      s"""WITH $signSigCte,
+         q AS (SELECT vec_id AS query_id, sig AS sig_q FROM sig WHERE vec_id < 5),
+         hscored AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.sig, q.sig_q),
+               p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+           FROM sig c, q WHERE c.vec_id <> q.query_id),
+         sl AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, vec_id ASC) AS srank FROM hscored)
+           WHERE srank <= 100),
+         fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         rr AS (
+           SELECT sl.query_id, sl.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM sl
+           JOIN embeddings c ON sl.vec_id = c.vec_id
+           JOIN fq ON sl.query_id = fq.query_id)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // qz6b_recall: two-stage top-5 vs the float exact top-5 — every stage
+    // of BOTH sides re-derived, so even the recall of a two-stage ANN is
+    // a hash-checked number here
+    "qz6b_recall" ->
+      s"""WITH $signSigCte,
+         q AS (SELECT vec_id AS query_id, sig AS sig_q FROM sig WHERE vec_id < 5),
+         hscored AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.sig, q.sig_q),
+               p -> bit_count(xor(p[1], p[2])))) AS BIGINT) AS hamming
+           FROM sig c, q WHERE c.vec_id <> q.query_id),
+         sl AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, vec_id ASC) AS srank FROM hscored)
+           WHERE srank <= 100),
+         fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+         rr AS (
+           SELECT sl.query_id, sl.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM sl
+           JOIN embeddings c ON sl.vec_id = c.vec_id
+           JOIN fq ON sl.query_id = fq.query_id),
+         ap AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+           WHERE rank <= 5),
+         fscored AS (
+           SELECT fq.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(fq.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(fq.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, fq WHERE c.vec_id <> fq.query_id),
+         ex AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rank FROM fscored)
+           WHERE rank <= 5),
+         j AS (
+           SELECT ex.query_id,
+             CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM ex LEFT JOIN ap
+             ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+         SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+         FROM j GROUP BY 1 ORDER BY query_id""",
     // qz6_recall: sign top-5 vs the float exact top-5, both re-derived
     "qz6_recall" ->
       s"""WITH $signSigCte,

@@ -148,4 +148,36 @@ object Quantize {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** QZ6b: the production two-stage form — Hamming shortlist over the
+    * 8 B/vector sign scan, then the exact split-cosine rerank on
+    * shortlist rows only (the [[Pq.pqTopK]] staging with sign bits as
+    * the compressed stage). UNLIKE the model-backed shortlists (PQ, IVF)
+    * this whole chain is deterministic arithmetic — integer shortlist,
+    * IEEE rerank — so the two-stage search carries a FULL oracle, not
+    * just a recall gate. Recall is governed by `shortlist` depth; emitted
+    * cosines are bit-identical to [[Similarity.bruteForceTopK]]'s.
+    */
+  def signTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{r4, vecDotF, vecNormF}
+    require(k >= 1 && shortlist >= k)
+    val shortlisted = signTopK(corpus, queries, shortlist, dim)
+      .select(col("query_id"), col("vec_id"))
+    val denom = col("norm_c") * col("norm_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    shortlisted
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb_c"),
+        vecNormF(col("embedding")).as("norm_c")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("emb_q"),
+        vecNormF(col("embedding")).as("norm_q"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

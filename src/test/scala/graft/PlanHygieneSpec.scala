@@ -70,6 +70,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // qz5 is ss1's broadcast-query scan on the sliced column; qz6 the
     // same scan over packed sign words
     "qz5_matryoshka_topk", "qz5_recall", "qz6_sign_topk", "qz6_recall",
+    "qz6b_sign_rerank", "qz6b_recall",
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
@@ -82,6 +83,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // scalars are one-row crossJoins onto the |domains|-row table
     "ta17_ppl_buckets", "mx3_unimax",
     "qz5_matryoshka_topk", "qz5_recall", "qz6_sign_topk", "qz6_recall",
+    "qz6b_sign_rerank", "qz6b_recall",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
     "mx2_temperature", "pipe_training_mix")
 

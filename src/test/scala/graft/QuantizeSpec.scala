@@ -106,5 +106,14 @@ class QuantizeSpec extends AnyFunSuite {
       .orderBy(col("rank")).select("vec_id", "hamming")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((10L, 0L), (11L, 2L), (12L, 8L), (13L, 16L)))
+    // two-stage: shortlist by hamming, rank by EXACT cosine — emitted
+    // cosines must be bit-identical to brute force on the same pairs
+    val rr = Quantize.signTopKReranked(corpus, q, 3, 16, shortlist = 4)
+      .select($"query_id", $"vec_id", $"cosine")
+    val exact = graft.operators.Similarity.bruteForceTopK(corpus, q, 4)
+      .select($"query_id", $"vec_id", $"cosine".as("cos_exact"))
+    val joined = rr.join(exact, Seq("query_id", "vec_id"))
+    assert(joined.count() == rr.count())
+    assert(joined.filter($"cosine" =!= $"cos_exact").count() == 0)
   }
 }
