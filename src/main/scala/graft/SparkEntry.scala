@@ -2179,6 +2179,28 @@ object SparkEntry {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** EV8: left-outer attribution (batch form — the stream form's
+    * watermark-trailing null emission is pinned by StreamingSpec):
+    * unattributed purchases survive with click_id/gap coalesced to -1
+    * (nullable longs hash unstably through the driver compare; -1 is
+    * outside both id and gap domains).
+    */
+  private def ev8AttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+    graft.streaming.EventStreams.attributionJoinOuter(
+        side("purchase", "purchase_id", "user_id", "p_ts"),
+        side("click", "click_id", "c_user", "c_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Round-6 composed flagship: the full training-mix pipeline as ONE
     * chained plan — plant boilerplate → global paragraph removal (dd10) →
     * language/quality gate (the curation gate) → temperature-flattened
@@ -2549,6 +2571,7 @@ object SparkEntry {
     "ev2b_sessionize_salted" -> (ev2bSessionizeSalted(_, _)),
     "ev5_session_stats" -> (ev5SessionStats(_, _)),
     "ev6_stream_join" -> (ev6StreamJoin(_, _)),
+    "ev8_attribution_outer" -> (ev8AttributionOuter(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -4894,6 +4917,16 @@ ORDER BY token_id"""
            epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
          FROM events p JOIN events c ON p.user_id = c.user_id
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
+    // ev8: the left-outer form — unmatched purchases carry -1 sentinels
+    "ev8_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
            AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
          ORDER BY purchase_id, click_id""",
     "mm2_decode_meta" ->

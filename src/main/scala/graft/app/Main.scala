@@ -46,7 +46,7 @@ object Main {
           "[--pack-budget N] [--shuffle-seed S] [--lm-min LP] " +
           "[--ppl-keep head,middle [--ppl-domain COL]] " +
           "[--mix-unimax BUDGET[:EPOCHS]] " +
-          "[--heavy-hitters K] [--eval-sample N]\n" +
+          "[--heavy-hitters K] [--eval-sample N] [--partition-by COLS]\n" +
           "       graft index build --embeddings PATH --out DIR [--pq] " +
           "[--cells N] [--m M] [--ksub K] [--iterations I] [--sample-mod S]\n" +
           "       graft index search --index DIR --queries PATH --out DIR " +
@@ -479,6 +479,14 @@ object Main {
         timed("write eval_sample")(
           graft.operators.Sampling.fixedSample(prepared, n.toInt)
             .write.mode("overwrite").parquet(s"$out/eval_sample"))
+      }
+      // --partition-by col1,col2: Hive-layout export (domain=/split=
+      // tree with partition pruning) next to the fixed-size --shards
+      opts.get("partition-by").foreach { cols =>
+        val pcols = cols.split(",").map(_.trim).toSeq
+        timed("write partitioned")(
+          graft.operators.Sinks.exportPartitioned(prepared,
+            s"$out/partitioned", pcols))
       }
       println(s"[graft] prepared corpus -> $out/prepared")
     } finally if (owned) spark.stop()

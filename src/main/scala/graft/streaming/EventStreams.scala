@@ -155,6 +155,32 @@ object EventStreams {
       .drop(userRight)
   }
 
+  /** EV8: the LEFT OUTER form of [[attributionJoin]] — unattributed
+    * purchases survive with null click columns, the shape an attribution
+    * report actually needs (an inner join silently drops exactly the rows
+    * the analyst is hunting). Streaming semantics: matched rows emit as
+    * they join; an UNMATCHED purchase emits its null-extended row only
+    * once the watermark passes the point where a matching click could
+    * still arrive — so outer results trail the watermark by design, and a
+    * final batch (or watermark advance) is what flushes the tail. Batch
+    * mode is a plain left outer equi+range join. Same per-side state
+    * eviction as the inner form (the range bound derives both state
+    * watermarks).
+    */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      userLeft: String = "user_id", userRight: String = "c_user",
+      tsLeft: String = "p_ts", tsRight: String = "c_ts",
+      windowMinutes: Int = 30, watermarkDelay: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark(tsLeft, watermarkDelay)
+    val c = clicks.withWatermark(tsRight, watermarkDelay)
+    p.join(c,
+      col(userLeft) === col(userRight) &&
+        col(tsRight) >= col(tsLeft) - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col(tsRight) <= col(tsLeft),
+      "left_outer")
+      .drop(userRight)
+  }
+
   /** Streaming exact-dedup: keep the first occurrence of each content hash,
     * with state bounded by the watermark (duplicates arriving later than
     * the delay are the accepted trade-off at unbounded scale).

@@ -206,7 +206,8 @@ class AppSpec extends AnyFunSuite {
     val out2 = tmpDir("graft_prep7b_out")
     graft.app.Main.main(Array(
       "prep", "--docs", s"$dir/docs", "--out", out2,
-      "--mix-domain", "source", "--mix-unimax", "9:2"))
+      "--mix-domain", "source", "--mix-unimax", "9:2",
+      "--partition-by", "source"))
     val mixed = spark.read.parquet(s"$out2/prepared")
     val byDom = mixed.select("source", "doc_id")
       .as[(String, Long)].collect().groupBy(_._1)
@@ -215,6 +216,11 @@ class AppSpec extends AnyFunSuite {
     val eps = mixed.select("source", "target_epochs").distinct()
       .as[(String, Double)].collect().toMap
     assert(eps("A") == 1.166667 && eps("B") == 2.0)
+    // --partition-by: Hive tree written and prunable
+    val part = spark.read.parquet(s"$out2/partitioned")
+    assert(part.count() == mixed.count())
+    assert(new java.io.File(s"$out2/partitioned").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("source=")) == 2)
   }
 
   test("CLI index: build + search round trip, IVF and IVF-PQ forms") {

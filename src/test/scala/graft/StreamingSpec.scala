@@ -231,6 +231,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 100L), (2L, 101L)))
   }
 
+  test("attributionJoinOuter: matched rows emit live, unmatched only past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = EventStreams.attributionJoinOuter(
+        pIn.toDF().toDF("p_ts", "user_id", "purchase_id"),
+        cIn.toDF().toDF("c_ts", "c_user", "click_id"),
+        watermarkDelay = "10 minutes")
+      .select($"purchase_id", $"click_id")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      // batch 1: user1's purchase@30 matches click@20; user3's purchase@30
+      // matches nothing — its null row must NOT emit yet (a click could
+      // still arrive inside watermark+window)
+      cIn.addData((ts(20), 1L, 100L))
+      pIn.addData((ts(30), 1L, 1L), (ts(30), 3L, 3L))
+      q.processAllAvailable()
+      val early = spark.table("attr_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((1L, Some(100L))),
+        s"unmatched row leaked before the watermark: $early")
+      // batch 2: far-future rows push the watermark past purchase@30's
+      // match horizon -> the unmatched purchase flushes with a null click
+      cIn.addData((ts(500), 9L, 900L))
+      pIn.addData((ts(500), 9L, 9L))
+      q.processAllAvailable()
+      val late = spark.table("attr_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((3L, None)),
+        s"unmatched purchase never flushed after watermark advance: $late")
+    } finally q.stop()
+    // batch mode: plain left outer equi+range join
+    val pB = Seq((ts(30), 1L, 1L), (ts(30), 3L, 3L))
+      .toDF("p_ts", "user_id", "purchase_id")
+    val cB = Seq((ts(20), 1L, 100L)).toDF("c_ts", "c_user", "click_id")
+    val batch = EventStreams.attributionJoinOuter(pB, cB)
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(batch == Set((1L, Some(100L)), (3L, None)))
+  }
+
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
