@@ -107,11 +107,33 @@ object Dedup {
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"mh_$i")): _*)
   }
 
+  /** Banding geometry from a target Jaccard threshold: among the (bands,
+    * rows) factorizations of `nHashes`, pick the one whose s-curve
+    * threshold `(1/b)^(1/r)` — the similarity at which a pair's any-band
+    * collision probability crosses ~1/2 (Leskovec/Rajaraman/Ullman, MMDS
+    * §3.4.3) — lands closest to `targetJaccard`. This is how the sharp
+    * dd4c operating point (6×4 at threshold ~0.64) was chosen by hand;
+    * exposing the rule makes the knob self-service: raise the target →
+    * fewer, more-similar candidates; lower it → higher recall, more
+    * verification work. Ties prefer more rows per band (the sharper,
+    * cheaper-candidate side).
+    */
+  def lshGeometry(targetJaccard: Double, nHashes: Int): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1 && nHashes >= 1,
+      s"bad geometry inputs: t=$targetJaccard n=$nHashes")
+    val opts = for (r <- 1 to nHashes if nHashes % r == 0)
+      yield (nHashes / r, r)
+    opts.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), -r)
+    }
+  }
+
   /** MinHash + LSH near-duplicate candidate pairs: band the signature
     * (`bands` x `rowsPerBand` = numHashes), bucket-join on (band, band
     * hash), emit distinct candidate pairs (a < b). The join key space is
     * tiny (band id + hash), so this scales as a plain shuffle join — never
-    * quadratic in corpus size, only in per-bucket collisions.
+    * quadratic in corpus size, only in per-bucket collisions. Pick the
+    * geometry from a similarity target with [[lshGeometry]].
     */
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
       shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,

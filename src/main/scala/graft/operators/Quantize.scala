@@ -115,8 +115,11 @@ object Quantize {
     array((0 until words).map { w =>
       val lo = w * 32
       val hi = math.min(dim, lo + 32) - 1
+      // try_element_at: a vector shorter than `dim` contributes 0 bits
+      // past its end instead of an ANSI out-of-bounds error (hostile
+      // sweep); missing dims read as negative sign
       aggregate(sequence(lit(lo), lit(hi)), lit(0L),
-        (acc, i) => acc + when(element_at(vecCol, i + 1) >= 0f,
+        (acc, i) => acc + when(try_element_at(vecCol, i + 1) >= 0f,
           pow(lit(2.0), i - lit(lo)).cast("long")).otherwise(lit(0L)))
     }: _*)
   }

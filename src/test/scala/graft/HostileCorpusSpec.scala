@@ -305,6 +305,15 @@ class HostileCorpusSpec extends AnyFunSuite {
     val ivf = graft.operators.Similarity.ivfTopK(vecs, q, 3, 4, nCells = 2,
       nProbe = 2).select("vec_id").as[Long].collect().toSet
     assert(ivf.nonEmpty && !ivf.contains(1L))
+    // sign search: null vector packs to a null signature (element_at on
+    // null array) -> hamming null -> sorts last, never crashes; zero and
+    // short vectors pack to valid words
+    val sign = graft.operators.Quantize.signTopK(
+      vecs.unionByName(Seq((7L, Array(1f, 1f))).toDF("vec_id", "embedding")),
+      q, 6, 4)
+    val ranked = sign.orderBy(col("rank"))
+      .select("vec_id").as[Long].collect()
+    assert(ranked.length >= 5 && ranked.take(4).forall(_ != 1L))
   }
 
   test("metrics survive null gen/ref pairs") {

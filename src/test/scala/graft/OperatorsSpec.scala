@@ -843,6 +843,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.contains(23L))
   }
 
+  test("lshGeometry: s-curve thresholds, known operating points, validity") {
+    // 24 hashes: thresholds (1/b)^(1/r) for (24,1)..(1,24) span 0.04..1.0
+    assert(Dedup.lshGeometry(0.8, 24) == ((4, 6)))   // (1/4)^(1/6) = 0.794
+    assert(Dedup.lshGeometry(0.64, 24) == ((6, 4)))  // dd4c's sharp point
+    assert(Dedup.lshGeometry(0.5, 24) == ((8, 3)))   // (1/8)^(1/3) = 0.5
+    // lower target -> more bands (higher recall per band)
+    val (bLo, _) = Dedup.lshGeometry(0.2, 24)
+    val (bHi, _) = Dedup.lshGeometry(0.9, 24)
+    assert(bLo > bHi)
+    // always a valid factorization
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); n <- Seq(8, 16, 24, 128)) {
+      val (b, r) = Dedup.lshGeometry(t, n)
+      assert(b * r == n && b >= 1 && r >= 1)
+    }
+  }
+
   test("DD6b LSH-prefiltered embedding pairs: identical vectors always pair") {
     val base = Array.fill(8)(0.5f)
     val vecs = Seq((1L, base), (2L, base),
