@@ -2201,6 +2201,25 @@ object SparkEntry {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** EV8b: the grid-binned hot-key form of ev8, held to ev8's oracle
+    * VERBATIM — the binning must be invisible (the aj1b/ev2b rule).
+    */
+  private def ev8bAttributionBinned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTbl(spark, dir)
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+    graft.streaming.EventStreams.attributionJoinBinned(
+        side("purchase", "purchase_id", "user_id", "p_ts"),
+        side("click", "click_id", "c_user", "c_ts"), outer = true)
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Round-6 composed flagship: the full training-mix pipeline as ONE
     * chained plan — plant boilerplate → global paragraph removal (dd10) →
     * language/quality gate (the curation gate) → temperature-flattened
@@ -2572,6 +2591,7 @@ object SparkEntry {
     "ev5_session_stats" -> (ev5SessionStats(_, _)),
     "ev6_stream_join" -> (ev6StreamJoin(_, _)),
     "ev8_attribution_outer" -> (ev8AttributionOuter(_, _)),
+    "ev8b_attribution_binned" -> (ev8bAttributionBinned(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
@@ -4921,6 +4941,16 @@ ORDER BY token_id"""
          ORDER BY purchase_id, click_id""",
     // ev8: the left-outer form — unmatched purchases carry -1 sentinels
     "ev8_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
+    // ev8b: the binning must be invisible — ev8's oracle verbatim
+    "ev8b_attribution_binned" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
            COALESCE(c.event_id, -1) AS click_id,
            COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us

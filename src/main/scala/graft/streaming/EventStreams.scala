@@ -165,7 +165,9 @@ object EventStreams {
     * final batch (or watermark advance) is what flushes the tail. Batch
     * mode is a plain left outer equi+range join. Same per-side state
     * eviction as the inner form (the range bound derives both state
-    * watermarks).
+    * watermarks). For batch replays over hot keys use
+    * [[attributionJoinBinned]] — the plain key+range join is quadratic
+    * per key (measured 88 s at the 10x hot-key probe vs 1.2 s binned).
     */
   def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
       userLeft: String = "user_id", userRight: String = "c_user",
@@ -179,6 +181,41 @@ object EventStreams {
         col(tsRight) <= col(tsLeft),
       "left_outer")
       .drop(userRight)
+  }
+
+  /** EV6b/EV8b: the grid-binned BATCH form of the attribution join — the
+    * hot-key fix the 10x probe demanded (one user holding ~20% of events
+    * made the plain key+range join enumerate p×c candidate pairs per
+    * user: 0.77 s → 88 s at 10x). Same trick as AsofJoin.intervalJoin:
+    * bucket time on the window grid; a purchase lives in ONE bucket, a
+    * click explodes to the two buckets its window can reach (its own and
+    * the next), and the equi-join on (user, bucket) bounds the candidate
+    * space to per-WINDOW rates instead of per-user history. Each (p, c)
+    * pair meets exactly once (in the purchase's bucket), so no dedup
+    * pass; output is identical to [[attributionJoin]] / the outer form
+    * row-for-row, and the registered query is held to the plain form's
+    * oracle VERBATIM (the aj1b discipline).
+    *
+    * Batch-only: streaming state eviction already bounds the symmetric
+    * hash join's candidates to watermark+window scale.
+    */
+  def attributionJoinBinned(purchases: DataFrame, clicks: DataFrame,
+      userLeft: String = "user_id", userRight: String = "c_user",
+      tsLeft: String = "p_ts", tsRight: String = "c_ts",
+      windowMinutes: Int = 30, outer: Boolean = false): DataFrame = {
+    val winUs = windowMinutes * 60L * 1000000L
+    val p = purchases.withColumn("__bkt",
+      expr(s"unix_micros($tsLeft) div $winUs"))
+    val c = clicks.withColumn("__bktc",
+      explode(array(expr(s"unix_micros($tsRight) div $winUs"),
+        expr(s"unix_micros($tsRight) div $winUs") + 1)))
+    p.join(c,
+      p("__bkt") === c("__bktc") &&
+        col(userLeft) === col(userRight) &&
+        col(tsRight) >= col(tsLeft) - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col(tsRight) <= col(tsLeft),
+      if (outer) "left_outer" else "inner")
+      .drop(userRight, "__bkt", "__bktc")
   }
 
   /** Streaming exact-dedup: keep the first occurrence of each content hash,

@@ -275,6 +275,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, Some(100L)), (3L, None)))
   }
 
+  test("attributionJoinBinned == plain form, inner and outer, across bucket edges") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    // clicks straddle 30-min bucket boundaries; purchase@59 must reach a
+    // click@31 in the PREVIOUS bucket (the explode-to-next-bucket path);
+    // purchase@60 sits exactly on a boundary; user 3 never matches
+    val p = Seq((ts(59), 1L, 1L), (ts(60), 1L, 2L), (ts(30), 2L, 3L),
+      (ts(45), 3L, 4L)).toDF("p_ts", "user_id", "purchase_id")
+    val c = Seq((ts(31), 1L, 100L), (ts(60), 1L, 101L), (ts(29), 1L, 102L),
+      (ts(0), 2L, 200L), (ts(30), 2L, 201L))
+      .toDF("c_ts", "c_user", "click_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"purchase_id", $"click_id").as[(Long, Option[Long])]
+      .collect().sorted.toSeq
+    val plainI = rows(EventStreams.attributionJoin(p, c))
+    val binnedI = rows(EventStreams.attributionJoinBinned(p, c))
+    assert(plainI.nonEmpty && binnedI == plainI)
+    val plainO = rows(EventStreams.attributionJoinOuter(p, c))
+    val binnedO = rows(EventStreams.attributionJoinBinned(p, c, outer = true))
+    assert(binnedO == plainO)
+    assert(plainO.contains((4L, None))) // the outer row survives binning
+  }
+
   test("CorpusStreams: file-source map-reduce processes each doc exactly once") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus_stream").toString
