@@ -297,7 +297,10 @@ object Pq {
     val denom = col("norm_c") * col("norm_q")
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    shortlisted
+    // broadcast the (queries x shortlist)-row shortlist — behind the
+    // window Catalyst has no size estimate and would sort the corpus
+    // side (the qz6b 100x lesson)
+    broadcast(shortlisted)
       .join(corpus.select(col("vec_id"), col("embedding").as("emb_c"),
         vecNormF(col("embedding")).as("norm_c")), Seq("vec_id"))
       .join(broadcast(queries.select(col("query_id"),
@@ -432,11 +435,14 @@ object Pq {
       .filter(col("srank") <= shortlist)
       .select(col("query_id"), col("vec_id"))
 
-    // exact rerank on the shortlist only — same split-cosine as ss1
+    // exact rerank on the shortlist only — same split-cosine as ss1; the
+    // shortlist is queries x shortlist rows (metadata) but hides behind a
+    // window, so without the hint Catalyst sorts the corpus side (the
+    // qz6b 100x lesson)
     val denom = col("norm_c") * col("norm_q")
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    shortlisted
+    broadcast(shortlisted)
       .join(corpus.select(col("vec_id"), col("embedding").as("emb_c"),
         vecNormF(col("embedding")).as("norm_c")), Seq("vec_id"))
       .join(broadcast(queries.select(col("query_id"),

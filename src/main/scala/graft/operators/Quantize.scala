@@ -171,7 +171,11 @@ object Quantize {
     val denom = col("norm_c") * col("norm_q")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    shortlisted
+    // broadcast the shortlist: it is queries x shortlist rows (metadata)
+    // by construction, but sits behind a window so Catalyst has no size
+    // estimate and plans a SortMergeJoin that SORTS THE CORPUS (measured
+    // 10.9 s -> the scan floor at the 100x probe)
+    broadcast(shortlisted)
       .join(corpus.select(col("vec_id"), col("embedding").as("emb_c"),
         vecNormF(col("embedding")).as("norm_c")), Seq("vec_id"))
       .join(broadcast(queries.select(col("query_id"),
