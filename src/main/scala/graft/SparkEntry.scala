@@ -506,6 +506,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DC4: span-surgical decontamination on the dc1 fixture — contaminated
+    * 5-gram spans cut, clean remainders kept; the oracle replays gram
+    * positions, covered-index expansion, and the rewritten text per doc.
+    */
+  private def dc4SpanDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    graft.operators.Dedup.spanDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "text", 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** DC2: the decontaminated corpus itself — every training doc with zero
     * benchmark shingle collisions (strict maxOverlap=0 form).
     */
@@ -2500,6 +2512,7 @@ object SparkEntry {
     "dd4c_jaccard_sharp" -> (dd4cJaccardSharp(_, _)),
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
+    "dc4_span_decontam" -> (dc4SpanDecontam(_, _)),
     "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
     "dd9_span_coverage" -> (dd9SpanCoverage(_, _)),
     "cl1_cluster_sizes" -> (cl1ClusterSizes(_, _)),
@@ -3854,6 +3867,43 @@ ORDER BY token_id"""
          SELECT doc_id, n_hits, n_ngrams,
            round(n_hits * 1.0 / n_ngrams, 4) AS overlap
          FROM hits JOIN sz USING (doc_id) ORDER BY doc_id""",
+    // dc4: positional grams (k 0-based, gram k covers tokens k..k+4),
+    // covered-index expansion capped at doc length, original-case tokens
+    // rejoined with single spaces — the whole rewrite replayed per doc
+    "dc4_span_decontam" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, k - 1 AS k,
+             lower(array_to_string(t[k:k+4], ' ')) AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) u(k)),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         corp AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+         hits AS (SELECT doc_id, k FROM corp JOIN bench USING (g)),
+         cov AS (
+           SELECT DISTINCT h.doc_id, u.i
+           FROM hits h JOIN toks t ON h.doc_id = t.doc_id,
+             LATERAL UNNEST(generate_series(h.k, least(h.k + 4, len(t.t) - 1))) u(i)),
+         idx AS (
+           SELECT doc_id, t, u.i AS i
+           FROM toks, LATERAL UNNEST(generate_series(0, len(t) - 1)) u(i)
+           WHERE doc_id % 10 <> 0),
+         kept AS (
+           SELECT x.doc_id, x.i, x.t[CAST(x.i AS INT) + 1] AS tok
+           FROM idx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.i = c.i
+           WHERE c.i IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1),
+         tot AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+           WHERE doc_id % 10 <> 0)
+         SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
     "dc2_decontam_corpus" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -890,6 +890,67 @@ object Dedup {
     * form). Anti-join on doc_id against the report's flagged set — the
     * corpus rows themselves are never shuffled.
     */
+  /** DC4: span-surgical decontamination (the GPT-3 appendix-C policy) —
+    * instead of dropping a contaminated document wholesale
+    * ([[decontaminate]]), REMOVE the tokens covered by benchmark-matching
+    * n-grams and keep the clean remainder. A long document sharing one
+    * quoted benchmark sentence loses ~n+sentence tokens, not its whole
+    * text — at corpus scale that is the difference between
+    * decontamination and deletion of every doc that cites a benchmark.
+    *
+    * Mechanics: grams are built POSITIONALLY (gram k covers tokens
+    * [k, k+n-1]; a doc shorter than n contributes one gram covering all
+    * its tokens — the [[shingleHashesUdf]] convention), matched against
+    * the benchmark's distinct gram strings, and every covered token index
+    * drops; the survivors rejoin with single spaces (whitespace
+    * normalization, the dd10 rewrite convention). Matching is on
+    * lowercased grams, the rewrite keeps original-case tokens.
+    *
+    * Scale shape: one map-only gram explode (compact (doc_id, k, gram)
+    * rows — token arrays are NOT carried through the explode), a shuffle
+    * join against the (small) benchmark gram set, a per-doc hash-agg of
+    * hit positions, and one HOF rewrite pass. Output: (doc_id,
+    * clean_text, n_tokens, n_removed); uncontaminated docs pass through
+    * byte-identical modulo whitespace.
+    */
+  def spanDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
+    val n = ngramSize
+    require(n >= 1, s"ngramSize must be >= 1: $n")
+    def toksOf(c: Column) = when(c.isNull || length(trim(c)) === 0,
+      array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
+    def gramsOf(toks: Column) = {
+      val l = size(toks)
+      when(l >= 1,
+        transform(sequence(lit(0), greatest(l - n, lit(0))),
+          k => lower(concat_ws(" ", slice(toks, k + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val bench = benchmark
+      .select(explode(gramsOf(toksOf(col(textCol)))).as("g")).distinct()
+    val gramRows = docs
+      .select(col("doc_id"), posexplode(gramsOf(toksOf(col(textCol))))
+        .as(Seq("k", "g")))
+    val hitsAgg = gramRows.join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("k")).as("__ks"))
+    docs.select(col("doc_id"), toksOf(col(textCol)).as("__toks"))
+      .join(hitsAgg, Seq("doc_id"), "left")
+      .withColumn("__l", size(col("__toks")))
+      .withColumn("__cov", coalesce(
+        array_distinct(flatten(transform(col("__ks"),
+          k => sequence(k, least(k + n - 1, col("__l") - 1))))),
+        array().cast("array<int>")))
+      .withColumn("__kept", when(col("__l") >= 1,
+        filter(sequence(lit(0), col("__l") - 1),
+          i => !array_contains(col("__cov"), i)))
+        .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("__kept"),
+          i => element_at(col("__toks"), i + 1))).as("clean_text"),
+        col("__l").cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       textCol: String = "text", ngramSize: Int = 13,
       maxOverlap: Double = 0.0): DataFrame = {

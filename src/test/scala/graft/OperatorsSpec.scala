@@ -843,6 +843,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.contains(23L))
   }
 
+  test("DC4 spanDecontaminate: surgical span cut, clean docs untouched") {
+    val leak = "the quick brown fox jumps" // a 5-gram benchmark sentence
+    val docs = Seq(
+      // doc 1: leak embedded mid-text — ONLY its 5 tokens drop
+      (1L, s"alpha beta gamma $leak delta epsilon zeta eta"),
+      // doc 2: clean — passes through byte-identical (single-space text)
+      (2L, "one two three four five six"),
+      // doc 3: the doc IS the leak — everything drops
+      (3L, leak),
+      // doc 4: leak with different CASE — matching is case-insensitive
+      (4L, s"intro words here THE QUICK BROWN FOX JUMPS outro tail words"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val got = Dedup.spanDecontaminate(docs, bench, "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == (("alpha beta gamma delta epsilon zeta eta", 12L, 5L)))
+    assert(got(2L) == (("one two three four five six", 6L, 0L)))
+    assert(got(3L) == (("", 5L, 5L)))
+    assert(got(4L) == (("intro words here outro tail words", 11L, 5L)))
+    // overlapping hits: two adjacent leaked grams cover a 6-token span
+    val docs2 = Seq((1L, "x y the quick brown fox jumps high z"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, "the quick brown fox jumps high and more"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.spanDecontaminate(docs2, bench2, "text", 5)
+      .collect().map(r => (r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).head
+    assert(got2 == (("x y z", 6L))) // union of the two grams' spans
+  }
+
   test("lshGeometry: s-curve thresholds, known operating points, validity") {
     // 24 hashes: thresholds (1/b)^(1/r) for (24,1)..(1,24) span 0.04..1.0
     assert(Dedup.lshGeometry(0.8, 24) == ((4, 6)))   // (1/4)^(1/6) = 0.794
