@@ -42,7 +42,8 @@ object Main {
           "[--min-stopword-ratio X] [--jaccard X] [--write-corpus] " +
           "[--existing CURATED_PATH] [--funnel]\n" +
           "       graft prep --docs PATH --out DIR [--normalize] " +
-          "[--benchmark PATH] [--ngram N] [--split train=0.9,val=0.1] " +
+          "[--benchmark PATH [--decontam-mode drop|span]] [--ngram N] " +
+          "[--split train=0.9,val=0.1] " +
           "[--pack-budget N] [--shuffle-seed S] [--lm-min LP] " +
           "[--ppl-keep head,middle [--ppl-domain COL]] " +
           "[--mix-unimax BUDGET[:EPOCHS]] " +
@@ -401,8 +402,18 @@ object Main {
       }
       opts.get("benchmark").foreach { b =>
         val n = opts.get("ngram").map(_.toInt).getOrElse(13)
-        docs = graft.operators.Dedup.decontaminate(
-          docs, loadDocs(spark, b), "text", n)
+        // --decontam-mode span: surgical span removal (dc4) instead of
+        // whole-doc drop — contaminated grams cut, clean remainder kept
+        docs = opts.get("decontam-mode") match {
+          case Some("span") =>
+            graft.operators.Dedup.spanDecontaminate(
+                docs, loadDocs(spark, b), "text", n)
+              .filter(col("n_tokens") > col("n_removed"))
+              .select(col("doc_id"), col("clean_text").as("text"))
+          case _ =>
+            graft.operators.Dedup.decontaminate(
+              docs, loadDocs(spark, b), "text", n)
+        }
       }
       // --mix-domain <col> [--mix-alpha a] [--mix-fraction f]:
       // temperature-flattened domain rebalance (keep_rate column retained

@@ -223,6 +223,26 @@ class AppSpec extends AnyFunSuite {
       .count(f => f.isDirectory && f.getName.startsWith("source=")) == 2)
   }
 
+  test("CLI prep: --decontam-mode span keeps the cleaned remainder") {
+    val dir = tmpDir("graft_prep8")
+    val leak = "the quick brown fox jumps"
+    Seq((1L, s"alpha beta gamma $leak delta epsilon"),
+      (2L, "totally clean text with several words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/docs")
+    Seq((100L, leak)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val out = tmpDir("graft_prep8_out")
+    graft.app.Main.main(Array(
+      "prep", "--docs", s"$dir/docs", "--out", out,
+      "--benchmark", s"$dir/bench", "--ngram", "5",
+      "--decontam-mode", "span"))
+    val prep = spark.read.parquet(s"$out/prepared")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 1 survives with the span cut (drop-mode would delete it)
+    assert(prep(1L) == "alpha beta gamma delta epsilon")
+    assert(prep(2L) == "totally clean text with several words here")
+  }
+
   test("CLI index: build + search round trip, IVF and IVF-PQ forms") {
     val dir = tmpDir("graft_idx")
     val vecs = (0 until 24).map { i =>
