@@ -1937,6 +1937,25 @@ object SparkEntry {
         col("n_events"), r4(col("total_value")).as("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** EV7b: the session_window aggregate under a HOT KEY — the time-block
+    * salted prefix-scan assignment feeding a skew-proof (user, session)
+    * hash agg (EventOps.sessionWindowSalted, 1-day blocks), held to
+    * ev7's native-session_window oracle VERBATIM: the engine's one-task
+    * per-key merge (measured 25.9 s at the 100x hot-key probe) swapped
+    * for a plan bounded by the hot key's busiest day, with identical
+    * rows. EventOps.sessionWindowSkewSafe routes between the two by
+    * measured key share — the routing rule SCALE.md states, as code.
+    */
+  private def ev7bSessionWindowSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionWindowSalted(
+        eventsTbl(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        gapUs = 1800000000L, blockUs = 86400000000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------- joins on corpus
 
   /** S2/J1: paired scan — documents with their embedding row. */
@@ -2610,6 +2629,7 @@ object SparkEntry {
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "ev7_session_window" -> (ev7SessionWindow(_, _)),
+    "ev7b_session_window_salted" -> (ev7bSessionWindowSalted(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
     "s3_tree_ingest" -> (s3TreeIngest(_, _)),
     "s7_health" -> (s7Health(_, _)),
@@ -4917,6 +4937,25 @@ ORDER BY token_id"""
     // MERGES: session_window extends the window end inclusively, pinned
     // by StreamingSpec's boundary case)
     "ev7_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // ev7b: the salted assignment + hash agg must be invisible — ev7's
+    // oracle verbatim (the aj1b/ev2b discipline)
+    "ev7b_session_window_salted" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -74,4 +74,77 @@ object EventOps {
       .drop("__blk", "__prev", "__isNewLocal", "__localCum", "__firstNew",
         "__off")
   }
+
+  /** EV7b: the SKEW-SAFE form of the native `session_window` aggregate —
+    * identical output to [[graft.streaming.EventStreams.sessionWindowAgg]]
+    * (one row per (key, session): window start = first event, end = last
+    * event + gap, count, order-independent exact value sum), different
+    * plan. The engine's session_window merges each key's windows in ONE
+    * task, so a hot key serializes its whole history (measured 25.9 s at
+    * the 100x hot-key probe vs 5.9 s for the salted cumsum — SCALE.md);
+    * here session ASSIGNMENT is [[sessionizeSalted]]'s distributed prefix
+    * scan (tasks bounded by the hot key's busiest block) and the per-
+    * session aggregate is a plain hash agg on (key, session_id) — partial
+    * aggregation makes the reduce side skew-proof, and a hot KEY spreads
+    * across its many sessions anyway.
+    *
+    * Boundary semantics match the engine exactly: an event at EXACTLY gap
+    * distance MERGES (session_window extends the window end inclusively;
+    * sessionizeSalted splits on `> gap`) — pinned by EventOpsSpec's
+    * boundary-stitch cases and held to ev7's oracle verbatim.
+    */
+  def sessionWindowSalted(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapUs: Long, blockUs: Long): DataFrame = {
+    val withUs = events
+      .select(col(keyCol), col(idCol), col(valueCol),
+        expr(s"unix_micros(`$tsCol`)").as("__ts_us"))
+    sessionizeSalted(withUs, keyCol, "__ts_us", idCol, gapUs, blockUs)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        timestamp_micros(min(col("__ts_us"))).as("session_start"),
+        timestamp_micros(max(col("__ts_us")) + gapUs).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.functions.exactSum(col(valueCol)).as("total_value"))
+      .drop("session_id")
+  }
+
+  /** The session-window ROUTER — the skew rule SCALE.md states, as code:
+    * measure the hottest key's share (one partial-aggregated two-column
+    * pass, itself skew-proof) and run the native engine merge when keys
+    * are balanced, the salted prefix scan when one key crosses
+    * `hotKeyShare`. Both branches emit identical rows (EventOpsSpec pins
+    * parity on both sides of the threshold), so routing is a plan choice,
+    * never a semantics choice. Callers that already know their key
+    * distribution pass `knownTopShare` to skip the measurement pass.
+    */
+  def sessionWindowSkewSafe(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapUs: Long, blockUs: Long,
+      hotKeyShare: Double = 0.05,
+      knownTopShare: Option[Double] = None): DataFrame = {
+    require(hotKeyShare > 0 && hotKeyShare <= 1,
+      s"hotKeyShare must be in (0,1]: $hotKeyShare")
+    val share = knownTopShare.getOrElse {
+      val r = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+        .head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1).toDouble
+    }
+    if (share > hotKeyShare)
+      sessionWindowSalted(events, keyCol, tsCol, idCol, valueCol, gapUs, blockUs)
+    else {
+      val gapMin = gapUs / 60000000L
+      require(gapMin * 60000000L == gapUs,
+        s"native session_window route needs a whole-minute gap: ${gapUs}us")
+      graft.streaming.EventStreams
+        .sessionWindowAgg(events
+            .select(col(keyCol).as("user_id"), col(tsCol).as("ts"),
+              col(valueCol).as("value")),
+          gap = s"$gapMin minutes")
+        .select(col("user_id").as(keyCol),
+          col("win.start").as("session_start"),
+          col("win.end").as("session_end"),
+          col("n_events"), col("total_value"))
+    }
+  }
 }

@@ -89,4 +89,67 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(102L).contains(900L))
     assert(got(300L).isEmpty)        // key with no right rows
   }
+
+  // session-window fixtures: 1-minute gap, 2.5-minute blocks, so sessions
+  // cross block boundaries and the exactly-gap boundary case is exercised
+  private val SwG = 60000000L  // 1 min in us
+  private val SwB = 150000000L // 2.5 min blocks
+  private def swEvents = {
+    val base = 1704067200000000L // whole-minute epoch so ts grid is clean
+    Seq(
+      // key 1: session spans a block boundary (140s -> 155s, gap 15s);
+      // then an event at EXACTLY the 60s gap (must MERGE — inclusive
+      // window extension); then a multi-empty-block gap to a new session
+      (1L, 10L, base + 140000000L, 1.0),
+      (1L, 11L, base + 155000000L, 2.0),
+      (1L, 12L, base + 215000000L, 4.0), // exactly 60s after 155s: merges
+      (1L, 13L, base + 900000000L, 8.0), // ~11 min later: new session
+      // key 2: ties at the same instant, single block
+      (2L, 20L, base + 10000000L, 1.5), (2L, 21L, base + 10000000L, 2.5),
+      // key 3: one event only
+      (3L, 30L, base + 77000000L, 3.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+  }
+  private type SwRow = (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)
+  private def nativeSw = graft.streaming.EventStreams
+    .sessionWindowAgg(swEvents, "1 minutes")
+    .select(col("user_id"), col("win.start").as("session_start"),
+      col("win.end").as("session_end"), col("n_events"), col("total_value"))
+
+  test("sessionWindowSalted == native session_window incl. boundary stitch") {
+    val native = nativeSw.as[SwRow].collect().toSet
+    val salted = EventOps.sessionWindowSalted(swEvents,
+        "user_id", "ts", "event_id", "value", gapUs = SwG, blockUs = SwB)
+      .as[SwRow].collect().toSet
+    assert(salted == native, s"salted $salted != native $native")
+    // semantics, not just parity: key 1 = two sessions (the exactly-gap
+    // event merged into the first), key 2 = one 2-event session
+    val k1 = salted.filter(_._1 == 1L)
+    assert(k1.map(_._4).toVector.sorted == Vector(1L, 3L))
+    assert(k1.exists(r => r._4 == 3L && r._5 == 7.0))
+    assert(salted.count(_._1 == 2L) == 1 &&
+      salted.find(_._1 == 2L).get._4 == 2L)
+  }
+
+  test("sessionWindowSkewSafe routes by key share, identical rows each way") {
+    val native = nativeSw.as[SwRow].collect().toSet
+    // forced routes: both branches must emit the same rows
+    for (hint <- Seq(Some(1.0), Some(0.0), None)) {
+      val routed = EventOps.sessionWindowSkewSafe(swEvents,
+          "user_id", "ts", "event_id", "value", gapUs = SwG, blockUs = SwB,
+          hotKeyShare = 0.5, knownTopShare = hint)
+      assert(routed.as[SwRow].collect().toSet == native, s"hint=$hint")
+    }
+    // the routing decision itself: key 1 holds 4/7 > 0.5 of rows, so the
+    // measured path must pick the salted plan (no session_window node);
+    // a high threshold must pick the native engine merge
+    val measured = EventOps.sessionWindowSkewSafe(swEvents,
+      "user_id", "ts", "event_id", "value", SwG, SwB, hotKeyShare = 0.5)
+    assert(!measured.queryExecution.analyzed.toString.contains("session_window"))
+    val nativeRoute = EventOps.sessionWindowSkewSafe(swEvents,
+      "user_id", "ts", "event_id", "value", SwG, SwB, hotKeyShare = 0.99)
+    assert(nativeRoute.queryExecution.analyzed.toString.contains("session_window"))
+  }
 }
