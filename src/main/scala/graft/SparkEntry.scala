@@ -1456,6 +1456,38 @@ object SparkEntry {
     TextAnalysis.perplexityBuckets(tbl(spark, dir, "documents"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** TA17b: the sampled-cut CCNet bucketing — per-domain cut scores
+    * learned on the deterministic keyed-hash half-sample (seed "cuts"),
+    * broadcast, then a map-only bucket pass over the full corpus (the
+    * hot-domain form: the exact ta17 sorts each whole domain; this sorts
+    * only the sample). FULL oracle — the SQL replays the LM, the sample
+    * selection, the NTILE cut learning, and the threshold CASE.
+    * ta17b_gate separately measures bucket agreement against exact ta17.
+    */
+  private def ta17bPplBucketsSampled(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBucketsSampled(tbl(spark, dir, "documents"),
+        col("source"), sampleFraction = 0.5, seed = "cuts")
+      .orderBy(col("doc_id"))
+
+  /** TA17b agreement gate: fraction of docs whose sampled-cut bucket
+    * equals the exact ta17 tercile bucket, floored. The sampled path may
+    * only shift boundary docs (cut estimation error), never reorder
+    * scores — agreement is the converging observable (→1 as the sample
+    * grows). Oracled to the literal gate row.
+    */
+  private def ta17bGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ta17PplBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val sampled = ta17bPplBucketsSampled(spark, dir)
+      .select(col("doc_id"), col("bucket").as("b_sampled"))
+    exact.join(sampled, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        avg((col("b_exact") === col("b_sampled")).cast("double")).as("agree"))
+      .select(lit(75).as("floor_x100"),
+        (col("n") > 0).cast("int").as("has_rows"),
+        (col("agree") >= 0.75).cast("int").as("pass"))
+  }
+
   /** TA13: the Gopher quality-rule battery (Rae et al. 2021 §A1.1) — all
     * seven rules as per-doc signals + booleans + the combined gate, every
     * signal exactly mirrored in the SQL oracle. The synthetic vocabulary
@@ -1579,6 +1611,21 @@ object SparkEntry {
     */
   private def bt1BpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.trainMerges(tbl(spark, dir, "documents"), 8)
+      .orderBy(col("rank"))
+
+  /** BT1b: the SAMPLED-corpus trainer — the 100 TB operating point for a
+    * real (50k) vocab, where even the batched distributed loop pays ~12k
+    * driver rounds. One deterministic keyed-hash half-sample (`md5` unit
+    * draw, seed "bpe" — the sp2/mx1 primitive, so DuckDB replays the
+    * SELECTION exactly), one distributed wordcount, then the sequential
+    * merge loop on the driver over the vocab-sized word-frequency table.
+    * The oracle re-learns all 8 merges from the SAME sampled subset — the
+    * bt1 training-replay SQL with the corpus swapped for the sample — so
+    * selection + training are both hash-checked end to end.
+    */
+  private def bt1bBpeTrainSampled(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.trainMergesSampled(
+        tbl(spark, dir, "documents"), 8, sampleFraction = 0.5, seed = "bpe")
       .orderBy(col("rank"))
 
   /** BT2: the full tokenizer LIFECYCLE — train the bt1 merge table
@@ -2608,8 +2655,11 @@ object SparkEntry {
     "ta15_heavy_hitters" -> (ta15HeavyHitters(_, _)),
     "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
+    "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
+    "ta17b_gate" -> (ta17bGate(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
     "bt1_bpe_train" -> (bt1BpeTrain(_, _)),
+    "bt1b_bpe_train_sampled" -> (bt1bBpeTrainSampled(_, _)),
     "bt2_bpe_encode" -> (bt2BpeEncode(_, _)),
     "bt3_bpe_vocab" -> (bt3BpeVocab(_, _)),
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
@@ -2777,7 +2827,8 @@ ORDER BY d.doc_id"""
     * b{r} is empty (training exhausted) contribute no output row and leave
     * the state unchanged, matching trainMerges' early stop.
     */
-  private def bpeTrainSql(numMerges: Int): String = {
+  private def bpeTrainSql(numMerges: Int,
+      corpus: String = "documents"): String = {
     val rounds = (1 to numMerges).map { r =>
       val prev = s"w${r - 1}"
       // MATERIALIZED: w{r-1} is referenced by both p$r and m$r — without
@@ -2813,7 +2864,7 @@ w0 AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
     list_transform(range(1, length(w) + 1), i -> w[i]) AS toks
   FROM (SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS w
-        FROM documents)
+        FROM $corpus)
   GROUP BY w),
 $rounds
 $sel ORDER BY rank"""
@@ -3272,6 +3323,62 @@ ORDER BY token_id"""
            CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
              ELSE 'tail' END AS bucket
          FROM ranked ORDER BY doc_id""",
+    // ta17b: the ta16 LM replay + cut scores learned on the keyed-hash
+    // half-sample (the sp2/mx1 md5-unit draw, seed "cuts") + the
+    // threshold CASE — selection, cut learning, and bucketing all
+    // re-derived
+    "ta17b_ppl_buckets_sampled" ->
+      s"""WITH tok AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+           FROM documents),
+         uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         arr AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+             toks[CAST(g.i AS INT) + 1] AS w2
+           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+         lp AS (
+           SELECT big.doc_id,
+             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 0.25 * (CAST(uni.cu AS DOUBLE) / tot.total)), 6) AS lp
+           FROM big
+           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+           JOIN c1 ON big.w1 = c1.w1
+           JOIN uni ON big.w2 = uni.tok, tot),
+         $lmMicroCte,
+         lm2 AS (
+           SELECT doc_id, n_bigrams, $lmAvgExpr AS avg_logprob FROM lm),
+         scored AS (
+           SELECT lm2.doc_id, d.source AS domain, lm2.n_bigrams,
+             lm2.avg_logprob
+           FROM lm2 JOIN documents d ON lm2.doc_id = d.doc_id),
+         samp AS (
+           SELECT domain, avg_logprob,
+             NTILE(3) OVER (PARTITION BY domain
+               ORDER BY avg_logprob DESC, doc_id) AS t
+           FROM scored
+           WHERE CAST(('0x' || substr(md5('cuts:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0 < 0.5),
+         cuts AS (
+           SELECT domain,
+             MIN(CASE WHEN t = 1 THEN avg_logprob END) AS cut_head,
+             MIN(CASE WHEN t = 2 THEN avg_logprob END) AS cut_mid
+           FROM samp GROUP BY 1)
+         SELECT s.doc_id, s.domain, s.n_bigrams, s.avg_logprob,
+           CASE WHEN c.cut_head IS NOT NULL AND s.avg_logprob >= c.cut_head
+                  THEN 'head'
+                WHEN c.cut_mid IS NOT NULL AND s.avg_logprob >= c.cut_mid
+                  THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM scored s LEFT JOIN cuts c ON s.domain = c.domain
+         ORDER BY s.doc_id""",
+    "ta17b_gate" -> "SELECT 75 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->
@@ -4552,6 +4659,12 @@ ORDER BY token_id"""
     "ta13_gopher" -> gopherSql,
     "ta14_url_filter" -> urlFilterSql,
     "bt1_bpe_train" -> bpeTrainSql(8),
+    // bt1b: re-learn from the SAME keyed-hash half-sample (selection
+    // predicate = the sp2/mx1 md5-unit draw, seed "bpe")
+    "bt1b_bpe_train_sampled" -> bpeTrainSql(8,
+      corpus = """(SELECT * FROM documents
+        WHERE CAST(('0x' || substr(md5('bpe:' || CAST(doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) / 1152921504606846976.0 < 0.5)"""),
     "bt2_bpe_encode" -> bpeEncodeSql(8),
     "bt3_bpe_vocab" -> bpeVocabSql(8),
     "dd10_paragraph_dedup" ->

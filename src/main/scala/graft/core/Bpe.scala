@@ -192,8 +192,42 @@ object Bpe {
         if (syms.nonEmpty) freq.updateWith(syms)(c => Some(c.getOrElse(0L) + 1))
       }
     }
-    var words = freq.toVector
-    val merges = Vector.newBuilder[(String, String)]
+    new BpeTokenizer(
+      learnMergesWeighted(freq.toVector, numMerges, minPairCount.toLong)
+        .map { case (a, b, _) => (a, b) },
+      pretokenRegex, byteLevel)
+  }
+
+  /** The sequential merge loop over a weighted word-state table — the
+    * training core [[train]] builds its frequency map for, exposed so a
+    * DISTRIBUTED pre-aggregation (one `groupBy(word).count()` wordcount,
+    * the only corpus-sized pass BPE training needs) can feed the same
+    * loop: that is the sampled-corpus 100 TB path
+    * [[graft.operators.BpeTrain.trainMergesSampled]] registers as bt1b.
+    * Returns (lhs, rhs, pair_count) in learn order — semantics identical
+    * to the distributed [[graft.operators.BpeTrain.trainMerges]]: argmax
+    * on (count DESC, lhs, rhs) with code-point tie order, stop below
+    * `minPairCount`.
+    */
+  private[graft] def learnMergesWeighted(
+      words0: Vector[(Vector[String], Long)], numMerges: Int,
+      minPairCount: Long): Vector[(String, String, Long)] = {
+    // tie-break in CODE-POINT order (== UTF-8 byte order), matching
+    // Spark's binary string sort and DuckDB's collation — Java's
+    // natural String order is UTF-16 code-unit order, which ranks
+    // supplementary-plane symbols before U+E000..U+FFFF and would
+    // silently diverge from the distributed trainer on such ties
+    implicit val cpOrd: Ordering[String] =
+      (x: String, y: String) => {
+        val c = x.codePoints().iterator()
+        val d = y.codePoints().iterator()
+        var r = 0
+        while (r == 0 && c.hasNext && d.hasNext)
+          r = Integer.compare(c.next(), d.next())
+        if (r != 0) r else java.lang.Boolean.compare(c.hasNext, d.hasNext)
+      }
+    var words = words0
+    val merges = Vector.newBuilder[(String, String, Long)]
     var k = 0
     var exhausted = false
     while (k < numMerges && !exhausted) {
@@ -207,25 +241,11 @@ object Bpe {
       }
       if (pairs.isEmpty) exhausted = true
       else {
-        // tie-break in CODE-POINT order (== UTF-8 byte order), matching
-        // Spark's binary string sort and DuckDB's collation — Java's
-        // natural String order is UTF-16 code-unit order, which ranks
-        // supplementary-plane symbols before U+E000..U+FFFF and would
-        // silently diverge from the distributed trainer on such ties
-        implicit val cpOrd: Ordering[String] =
-          (x: String, y: String) => {
-            val c = x.codePoints().iterator()
-            val d = y.codePoints().iterator()
-            var r = 0
-            while (r == 0 && c.hasNext && d.hasNext)
-              r = Integer.compare(c.next(), d.next())
-            if (r != 0) r else java.lang.Boolean.compare(c.hasNext, d.hasNext)
-          }
         val (best, cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }(
           Ordering.Tuple3(Ordering.Long, cpOrd, cpOrd))
         if (cnt < minPairCount) exhausted = true
         else {
-          merges += best
+          merges += ((best._1, best._2, cnt))
           val merged = best._1 + best._2
           words = words.map { case (syms, c) =>
             val out = Vector.newBuilder[String]
@@ -241,7 +261,7 @@ object Bpe {
         }
       }
     }
-    new BpeTokenizer(merges.result(), pretokenRegex, byteLevel)
+    merges.result()
   }
 
   /** Load a published HF `tokenizer.json` (byte-level BPE: model.vocab +

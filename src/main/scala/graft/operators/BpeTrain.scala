@@ -144,6 +144,65 @@ object BpeTrain {
       Materialize(wordStates(docs, pretokenRegex, textCol)),
       numMerges, minPairCount, maxMergesPerRound)
 
+  /** BT1b: the SAMPLED-corpus trainer — the 100 TB operating point for a
+    * real vocab. The batched distributed loop ([[trainMerges]]) still pays
+    * ~ceil(V / batch) driver-synchronized rounds (a 50k vocab ≈ 12k
+    * sequential rounds at the measured ~4x natural-text batch factor —
+    * SCALE.md); production tokenizers avoid that by training on a SAMPLE:
+    * one deterministic keyed-hash filter (`md5(seed:id)`-unit draw, the
+    * sp2/mx1 primitive — layout- and retry-independent), ONE distributed
+    * wordcount ([[wordStates]] — the only corpus-sized pass BPE training
+    * needs), then the sequential loop runs on the DRIVER over the
+    * collected word-frequency table (vocab-sized: distinct pretokens, not
+    * corpus rows — GPT-2's byte-level BPE trained this way on a sampled
+    * 40 GB corpus whose distinct-word table fits in memory). Zero
+    * distributed rounds; V no longer multiplies driver latency.
+    *
+    * `maxDistinctWords` is the collect tripwire (the aj2 cell-cap
+    * discipline): the driver-side table is bounded by construction, and
+    * the job fails loudly — naming the knobs — rather than letting a
+    * degenerate pretoken regex (e.g. one matching whole lines) grow it
+    * corpus-sized. Merge semantics are [[graft.core.Bpe]]'s sequential
+    * loop verbatim, so `sampleFraction >= 1` is bit-identical to
+    * [[trainMerges]] (BpeTrainSpec pins it) and the bt1b oracle re-learns
+    * from the same sampled subset in SQL.
+    */
+  def trainMergesSampled(docs: DataFrame, numMerges: Int,
+      sampleFraction: Double, seed: String = "bpe",
+      pretokenRegex: String = "[\\p{L}\\p{N}]+", textCol: String = "text",
+      idCol: String = "doc_id", minPairCount: Long = 2L,
+      maxDistinctWords: Int = 10000000): DataFrame = {
+    require(sampleFraction > 0,
+      s"sampleFraction must be > 0: $sampleFraction")
+    val spark = docs.sparkSession
+    val sampled =
+      if (sampleFraction >= 1.0) docs
+      else docs.filter(
+        Sampling.unitHash(col(idCol), seed) < lit(sampleFraction))
+    val rows = wordStates(sampled, pretokenRegex, textCol)
+      .select(col("toks"), col("c"))
+      .limit(maxDistinctWords + 1).collect()
+    require(rows.length <= maxDistinctWords,
+      s"trainMergesSampled: > $maxDistinctWords distinct pretokens in the " +
+        s"sample — lower sampleFraction or check pretokenRegex " +
+        s"('$pretokenRegex'); raise maxDistinctWords only with driver " +
+        "memory to match")
+    val words = rows.iterator
+      .map(r => (r.getSeq[String](0).toVector, r.getLong(1))).toVector
+    val learned = graft.core.Bpe
+      .learnMergesWeighted(words, numMerges, minPairCount)
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.zipWithIndex.map { case ((a, b, c), i) =>
+          Row(i + 1, a, b, c) }, 1),
+      schema)
+  }
+
   /** The longest prefix of the round's pair ranking that is provably
     * identical to learning the merges one argmax at a time. A candidate
     * (a, b, cnt) after already-accepted merges is safe when:

@@ -24,7 +24,7 @@ object Sampling {
     * md5("<seed>:<id>") over 2^60 — the same md5-prefix-long derivation as
     * the MinHash/fingerprint family (SURVEY §7.4).
     */
-  private def unitHash(idCol: Column, seed: String): Column =
+  def unitHash(idCol: Column, seed: String): Column =
     conv(substring(md5(concat(lit(s"$seed:"), idCol.cast("string"))), 1, 15),
       16, 10).cast("double") / lit(1.152921504606846976e18)
 

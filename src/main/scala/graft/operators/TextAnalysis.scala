@@ -470,6 +470,55 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** TA17b: the SAMPLED-CUT form of [[perplexityBuckets]] — CCNet's
+    * actual production design (Wenzek et al. 2020 §4.3 train the cuts on
+    * a sample, then stream the corpus through them). The exact form pays
+    * one sort per domain; a pathologically hot domain makes that one
+    * sorted partition corpus-sized. Here the two per-domain cut scores
+    * are learned on a deterministic keyed-hash sample (`md5(seed:id)`
+    * unit draw — layout/retry-independent, so the oracle replays the
+    * SELECTION too), the (|domains| x 2) cut table broadcasts, and the
+    * full corpus buckets in a MAP-ONLY pass: exact tercile SIZES traded
+    * for O(sample) sort memory; boundaries converge as the sample grows
+    * (ta17b_gate measures the agreement against exact ta17).
+    *
+    * Cut semantics: within the sample, NTILE(3) over (score DESC,
+    * doc_id); cut_head = the lowest score in the sample's head tercile,
+    * cut_mid = the lowest in its middle. A doc buckets head iff
+    * score >= cut_head, middle iff >= cut_mid, else tail. A domain
+    * absent from the sample has no cut evidence — its docs land in tail
+    * (size the sample so every domain appears; CCNet learns per-language
+    * cuts on substantial slices). Fully deterministic, so unlike most
+    * sampled paths this one carries a FULL oracle.
+    */
+  def perplexityBucketsSampled(docs: DataFrame, domainCol: Column,
+      sampleFraction: Double, seed: String = "cuts",
+      textCol: String = "text", lambda: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1]: $sampleFraction")
+    val lm = bigramLogProb(docs, textCol, lambda)
+    val scored = docs.select(col(idCol).as("doc_id"), domainCol.as("__dom"))
+      .join(lm, Seq("doc_id"))
+    val t = ntile(3).over(Window.partitionBy(col("__dom"))
+      .orderBy(col("avg_logprob").desc, col("doc_id")))
+    val cuts = scored
+      .filter(Sampling.unitHash(col("doc_id"), seed) < lit(sampleFraction))
+      .withColumn("__t", t)
+      .groupBy(col("__dom"))
+      .agg(min(when(col("__t") === 1, col("avg_logprob"))).as("__cut_head"),
+        min(when(col("__t") === 2, col("avg_logprob"))).as("__cut_mid"))
+    scored.join(broadcast(cuts), Seq("__dom"), "left")
+      .select(col("doc_id"), col("__dom").as("domain"), col("n_bigrams"),
+        col("avg_logprob"),
+        when(col("__cut_head").isNotNull &&
+          col("avg_logprob") >= col("__cut_head"), "head")
+          .when(col("__cut_mid").isNotNull &&
+            col("avg_logprob") >= col("__cut_mid"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** TA10: compression-ratio quality signal — deflate(text).length /
     * utf8(text).length (level 6, the zlib default). Highly repetitive or
     * templated documents compress far below natural prose (~0.3-0.6 for

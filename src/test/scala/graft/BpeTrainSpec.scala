@@ -59,6 +59,66 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(full.forall(_.getAs[Long]("pair_count") >= 2L))
   }
 
+  test("trainMergesSampled: keep-all == distributed, rank/count for rank") {
+    val texts = Seq(
+      "low lower lowest low low newest",
+      "new newer newest new lowest wide",
+      "wide wider widest lowest low newer",
+      "he she the then there hen")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = BpeTrain.trainMerges(docs, 10, minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).toVector
+    val sampled = BpeTrain.trainMergesSampled(docs, 10, sampleFraction = 1.0,
+        minPairCount = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count"))).toVector
+    assert(sampled == dist,
+      s"keep-all sampled trainer $sampled must equal distributed $dist")
+  }
+
+  test("trainMergesSampled: half-sample agrees with full on head merges") {
+    // Zipf-shaped corpus: every doc carries the same dominant words (the
+    // x4, lowest x2, newest x1) plus two doc-varying tail words, so the
+    // head of the pair-count ranking is separated by large margins while
+    // the tail is noisy — the regime the sampled path targets (the HEAD of
+    // the merge order converges first as the sample grows; tail merges are
+    // where a half-sample may legitimately differ). Deterministic: the
+    // sample is a pure function of (seed, id).
+    val tail = Vector("wider", "widest", "she", "hen", "abide", "crow",
+      "fjord", "glyph", "mix", "quiz")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, ("the the the the lowest lowest newest " +
+        tail(i % tail.size) + " " + tail((i * 3 + 1) % tail.size)))
+    }.toDF("doc_id", "text")
+    def merges(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      .toVector
+    val full = merges(BpeTrain.trainMerges(docs, 8, minPairCount = 2L))
+    val half = merges(BpeTrain.trainMergesSampled(docs, 8,
+      sampleFraction = 0.5, minPairCount = 2L))
+    assert(full.size == 8 && half.size == 8)
+    // head agreement: the first 4 merges must coincide exactly, and the
+    // 8-merge SETS must overlap in at least 6 entries
+    assert(half.take(4) == full.take(4),
+      s"half-sample head ${half.take(4)} diverged from full ${full.take(4)}")
+    val overlap = half.toSet.intersect(full.toSet).size
+    assert(overlap >= 6, s"merge-set overlap $overlap < 6: $half vs $full")
+  }
+
+  test("trainMergesSampled: distinct-word tripwire fails loudly") {
+    val docs = Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc ii jj"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.trainMergesSampled(docs, 4, sampleFraction = 1.0,
+        maxDistinctWords = 5)
+    }
+    assert(e.getMessage.contains("distinct pretokens"))
+  }
+
   test("batched rounds == strictly sequential rounds, rank for rank") {
     // the fixture has shared symbols between top pairs (lo/ow/we/es/st all
     // chain through common letters) so disjointPrefix must serialize some
