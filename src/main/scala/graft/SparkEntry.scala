@@ -3997,14 +3997,22 @@ ORDER BY token_id"""
     // dc4: positional grams (k 0-based, gram k covers tokens k..k+4),
     // covered-index expansion capped at doc length, original-case tokens
     // rejoined with single spaces — the whole rewrite replayed per doc
+    // toks guard: Scala's toksOf maps null/whitespace-only text to a
+    // 0-token array, while bare string_split_regex(trim(text)) yields
+    // [''] (1 token) — and the gram CTE must emit NOTHING for an empty
+    // doc (gramsOf is empty at l = 0), not a '' gram
     "dc4_span_decontam" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
            FROM documents),
          g AS (
            SELECT doc_id, k - 1 AS k,
              lower(array_to_string(t[k:k+4], ' ')) AS g
-           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) u(k)),
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) u(k)
+           WHERE len(t) >= 1),
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
          corp AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
          hits AS (SELECT doc_id, k FROM corp JOIN bench USING (g)),

@@ -114,8 +114,15 @@ object Main {
         .select(col("query_id").cast("long"), col("embedding"))
       val k = opts.get("k").map(_.toInt).getOrElse(10)
       val probe = opts.get("probe").map(_.toInt).getOrElse(6)
+      // probe via the Hadoop filesystem, not java.io — an index persisted
+      // to HDFS/S3 (read everywhere else through Spark) would look absent
+      // to File.exists and silently fall into the plain-IVF loader
+      val codebooksPath = new org.apache.hadoop.fs.Path(dir, "codebooks")
+      val hasCodebooks = codebooksPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(codebooksPath)
       val result =
-        if (new java.io.File(s"$dir/codebooks").exists) {
+        if (hasCodebooks) {
           val corpus = spark.read.parquet(opts("embeddings"))
             .select(col("vec_id").cast("long"), col("embedding"))
           val (idx, cs, cbs) = graft.operators.Pq.loadIvfPqIndex(spark, dir)
@@ -134,6 +141,20 @@ object Main {
   /** getOrCreate, remembering whether the session was ours to stop — a
     * pre-existing host session (tests, notebooks) is left running.
     */
+  /** Domain-bearing flags re-read the corpus as parquet (loadDocs
+    * standardizes to doc_id/text); a text-directory corpus carries no
+    * domain column and would otherwise die in Spark's parquet reader
+    * with an opaque footer error instead of this message.
+    */
+  private def requireParquetCorpus(src: String, flag: String,
+      domainCol: String): Unit =
+    require(
+      !(new java.io.File(src).isDirectory &&
+        new java.io.File(src).listFiles() != null &&
+        new java.io.File(src).listFiles().exists(_.getName.endsWith(".txt"))),
+      s"$flag requires a parquet corpus carrying column '$domainCol'; " +
+        s"$src is a text directory")
+
   private def session(): (SparkSession, Boolean) = {
     val preexisting = SparkSession.getDefaultSession
       .exists(s => !s.sparkContext.isStopped)
@@ -392,6 +413,7 @@ object Main {
         require(keepBuckets.subsetOf(Set("head", "middle", "tail")),
           s"--ppl-keep buckets must be head/middle/tail: $spec")
         val d = opts.getOrElse("ppl-domain", "source")
+        requireParquetCorpus(opts("docs"), "--ppl-keep", d)
         val domSrc = spark.read.parquet(opts("docs"))
           .select(col("doc_id").cast("long"), col(d))
         val keep = graft.operators.TextAnalysis.perplexityBuckets(
@@ -421,14 +443,7 @@ object Main {
       // parquet source (loadDocs standardizes to doc_id/text).
       opts.get("mix-domain").foreach { d =>
         val src = opts("docs")
-        // loadDocs standardizes to (doc_id, text); the domain column must
-        // come from a parquet source — a text-dir corpus carries none
-        require(
-          !(new java.io.File(src).isDirectory &&
-            new java.io.File(src).listFiles() != null &&
-            new java.io.File(src).listFiles().exists(_.getName.endsWith(".txt"))),
-          s"--mix-domain requires a parquet corpus carrying column '$d'; " +
-            s"$src is a text directory")
+        requireParquetCorpus(src, "--mix-domain", d)
         val domSrc = spark.read.parquet(src)
           .select(col("doc_id").cast("long"), col(d))
         // --mix-unimax BUDGET[:EPOCHS] swaps the temperature rebalance for

@@ -230,10 +230,10 @@ object Pq {
   def ivfPqSearch(index: DataFrame, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], corpus: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 6,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50, maxQueries: Int = 100000): DataFrame = {
     import graft.functions.{vecDotF, vecNormF}
     require(k >= 1 && shortlist >= k && nProbe >= 1 &&
-      nProbe <= centroids.length)
+      nProbe <= centroids.length && maxQueries >= 1)
     val spark = index.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -241,9 +241,21 @@ object Pq {
 
     // per-query metadata: probed cells (same two-level search as
     // assignment), centroid dots for those cells, residual dot tables,
-    // query norm — queries × (nProbe + m·ksub) doubles, broadcast once
-    val qRows = queries.select(col("query_id"), col("embedding")).collect()
+    // query norm — queries × (nProbe + m·ksub) doubles, broadcast once.
+    // The broadcast-queries CONTRACT every ANN operator here shares is
+    // pinned by `maxQueries` (limit+require, not count-then-collect, so
+    // the guard costs no extra job): unlike the others, this path
+    // materializes queries as a DRIVER array for the ADC table build,
+    // and a silently corpus-sized query set would OOM the driver rather
+    // than a task. Chunk the query set at the call site to go wider.
+    val qRows = queries.select(col("query_id"), col("embedding"))
+      .limit(maxQueries + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.length <= maxQueries,
+      s"ivfPqSearch: query set exceeds maxQueries=$maxQueries — the ADC" +
+        " tables are built per query on the driver (broadcast-queries" +
+        " contract); chunk the query set or raise maxQueries with driver" +
+        " memory to match")
     val cidx = CentroidIndex.build(centroids)
     val qMeta: Map[Long, (Map[Int, Double], Array[Array[Double]], Double)] =
       qRows.map { case (qid, qv) =>

@@ -140,8 +140,14 @@ object Quantize {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1)
     val sig = signBits(col("embedding"), dim)
-    val c = corpus.select(col("vec_id"), sig.as("sig_c"))
-    val q = queries.select(col("query_id"), sig.as("sig_q"))
+    // null vectors can't carry a signature: signBits would pack null to
+    // all-zero words (indistinguishable from an all-negative vector) and
+    // the row would compete as a ranked candidate — filter like the
+    // k-means/IVF-PQ paths do
+    val c = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), sig.as("sig_c"))
+    val q = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"), sig.as("sig_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming").asc, col("vec_id").asc)
     c.crossJoin(broadcast(q))

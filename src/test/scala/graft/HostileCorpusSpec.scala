@@ -305,15 +305,53 @@ class HostileCorpusSpec extends AnyFunSuite {
     val ivf = graft.operators.Similarity.ivfTopK(vecs, q, 3, 4, nCells = 2,
       nProbe = 2).select("vec_id").as[Long].collect().toSet
     assert(ivf.nonEmpty && !ivf.contains(1L))
-    // sign search: null vector packs to a null signature (element_at on
-    // null array) -> hamming null -> sorts last, never crashes; zero and
-    // short vectors pack to valid words
+    // sign search: null vectors are FILTERED (matching the k-means/
+    // IVF-PQ paths) — signBits would otherwise pack null to all-zero
+    // words, indistinguishable from an all-negative vector, and the row
+    // would compete as a ranked candidate; zero and short vectors pack
+    // to valid words and stay rankable
     val sign = graft.operators.Quantize.signTopK(
       vecs.unionByName(Seq((7L, Array(1f, 1f))).toDF("vec_id", "embedding")),
       q, 6, 4)
     val ranked = sign.orderBy(col("rank"))
       .select("vec_id").as[Long].collect()
-    assert(ranked.length >= 5 && ranked.take(4).forall(_ != 1L))
+    assert(ranked.length >= 5 && !ranked.contains(1L))
+  }
+
+  test("plain attribution join: hot-key candidate tripwire fires, " +
+      "under-cap output unchanged") {
+    import graft.streaming.EventStreams
+    // hot key 1: 4 purchases x 5 clicks = 20 candidate pairs; key 2: 1x1
+    val base = 1704067200000000L
+    def ts(off: Long) = timestamp_micros(lit(base + off * 60000000L))
+    val purchases = Seq((1L, 100L, 0L), (1L, 101L, 5L), (1L, 102L, 10L),
+      (1L, 103L, 15L), (2L, 200L, 3L))
+      .toDF("user_id", "purchase_id", "off")
+      .select(col("user_id"), col("purchase_id"),
+        timestamp_micros(lit(base) + col("off") * 60000000L).as("p_ts"))
+    val clicks = Seq((1L, 900L, 1L), (1L, 901L, 4L), (1L, 902L, 9L),
+      (1L, 903L, 14L), (1L, 904L, 20L), (2L, 910L, 2L))
+      .toDF("c_user", "click_id", "off")
+      .select(col("c_user"), col("click_id"),
+        timestamp_micros(lit(base) + col("off") * 60000000L).as("c_ts"))
+    // cap below the hot key's 20 products: fail loudly, name the key
+    val e = intercept[Exception] {
+      EventStreams.attributionJoinOuter(purchases, clicks,
+        maxCandidatesPerKey = 10L).count()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("candidate pairs"),
+      s"expected the candidate tripwire, got: ${e.getMessage}")
+    // at the default cap the guard is invisible: same rows as the binned
+    // form (held to the same oracle)
+    val plain = EventStreams.attributionJoinOuter(purchases, clicks)
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val binned = EventStreams.attributionJoinBinned(purchases, clicks,
+        outer = true)
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(plain == binned && plain.nonEmpty)
   }
 
   test("metrics survive null gen/ref pairs") {
