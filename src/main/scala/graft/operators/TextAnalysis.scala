@@ -499,8 +499,13 @@ object TextAnalysis {
     require(sampleFraction > 0 && sampleFraction <= 1,
       s"sampleFraction must be in (0,1]: $sampleFraction")
     val lm = bigramLogProb(docs, textCol, lambda)
-    val scored = docs.select(col(idCol).as("doc_id"), domainCol.as("__dom"))
-      .join(lm, Seq("doc_id"))
+    // scored feeds BOTH the cut learner and the bucket pass; without
+    // truncation Catalyst plans the full bigram-LM subtree (explode +
+    // three shuffle joins — the linear floor) under each branch, doubling
+    // the dominant cost. Materialize once (the pipe_ccnet discipline).
+    val scored = Materialize(
+      docs.select(col(idCol).as("doc_id"), domainCol.as("__dom"))
+        .join(lm, Seq("doc_id")))
     val t = ntile(3).over(Window.partitionBy(col("__dom"))
       .orderBy(col("avg_logprob").desc, col("doc_id")))
     val cuts = scored

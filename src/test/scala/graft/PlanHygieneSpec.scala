@@ -58,7 +58,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss7b_index_append", "pipe_ccnet",
     // power iterations materialize per round (the dd7 rule); shape
     // pinned by GraphSpec
-    "gr1_pagerank")
+    "gr1_pagerank",
+    // ta17b materializes its scored table at construction (the LM feeds
+    // both the cut learner and the bucket pass — the pipe_ccnet
+    // discipline); its one-row totals broadcast is ta16's sanctioned BNLJ
+    "ta17b_ppl_buckets_sampled", "ta17b_gate")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set

@@ -275,6 +275,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, Some(100L)), (3L, None)))
   }
 
+  test("attribution join state store is watermark-bounded: rows evict as event time advances") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    for (outer <- Seq(false, true)) {
+      val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val cIn = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val p = pIn.toDF().toDF("p_ts", "user_id", "purchase_id")
+      val c = cIn.toDF().toDF("c_ts", "c_user", "click_id")
+      val joined =
+        if (outer) EventStreams.attributionJoinOuter(p, c)
+        else EventStreams.attributionJoin(p, c)
+      val q = joined.writeStream.format("memory")
+        .queryName(s"attr_state_$outer").outputMode("append").start()
+      try {
+        // 8 waves, each 1000 min of event time apart — far past the
+        // 1 h watermark + 30 min window horizon, so every wave's rows
+        // become unmatchable (hence evictable) as soon as the next wave
+        // advances the watermark. 40 clicks + 10 purchases per wave.
+        val waves = 8
+        val rowsPerWave = 50L
+        val stateRows = (0 until waves).map { w =>
+          val base = w * 1000L
+          cIn.addData((0 until 40).map(i =>
+            (ts(base + i), (i % 7).toLong, w * 100L + i)))
+          pIn.addData((0 until 10).map(i =>
+            (ts(base + 30 + i), (i % 7).toLong, w * 100L + 90 + i)))
+          q.processAllAvailable()
+          q.recentProgress.lastOption
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        }
+        // without eviction the store would accumulate ~waves x rowsPerWave
+        // (400) rows; the range-bound-derived state watermark must keep it
+        // to ~one wave's horizon at any time
+        assert(stateRows.max <= 3L * rowsPerWave,
+          s"outer=$outer: state grew past the watermark horizon: $stateRows")
+        assert(stateRows.last <= 3L * rowsPerWave,
+          s"outer=$outer: final state not evicted: $stateRows")
+        // and rows were actively REMOVED by eviction, not merely never kept
+        val removed = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+        assert(removed >= (waves - 3L) * rowsPerWave,
+          s"outer=$outer: expected most of ${waves * rowsPerWave} state rows" +
+            s" removed by the watermark, saw $removed")
+      } finally q.stop()
+    }
+  }
+
   test("attributionJoinBinned == plain form, inner and outer, across bucket edges") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
