@@ -35,7 +35,9 @@ object ProbeStreamState {
       .appName("probe-stream-state").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // driver drops write ts as TIMESTAMP_NTZ; normalize (session tz is UTC)
     val ev = spark.read.parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
     val width = (hi - lo + chunks - 1) / chunks
