@@ -2531,6 +2531,50 @@ object SparkEntry {
       .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** MM6: REAL codec round-trip (JdkMedia.scala) — render a genuine PNG
+    * per doc at doc_id-derived dimensions, parse it back with the JDK
+    * ImageIO decoder, resize it with a real Graphics2D re-encode, and
+    * parse THAT back. The oracle predicts every decoded dimension from
+    * doc_id alone, so it only matches if ImageIO actually parsed the
+    * containers both times — the codec is no longer a stub. Map-only
+    * except the final doc_id join of the two decode branches.
+    */
+  private def mm6CodecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JdkMedia
+    val dims = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      (lit(16) + pmod(col("doc_id"), lit(13)) * 4).cast("int").as("w"),
+      (lit(16) + pmod(col("doc_id"), lit(7)) * 4).cast("int").as("h"))
+    val media = JdkMedia.withRenderedPng(dims, "w", "h")
+    val decoded = Multimodal.decodeMeta(media, JdkMedia.JdkMediaDecoder)
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_frames"))
+    val redecoded = Multimodal.decodeMeta(
+        Multimodal.resizePayloads(media, 24, 18, JdkMedia.JdkMediaDecoder)
+          .select(col("doc_id"), col("resized").as("payload")),
+        JdkMedia.JdkMediaDecoder)
+      .select(col("doc_id"), col("width").as("r_width"), col("height").as("r_height"))
+    decoded.join(redecoded, "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** MM7: REAL WAV round-trip — render genuine 16-bit PCM WAV containers
+    * (frame count / channel count derived from doc_id), parse them back
+    * via javax.sound; the oracle predicts sample rate, channels and frame
+    * count, which only match if the RIFF header was truly parsed.
+    */
+  private def mm7WavRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JdkMedia
+    val dims = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      (lit(256) + pmod(col("doc_id"), lit(512))).cast("int").as("nf"),
+      (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"))
+    Multimodal.decodeMeta(
+        JdkMedia.withRenderedWav(dims, "nf", "ch", sampleRate = 8000),
+        JdkMedia.JdkMediaDecoder)
+      .select(col("doc_id"), col("format"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- pipelines
 
   /** Non-SQL-expressible ops (rows-only driver check + ScalaTest goldens). */
@@ -2697,6 +2741,8 @@ object SparkEntry {
     "mm3_frame_sample" -> (mm3FrameSample(_, _)),
     "mm4_feature_norm" -> (mm4FeatureNorm(_, _)),
     "mm5_resize" -> (mm5Resize(_, _)),
+    "mm6_codec_roundtrip" -> (mm6CodecRoundtrip(_, _)),
+    "mm7_wav_roundtrip" -> (mm7WavRoundtrip(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_lsh" -> (pipeCurationLsh(_, _)),
@@ -3451,6 +3497,21 @@ ORDER BY token_id"""
     "mm5_resize" ->
       """SELECT doc_id, md5(text || chr(64) || chr(48)) AS resized_md5,
          CAST(16 AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    // every decoded dimension is a pure function of doc_id: the oracle can
+    // only match if the JDK codec actually parsed the rendered containers
+    "mm6_codec_roundtrip" ->
+      """SELECT doc_id, 'png' AS format,
+         CAST(16 + (doc_id % 13) * 4 AS INT) AS width,
+         CAST(16 + (doc_id % 7) * 4 AS INT) AS height,
+         CAST(1 AS INT) AS n_frames,
+         CAST(24 AS INT) AS r_width, CAST(18 AS INT) AS r_height
+         FROM documents ORDER BY doc_id""",
+    "mm7_wav_roundtrip" ->
+      """SELECT doc_id, 'wav' AS format,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(1 + (doc_id % 2) AS INT) AS channels,
+         CAST(256 + (doc_id % 512) AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
     // BERTScore greedy match with the md5-bucket embedder: a single-token
     // embedding is exactly +/-e_(h % 64) (h = first 60 md5 bits, sign =

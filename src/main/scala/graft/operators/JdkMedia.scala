@@ -1,0 +1,247 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal.{MediaDecoder, MediaMeta}
+
+/** REAL media codec behind [[Multimodal.MediaDecoder]], built entirely on
+  * JDK-shipped codecs (zero added dependencies): `javax.imageio.ImageIO`
+  * for PNG / JPEG / GIF / BMP and `javax.sound.sampled.AudioSystem` for
+  * RIFF/WAVE PCM. This closes the "codec is stubbed" gap: the decoder
+  * parses actual container bytes, so the `mm6`/`mm7` round-trip queries
+  * exercise render -> real parse -> real re-encode end-to-end under a SQL
+  * oracle (the oracle predicts the decoded dimensions from `doc_id`, which
+  * only match if the codec genuinely parsed the payload it was handed).
+  *
+  * Scale shape: identical to the stub path — the decoder is constructed
+  * once per partition inside `mapPartitions` (Multimodal.scala:88), each
+  * row decodes independently, nothing shuffles. A JavaCV/ffmpeg decoder
+  * for video containers would implement the same trait; the JDK cannot
+  * decode mp4, so video stays out of scope here (documented, not hidden).
+  *
+  * Reference: the builder-prompt multimodal requirement; the reference
+  * repo itself is text-only (SURVEY.md §2 has no media operators).
+  */
+object JdkMedia {
+
+  /** Media semantics for [[MediaMeta]] fields per container family:
+    *  - images: width/height in pixels, n_frames = image count (GIF may
+    *    exceed 1), format = "png"|"jpeg"|"gif"|"bmp".
+    *  - WAV audio: width = sample rate (Hz), height = channel count,
+    *    n_frames = PCM frame count, format = "wav".
+    *  - anything else: format = "bin", zeros elsewhere (honest fallback,
+    *    never a guess).
+    */
+  object JdkMediaDecoder extends MediaDecoder {
+
+    private def isPng(p: Array[Byte]) =
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    private def isJpeg(p: Array[Byte]) =
+      p.length > 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+    private def isGif(p: Array[Byte]) =
+      p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+    private def isBmp(p: Array[Byte]) =
+      p.length > 2 && p(0) == 'B' && p(1) == 'M'
+    private def isWav(p: Array[Byte]) =
+      p.length > 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    private def imageFormat(p: Array[Byte]): Option[String] =
+      if (isPng(p)) Some("png") else if (isJpeg(p)) Some("jpeg")
+      else if (isGif(p)) Some("gif") else if (isBmp(p)) Some("bmp") else None
+
+    /** ImageReader for a payload; caller must dispose. GIF is the one JDK
+      * format where n_frames can exceed 1, so metadata comes from the
+      * reader (which can count frames) rather than `ImageIO.read` (which
+      * silently takes frame 0).
+      */
+    private def withReader[A](p: Array[Byte])(f: javax.imageio.ImageReader => A): A = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(p))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no JDK ImageReader for payload")
+        val r = readers.next()
+        r.setInput(iis)
+        try f(r) finally r.dispose()
+      } finally iis.close()
+    }
+
+    override def decode(payload: Array[Byte]): MediaMeta =
+      imageFormat(payload) match {
+        case Some(fmt) =>
+          withReader(payload) { r =>
+            MediaMeta(fmt, r.getWidth(0), r.getHeight(0),
+              n_frames = r.getNumImages(true), n_bytes = payload.length.toLong)
+          }
+        case None if isWav(payload) =>
+          val aff: AudioFileFormat =
+            AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+          MediaMeta("wav",
+            width = aff.getFormat.getSampleRate.toInt,
+            height = aff.getFormat.getChannels,
+            n_frames = aff.getFrameLength,
+            n_bytes = payload.length.toLong)
+        case None =>
+          MediaMeta("bin", 0, 0, 0, payload.length.toLong)
+      }
+
+    /** Images: PNG-encode frame `frameIdx` (GIF animation frames are real
+      * frames; static formats only have frame 0). WAV: the raw PCM bytes
+      * of that frame. Fallback: empty.
+      */
+    override def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
+      if (imageFormat(payload).isDefined) {
+        val img = withReader(payload)(_.read(frameIdx))
+        encodePng(img)
+      } else if (isWav(payload)) {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val frameSize = ais.getFormat.getFrameSize
+          ais.skip(frameIdx.toLong * frameSize)
+          val buf = new Array[Byte](frameSize)
+          val n = ais.read(buf)
+          if (n == frameSize) buf else Array.emptyByteArray
+        } finally ais.close()
+      } else Array.emptyByteArray
+
+    /** Images: mean luminance (Rec.601) over `dim` equal-width vertical
+      * strips, scaled to [0,1] — the classic "tiny image" descriptor
+      * family (Torralba et al. 2008), enough to feed the similarity /
+      * near-dup operators. WAV: RMS amplitude over `dim` equal time
+      * windows. One pass over pixels/samples either way.
+      */
+    override def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+      if (imageFormat(payload).isDefined) {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sum = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            val b = math.min(dim - 1, x * dim / w)
+            sum(b) += lum / 255.0
+            cnt(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(dim)(i => if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
+      } else if (isWav(payload)) {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16, "16-bit PCM expected")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val sumSq = new Array[Double](dim)
+          val cnt = new Array[Long](dim)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = ((hi << 8) | lo).toShort / 32768.0
+            val b = math.min(dim - 1, (i.toLong * dim / math.max(n, 1)).toInt)
+            sumSq(b) += s * s
+            cnt(b) += 1
+            i += 1
+          }
+          Array.tabulate(dim)(i =>
+            if (cnt(i) == 0) 0f else math.sqrt(sumSq(i) / cnt(i)).toFloat)
+        } finally ais.close()
+      } else new Array[Float](dim)
+
+    /** Images: rescale with Graphics2D and re-encode as PNG (the decoded
+      * output of the resized payload reports exactly (width, height) —
+      * that is what mm6's oracle checks). Non-images pass through
+      * unchanged: inventing a "resize" for audio would be a lie.
+      */
+    override def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      if (imageFormat(payload).isDefined) {
+        val src = ImageIO.read(new ByteArrayInputStream(payload))
+        val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try g.drawImage(src, 0, 0, width, height, null) finally g.dispose()
+        encodePng(dst)
+      } else payload
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic test-pattern PNG: pixels from `java.util.Random(seed)`
+    * (its LCG is pinned by the Java spec, so payloads are byte-identical
+    * across JVMs/partitions/retries). Real media enters production via
+    * `spark.read.format("binaryFile")`; this renderer exists so the
+    * round-trip queries can manufacture genuine PNG containers from
+    * nothing but a doc_id.
+    */
+  def renderPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic 16-bit PCM WAV with `nFrames` frames. */
+  def renderWav(seed: Long, nFrames: Int, sampleRate: Int, channels: Int): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    rnd.nextBytes(pcm)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos) finally ais.close()
+    baos.toByteArray
+  }
+
+  // public (not private): Janino-generated encoder code needs the ctor
+  final case class RenderedRow(doc_id: Long, payload: Array[Byte])
+
+  /** Render one real PNG per row at (`wCol`, `hCol`) pixels, seeded by
+    * doc_id. Map-only; no shuffle; image bytes never leave the partition
+    * that will decode them in the same pipeline stage.
+    */
+  def withRenderedPng(docs: DataFrame, wCol: String, hCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) => RenderedRow(id, renderPng(id, w, h)) }(
+        Encoders.product[RenderedRow])
+      .toDF()
+  }
+
+  /** Render one real WAV per row with `framesCol` frames, `chCol` channels. */
+  def withRenderedWav(docs: DataFrame, framesCol: String, chCol: String,
+      sampleRate: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(framesCol).cast("int"), col(chCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (id, nf, ch) => RenderedRow(id, renderWav(id, nf, sampleRate, ch)) }(
+        Encoders.product[RenderedRow])
+      .toDF()
+  }
+}
