@@ -2545,7 +2545,9 @@ object SparkEntry {
       col("doc_id"),
       (lit(16) + pmod(col("doc_id"), lit(13)) * 4).cast("int").as("w"),
       (lit(16) + pmod(col("doc_id"), lit(7)) * 4).cast("int").as("h"))
-    val media = JdkMedia.withRenderedPng(dims, "w", "h")
+    // both decode branches reference the rendered table; materialize it so
+    // the PNG encode (the dominant cost) runs once, not per branch
+    val media = graft.operators.Materialize(JdkMedia.withRenderedPng(dims, "w", "h"))
     val decoded = Multimodal.decodeMeta(media, JdkMedia.JdkMediaDecoder)
       .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_frames"))
     val redecoded = Multimodal.decodeMeta(

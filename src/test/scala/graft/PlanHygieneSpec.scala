@@ -62,7 +62,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // ta17b materializes its scored table at construction (the LM feeds
     // both the cut learner and the bucket pass — the pipe_ccnet
     // discipline); its one-row totals broadcast is ta16's sanctioned BNLJ
-    "ta17b_ppl_buckets_sampled", "ta17b_gate")
+    "ta17b_ppl_buckets_sampled", "ta17b_gate",
+    // mm6 materializes its rendered-PNG table at construction (both
+    // decode branches reference it — render once, not per branch)
+    "mm6_codec_roundtrip")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
