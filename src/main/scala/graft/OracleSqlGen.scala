@@ -73,7 +73,17 @@ ${p}_ranked AS (
     ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.uid
       ORDER BY coalesce(sc.raw * 1.0 / sqrt(sc.mlen), 0.0) DESC, w.s_idx) AS rn
   FROM ${p}_swl w LEFT JOIN ${p}_sscore sc USING (doc_id, uid, s_idx)),
-${p}_rec AS (
+${budgetWalk(p, inRel, budget)}"""
+
+  /** The greedy budget walk + original-order emission shared by BOTH
+    * extractive scalars (ExtractiveSummarizer and TextRankSummarizer
+    * differ only in how `${p}_ranked` is scored): recursive rank walk
+    * (first sentence always taken), in-order ' ' concat of the picks,
+    * final token truncation. Input rel `${p}_ranked` must carry
+    * (doc_id, uid, s_idx, sent, wslen, rn).
+    */
+  private def budgetWalk(p: String, inRel: String, budget: Int): String =
+    s"""${p}_rec AS (
   SELECT doc_id, uid, rn, s_idx, wslen, true AS picked, $budget - wslen AS budget
   FROM ${p}_ranked WHERE rn = 1
   UNION ALL
@@ -92,6 +102,83 @@ ${p}_out AS (
       ELSE coalesce(array_to_string(string_split_regex(trim(coalesce(s.osum, '')), '\\s+')[1:$budget], ' '), '')
     END AS summary
   FROM $inRel i LEFT JOIN ${p}_sel s USING (doc_id, uid))"""
+
+  /** q6_textrank: every step of graft.llm.TextRankSummarizer replayed over
+    * whole documents — sentence split, DISTINCT-metric-token sets,
+    * overlap/(ln|Ti|+ln|Tj|) edge weights over the first-256 prefix,
+    * `iters` unrolled power-iteration rounds of
+    * r_i = (1-0.85)/m + 0.85 * sum_j wt_ji/W_j * r_j (dangling sentences
+    * contribute nothing — they never enter tr_esym), round(.,6) ranking
+    * with position tie-break, then the shared greedy budget walk.
+    * Float discipline: 0.85 and (1 - 0.85) are written literally so both
+    * engines compute the same doubles; summation-order drift (~1e-15) is
+    * absorbed by the 1e-6 rounding grid before any ORDER BY sees a rank.
+    */
+  def q6TextRankSql(budget: Int = 24, iters: Int = 10): String = {
+    val rounds = (1 to iters).map { t =>
+      val prev = if (t == 1) "tr_r0" else s"tr_r${t - 1}"
+      s"""tr_r$t AS (
+  SELECT b.doc_id, b.uid, b.s_idx,
+    (1 - 0.85) / ns.m + 0.85 * COALESCE(c.acc, 0) AS r
+  FROM tr_r0 b
+  JOIN tr_n ns USING (doc_id, uid)
+  LEFT JOIN (
+    SELECT e.doc_id, e.uid, e.dst AS s_idx, SUM(e.wt / o.ow * p.r) AS acc
+    FROM tr_esym e
+    JOIN tr_outw o ON o.doc_id = e.doc_id AND o.uid = e.uid AND o.s_idx = e.src
+    JOIN $prev p ON p.doc_id = e.doc_id AND p.uid = e.uid AND p.s_idx = e.src
+    GROUP BY 1, 2, 3) c
+    ON c.doc_id = b.doc_id AND c.uid = b.uid AND c.s_idx = b.s_idx)"""
+    }.mkString(",\n")
+    materialize(
+      s"""WITH RECURSIVE tr_in AS (SELECT doc_id, 0 AS uid, text AS txt FROM documents),
+tr_pieces AS (
+  SELECT doc_id, uid,
+    string_split(regexp_replace(regexp_replace(txt, '([.!?;])\\s+', '\\1' || chr(1), 'g'), '\\n+', chr(1), 'g'), chr(1)) AS parts
+  FROM tr_in),
+tr_sents AS (
+  SELECT doc_id, uid, ROW_NUMBER() OVER (PARTITION BY doc_id, uid ORDER BY k) - 1 AS s_idx, trim(parts[k]) AS sent
+  FROM tr_pieces, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
+  WHERE trim(parts[k]) <> ''),
+tr_swl AS (
+  SELECT doc_id, uid, s_idx, sent,
+    len(string_split_regex(sent, '\\s+')) AS wslen,
+    ${mtok("sent")} AS mt
+  FROM tr_sents),
+tr_stoksd AS (
+  SELECT DISTINCT doc_id, uid, s_idx, mt[k] AS tok
+  FROM tr_swl, LATERAL UNNEST(generate_series(1, len(mt))) AS u(k)),
+tr_tsize AS (SELECT doc_id, uid, s_idx, COUNT(*) AS sz FROM tr_stoksd GROUP BY 1, 2, 3),
+tr_n AS (SELECT doc_id, uid, LEAST(COUNT(*), 256) AS m FROM tr_swl GROUP BY 1, 2),
+tr_ov AS (
+  SELECT a.doc_id, a.uid, a.s_idx AS i, b.s_idx AS j, COUNT(*) AS ov
+  FROM tr_stoksd a JOIN tr_stoksd b
+    ON a.doc_id = b.doc_id AND a.uid = b.uid AND a.tok = b.tok
+  WHERE a.s_idx < b.s_idx AND b.s_idx < 256
+  GROUP BY 1, 2, 3, 4),
+tr_e AS (
+  SELECT o.doc_id, o.uid, o.i, o.j, o.ov / (ln(si.sz) + ln(sj.sz)) AS wt
+  FROM tr_ov o
+  JOIN tr_tsize si ON si.doc_id = o.doc_id AND si.uid = o.uid AND si.s_idx = o.i
+  JOIN tr_tsize sj ON sj.doc_id = o.doc_id AND sj.uid = o.uid AND sj.s_idx = o.j
+  WHERE ln(si.sz) + ln(sj.sz) > 0),
+tr_esym AS (
+  SELECT doc_id, uid, i AS src, j AS dst, wt FROM tr_e
+  UNION ALL
+  SELECT doc_id, uid, j AS src, i AS dst, wt FROM tr_e),
+tr_outw AS (SELECT doc_id, uid, src AS s_idx, SUM(wt) AS ow FROM tr_esym GROUP BY 1, 2, 3),
+tr_r0 AS (
+  SELECT w.doc_id, w.uid, w.s_idx, 1.0 / ns.m AS r
+  FROM tr_swl w JOIN tr_n ns USING (doc_id, uid) WHERE w.s_idx < 256),
+$rounds,
+tr_ranked AS (
+  SELECT w.doc_id, w.uid, w.s_idx, w.sent, w.wslen,
+    ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.uid
+      ORDER BY COALESCE(round(rr.r, 6), 0) DESC, w.s_idx) AS rn
+  FROM tr_swl w LEFT JOIN tr_r$iters rr USING (doc_id, uid, s_idx)),
+${budgetWalk("tr", "tr_in", budget)}
+SELECT doc_id, summary FROM tr_out ORDER BY doc_id""")
+  }
 
   /** Token-window chunking (Splitter.tokenWindows at TestCfg 16/2):
     * rel `chunks` = (doc_id, cidx, txt).

@@ -2577,6 +2577,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Q6 (beyond-reference): TextRank extractive summaries per document —
+    * the in-process quality upgrade over the TF-scored default scalar
+    * (graft/llm/TextRank.scala; Mihalcea & Tarau 2004). One UDF map over
+    * the scan, no shuffle: each doc's sentence graph is local and bounded
+    * (first-256-sentence cap), so 100 TB costs a map pass. The oracle
+    * replays the whole algorithm — graph build, 10 power-iteration
+    * rounds, rounded ranking, greedy budget walk — in SQL.
+    */
+  private def q6TextRank(spark: SparkSession, dir: String): DataFrame = {
+    val summarize = udf((t: String) =>
+      if (t == null) "" else graft.llm.TextRankSummarizer.summarize(t, 24))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), summarize(col("text")).as("summary"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- pipelines
 
   /** Non-SQL-expressible ops (rows-only driver check + ScalaTest goldens). */
@@ -2757,6 +2773,7 @@ object SparkEntry {
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
+    "q6_textrank" -> (q6TextRank(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
@@ -3603,6 +3620,7 @@ ORDER BY token_id"""
     // sentence scoring raw/sqrt(len), rank by (-score, idx), greedy
     // budget-8 selection as a recursive CTE (the same state walk as the
     // g3 greedy oracle), original-order concat, final 8-token truncation.
+    "q6_textrank" -> OracleSqlGen.q6TextRankSql(),
     "pipe_truncated" ->
       """WITH RECURSIVE cleaned AS (
            SELECT doc_id,
