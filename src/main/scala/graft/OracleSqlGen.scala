@@ -108,11 +108,14 @@ ${p}_out AS (
     * overlap/(ln|Ti|+ln|Tj|) edge weights over the first-256 prefix,
     * `iters` unrolled power-iteration rounds of
     * r_i = (1-0.85)/m + 0.85 * sum_j wt_ji/W_j * r_j (dangling sentences
-    * contribute nothing — they never enter tr_esym), round(.,6) ranking
-    * with position tie-break, then the shared greedy budget walk.
+    * contribute nothing — they never enter tr_esym), 1e-6 grid-snapped
+    * ranking with position tie-break, then the shared greedy budget walk.
     * Float discipline: 0.85 and (1 - 0.85) are written literally so both
-    * engines compute the same doubles; summation-order drift (~1e-15) is
-    * absorbed by the 1e-6 rounding grid before any ORDER BY sees a rank.
+    * engines compute the same doubles, and the grid snap is the literal
+    * IEEE expression floor(r * 1e6 + 0.5) / 1e6 on BOTH sides (library
+    * decimal rounding differs between engines — the round(double)
+    * divergence class the LM means hit); summation-order drift (~1e-15)
+    * is absorbed by the grid before any ORDER BY sees a rank.
     */
   def q6TextRankSql(budget: Int = 24, iters: Int = 10): String = {
     val rounds = (1 to iters).map { t =>
@@ -174,7 +177,7 @@ $rounds,
 tr_ranked AS (
   SELECT w.doc_id, w.uid, w.s_idx, w.sent, w.wslen,
     ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.uid
-      ORDER BY COALESCE(round(rr.r, 6), 0) DESC, w.s_idx) AS rn
+      ORDER BY COALESCE(floor(rr.r * 1000000.0 + 0.5) / 1000000.0, 0) DESC, w.s_idx) AS rn
   FROM tr_swl w LEFT JOIN tr_r$iters rr USING (doc_id, uid, s_idx)),
 ${budgetWalk("tr", "tr_in", budget)}
 SELECT doc_id, summary FROM tr_out ORDER BY doc_id""")

@@ -138,23 +138,27 @@ object Main {
     } finally if (owned) spark.stop()
   }
 
-  /** getOrCreate, remembering whether the session was ours to stop — a
-    * pre-existing host session (tests, notebooks) is left running.
-    */
   /** Domain-bearing flags re-read the corpus as parquet (loadDocs
     * standardizes to doc_id/text); a text-directory corpus carries no
     * domain column and would otherwise die in Spark's parquet reader
-    * with an opaque footer error instead of this message.
+    * with an opaque footer error instead of this message. Probed via the
+    * Hadoop filesystem (the codebooks-probe rule above): an HDFS/S3
+    * corpus would look absent to java.io.File.
     */
-  private def requireParquetCorpus(src: String, flag: String,
-      domainCol: String): Unit =
-    require(
-      !(new java.io.File(src).isDirectory &&
-        new java.io.File(src).listFiles() != null &&
-        new java.io.File(src).listFiles().exists(_.getName.endsWith(".txt"))),
+  private def requireParquetCorpus(spark: SparkSession, src: String,
+      flag: String, domainCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isTextDir = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".txt"))
+    require(!isTextDir,
       s"$flag requires a parquet corpus carrying column '$domainCol'; " +
         s"$src is a text directory")
+  }
 
+  /** getOrCreate, remembering whether the session was ours to stop — a
+    * pre-existing host session (tests, notebooks) is left running.
+    */
   private def session(): (SparkSession, Boolean) = {
     val preexisting = SparkSession.getDefaultSession
       .exists(s => !s.sparkContext.isStopped)
@@ -413,7 +417,7 @@ object Main {
         require(keepBuckets.subsetOf(Set("head", "middle", "tail")),
           s"--ppl-keep buckets must be head/middle/tail: $spec")
         val d = opts.getOrElse("ppl-domain", "source")
-        requireParquetCorpus(opts("docs"), "--ppl-keep", d)
+        requireParquetCorpus(spark, opts("docs"), "--ppl-keep", d)
         val domSrc = spark.read.parquet(opts("docs"))
           .select(col("doc_id").cast("long"), col(d))
         val keep = graft.operators.TextAnalysis.perplexityBuckets(
@@ -443,7 +447,7 @@ object Main {
       // parquet source (loadDocs standardizes to doc_id/text).
       opts.get("mix-domain").foreach { d =>
         val src = opts("docs")
-        requireParquetCorpus(src, "--mix-domain", d)
+        requireParquetCorpus(spark, src, "--mix-domain", d)
         val domSrc = spark.read.parquet(src)
           .select(col("doc_id").cast("long"), col(d))
         // --mix-unimax BUDGET[:EPOCHS] swaps the temperature rebalance for

@@ -25,10 +25,14 @@ import graft.core.Text
   *    r_i = (1-d)/m + d * sum_j w_ij / W_j * r_j  (W_j = sum_k w_jk,
   *    dangling sentences contribute nothing), d = [[Damping]]; fixed
   *    round count, not convergence-tested — determinism over elegance.
-  *  - ranks are rounded HALF_UP to 6 decimals BEFORE ordering (Spark
-  *    `round` and DuckDB `round` agree for positive values), so a
-  *    mathematically-tied pair computed in different summation orders
-  *    cannot flip order across engines; ties break by earlier position.
+  *  - ranks are snapped to a 1e-6 grid BEFORE ordering, and the snap is
+  *    the LITERAL double expression `floor(r * 1e6 + 0.5) / 1e6` in both
+  *    engines (decimal-rounding library calls differ between JVM
+  *    BigDecimal and DuckDB round() — the cross-engine round(double)
+  *    divergence class the LM means hit; identical IEEE ops sidestep it),
+  *    so a mathematically-tied pair computed in different summation
+  *    orders cannot flip order across engines; ties break by earlier
+  *    position.
   *  - selection + emission reuse [[ExtractiveSummarizer]]'s exact greedy
   *    budget walk (first sentence always taken, skip-if-over-budget,
   *    original-order join, final token truncation) so the two extractive
@@ -81,7 +85,10 @@ object TextRankSummarizer extends Summarizer {
       while (ii < m) {
         var acc = 0.0
         var jj = 0
-        while (jj < m) { // ascending-j accumulation, mirrored by the oracle
+        // ascending-j accumulation; the oracle's SUM() has no order
+        // guarantee, so the engines drift ~1e-15 — absorbed by the shared
+        // 1e-6 grid snap below before any ordering sees a rank
+        while (jj < m) {
           if (jj != ii && outW(jj) > 0) acc += w(jj)(ii) / outW(jj) * r(jj)
           jj += 1
         }
@@ -92,10 +99,10 @@ object TextRankSummarizer extends Summarizer {
       t += 1
     }
 
-    // HALF_UP to 6 decimals before ordering (see scaladoc); beyond-cap
-    // sentences score 0 and sort last
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1e-6 grid snap before ordering — the literal IEEE expression the
+    // oracle also computes (see scaladoc); beyond-cap sentences score 0
+    // and sort last
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val byScore = sents.indices
       .map(k => (k, if (k < m) r6(r(k)) else 0.0))
       .sortBy { case (k, s) => (-s, k) }

@@ -123,6 +123,7 @@ object EventOps {
       knownTopShare: Option[Double] = None): DataFrame = {
     require(hotKeyShare > 0 && hotKeyShare <= 1,
       s"hotKeyShare must be in (0,1]: $hotKeyShare")
+    require(gapUs > 0, s"gapUs must be positive: $gapUs")
     val share = knownTopShare.getOrElse {
       val r = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
         .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
@@ -130,12 +131,14 @@ object EventOps {
       if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
       else r.getLong(0).toDouble / r.getLong(1).toDouble
     }
-    if (share > hotKeyShare)
+    // the native branch's gap string is whole-minute; a sub-minute gap is
+    // a PLAN limitation, so it routes to the salted form (which supports
+    // any gap) rather than failing — routing must never be the reason a
+    // semantically valid call throws
+    if (share > hotKeyShare || gapUs % 60000000L != 0L)
       sessionWindowSalted(events, keyCol, tsCol, idCol, valueCol, gapUs, blockUs)
     else {
       val gapMin = gapUs / 60000000L
-      require(gapMin * 60000000L == gapUs,
-        s"native session_window route needs a whole-minute gap: ${gapUs}us")
       graft.streaming.EventStreams
         .sessionWindowAgg(events
             .select(col(keyCol).as("user_id"), col(tsCol).as("ts"),

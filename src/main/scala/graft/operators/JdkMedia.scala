@@ -72,24 +72,38 @@ object JdkMedia {
       } finally iis.close()
     }
 
-    override def decode(payload: Array[Byte]): MediaMeta =
+    /** A magic-bytes match is a HINT, not a guarantee — a text file
+      * starting "BM…" sniffs as BMP, a truncated PNG carries a valid
+      * signature. Decode failure after a sniff match lands on the same
+      * honest "bin" fallback as a sniff miss: a corrupt payload in a
+      * 100 TB corpus must yield a classifiable row, never a dead task.
+      */
+    private def binFallback[A](fallback: => A)(body: => A): A =
+      try body catch { case scala.util.control.NonFatal(_) => fallback }
+
+    override def decode(payload: Array[Byte]): MediaMeta = {
+      val bin = MediaMeta("bin", 0, 0, 0, payload.length.toLong)
       imageFormat(payload) match {
         case Some(fmt) =>
-          withReader(payload) { r =>
-            MediaMeta(fmt, r.getWidth(0), r.getHeight(0),
-              n_frames = r.getNumImages(true), n_bytes = payload.length.toLong)
+          binFallback(bin) {
+            withReader(payload) { r =>
+              MediaMeta(fmt, r.getWidth(0), r.getHeight(0),
+                n_frames = r.getNumImages(true), n_bytes = payload.length.toLong)
+            }
           }
         case None if isWav(payload) =>
-          val aff: AudioFileFormat =
-            AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
-          MediaMeta("wav",
-            width = aff.getFormat.getSampleRate.toInt,
-            height = aff.getFormat.getChannels,
-            n_frames = aff.getFrameLength,
-            n_bytes = payload.length.toLong)
-        case None =>
-          MediaMeta("bin", 0, 0, 0, payload.length.toLong)
+          binFallback(bin) {
+            val aff: AudioFileFormat =
+              AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+            MediaMeta("wav",
+              width = aff.getFormat.getSampleRate.toInt,
+              height = aff.getFormat.getChannels,
+              n_frames = aff.getFrameLength,
+              n_bytes = payload.length.toLong)
+          }
+        case None => bin
       }
+    }
 
     /** Images: PNG-encode frame `frameIdx` (GIF animation frames are real
       * frames; static formats only have frame 0). WAV: the raw PCM bytes
@@ -97,17 +111,24 @@ object JdkMedia {
       */
     override def extractFrame(payload: Array[Byte], frameIdx: Int): Array[Byte] =
       if (imageFormat(payload).isDefined) {
-        val img = withReader(payload)(_.read(frameIdx))
-        encodePng(img)
+        binFallback(Array.emptyByteArray) {
+          encodePng(withReader(payload)(_.read(frameIdx)))
+        }
       } else if (isWav(payload)) {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-        try {
-          val frameSize = ais.getFormat.getFrameSize
-          ais.skip(frameIdx.toLong * frameSize)
-          val buf = new Array[Byte](frameSize)
-          val n = ais.read(buf)
-          if (n == frameSize) buf else Array.emptyByteArray
-        } finally ais.close()
+        binFallback(Array.emptyByteArray) {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          try {
+            // compressed-codec WAVs report NOT_SPECIFIED (-1) frame size;
+            // only fixed-size PCM frames are extractable
+            val frameSize = ais.getFormat.getFrameSize
+            if (frameSize <= 0) Array.emptyByteArray
+            else {
+              ais.skipNBytes(frameIdx.toLong * frameSize)
+              val buf = ais.readNBytes(frameSize)
+              if (buf.length == frameSize) buf else Array.emptyByteArray
+            }
+          } finally ais.close()
+        }
       } else Array.emptyByteArray
 
     /** Images: mean luminance (Rec.601) over `dim` equal-width vertical
@@ -117,27 +138,32 @@ object JdkMedia {
       * windows. One pass over pixels/samples either way.
       */
     override def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] =
-      if (imageFormat(payload).isDefined) {
+      if (imageFormat(payload).isDefined) binFallback(new Array[Float](dim)) {
+        // ImageIO.read returns null (not an exception) for undecodable
+        // bytes; route null to the same zero-vector fallback
         val img = ImageIO.read(new ByteArrayInputStream(payload))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sum = new Array[Double](dim)
-        val cnt = new Array[Long](dim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            val b = math.min(dim - 1, x * dim / w)
-            sum(b) += lum / 255.0
-            cnt(b) += 1
-            x += 1
+        if (img == null) new Array[Float](dim)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sum = new Array[Double](dim)
+          val cnt = new Array[Long](dim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              val b = math.min(dim - 1, x * dim / w)
+              sum(b) += lum / 255.0
+              cnt(b) += 1
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          Array.tabulate(dim)(i => if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
         }
-        Array.tabulate(dim)(i => if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
-      } else if (isWav(payload)) {
+      } else if (isWav(payload)) binFallback(new Array[Float](dim)) {
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
         try {
           val fmt = ais.getFormat
@@ -167,12 +193,15 @@ object JdkMedia {
       * unchanged: inventing a "resize" for audio would be a lie.
       */
     override def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
-      if (imageFormat(payload).isDefined) {
+      if (imageFormat(payload).isDefined) binFallback(payload) {
         val src = ImageIO.read(new ByteArrayInputStream(payload))
-        val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        try g.drawImage(src, 0, 0, width, height, null) finally g.dispose()
-        encodePng(dst)
+        if (src == null) payload
+        else {
+          val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(src, 0, 0, width, height, null) finally g.dispose()
+          encodePng(dst)
+        }
       } else payload
   }
 

@@ -367,10 +367,11 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 6, m: Int = 8, ksub: Int = 16,
       iterations: Int = 2, trainSampleMod: Int = 1,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50, maxQueries: Int = 100000): DataFrame = {
     val (index, cs, cbs) = buildIvfPqIndex(corpus, nCells, m, ksub,
       iterations, trainSampleMod)
-    ivfPqSearch(index, cs, cbs, corpus, queries, k, nProbe, shortlist)
+    ivfPqSearch(index, cs, cbs, corpus, queries, k, nProbe, shortlist,
+      maxQueries)
   }
 
   /** Approximate cosine top-k via the ADC scan + exact float rerank.

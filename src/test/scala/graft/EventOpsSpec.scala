@@ -152,4 +152,22 @@ class EventOpsSpec extends AnyFunSuite {
       "user_id", "ts", "event_id", "value", SwG, SwB, hotKeyShare = 0.99)
     assert(nativeRoute.queryExecution.analyzed.toString.contains("session_window"))
   }
+
+  test("sessionWindowSkewSafe: sub-minute gap routes to salted, never throws") {
+    // 90s gap: the native branch's whole-minute gap string can't express
+    // it — a plan limitation must route, not throw (the failure would
+    // otherwise be data-dependent: salted under a hot key, crash without)
+    val gap90s = 90L * 1000000L
+    val routed = EventOps.sessionWindowSkewSafe(swEvents,
+      "user_id", "ts", "event_id", "value", gap90s, SwB, hotKeyShare = 0.99)
+    assert(!routed.queryExecution.analyzed.toString.contains("session_window"))
+    val direct = EventOps.sessionWindowSalted(swEvents,
+      "user_id", "ts", "event_id", "value", gap90s, SwB)
+    assert(routed.as[SwRow].collect().toSet == direct.as[SwRow].collect().toSet)
+    // degenerate gap is a semantics error on every route
+    assertThrows[IllegalArgumentException] {
+      EventOps.sessionWindowSkewSafe(swEvents,
+        "user_id", "ts", "event_id", "value", 0L, SwB)
+    }
+  }
 }

@@ -323,7 +323,6 @@ class HostileCorpusSpec extends AnyFunSuite {
     import graft.streaming.EventStreams
     // hot key 1: 4 purchases x 5 clicks = 20 candidate pairs; key 2: 1x1
     val base = 1704067200000000L
-    def ts(off: Long) = timestamp_micros(lit(base + off * 60000000L))
     val purchases = Seq((1L, 100L, 0L), (1L, 101L, 5L), (1L, 102L, 10L),
       (1L, 103L, 15L), (2L, 200L, 3L))
       .toDF("user_id", "purchase_id", "off")

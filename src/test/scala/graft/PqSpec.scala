@@ -138,4 +138,26 @@ class PqSpec extends AnyFunSuite {
     assert(hits.forall { case (qid, vid) => cellOf(vid) == qCells(qid) },
       "nProbe=1 results must all come from the single probed cell")
   }
+
+  test("ivfPqSearch maxQueries contract: over-cap fails loudly, at-cap serves") {
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val queries = corpusRows.take(4)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "embedding")
+    val (index, cs, cbs) = Pq.buildIvfPqIndex(corpus, nCells = 8)
+    // the ADC tables are built per query ON THE DRIVER - a corpus-sized
+    // query set must trip the limit+require guard, not OOM silently
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqSearch(index, cs, cbs, corpus, queries, 5, nProbe = 6,
+        maxQueries = 3)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // exactly at the cap serves normally, and the one-shot form plumbs
+    // the parameter through
+    assert(Pq.ivfPqSearch(index, cs, cbs, corpus, queries, 5, nProbe = 6,
+      maxQueries = 4).count() > 0)
+    assert(intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(corpus, queries, 5, nCells = 8, maxQueries = 3)
+    }.getMessage.contains("maxQueries"))
+  }
 }
