@@ -2577,6 +2577,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MM8: perceptual near-dup over REAL decoded images — the media analog
+    * of dd5's SimHash text near-dup, proving the codec pipeline
+    * (render → real parse → 9x8 rescale → dHash) preserves perceptual
+    * identity under rescale with real Hamming separation. Each doc
+    * renders ITS master's block pattern (doc_id % 16) at a doc-specific
+    * size; the invariants — every variant within 6 bits of its master's
+    * canonical hash, every distinct master pair ≥ 14 bits apart (measured
+    * margins: 0 and 21) — are verified in-query, the oracle checks the
+    * booleans (the ss7 literal-gate pattern; pixel bytes are
+    * JDK-rescaler-dependent, the INVARIANTS are the contract). All
+    * map-only into three one-row aggregates.
+    */
+  private def mm8MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JdkMedia
+    val variantHash = udf((m: Long, w: Int, h: Int) =>
+      JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, w, h)))
+    val masterHash = udf((m: Long) =>
+      JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, 64, 48)))
+    val scored = tbl(spark, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(16)).as("master_id"),
+        (lit(36) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+        (lit(32) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+      .select(col("master_id"),
+        variantHash(col("master_id"), col("w"), col("h")).as("vhash"),
+        masterHash(col("master_id")).as("mhash"))
+    val masters = scored.select(col("master_id"), col("mhash")).distinct()
+    val inter = masters.as("a").join(masters.as("b"),
+        col("a.master_id") < col("b.master_id"))
+      .agg(min(bit_count(col("a.mhash").bitwiseXOR(col("b.mhash"))))
+        .as("inter_min"))
+    val intra = scored
+      .agg(max(bit_count(col("vhash").bitwiseXOR(col("mhash"))))
+        .as("intra_max"))
+    scored.agg(countDistinct(col("mhash")).as("n_masters"))
+      .crossJoin(broadcast(intra)).crossJoin(broadcast(inter))
+      .select(col("n_masters"),
+        (col("intra_max") <= 6).cast("int").as("intra_ok"),
+        (col("inter_min") >= 14).cast("int").as("inter_ok"))
+  }
+
   /** Q6 (beyond-reference): TextRank extractive summaries per document —
     * the in-process quality upgrade over the TF-scored default scalar
     * (graft/llm/TextRank.scala; Mihalcea & Tarau 2004). One UDF map over
@@ -2761,6 +2802,7 @@ object SparkEntry {
     "mm5_resize" -> (mm5Resize(_, _)),
     "mm6_codec_roundtrip" -> (mm6CodecRoundtrip(_, _)),
     "mm7_wav_roundtrip" -> (mm7WavRoundtrip(_, _)),
+    "mm8_media_neardup" -> (mm8MediaNeardup(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_lsh" -> (pipeCurationLsh(_, _)),
@@ -3526,6 +3568,12 @@ ORDER BY token_id"""
          CAST(1 AS INT) AS n_frames,
          CAST(24 AS INT) AS r_width, CAST(18 AS INT) AS r_height
          FROM documents ORDER BY doc_id""",
+    // the invariants (rescale-invariant dHash per master, Hamming
+    // separation between masters) are verified in-query; the oracle
+    // derives the master count from the same doc_id arithmetic
+    "mm8_media_neardup" ->
+      """SELECT CAST(COUNT(DISTINCT doc_id % 16) AS BIGINT) AS n_masters,
+         1 AS intra_ok, 1 AS inter_ok FROM documents""",
     "mm7_wav_roundtrip" ->
       """SELECT doc_id, 'wav' AS format,
          CAST(8000 AS INT) AS sample_rate,

@@ -233,6 +233,70 @@ object JdkMedia {
     encodePng(img)
   }
 
+  /** Perceptual difference hash (dHash — the standard 64-bit image
+    * near-dup fingerprint): decode, rescale to a 9x8 luminance grid, one
+    * bit per horizontal gradient sign. Rescale-invariant by construction
+    * (the hash sees only the 9x8 downscale, so any rendition of the same
+    * image content at any size maps to nearly the same bits) — Hamming
+    * distance over these is the image analog of the dd5 SimHash text
+    * near-dup. Undecodable payloads hash to 0L (the bin-fallback rule).
+    */
+  def dHash(payload: Array[Byte]): Long = {
+    val grid =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) null
+        else {
+          val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+          val g = small.createGraphics()
+          try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+          small
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (grid == null) 0L
+    else {
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          def lum(px: Int): Double =
+            0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) +
+              0.114 * (px & 0xff)
+          if (lum(grid.getRGB(x + 1, y)) > lum(grid.getRGB(x, y)))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+  }
+
+  /** Deterministic coarse-block test pattern: a seeded 9x8 luminance grid
+    * rendered as solid blocks at (width, height). The pattern's intrinsic
+    * resolution equals [[dHash]]'s grid, so any RESCALE of the same seed
+    * reproduces nearly the same hash while independent seeds land ~32
+    * bits apart — the controlled fixture for the perceptual near-dup
+    * invariants (random-noise pixels would not survive double rescale).
+    */
+  def renderBlockPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val cells = Array.fill(8, 9)(rnd.nextInt(256))
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = cells(y * 8 / height)(x * 9 / width)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
   /** Deterministic 16-bit PCM WAV with `nFrames` frames. */
   def renderWav(seed: Long, nFrames: Int, sampleRate: Int, channels: Int): Array[Byte] = {
     val rnd = new java.util.Random(seed)

@@ -80,6 +80,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz6b_sign_rerank", "qz6b_recall",
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
+    // mm8: two broadcast one-row invariant aggregates onto a one-row agg
+    "mm8_media_neardup",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
