@@ -2595,15 +2595,19 @@ object SparkEntry {
       JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, w, h)))
     val masterHash = udf((m: Long) =>
       JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, 64, 48)))
-    val scored = tbl(spark, dir, "documents").select(
-        col("doc_id"),
-        pmod(col("doc_id"), lit(16)).as("master_id"),
-        (lit(36) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
-        (lit(32) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+    val docs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(16)).as("master_id"),
+      (lit(36) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
+      (lit(32) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+    // canonical hashes on the DISTINCT master list (16 rows), broadcast —
+    // hashing the master per corpus row would double the codec work
+    val masters = docs.select(col("master_id")).distinct()
+      .select(col("master_id"), masterHash(col("master_id")).as("mhash"))
+    val scored = docs
       .select(col("master_id"),
-        variantHash(col("master_id"), col("w"), col("h")).as("vhash"),
-        masterHash(col("master_id")).as("mhash"))
-    val masters = scored.select(col("master_id"), col("mhash")).distinct()
+        variantHash(col("master_id"), col("w"), col("h")).as("vhash"))
+      .join(broadcast(masters), "master_id")
     val inter = masters.as("a").join(masters.as("b"),
         col("a.master_id") < col("b.master_id"))
       .agg(min(bit_count(col("a.mhash").bitwiseXOR(col("b.mhash"))))
