@@ -35,7 +35,8 @@ object Main {
     case "index" :: "search" :: rest => runIndexSearch(parseOpts(rest))
     case _ =>
       System.err.println(
-        "usage: graft pipeline --approach A --docs PATH --out DIR [opts]\n" +
+        "usage: graft pipeline --approach A --docs PATH --out DIR " +
+          "[--summarizer extractive|textrank|lead] [opts]\n" +
           "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
@@ -225,9 +226,18 @@ object Main {
     try {
       val docs = loadDocs(spark, opts.getOrElse("docs", sys.error("--docs required")))
       def runOne(model: Option[String]): Unit = {
+        // --summarizer picks the in-process scalar (textrank = the
+        // graph-centrality quality upgrade, lead = the cheapest baseline);
+        // an HTTP backend (--ollama-url + --models) takes precedence
         val summarizer: graft.llm.Summarizer = (ollamaUrl, model) match {
           case (Some(url), Some(m)) => graft.llm.HttpSummarizer(url, m)
-          case _ => ExtractiveSummarizer
+          case _ => opts.getOrElse("summarizer", "extractive") match {
+            case "extractive" => ExtractiveSummarizer
+            case "textrank" => graft.llm.TextRankSummarizer
+            case "lead" => graft.llm.LeadSummarizer
+            case other => sys.error(s"unknown --summarizer: $other " +
+              "(extractive|textrank|lead)")
+          }
         }
         val strategies = new Strategies(summarizer, cfg = cfg)
         val tag = model.map(m => s" [$m]").getOrElse("")

@@ -38,6 +38,24 @@ class AppSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/files/1.txt")).nonEmpty)
   }
 
+  test("CLI pipeline: --summarizer selects the in-process scalar") {
+    val docs = writeDocsParquet()
+    val out = tmpDir("graft_tr_out")
+    graft.app.Main.main(Array(
+      "pipeline", "--approach", "truncated", "--docs", docs, "--out", out,
+      "--summarizer", "textrank", "--summary-tokens", "6"))
+    val summaries = spark.read.parquet(s"$out/summaries")
+    assert(summaries.count() == 2)
+    assert(summaries.select("summary").as[String].collect().forall(_.nonEmpty))
+    // an unknown scalar fails fast with the option list
+    val e = intercept[RuntimeException] {
+      graft.app.Main.main(Array(
+        "pipeline", "--approach", "truncated", "--docs", docs,
+        "--out", tmpDir("graft_bad"), "--summarizer", "gpt"))
+    }
+    assert(e.getMessage.contains("unknown --summarizer"))
+  }
+
   test("CLI pipeline: --models sweep writes one safe-named subdir per model") {
     val docs = writeDocsParquet()
     val out = tmpDir("graft_out_sweep")
