@@ -47,7 +47,7 @@ private[graft] object OracleSqlGen {
     * (-score, idx); greedy budget walk always taking the first sentence;
     * original-order ' ' concat; final token truncation).
     */
-  private def extractive(p: String, inRel: String, budget: Int): String =
+  private[graft] def extractive(p: String, inRel: String, budget: Int): String =
     s"""${p}_pieces AS (
   SELECT doc_id, uid,
     string_split(regexp_replace(regexp_replace(txt, '([.!?;])\\s+', '\\1' || chr(1), 'g'), '\\n+', chr(1), 'g'), chr(1)) AS parts
@@ -117,70 +117,79 @@ ${p}_out AS (
     * divergence class the LM means hit); summation-order drift (~1e-15)
     * is absorbed by the grid before any ORDER BY sees a rank.
     */
-  def q6TextRankSql(budget: Int = 24, iters: Int = 10): String = {
+  def q6TextRankSql(budget: Int = 24, iters: Int = 10): String =
+    materialize(
+      s"""WITH RECURSIVE tr_in AS (SELECT doc_id, 0 AS uid, text AS txt FROM documents),
+${textRankCtes("tr", "tr_in", budget, iters)}
+SELECT doc_id, summary FROM tr_out ORDER BY doc_id""")
+
+  /** The TextRank fragments as a reusable CTE block over rel
+    * `$inRel` (doc_id, uid, txt) — emits `${p}_pieces`..`${p}_out`,
+    * output (doc_id, uid, summary). Composable the same way
+    * [[extractive]] is (q7 runs both over the same corpus).
+    */
+  private[graft] def textRankCtes(p: String, inRel: String, budget: Int,
+      iters: Int = 10): String = {
     val rounds = (1 to iters).map { t =>
-      val prev = if (t == 1) "tr_r0" else s"tr_r${t - 1}"
-      s"""tr_r$t AS (
+      val prev = if (t == 1) s"${p}_r0" else s"${p}_r${t - 1}"
+      s"""${p}_r$t AS (
   SELECT b.doc_id, b.uid, b.s_idx,
     (1 - 0.85) / ns.m + 0.85 * COALESCE(c.acc, 0) AS r
-  FROM tr_r0 b
-  JOIN tr_n ns USING (doc_id, uid)
+  FROM ${p}_r0 b
+  JOIN ${p}_n ns USING (doc_id, uid)
   LEFT JOIN (
     SELECT e.doc_id, e.uid, e.dst AS s_idx, SUM(e.wt / o.ow * p.r) AS acc
-    FROM tr_esym e
-    JOIN tr_outw o ON o.doc_id = e.doc_id AND o.uid = e.uid AND o.s_idx = e.src
+    FROM ${p}_esym e
+    JOIN ${p}_outw o ON o.doc_id = e.doc_id AND o.uid = e.uid AND o.s_idx = e.src
     JOIN $prev p ON p.doc_id = e.doc_id AND p.uid = e.uid AND p.s_idx = e.src
     GROUP BY 1, 2, 3) c
     ON c.doc_id = b.doc_id AND c.uid = b.uid AND c.s_idx = b.s_idx)"""
     }.mkString(",\n")
-    materialize(
-      s"""WITH RECURSIVE tr_in AS (SELECT doc_id, 0 AS uid, text AS txt FROM documents),
-tr_pieces AS (
+    s"""${p}_pieces AS (
   SELECT doc_id, uid,
     string_split(regexp_replace(regexp_replace(txt, '([.!?;])\\s+', '\\1' || chr(1), 'g'), '\\n+', chr(1), 'g'), chr(1)) AS parts
-  FROM tr_in),
-tr_sents AS (
+  FROM $inRel),
+${p}_sents AS (
   SELECT doc_id, uid, ROW_NUMBER() OVER (PARTITION BY doc_id, uid ORDER BY k) - 1 AS s_idx, trim(parts[k]) AS sent
-  FROM tr_pieces, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
+  FROM ${p}_pieces, LATERAL UNNEST(generate_series(1, len(parts))) AS u(k)
   WHERE trim(parts[k]) <> ''),
-tr_swl AS (
+${p}_swl AS (
   SELECT doc_id, uid, s_idx, sent,
     len(string_split_regex(sent, '\\s+')) AS wslen,
     ${mtok("sent")} AS mt
-  FROM tr_sents),
-tr_stoksd AS (
+  FROM ${p}_sents),
+${p}_stoksd AS (
   SELECT DISTINCT doc_id, uid, s_idx, mt[k] AS tok
-  FROM tr_swl, LATERAL UNNEST(generate_series(1, len(mt))) AS u(k)),
-tr_tsize AS (SELECT doc_id, uid, s_idx, COUNT(*) AS sz FROM tr_stoksd GROUP BY 1, 2, 3),
-tr_n AS (SELECT doc_id, uid, LEAST(COUNT(*), 256) AS m FROM tr_swl GROUP BY 1, 2),
-tr_ov AS (
+  FROM ${p}_swl, LATERAL UNNEST(generate_series(1, len(mt))) AS u(k)),
+${p}_tsize AS (SELECT doc_id, uid, s_idx, COUNT(*) AS sz FROM ${p}_stoksd GROUP BY 1, 2, 3),
+${p}_n AS (SELECT doc_id, uid, LEAST(COUNT(*), 256) AS m FROM ${p}_swl GROUP BY 1, 2),
+${p}_ov AS (
   SELECT a.doc_id, a.uid, a.s_idx AS i, b.s_idx AS j, COUNT(*) AS ov
-  FROM tr_stoksd a JOIN tr_stoksd b
+  FROM ${p}_stoksd a JOIN ${p}_stoksd b
     ON a.doc_id = b.doc_id AND a.uid = b.uid AND a.tok = b.tok
   WHERE a.s_idx < b.s_idx AND b.s_idx < 256
   GROUP BY 1, 2, 3, 4),
-tr_e AS (
+${p}_e AS (
   SELECT o.doc_id, o.uid, o.i, o.j, o.ov / (ln(si.sz) + ln(sj.sz)) AS wt
-  FROM tr_ov o
-  JOIN tr_tsize si ON si.doc_id = o.doc_id AND si.uid = o.uid AND si.s_idx = o.i
-  JOIN tr_tsize sj ON sj.doc_id = o.doc_id AND sj.uid = o.uid AND sj.s_idx = o.j
+  FROM ${p}_ov o
+  JOIN ${p}_tsize si ON si.doc_id = o.doc_id AND si.uid = o.uid AND si.s_idx = o.i
+  JOIN ${p}_tsize sj ON sj.doc_id = o.doc_id AND sj.uid = o.uid AND sj.s_idx = o.j
   WHERE ln(si.sz) + ln(sj.sz) > 0),
-tr_esym AS (
-  SELECT doc_id, uid, i AS src, j AS dst, wt FROM tr_e
+${p}_esym AS (
+  SELECT doc_id, uid, i AS src, j AS dst, wt FROM ${p}_e
   UNION ALL
-  SELECT doc_id, uid, j AS src, i AS dst, wt FROM tr_e),
-tr_outw AS (SELECT doc_id, uid, src AS s_idx, SUM(wt) AS ow FROM tr_esym GROUP BY 1, 2, 3),
-tr_r0 AS (
+  SELECT doc_id, uid, j AS src, i AS dst, wt FROM ${p}_e),
+${p}_outw AS (SELECT doc_id, uid, src AS s_idx, SUM(wt) AS ow FROM ${p}_esym GROUP BY 1, 2, 3),
+${p}_r0 AS (
   SELECT w.doc_id, w.uid, w.s_idx, 1.0 / ns.m AS r
-  FROM tr_swl w JOIN tr_n ns USING (doc_id, uid) WHERE w.s_idx < 256),
+  FROM ${p}_swl w JOIN ${p}_n ns USING (doc_id, uid) WHERE w.s_idx < 256),
 $rounds,
-tr_ranked AS (
+${p}_ranked AS (
   SELECT w.doc_id, w.uid, w.s_idx, w.sent, w.wslen,
     ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.uid
       ORDER BY COALESCE(floor(rr.r * 1000000.0 + 0.5) / 1000000.0, 0) DESC, w.s_idx) AS rn
-  FROM tr_swl w LEFT JOIN tr_r$iters rr USING (doc_id, uid, s_idx)),
-${budgetWalk("tr", "tr_in", budget)}
-SELECT doc_id, summary FROM tr_out ORDER BY doc_id""")
+  FROM ${p}_swl w LEFT JOIN ${p}_r$iters rr USING (doc_id, uid, s_idx)),
+${budgetWalk(p, inRel, budget)}"""
   }
 
   /** Token-window chunking (Splitter.tokenWindows at TestCfg 16/2):
@@ -289,7 +298,7 @@ ${p}_out AS (
   }
 
   /** Mark non-recursive CTEs MATERIALIZED (see class doc). */
-  private def materialize(sql: String): String =
+  private[graft] def materialize(sql: String): String =
     "([A-Za-z0-9_]+) AS \\(".r.replaceAllIn(sql, m => {
       val name = m.group(1)
       if (name.endsWith("_rec") || name.endsWith("_pk")) m.matched

