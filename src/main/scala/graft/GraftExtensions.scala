@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecCosine, VecDot, VecNorm}
+import graft.functions.{NfcNormalize, VecCosine, VecDot, VecNorm}
 
 /** SparkSessionExtensions entry point: registers graft's native SQL
   * functions so `spark.sql("SELECT vec_cosine(a, b) ...")` works.
@@ -42,6 +42,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"vec_norm expects 1 argument, got ${args.length}")
         VecNorm(args(0))
+      }),
+    "nfc_normalize" -> (
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"nfc_normalize expects 1 argument, got ${args.length}")
+        NfcNormalize(args(0))
       }))
 
   /** Idempotently register graft functions on an already-built session. */

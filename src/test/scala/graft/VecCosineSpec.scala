@@ -44,6 +44,13 @@ class VecCosineSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT vec_dot($arr3_4, $arr3_4)").as[Double].head() == 25.0)
   }
 
+  test("nfc_normalize is callable from SQL") {
+    GraftExtensions.register(spark)
+    // decomposed e + combining acute (U+0065 U+0301) -> precomposed U+00E9
+    assert(spark.sql("SELECT nfc_normalize('e\u0301')").as[String].head() ==
+      "\u00e9")
+  }
+
   test("split cosine (vec_dot / norms) is bit-identical to vec_cosine") {
     val denom = col("na") * col("nb")
     val rows = df
