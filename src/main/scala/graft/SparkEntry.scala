@@ -2590,36 +2590,38 @@ object SparkEntry {
     * map-only into three one-row aggregates.
     */
   private def mm8MediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.operators.JdkMedia
     val variantHash = udf((m: Long, w: Int, h: Int) =>
       JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, w, h)))
-    val masterHash = udf((m: Long) =>
-      JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, 64, 48)))
     val docs = tbl(spark, dir, "documents").select(
       col("doc_id"),
       pmod(col("doc_id"), lit(16)).as("master_id"),
       (lit(36) + pmod(col("doc_id"), lit(24))).cast("int").as("w"),
       (lit(32) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
-    // canonical hashes on the DISTINCT master list (16 rows), broadcast —
-    // hashing the master per corpus row would double the codec work
-    val masters = docs.select(col("master_id")).distinct()
-      .select(col("master_id"), masterHash(col("master_id")).as("mhash"))
-    val scored = docs
+    // canonical hashes and the cross-master separation live on the
+    // DISTINCT master list — metadata-scale (≤16 residues of doc_id) —
+    // so both happen once on the driver; the corpus pays exactly one
+    // render+decode+hash per row and one broadcast join. Fewer than two
+    // masters = vacuously separated.
+    val masterIds = docs.select(col("master_id")).distinct()
+      .as[Long].collect().sorted
+    val masterHashes = masterIds.map(m =>
+      m -> JdkMedia.dHash(JdkMedia.renderBlockPng(1000L + m, 64, 48)))
+    val interMin = (for {
+      i <- masterHashes.indices; j <- i + 1 until masterHashes.length
+    } yield java.lang.Long.bitCount(masterHashes(i)._2 ^ masterHashes(j)._2))
+      .minOption.getOrElse(64)
+    val masters = masterHashes.toSeq.toDF("master_id", "mhash")
+    docs
       .select(col("master_id"),
         variantHash(col("master_id"), col("w"), col("h")).as("vhash"))
       .join(broadcast(masters), "master_id")
-    val inter = masters.as("a").join(masters.as("b"),
-        col("a.master_id") < col("b.master_id"))
-      .agg(min(bit_count(col("a.mhash").bitwiseXOR(col("b.mhash"))))
-        .as("inter_min"))
-    val intra = scored
-      .agg(max(bit_count(col("vhash").bitwiseXOR(col("mhash"))))
-        .as("intra_max"))
-    scored.agg(countDistinct(col("mhash")).as("n_masters"))
-      .crossJoin(broadcast(intra)).crossJoin(broadcast(inter))
+      .agg(countDistinct(col("mhash")).as("n_masters"),
+        max(bit_count(col("vhash").bitwiseXOR(col("mhash")))).as("intra_max"))
       .select(col("n_masters"),
-        (col("intra_max") <= 6).cast("int").as("intra_ok"),
-        (col("inter_min") >= 14).cast("int").as("inter_ok"))
+        (coalesce(col("intra_max"), lit(0)) <= 6).cast("int").as("intra_ok"),
+        lit(if (interMin >= 14) 1 else 0).as("inter_ok"))
   }
 
   /** Q7 (beyond-reference): in-process summarizer quality comparison —
@@ -2637,10 +2639,6 @@ object SparkEntry {
     */
   private def q7SummarizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val budget = 24
-    val sums: Seq[(String, graft.llm.Summarizer)] = Seq(
-      "extractive" -> graft.llm.ExtractiveSummarizer,
-      "lead" -> graft.llm.LeadSummarizer,
-      "textrank" -> graft.llm.TextRankSummarizer)
     // the synthetic docs are ONE long sentence (no punctuation), which
     // makes every extractive scalar trivially identical; re-punctuate
     // into doc-dependent sentence lengths so selection actually chooses
@@ -2648,17 +2646,30 @@ object SparkEntry {
     val repunct = udf((t: String, l: Int) => if (t == null) ""
       else graft.core.Text.wsTokens(t).grouped(l)
         .map(_.mkString(" ") + ".").mkString(" "))
+    // the lead baseline is the plain token truncation (IdentitySummarizer
+    // semantics) — text2 is already whitespace-normalized and the scalars
+    // must all see the SAME input, so LeadSummarizer's tag-cleaning pass
+    // would be the one asymmetric (and un-oracled) transformation
+    val allGens = udf((t: String) => {
+      val t2 = if (t == null) "" else t
+      Array(
+        graft.llm.ExtractiveSummarizer.summarize(t2, budget),
+        graft.core.Text.truncateTokens(t2, budget),
+        graft.llm.TextRankSummarizer.summarize(t2, budget))
+    })
     val toks = split(trim(col("text")), "\\s+")
+    // ONE scan: repunct once per row, all three scalars in one UDF call,
+    // then a 3-way posexplode — no union of scans
     val base = tbl(spark, dir, "documents").select(col("doc_id"),
-      repunct(col("text"),
-        (lit(5) + pmod(col("doc_id"), lit(4))).cast("int")).as("text2"),
+      allGens(repunct(col("text"),
+        (lit(5) + pmod(col("doc_id"), lit(4))).cast("int"))).as("gens"),
       array_join(slice(toks, 11, 30), " ").as("ref"))
-    val variants = sums.map { case (name, s) =>
-      val u = udf((t: String) => if (t == null) "" else s.summarize(t, budget))
-      base.select(col("doc_id"), lit(name).as("summarizer"),
-        u(col("text2")).as("gen"), col("ref"))
-    }.reduce(_ unionByName _)
-    variants
+    val names = array(lit("extractive"), lit("lead"), lit("textrank"))
+    base
+      .select(col("doc_id"), col("ref"),
+        posexplode(col("gens")).as(Seq("pos", "gen")))
+      .select(col("doc_id"), element_at(names, col("pos") + 1).as("summarizer"),
+        col("gen"), col("ref"))
       .withColumn("rouge", graft.functions.udfs.rougeStruct(col("gen"), col("ref")))
       .select(col("doc_id"), col("summarizer"),
         r4(col("rouge.rouge1_f")).as("rouge1_f"),
@@ -2670,16 +2681,21 @@ object SparkEntry {
     val b = 24
     OracleSqlGen.materialize(
       s"""WITH RECURSIVE q7_toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+  -- wsTokens semantics: split on \\s+ and drop empties, so leading/
+  -- trailing tabs/newlines cannot shift the grouping (DuckDB trim()
+  -- strips spaces only and would)
+  SELECT doc_id,
+    list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS toks,
     5 + doc_id % 4 AS sl
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+  FROM documents),
 q7_in AS (
   SELECT t.doc_id, 0 AS uid,
     string_agg(array_to_string(t.toks[k : k + t.sl - 1], ' ') || '.', ' ' ORDER BY k) AS txt
   FROM q7_toks t, LATERAL UNNEST(generate_series(1, len(t.toks), t.sl)) AS u(k)
+  WHERE len(t.toks) > 0
   GROUP BY 1, 2
   UNION ALL
-  SELECT doc_id, 0, '' FROM documents WHERE text IS NULL OR trim(text) = ''),
+  SELECT doc_id, 0, '' FROM q7_toks WHERE len(toks) = 0),
 ${OracleSqlGen.extractive("q7ex", "q7_in", b)},
 ${OracleSqlGen.textRankCtes("q7tr", "q7_in", b)},
 q7_lead AS (

@@ -242,29 +242,28 @@ object JdkMedia {
     * near-dup. Undecodable payloads hash to 0L (the bin-fallback rule).
     */
   def dHash(payload: Array[Byte]): Long = {
-    val grid =
-      try {
-        val img = ImageIO.read(new ByteArrayInputStream(payload))
-        if (img == null) null
-        else {
-          val small = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
-          val g = small.createGraphics()
-          try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
-          small
-        }
-      } catch { case scala.util.control.NonFatal(_) => null }
-    if (grid == null) 0L
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) 0L
     else {
+      // the 9x8 grid is POINT-SAMPLED with integer arithmetic (cell
+      // center by flooring), not Graphics2D-rescaled: AWT scaling
+      // behavior is unspecified across JDKs/backends (and its hinted
+      // general path is slow), while 72 direct getRGB samples are
+      // deterministic by construction and cheaper than a full rescale
+      val (w, h) = (img.getWidth, img.getHeight)
+      def lumAt(gx: Int, gy: Int): Double = {
+        val px = img.getRGB(gx * w / 9 + w / 18, gy * h / 8 + h / 16)
+        0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) +
+          0.114 * (px & 0xff)
+      }
       var bits = 0L
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
-          def lum(px: Int): Double =
-            0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) +
-              0.114 * (px & 0xff)
-          if (lum(grid.getRGB(x + 1, y)) > lum(grid.getRGB(x, y)))
-            bits |= 1L << (y * 8 + x)
+          if (lumAt(x + 1, y) > lumAt(x, y)) bits |= 1L << (y * 8 + x)
           x += 1
         }
         y += 1

@@ -64,8 +64,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // discipline); its one-row totals broadcast is ta16's sanctioned BNLJ
     "ta17b_ppl_buckets_sampled", "ta17b_gate",
     // mm6 materializes its rendered-PNG table at construction (both
-    // decode branches reference it — render once, not per branch)
-    "mm6_codec_roundtrip")
+    // decode branches reference it — render once, not per branch);
+    // mm8 collects the ≤16-row distinct master list at construction
+    "mm6_codec_roundtrip", "mm8_media_neardup")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
@@ -80,8 +81,6 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz6b_sign_rerank", "qz6b_recall",
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
-    // mm8: two broadcast one-row invariant aggregates onto a one-row agg
-    "mm8_media_neardup",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
