@@ -2670,7 +2670,7 @@ object SparkEntry {
         posexplode(col("gens")).as(Seq("pos", "gen")))
       .select(col("doc_id"), element_at(names, col("pos") + 1).as("summarizer"),
         col("gen"), col("ref"))
-      .withColumn("rouge", graft.functions.udfs.rougeStruct(col("gen"), col("ref")))
+      .withColumn("rouge", graft.functions.udfs.rouge12Struct(col("gen"), col("ref")))
       .select(col("doc_id"), col("summarizer"),
         r4(col("rouge.rouge1_f")).as("rouge1_f"),
         r4(col("rouge.rouge2_f")).as("rouge2_f"))

@@ -84,4 +84,17 @@ object udfs {
 
   def rougeStruct(cand: Column, ref: Column): Column =
     rougeAll(cand, ref).cast("struct<rouge1_f:double,rouge2_f:double,rougeL_f:double>")
+
+  /** ROUGE-1/2 only — skips the O(|gen|·|ref|) ROUGE-L LCS DP for
+    * consumers that discard it (q7 runs 3 scorings per doc; the DP was
+    * the dominant per-row cost there). Values identical to
+    * [[rougeStruct]]'s first two fields.
+    */
+  private val rouge12 = udf { (cand: String, ref: String) =>
+    if (cand == null || ref == null) (0.0, 0.0)
+    else (Rouge.rouge1(cand, ref).f, Rouge.rouge2(cand, ref).f)
+  }
+
+  def rouge12Struct(cand: Column, ref: Column): Column =
+    rouge12(cand, ref).cast("struct<rouge1_f:double,rouge2_f:double>")
 }
