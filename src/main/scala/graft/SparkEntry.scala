@@ -2007,6 +2007,23 @@ object SparkEntry {
         col("n_events"), r4(col("total_value")).as("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** EV7c: the ROUTER itself, driver-verified — sessionWindowSkewSafe at
+    * the default threshold over the same events, held to ev7's oracle
+    * VERBATIM: whichever branch the measured key share picks, the rows
+    * must be identical. Routing is a plan choice, never a semantics
+    * choice — EventOpsSpec pins both branches; this pins the shipped
+    * entry point end-to-end under the driver's hash compare too.
+    */
+  private def ev7cSessionWindowRouted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.sessionWindowSkewSafe(
+        eventsTbl(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value",
+        gapUs = 1800000000L, blockUs = 86400000000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------- joins on corpus
 
   /** S2/J1: paired scan — documents with their embedding row. */
@@ -2890,6 +2907,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "ev7_session_window" -> (ev7SessionWindow(_, _)),
     "ev7b_session_window_salted" -> (ev7bSessionWindowSalted(_, _)),
+    "ev7c_session_window_routed" -> (ev7cSessionWindowRouted(_, _)),
     "s2_paired_scan" -> (s2Paired(_, _)),
     "s3_tree_ingest" -> (s3TreeIngest(_, _)),
     "s7_health" -> (s7Health(_, _)),
@@ -5322,6 +5340,25 @@ ORDER BY token_id"""
     // ev7b: the salted assignment + hash agg must be invisible — ev7's
     // oracle verbatim (the aj1b/ev2b discipline)
     "ev7b_session_window_salted" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4) AS total_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // ev7c: the router must be invisible too — ev7's oracle verbatim on
+    // whichever branch the measured key share picks
+    "ev7c_session_window_routed" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, value,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

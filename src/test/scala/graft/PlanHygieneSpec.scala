@@ -65,8 +65,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ta17b_ppl_buckets_sampled", "ta17b_gate",
     // mm6 materializes its rendered-PNG table at construction (both
     // decode branches reference it — render once, not per branch);
-    // mm8 collects the ≤16-row distinct master list at construction
-    "mm6_codec_roundtrip", "mm8_media_neardup")
+    // mm8 collects the ≤16-row distinct master list at construction;
+    // ev7c's router measures the hottest key's share at construction
+    "mm6_codec_roundtrip", "mm8_media_neardup",
+    "ev7c_session_window_routed")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
