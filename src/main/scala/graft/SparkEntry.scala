@@ -2620,7 +2620,11 @@ object SparkEntry {
     // DISTINCT master list — metadata-scale (≤16 residues of doc_id) —
     // so both happen once on the driver; the corpus pays exactly one
     // render+decode+hash per row and one broadcast join. Fewer than two
-    // masters = vacuously separated.
+    // masters = vacuously separated. The VARIANT hashing is deliberately
+    // NOT deduped even though the fixture has ≤48 distinct
+    // (master, w, h) combos: the fixture stands in for real corpora
+    // whose payloads are all distinct — per-row codec cost IS the
+    // workload being measured, not waste to optimize away.
     val masterIds = docs.select(col("master_id")).distinct()
       .as[Long].collect().sorted
     val masterHashes = masterIds.map(m =>
@@ -2634,7 +2638,7 @@ object SparkEntry {
       .select(col("master_id"),
         variantHash(col("master_id"), col("w"), col("h")).as("vhash"))
       .join(broadcast(masters), "master_id")
-      .agg(countDistinct(col("mhash")).as("n_masters"),
+      .agg(countDistinct(col("master_id")).as("n_masters"),
         max(bit_count(col("vhash").bitwiseXOR(col("mhash")))).as("intra_max"))
       .select(col("n_masters"),
         (coalesce(col("intra_max"), lit(0)) <= 6).cast("int").as("intra_ok"),
@@ -2671,7 +2675,7 @@ object SparkEntry {
       val t2 = if (t == null) "" else t
       Array(
         graft.llm.ExtractiveSummarizer.summarize(t2, budget),
-        graft.core.Text.truncateTokens(t2, budget),
+        graft.llm.IdentitySummarizer.summarize(t2, budget),
         graft.llm.TextRankSummarizer.summarize(t2, budget))
     })
     val toks = split(trim(col("text")), "\\s+")

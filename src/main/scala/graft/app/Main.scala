@@ -214,6 +214,16 @@ object Main {
       // --tokenizer-json points at the HF artifact (empty = pinned demo BPE)
       chunker = opts.getOrElse("chunker", d.chunker),
       tokenizerJsonPath = opts.getOrElse("tokenizer-json", d.tokenizerJsonPath))
+    // validate --summarizer up front (before Spark startup) and reject
+    // the contradictory combination with an HTTP backend — a typo or an
+    // ignored flag must fail loudly, not run the corpus with the wrong
+    // scalar
+    val scalarChoice = opts.getOrElse("summarizer", "extractive")
+    require(Set("extractive", "textrank", "lead")(scalarChoice),
+      s"unknown --summarizer: $scalarChoice (extractive|textrank|lead)")
+    require(!(opts.contains("summarizer") && opts.contains("ollama-url")),
+      "--summarizer selects the in-process scalar and conflicts with " +
+        "--ollama-url (the HTTP backend is bound to --models)")
     // --models a,b,c: the reference's serial model sweep
     // (run_full_evaluation_pipeline.py:802-812) — each model summarizes the
     // whole corpus into its own safe-encoded subdirectory. With
@@ -228,15 +238,14 @@ object Main {
       def runOne(model: Option[String]): Unit = {
         // --summarizer picks the in-process scalar (textrank = the
         // graph-centrality quality upgrade, lead = the cheapest baseline);
-        // an HTTP backend (--ollama-url + --models) takes precedence
+        // an HTTP backend (--ollama-url + --models) is mutually exclusive
+        // with it (validated above)
         val summarizer: graft.llm.Summarizer = (ollamaUrl, model) match {
           case (Some(url), Some(m)) => graft.llm.HttpSummarizer(url, m)
-          case _ => opts.getOrElse("summarizer", "extractive") match {
-            case "extractive" => ExtractiveSummarizer
+          case _ => scalarChoice match {
             case "textrank" => graft.llm.TextRankSummarizer
             case "lead" => graft.llm.LeadSummarizer
-            case other => sys.error(s"unknown --summarizer: $other " +
-              "(extractive|textrank|lead)")
+            case _ => ExtractiveSummarizer
           }
         }
         val strategies = new Strategies(summarizer, cfg = cfg)

@@ -54,6 +54,15 @@ class AppSpec extends AnyFunSuite {
         "--out", tmpDir("graft_bad"), "--summarizer", "gpt"))
     }
     assert(e.getMessage.contains("unknown --summarizer"))
+    // contradictory with the HTTP backend: fail loudly, never silently
+    // ignore the scalar choice
+    val c = intercept[RuntimeException] {
+      graft.app.Main.main(Array(
+        "pipeline", "--approach", "truncated", "--docs", docs,
+        "--out", tmpDir("graft_bad2"), "--summarizer", "textrank",
+        "--ollama-url", "http://localhost:1", "--models", "m1"))
+    }
+    assert(c.getMessage.contains("conflicts"))
   }
 
   test("CLI pipeline: --models sweep writes one safe-named subdir per model") {
