@@ -518,6 +518,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DD12: cross-document exact-substring self-dedup (Lee et al.
+    * ExactSubstr) — 5-token spans appearing in ≥2 docs survive only in
+    * the minimum doc_id; the oracle replays the gram table, the
+    * min/distinct-doc keeper aggregate, and the covered-index rewrite.
+    */
+  private def dd12SpanSelfDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.spanSelfDedup(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "text", 5)
+      .orderBy(col("doc_id"))
+
   /** DC2: the decontaminated corpus itself — every training doc with zero
     * benchmark shingle collisions (strict maxOverlap=0 form).
     */
@@ -2810,6 +2821,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
     "dc4_span_decontam" -> (dc4SpanDecontam(_, _)),
+    "dd12_span_self_dedup" -> (dd12SpanSelfDedup(_, _)),
     "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
     "dd9_span_coverage" -> (dd9SpanCoverage(_, _)),
     "cl1_cluster_sizes" -> (cl1ClusterSizes(_, _)),
@@ -4302,6 +4314,47 @@ ORDER BY token_id"""
          tot AS (
            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
            WHERE doc_id % 10 <> 0)
+         SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+    // dd12: the dc4 gram/rewrite chains, corpus-vs-itself, with the
+    // min-doc_id keeper rule replayed
+    "dd12_span_self_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = ''
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, k - 1 AS k,
+             lower(array_to_string(t[k:k+4], ' ')) AS g
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-4, 1))) u(k)
+           WHERE len(t) >= 1),
+         dup AS (
+           SELECT g, MIN(doc_id) AS keeper
+           FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT x.doc_id, x.k FROM g x JOIN dup d USING (g)
+           WHERE x.doc_id <> d.keeper),
+         cov AS (
+           SELECT DISTINCT h.doc_id, u.i
+           FROM hits h JOIN toks t ON h.doc_id = t.doc_id,
+             LATERAL UNNEST(generate_series(h.k, least(h.k + 4, len(t.t) - 1))) u(i)),
+         idx AS (
+           SELECT doc_id, t, u.i AS i
+           FROM toks, LATERAL UNNEST(generate_series(0, len(t) - 1)) u(i)),
+         kept AS (
+           SELECT x.doc_id, x.i, x.t[CAST(x.i AS INT) + 1] AS tok
+           FROM idx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.i = c.i
+           WHERE c.i IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY 1),
+         tot AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
          SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
            t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
          FROM tot t LEFT JOIN agg a USING (doc_id)

@@ -913,27 +913,32 @@ object Dedup {
     * clean_text, n_tokens, n_removed); uncontaminated docs pass through
     * byte-identical modulo whitespace.
     */
-  def spanDecontaminate(docs: DataFrame, benchmark: DataFrame,
-      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
-    val n = ngramSize
-    require(n >= 1, s"ngramSize must be >= 1: $n")
-    def toksOf(c: Column) = when(c.isNull || length(trim(c)) === 0,
+  /** Whitespace tokens of a text column; null/blank → empty array (the
+    * dc4/dd12 tokenization contract, mirrored by their oracles).
+    */
+  private def wsToksOf(c: Column): Column =
+    when(c.isNull || length(trim(c)) === 0,
       array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
-    def gramsOf(toks: Column) = {
-      val l = size(toks)
-      when(l >= 1,
-        transform(sequence(lit(0), greatest(l - n, lit(0))),
-          k => lower(concat_ws(" ", slice(toks, k + 1, lit(n))))))
-        .otherwise(array().cast("array<string>"))
-    }
-    val bench = benchmark
-      .select(explode(gramsOf(toksOf(col(textCol)))).as("g")).distinct()
-    val gramRows = docs
-      .select(col("doc_id"), posexplode(gramsOf(toksOf(col(textCol))))
-        .as(Seq("k", "g")))
-    val hitsAgg = gramRows.join(bench, Seq("g"))
-      .groupBy(col("doc_id")).agg(collect_list(col("k")).as("__ks"))
-    docs.select(col("doc_id"), toksOf(col(textCol)).as("__toks"))
+
+  /** Positional lowercase n-gram list over a token array; a doc with ≥1
+    * token always yields ≥1 gram (short docs gram to their whole text).
+    */
+  private def posGramsOf(toks: Column, n: Int): Column = {
+    val l = size(toks)
+    when(l >= 1,
+      transform(sequence(lit(0), greatest(l - n, lit(0))),
+        k => lower(concat_ws(" ", slice(toks, k + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The covered-index surgical rewrite shared by [[spanDecontaminate]]
+    * and [[spanSelfDedup]]: `hitsAgg` = (doc_id, __ks: list of gram start
+    * positions to cut); every token index covered by any hit gram is
+    * removed, survivors reassemble in original order with original case.
+    */
+  private def cutCoveredSpans(docs: DataFrame, textCol: String,
+      hitsAgg: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), wsToksOf(col(textCol)).as("__toks"))
       .join(hitsAgg, Seq("doc_id"), "left")
       .withColumn("__l", size(col("__toks")))
       .withColumn("__cov", coalesce(
@@ -949,6 +954,58 @@ object Dedup {
           i => element_at(col("__toks"), i + 1))).as("clean_text"),
         col("__l").cast("long").as("n_tokens"),
         size(col("__cov")).cast("long").as("n_removed"))
+
+  def spanDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", ngramSize: Int = 13): DataFrame = {
+    val n = ngramSize
+    require(n >= 1, s"ngramSize must be >= 1: $n")
+    val bench = benchmark
+      .select(explode(posGramsOf(wsToksOf(col(textCol)), n)).as("g")).distinct()
+    val gramRows = docs
+      .select(col("doc_id"), posexplode(posGramsOf(wsToksOf(col(textCol)), n))
+        .as(Seq("k", "g")))
+    val hitsAgg = gramRows.join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(collect_list(col("k")).as("__ks"))
+    cutCoveredSpans(docs, textCol, hitsAgg, n)
+  }
+
+  /** DD12: cross-document exact-substring SELF-dedup (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" §ExactSubstr,
+    * token-gram-shaped): an n-token span whose exact lowercase content
+    * appears in MORE THAN ONE document survives only in its canonical
+    * occurrence — the minimum doc_id holding it — and is cut from every
+    * other document by the dc4 covered-index rewrite (original case and
+    * order preserved for the survivors). Sits between the existing span
+    * family members: dd10 removes repeated PARAGRAPHS (alignment-bound),
+    * dd11 dedups CDC chunks (chunk-bound), dropDuplicateSpanDocs gates
+    * WHOLE docs on span coverage — dd12 removes exactly the copied
+    * tokens and keeps the rest, corpus-vs-itself.
+    *
+    * Scale shape: positional grams explode linear-in-tokens (token
+    * arrays never ride the explode); ONE partially-aggregated hash-agg
+    * per gram (min doc_id + distinct-doc count — the Spark analog of the
+    * suffix-array sort); one equi-join back on the gram (a gram occurring
+    * f times contributes f join rows — nothing quadratic); per-doc
+    * cut-list collect bounded by the doc's own token count; then the
+    * shared rewrite. Within-doc repeats with no second document are NOT
+    * touched (self-repetition is ta8's job, not dedup's).
+    */
+  def spanSelfDedup(docs: DataFrame, textCol: String = "text",
+      ngramSize: Int = 13): DataFrame = {
+    val n = ngramSize
+    require(n >= 1, s"ngramSize must be >= 1: $n")
+    val gramRows = docs
+      .select(col("doc_id"), posexplode(posGramsOf(wsToksOf(col(textCol)), n))
+        .as(Seq("k", "g")))
+    val dup = gramRows.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("__keeper"),
+        countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("g"), col("__keeper"))
+    val hitsAgg = gramRows.join(dup, Seq("g"))
+      .filter(col("doc_id") =!= col("__keeper"))
+      .groupBy(col("doc_id")).agg(collect_list(col("k")).as("__ks"))
+    cutCoveredSpans(docs, textCol, hitsAgg, n)
   }
 
   def decontaminate(docs: DataFrame, benchmark: DataFrame,

@@ -875,6 +875,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == (("x y z", 6L))) // union of the two grams' spans
   }
 
+  test("DD12 spanSelfDedup: min-doc keeper keeps, every other copy cut") {
+    val span = "shared exact span of words" // a 5-gram copied across docs
+    val docs = Seq(
+      // doc 1 holds the canonical copy (min doc_id) — untouched
+      (1L, s"alpha beta $span gamma delta"),
+      // doc 2 copied it — exactly those 5 tokens drop
+      (2L, s"one two three $span four five"),
+      // doc 3: the doc IS the copy (different case) — empties out
+      (3L, "SHARED EXACT SPAN OF WORDS"),
+      // doc 4: unique text, untouched
+      (4L, "completely unrelated tokens here now yes"),
+      // doc 5: repeats ITSELF but no second doc shares it — untouched
+      // (self-repetition is ta8's job, not dedup's)
+      (5L, "solo solo solo solo solo solo solo solo solo solo"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanSelfDedup(docs, "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got(1L) == ((s"alpha beta $span gamma delta", 9L, 0L)))
+    assert(got(2L) == (("one two three four five", 10L, 5L)))
+    assert(got(3L) == (("", 5L, 5L)))
+    assert(got(4L) == (("completely unrelated tokens here now yes", 6L, 0L)))
+    assert(got(5L)._3 == 0L)
+    // three-way copy: doc 10 keeps, 11 and 12 both lose the span
+    val tri = Seq(
+      (10L, s"$span x1 x2"), (11L, s"y1 $span y2"), (12L, s"z1 z2 $span"))
+      .toDF("doc_id", "text")
+    val got3 = Dedup.spanSelfDedup(tri, "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_removed")).toMap
+    assert(got3 == Map(10L -> 0L, 11L -> 5L, 12L -> 5L))
+  }
+
   test("lshGeometry: s-curve thresholds, known operating points, validity") {
     // 24 hashes: thresholds (1/b)^(1/r) for (24,1)..(1,24) span 0.04..1.0
     assert(Dedup.lshGeometry(0.8, 24) == ((4, 6)))   // (1/4)^(1/6) = 0.794
