@@ -110,8 +110,11 @@ ${p}_out AS (
     * r_i = (1-0.85)/m + 0.85 * sum_j wt_ji/W_j * r_j (dangling sentences
     * contribute nothing — they never enter tr_esym), 1e-6 grid-snapped
     * ranking with position tie-break, then the shared greedy budget walk.
-    * Float discipline: 0.85 and (1 - 0.85) are written literally so both
-    * engines compute the same doubles, and the grid snap is the literal
+    * Float discipline: the damping constants are written `0.85e0` — the
+    * e0 suffix forces a DOUBLE literal in DuckDB, which otherwise parses
+    * bare decimals as DECIMAL (exact (1 - 0.85) = 0.15 ≠ the JVM's
+    * double 0.15000000000000002) — so both engines compute the same
+    * doubles, and the grid snap is the literal
     * IEEE expression floor(r * 1e6 + 0.5) / 1e6 on BOTH sides (library
     * decimal rounding differs between engines — the round(double)
     * divergence class the LM means hit); summation-order drift (~1e-15)
@@ -134,7 +137,7 @@ SELECT doc_id, summary FROM tr_out ORDER BY doc_id""")
       val prev = if (t == 1) s"${p}_r0" else s"${p}_r${t - 1}"
       s"""${p}_r$t AS (
   SELECT b.doc_id, b.uid, b.s_idx,
-    (1 - 0.85) / ns.m + 0.85 * COALESCE(c.acc, 0) AS r
+    (1 - 0.85e0) / ns.m + 0.85e0 * COALESCE(c.acc, 0) AS r
   FROM ${p}_r0 b
   JOIN ${p}_n ns USING (doc_id, uid)
   LEFT JOIN (

@@ -2586,6 +2586,22 @@ object SparkEntry {
     decoded.join(redecoded, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** mm6b: the fused single-pass codec round-trip — one mapPartitions
+    * does decode + resize + re-decode per row, so the rendered-PNG table
+    * is scanned once, nothing is materialized, and no join ships payloads
+    * through an exchange. Held to mm6's oracle verbatim.
+    */
+  private def mm6bCodecFused(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JdkMedia
+    val dims = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      (lit(16) + pmod(col("doc_id"), lit(13)) * 4).cast("int").as("w"),
+      (lit(16) + pmod(col("doc_id"), lit(7)) * 4).cast("int").as("h"))
+    Multimodal.codecRoundtripFused(JdkMedia.withRenderedPng(dims, "w", "h"),
+        24, 18, JdkMedia.JdkMediaDecoder)
+      .orderBy(col("doc_id"))
+  }
+
   /** MM7: REAL WAV round-trip — render genuine 16-bit PCM WAV containers
     * (frame count / channel count derived from doc_id), parse them back
     * via javax.sound; the oracle predicts sample rate, channels and frame
@@ -2938,6 +2954,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "mm4_feature_norm" -> (mm4FeatureNorm(_, _)),
     "mm5_resize" -> (mm5Resize(_, _)),
     "mm6_codec_roundtrip" -> (mm6CodecRoundtrip(_, _)),
+    "mm6b_codec_fused" -> (mm6bCodecFused(_, _)),
     "mm7_wav_roundtrip" -> (mm7WavRoundtrip(_, _)),
     "mm8_media_neardup" -> (mm8MediaNeardup(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
@@ -3713,6 +3730,15 @@ ORDER BY token_id"""
          CAST(1 AS INT) AS n_frames,
          CAST(24 AS INT) AS r_width, CAST(18 AS INT) AS r_height
          FROM documents ORDER BY doc_id""",
+    // mm6b: the fused one-pass plan must be invisible — mm6's oracle
+    // verbatim
+    "mm6b_codec_fused" ->
+      """SELECT doc_id, 'png' AS format,
+         CAST(16 + (doc_id % 13) * 4 AS INT) AS width,
+         CAST(16 + (doc_id % 7) * 4 AS INT) AS height,
+         CAST(1 AS INT) AS n_frames,
+         CAST(24 AS INT) AS r_width, CAST(18 AS INT) AS r_height
+         FROM documents ORDER BY doc_id""",
     // the invariants (rescale-invariant dHash per master, Hamming
     // separation between masters) are verified in-query; the oracle
     // derives the master count from the same doc_id arithmetic
@@ -4276,16 +4302,18 @@ ORDER BY token_id"""
     // dc4: positional grams (k 0-based, gram k covers tokens k..k+4),
     // covered-index expansion capped at doc length, original-case tokens
     // rejoined with single spaces — the whole rewrite replayed per doc
-    // toks guard: Scala's toksOf maps null/whitespace-only text to a
-    // 0-token array, while bare string_split_regex(trim(text)) yields
-    // [''] (1 token) — and the gram CTE must emit NOTHING for an empty
-    // doc (gramsOf is empty at l = 0), not a '' gram
+    // toks guard: the q7 wsTokens convention — split on \s+ and drop
+    // empty fields. DuckDB's trim strips SPACES only and
+    // string_split_regex keeps leading/trailing empty fields, so a
+    // tabs/newlines-only doc would otherwise tokenize differently from
+    // the JVM's split("\\s+"); list_filter makes both engines yield the
+    // same token list for every whitespace shape (and the gram CTE emits
+    // NOTHING for a 0-token doc, not a '' gram)
     "dc4_span_decontam" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN text IS NULL OR trim(text) = ''
-               THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS t
            FROM documents),
          g AS (
            SELECT doc_id, k - 1 AS k,
@@ -4323,9 +4351,8 @@ ORDER BY token_id"""
     "dd12_span_self_dedup" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN text IS NULL OR trim(text) = ''
-               THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(text), '\s+') END AS t
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS t
            FROM documents),
          g AS (
            SELECT doc_id, k - 1 AS k,

@@ -913,12 +913,16 @@ object Dedup {
     * clean_text, n_tokens, n_removed); uncontaminated docs pass through
     * byte-identical modulo whitespace.
     */
-  /** Whitespace tokens of a text column; null/blank → empty array (the
-    * dc4/dd12 tokenization contract, mirrored by their oracles).
+  /** Whitespace tokens of a text column: split on `\s+` and drop empty
+    * fields (the q7 wsTokens convention — the dc4/dd12 tokenization
+    * contract, mirrored by their oracles' list_filter). Dropping empties
+    * rather than trimming first makes every whitespace shape (leading
+    * tabs, newline-only docs, null) tokenize identically on the JVM and
+    * in DuckDB — `trim` strips spaces only in both engines, so a
+    * tabs-only doc would otherwise yield phantom '' tokens.
     */
   private def wsToksOf(c: Column): Column =
-    when(c.isNull || length(trim(c)) === 0,
-      array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
+    array_remove(split(coalesce(c, lit("")), "\\s+"), "")
 
   /** Positional lowercase n-gram list over a token array; a doc with ≥1
     * token always yields ≥1 gram (short docs gram to their whole text).
@@ -994,9 +998,12 @@ object Dedup {
       ngramSize: Int = 13): DataFrame = {
     val n = ngramSize
     require(n >= 1, s"ngramSize must be >= 1: $n")
-    val gramRows = docs
+    // Materialized (the pipe_ccnet discipline): gramRows feeds BOTH the
+    // keeper aggregate and the hit join below — without this the
+    // full-corpus positional gram explode is planned and executed twice.
+    val gramRows = Materialize(docs
       .select(col("doc_id"), posexplode(posGramsOf(wsToksOf(col(textCol)), n))
-        .as(Seq("k", "g")))
+        .as(Seq("k", "g"))))
     val dup = gramRows.groupBy(col("g"))
       .agg(min(col("doc_id")).as("__keeper"),
         countDistinct(col("doc_id")).as("__nd"))

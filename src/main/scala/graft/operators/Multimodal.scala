@@ -149,6 +149,46 @@ object Multimodal {
       .toDF()
   }
 
+  final case class RoundtripRow(doc_id: Long, format: String, width: Int,
+    height: Int, n_frames: Int, r_width: Int, r_height: Int)
+
+  /** MM6b: the fused single-pass form of the mm6 codec round-trip —
+    * decode, resize, re-decode inside ONE mapPartitions pass with one
+    * decoder instance, instead of two branches over a materialized media
+    * table joined back on doc_id. Identical output to the branch form
+    * (mm6's oracle verbatim); only the plan changes: no second scan of
+    * the rendered payloads, no exchange, no join — the shape SCALE.md's
+    * mm6 probe note says a real pipeline would use. At 100 TB this is
+    * the difference between the codec work (irreducible) and the codec
+    * work plus a payload-wide shuffle of the heaviest column in the
+    * corpus.
+    */
+  def codecRoundtripFused(media: DataFrame, width: Int, height: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        val out = it.map { case (id, p) =>
+          val m = decoder.decode(p)
+          val rm = decoder.decode(decoder.resize(p, width, height))
+          RoundtripRow(id, m.format, m.width, m.height, m.n_frames,
+            rm.width, rm.height)
+        }
+        new Iterator[RoundtripRow] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) decoder.close()
+            h
+          }
+          override def next(): RoundtripRow = out.next()
+        }
+      }(Encoders.product[RoundtripRow])
+      .toDF()
+  }
+
   /** Sample every `stride`-th frame of each payload (video frame-sampling
     * shape): metadata decides the frame count, frames extract lazily per
     * row. Output explodes to one row per sampled frame — partition

@@ -873,6 +873,18 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("clean_text"),
         r.getAs[Long]("n_removed"))).head
     assert(got2 == (("x y z", 6L))) // union of the two grams' spans
+    // whitespace-hostile shapes (the DuckDB-trim pitfall the oracle's
+    // list_filter guards): tabs/newline-only and null docs are 0-token,
+    // leading/trailing tabs and newlines add no phantom '' tokens
+    val docs3 = Seq((1L, "\t\n"), (2L, "\t one two \n"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got3 = Dedup.spanDecontaminate(docs3, bench, "text", 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(got3(1L) == (("", 0L, 0L)))
+    assert(got3(2L) == (("one two", 2L, 0L)))
+    assert(got3(3L) == (("", 0L, 0L)))
   }
 
   test("DD12 spanSelfDedup: min-doc keeper keeps, every other copy cut") {
