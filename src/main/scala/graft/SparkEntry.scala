@@ -518,6 +518,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DC5: semantic decontamination — every training vector's nearest
+    * benchmark vector (vec_id % 17 = 0 as the stand-in eval suite) by
+    * exact cosine, flagged at 0.45. FULL oracle: the SQL replays the
+    * split-cosine formula, the 4dp snap, and the (cos desc, bench_id)
+    * argmax.
+    */
+  private def dc5SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.operators.Dedup.semanticDecontamReport(
+        emb.filter(col("vec_id") % 17 =!= 0),
+        emb.filter(col("vec_id") % 17 === 0), 0.45)
+      .orderBy(col("vec_id"))
+  }
+
   /** DD12: cross-document exact-substring self-dedup (Lee et al.
     * ExactSubstr) — 5-token spans appearing in ≥2 docs survive only in
     * the minimum doc_id; the oracle replays the gram table, the
@@ -1469,6 +1483,17 @@ object SparkEntry {
     */
   private def ta17PplBuckets(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.perplexityBuckets(tbl(spark, dir, "documents"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** TA18: self-trained Naive Bayes domain classifier — per-doc predicted
+    * source + integer-exact NB score over the top-512 vocabulary. FULL
+    * oracle: the SQL re-learns the vocabulary, the count tables, the
+    * smoothed log-probs and the priors, and replays the micro-unit
+    * integer argmax with the class-ascending tie-break.
+    */
+  private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
+        col("source"))
       .orderBy(col("doc_id"))
 
   /** TA17b: the sampled-cut CCNet bucketing — per-domain cut scores
@@ -2589,7 +2614,13 @@ object SparkEntry {
   /** mm6b: the fused single-pass codec round-trip — one mapPartitions
     * does decode + resize + re-decode per row, so the rendered-PNG table
     * is scanned once, nothing is materialized, and no join ships payloads
-    * through an exchange. Held to mm6's oracle verbatim.
+    * through an exchange. The one exchange that DOES happen is the cheap
+    * one: the dims table (doc_id + two ints) is repartitioned to the
+    * session's parallelism BEFORE the codec chain, because a small
+    * parquet input otherwise scans as one partition and would serialize
+    * all the codec work on one core — the repartition ships ~12 bytes/row
+    * where mm6's materialize+join ships whole payloads. Held to mm6's
+    * oracle verbatim.
     */
   private def mm6bCodecFused(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.JdkMedia
@@ -2597,6 +2628,7 @@ object SparkEntry {
       col("doc_id"),
       (lit(16) + pmod(col("doc_id"), lit(13)) * 4).cast("int").as("w"),
       (lit(16) + pmod(col("doc_id"), lit(7)) * 4).cast("int").as("h"))
+      .repartition(spark.sparkContext.defaultParallelism)
     Multimodal.codecRoundtripFused(JdkMedia.withRenderedPng(dims, "w", "h"),
         24, 18, JdkMedia.JdkMediaDecoder)
       .orderBy(col("doc_id"))
@@ -2837,6 +2869,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dc1_decontam" -> (dc1Decontam(_, _)),
     "dc2_decontam_corpus" -> (dc2DecontamCorpus(_, _)),
     "dc4_span_decontam" -> (dc4SpanDecontam(_, _)),
+    "dc5_semantic_decontam" -> (dc5SemanticDecontam(_, _)),
     "dd12_span_self_dedup" -> (dd12SpanSelfDedup(_, _)),
     "dc3_decontam_bloom" -> (dc3DecontamBloom(_, _)),
     "dd9_span_coverage" -> (dd9SpanCoverage(_, _)),
@@ -2914,6 +2947,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta15_heavy_hitters" -> (ta15HeavyHitters(_, _)),
     "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
+    "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
     "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
     "ta17b_gate" -> (ta17bGate(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
@@ -3556,6 +3590,51 @@ ORDER BY token_id"""
          $lmMicroCte
          SELECT doc_id, n_bigrams, $lmAvgExpr AS avg_logprob
          FROM lm ORDER BY doc_id""",
+    // ta18: the whole NB training + scoring replayed — vocabulary by the
+    // (count desc, token asc) total order, Laplace-smoothed log-probs
+    // snapped to 6dp and micro-unit integers (the ta16 lmMicro
+    // convention), integer argmax with class-ascending tie-break
+    "ta18_nb_classifier" ->
+      """WITH tok AS (
+           SELECT doc_id, source AS cls,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+             ORDER BY c DESC, tok LIMIT 512)),
+         vt AS (SELECT t.doc_id, t.cls, t.tok FROM tok t JOIN vocab USING (tok)),
+         cls AS (SELECT source AS cls, COUNT(*) AS dc FROM documents GROUP BY 1),
+         nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         ctok AS (SELECT cls, tok, COUNT(*) AS n FROM vt GROUP BY 1, 2),
+         tc AS (SELECT cls, SUM(n) AS tc FROM ctok GROUP BY 1),
+         model AS (
+           SELECT g.cls, g.tok,
+             CAST(round(round(ln((COALESCE(ct.n, 0) + 1)
+               / CAST(t.tc + v.v AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lpm
+           FROM (SELECT c.cls, vb.tok FROM cls c CROSS JOIN vocab vb) g
+           LEFT JOIN ctok ct ON g.cls = ct.cls AND g.tok = ct.tok
+           JOIN tc t ON g.cls = t.cls, v),
+         prior AS (
+           SELECT cls,
+             CAST(round(round(ln(dc / n), 6) * 1000000) AS BIGINT) AS pm
+           FROM cls, nd),
+         dtok AS (SELECT doc_id, tok, COUNT(*) AS dn FROM vt GROUP BY 1, 2),
+         contrib AS (
+           SELECT dt.doc_id, m.cls, SUM(dt.dn * m.lpm) AS s
+           FROM dtok dt JOIN model m USING (tok) GROUP BY 1, 2),
+         scored AS (
+           SELECT d.doc_id, d.source, p.cls, p.pm + COALESCE(c.s, 0) AS sm
+           FROM documents d CROSS JOIN prior p
+           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cls = p.cls),
+         best AS (
+           SELECT doc_id, source, cls, sm,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY sm DESC, cls) AS rn
+           FROM scored)
+         SELECT doc_id, source, cls AS pred_source, sm / 1e6 AS score
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
     // ta17: the ta16 LM replay + NTILE(3) per source over the identical
     // (avg_logprob DESC, doc_id) total order — both engines implement
     // SQL-standard ntile (first n mod 3 buckets take the extra row)
@@ -4346,6 +4425,31 @@ ORDER BY token_id"""
            t.n_tokens, t.n_tokens - COALESCE(a.n_kept, 0) AS n_removed
          FROM tot t LEFT JOIN agg a USING (doc_id)
          ORDER BY t.doc_id""",
+    // dc5: the dd6 split-cosine replay, corpus-vs-benchmark, argmax per
+    // corpus vector over the snapped cosine with bench_id tie-break
+    "dc5_semantic_decontam" ->
+      """WITH bench AS (
+           SELECT vec_id AS bench_id, embedding FROM embeddings
+           WHERE vec_id % 17 = 0),
+         corp AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+         p AS (
+           SELECT c.vec_id, b.bench_id,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, b.embedding),
+                 q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cos
+           FROM corp c CROSS JOIN bench b),
+         best AS (
+           SELECT vec_id, bench_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, bench_id) AS rn
+           FROM p)
+         SELECT vec_id, bench_id, cos AS max_cosine,
+           CAST(cos >= 0.45 AS INT) AS contaminated
+         FROM best WHERE rn = 1 ORDER BY vec_id""",
     // dd12: the dc4 gram/rewrite chains, corpus-vs-itself, with the
     // min-doc_id keeper rule replayed
     "dd12_span_self_dedup" ->

@@ -1073,4 +1073,46 @@ object Dedup {
       .select("doc_id")
     docs.join(flagged, Seq("doc_id"), "left_anti")
   }
+
+  /** DC5: SEMANTIC decontamination report — for every training item the
+    * nearest benchmark item by embedding cosine plus a contamination flag
+    * at `threshold`. The n-gram family (dc1–dc4) catches verbatim and
+    * near-verbatim leaks; this catches the paraphrased ones — the check
+    * recent model reports run alongside exact-match decontamination
+    * (reference shape: the dd6 cosine audit, re-pointed corpus-vs-bench).
+    *
+    * EXACT by design, and scale-safe anyway: an eval suite is
+    * metadata-scale (thousands of items, not billions), so the benchmark
+    * broadcasts and the corpus is scanned once — per-row work is
+    * |bench|·d flops, map-side; the per-item argmax partial-aggregates
+    * before the only shuffle (one row per corpus item). The `maxBench`
+    * require pins the broadcast contract the same way ivfPqSearch pins
+    * its query count. Cosines snap to the 4dp grid (r4) before the
+    * argmax, ties break to the lowest benchmark id — a total order, so
+    * the report carries a full hash oracle.
+    */
+  def semanticDecontamReport(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxBench: Long = 100000L): DataFrame = {
+    import graft.functions.{r4, vecDotF, vecNormF}
+    val nb = bench.count()
+    require(nb <= maxBench,
+      s"semanticDecontamReport broadcasts the benchmark and it has $nb " +
+        s"rows (> $maxBench); a benchmark that size is not an eval suite " +
+        "— split it or use embeddingCosinePairsLsh")
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(vecCol).as("bench_emb"), vecNormF(col(vecCol)).as("bench_norm"))
+    val c = corpus.select(col(idCol), col(vecCol).as("emb"),
+      vecNormF(col(vecCol)).as("norm"))
+    val denom = col("norm") * col("bench_norm")
+    c.crossJoin(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb"), col("bench_emb")) / denom)).as("cos"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("cos")).as("nc"), col("bench_id"))).as("b"))
+      .select(col(idCol), col("b.bench_id").as("bench_id"),
+        (-col("b.nc")).as("max_cosine"),
+        (-col("b.nc") >= threshold).cast("int").as("contaminated"))
+  }
 }

@@ -30,6 +30,15 @@ import graft.operators.Multimodal.{MediaDecoder, MediaMeta}
   */
 object JdkMedia {
 
+  // ImageIO defaults to DISK-backed stream caches (useCache=true): every
+  // decode and encode writes a temp file, so a wide codec stage turns
+  // into temp-file churn the moment task parallelism rises — measured on
+  // the fused mm6b at the 100x corpus: 180 s with the file cache vs the
+  // branch form's 80 s at lower stage parallelism, purely an I/O
+  // artifact. All payloads here are in-memory byte arrays; cache them in
+  // memory. Object-init runs once per JVM, before any codec call.
+  ImageIO.setUseCache(false)
+
   /** Media semantics for [[MediaMeta]] fields per container family:
     *  - images: width/height in pixels, n_frames = image count (GIF may
     *    exceed 1), format = "png"|"jpeg"|"gif"|"bmp".

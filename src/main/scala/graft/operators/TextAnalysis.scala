@@ -740,4 +740,82 @@ object TextAnalysis {
     if (blocked.isEmpty) lit(false)
     else exists(hosts, h =>
       blocked.map(d => h === lit(d) || h.endsWith(s".$d")).reduce(_ || _))
+
+  /** TA18: multinomial Naive Bayes domain classifier, self-trained on the
+    * corpus — the fastText-style linear classifier every large pipeline
+    * runs for domain tagging / quality filtering (CCNet §4.2 trains
+    * exactly this family against a curated seed; DSIR-style mixing needs
+    * the same per-doc domain posterior), in its one-pass aggregable
+    * parameterization: log-count ratios instead of SGD, so training is
+    * two hash-aggs and scoring is a broadcast join.
+    *
+    * Model: classes from `classCol`; features are the ta11/ta16 token
+    * convention (`[\p{L}\p{N}]+` on lowercased text) restricted to the
+    * top-`vocabSize` corpus tokens (count desc, token asc — a total
+    * order, so the vocabulary is layout-independent). Laplace-smoothed:
+    * lp(t|c) = ln((n_tc + 1) / (n_c + V)), prior ln(d_c / N). Per-doc
+    * class score = prior + Σ n_t·lp(t|c); predicted class = argmax,
+    * ties to the lexicographically first class.
+    *
+    * Exactness: every log is snapped to the 6dp grid and converted to
+    * integer micro-units BEFORE the per-doc sum (the ta11/ta16
+    * discipline), so scores are exact integers — summation order cannot
+    * flip an argmax and the operator carries a full hash oracle.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered top-V (V rows per
+    * partition merge, never a global sort); token-class counts
+    * partial-aggregate to ≤ V·C rows; the model (V·C) and priors (C)
+    * broadcast; scoring joins the per-doc token counts to the broadcast
+    * model and hash-aggs per (doc, class) — the corpus is never shuffled
+    * by anything wider than its own token stream, and nothing grows with
+    * corpus size except the two count aggregates.
+    */
+  def nbDomainClassifier(docs: DataFrame, classCol: Column,
+      textCol: String = "text", vocabSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val toks = docs.select(col("doc_id"), classCol.as("cls"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select("tok")
+    val vtoks = toks.join(broadcast(vocab), Seq("tok"))
+    val classes = docs.groupBy(classCol.as("cls"))
+      .agg(count(lit(1)).as("dc"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val ctok = vtoks.groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("n"))
+    val tc = ctok.groupBy(col("cls")).agg(sum(col("n")).as("tc"))
+    // smoothing demands a logp for every (class, vocab token) pair, seen
+    // or not — build the C×V grid and left-join the observed counts
+    val model = classes.select("cls").crossJoin(broadcast(vocab))
+      .join(ctok, Seq("cls", "tok"), "left").na.fill(0L, Seq("n"))
+      .join(tc, Seq("cls"))
+      .crossJoin(broadcast(vSize))
+      .select(col("cls"), col("tok"),
+        round(round(log((col("n") + 1).cast("double") /
+          (col("tc") + col("v")).cast("double")), 6) * 1e6)
+          .cast("long").as("lpm"))
+    val priors = classes.crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        round(round(log(col("dc").cast("double") / col("nd")), 6) * 1e6)
+          .cast("long").as("pm"))
+    val dtok = vtoks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("dn"))
+    val contrib = dtok.join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("dn") * col("lpm")).as("s"))
+    docs.select(col("doc_id"), classCol.as("source"))
+      .crossJoin(broadcast(priors))
+      .join(contrib, Seq("doc_id", "cls"), "left").na.fill(0L, Seq("s"))
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("pm") + col("s")).as("sm"))
+      // argmax with class-ascending tie-break: lexicographic min over
+      // (-score, class) — exact integers, so no float tie ambiguity
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("sm")).as("ns"), col("cls"))).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.cls").as("pred_source"),
+        (-col("b.ns") / 1e6).as("score"))
+  }
 }

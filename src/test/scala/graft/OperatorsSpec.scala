@@ -500,6 +500,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scores(9L) < scores(0L))
   }
 
+  test("TA18 nbDomainClassifier: separable classes, exact score, tie to first class") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "apple apple banana", "A"), (2L, "apple banana banana", "A"),
+      (3L, "zebra zebra yak", "B"), (4L, "zebra yak yak", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .nbDomainClassifier(docs, col("source"))
+      .select("doc_id", "source", "pred_source", "score")
+      .as[(Long, String, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._2 == "A" && got(2L)._2 == "A")
+    assert(got(3L)._2 == "B" && got(4L)._2 == "B")
+    // doc 1 hand-computed on the 6dp micro grid: prior ln(2/4), tokens
+    // apple x2 + banana x1, each lp = ln((3+1)/(6+4)) — V=4, tc_A=6
+    def m(x: Double): Long = math.rint(math.rint(x * 1e6)).toLong
+    val expected = (m(math.log(0.5)) + 3 * m(math.log(0.4))) / 1e6
+    assert(got(1L)._3 == expected)
+    // exact score tie (identical class-conditionals, equal priors) breaks
+    // to the lexicographically first class on BOTH docs
+    val tie = Seq((1L, "x", "A"), (2L, "x", "B")).toDF("doc_id", "text", "source")
+    val tgot = graft.operators.TextAnalysis
+      .nbDomainClassifier(tie, col("source"))
+      .select("doc_id", "pred_source").as[(Long, String)].collect().toMap
+    assert(tgot == Map(1L -> "A", 2L -> "A"))
+    // vocabulary cap: out-of-vocab tokens are dropped from training AND
+    // scoring, so the z-bearing doc still scores (prior-only parity)
+    val capped = Seq((1L, "x x z", "A"), (2L, "x", "B")).toDF("doc_id", "text", "source")
+    val cgot = graft.operators.TextAnalysis
+      .nbDomainClassifier(capped, col("source"), vocabSize = 1)
+      .select("doc_id", "pred_source").as[(Long, String)].collect().toMap
+    assert(cgot == Map(1L -> "A", 2L -> "A"))
+  }
+
+  test("DC5 semanticDecontamReport: nearest benchmark, flag, tie-break, contract") {
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((0L, Array(1f, 0f)), (17L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),      // exact copy of bench 0 -> cos 1.0
+      (11L, Array(0.6f, 0.8f)),  // closer to bench 17 (cos 0.8)
+      (12L, Array(-1f, 0f)))     // anti-aligned: best is still 17 at 0.0
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup
+      .semanticDecontamReport(corpus, bench, 0.9)
+      .select("vec_id", "bench_id", "max_cosine", "contaminated")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((0L, 1.0, 1)))
+    assert(got(11L) == ((17L, 0.8, 0)))
+    assert(got(12L) == ((17L, 0.0, 0)))
+    // equal snapped cosine to two benchmark items -> lowest bench_id
+    val dupBench = Seq((5L, Array(1f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val tgot = graft.operators.Dedup
+      .semanticDecontamReport(corpus.filter(col("vec_id") === 10L), dupBench, 0.9)
+      .select("bench_id").as[Long].collect()
+    assert(tgot.toSeq == Seq(3L))
+    // the broadcast contract fails loudly past maxBench
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.semanticDecontamReport(corpus, bench, 0.9,
+        maxBench = 1L)
+    }
+    assert(e.getMessage.contains("broadcasts the benchmark"))
+  }
+
   test("TA17 perplexityBuckets: per-domain terciles, word salad lands in tail") {
     import org.apache.spark.sql.functions.{col, lit}
     // domain A: five identical fluent docs + one word salad (same unigrams,
