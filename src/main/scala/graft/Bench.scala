@@ -128,7 +128,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pairingSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Headline fields AFTER the per-query map: the driver keeps only the
+    // LAST 2000 chars of this line, so anything printed before ~180
+    // query entries is cut — rounds 1-8 lost "value" to exactly that.
+    println(f"""{"metric":"total","unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","value":$total%.3f}""")
     spark.stop()
   }
 }

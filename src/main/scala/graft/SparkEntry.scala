@@ -1817,6 +1817,117 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The hermetic in-process transformer (seeded weights, no endpoint, no
+    * files) every tx-family query shares. One instance so executor JVMs
+    * build the weight matrices once.
+    */
+  private val txModel = graft.llm.TinyTransformer()
+
+  /** M2 (model path): BERTScore over CONTEXTUAL transformer token vectors
+    * — the published formula over the published architecture, in-process
+    * (reference: evaluate/evaluate_summaries_semantic.py:150-166). Same
+    * token-slice pairing as eval_bert_ngram so the two scores are
+    * side-by-side comparable. Rows-only: a transformer forward pass has
+    * no SQL replay; the model properties that make it a transformer are
+    * pinned by the fully-oracled `tx_gate`.
+    */
+  private def evalBertscoreTx(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    // small parquet = one input split; spread the forward passes (the
+    // mm6b discipline — the repartition ships short strings, not work)
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    graft.eval.Metrics.bertScoreContextual(pairs, txModel)
+      .orderBy(col("doc_id"))
+  }
+
+  /** M3 (model path): semantic top-5 retrieval over transformer SENTENCE
+    * embeddings (mean-pooled contextual vectors, the sentence-transformers
+    * pooling default) — every 50th doc queries the corpus, exact cosine.
+    * Rows-only (same reason as eval_bertscore_tx); ranking sanity is
+    * pinned by `tx_gate`'s near-dup property.
+    */
+  private def m3tSemanticTx(spark: SparkSession, dir: String): DataFrame = {
+    val embedUdf = udf((t: String) => txModel.embed(t))
+    val docs = tbl(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
+    val queries = docs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(docs, queries, 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The tx-family contract gate (FULL literal oracle) — pins the four
+    * properties that make the in-process encoder a real transformer and
+    * not another bag-of-tokens embedder, each as a hash-checked int:
+    *  - self_pass: BERTScore F1 of every doc against itself is exactly
+    *    1.0 after the 4dp snap (identical contextual sequences);
+    *  - order_pass: REVERSING a doc's tokens moves its pooled embedding —
+    *    max self-vs-reversed cosine over all multi-distinct-token docs
+    *    stays under 0.9999 (positions + attention are order-sensitive;
+    *    bag embedders score exactly 1.0 here);
+    *  - neardup_pass: dropping one token moves the embedding LESS than
+    *    swapping in a different doc's text — fraction of docs where
+    *    cos(doc, doc-minus-last-token) > cos(doc, next doc) clears 0.90;
+    *  - det_pass: a SECOND encoder instance (its own independently-built
+    *    weight matrices) reproduces every vector bit-for-bit (hermetic
+    *    determinism — the property that keeps tx scores byte-stable
+    *    across executors, retries, and JVMs).
+    * Floors verified at sf0.001/0.01/0.1 with wide margin (ProbeTx).
+    */
+  private def txGate(spark: SparkSession, dir: String): DataFrame = {
+    val model2 = graft.llm.TinyTransformer()
+    val embedUdf = udf((t: String) => txModel.embed(t))
+    val embedUdf2 = udf((t: String) => model2.embed(t))
+    val selfF1 = udf { (t: String) =>
+      val e = txModel.encode(t)
+      graft.core.BertScore.greedyMatch(e, e)._3
+    }
+    val toks = filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+      t => t =!= "")
+    val docs = tbl(spark, dir, "documents").select(
+      col("doc_id"), col("text"), toks.as("toks"),
+      size(array_distinct(toks)).as("n_distinct"))
+    // the global-order lead() runs in ONE task (cheap: strings only);
+    // repartition BEFORE the forward passes so they spread across cores
+    val withNext = docs.withColumn("next_text",
+        lead(col("text"), 1).over(Window.orderBy(col("doc_id"))))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cos = (a: Column, b: Column) =>
+      graft.functions.cosineSimilarityF(a, b)
+    val scored = withNext.select(
+      col("doc_id"),
+      r4(selfF1(col("text"))).as("self_f1"),
+      col("n_distinct"),
+      cos(embedUdf(col("text")),
+        embedUdf(array_join(reverse(col("toks")), " "))).as("cos_rev"),
+      when(col("next_text").isNotNull,
+        (cos(embedUdf(col("text")),
+          embedUdf(array_join(
+            slice(col("toks"), lit(1), size(col("toks")) - 1), " "))) >
+         cos(embedUdf(col("text")), embedUdf(col("next_text"))))
+          .cast("int")).as("nd_win"),
+      (embedUdf(col("text")) === embedUdf2(col("text")))
+        .cast("int").as("det_ok"))
+    scored.agg(
+      max(when(col("self_f1") =!= 1.0, 1).otherwise(0)).as("bad_self"),
+      max(when(col("n_distinct") >= 2, col("cos_rev"))).as("max_rev"),
+      avg(col("nd_win")).as("nd_rate"),
+      min(col("det_ok")).as("det_min"),
+      count(lit(1)).as("n"))
+      .select(
+        (col("bad_self") === 0).cast("int").as("self_pass"),
+        (col("max_rev") < 0.9999).cast("int").as("order_pass"),
+        (col("nd_rate") >= 0.90).cast("int").as("neardup_pass"),
+        (col("det_min") === 1).cast("int").as("det_pass"),
+        (col("n") > 0).cast("int").as("has_rows"))
+  }
+
   /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
     * correctness (= source-vocabulary coverage) and coherence (= lexical
     * diversity) — over the same SQL-constructible token-slice pairing as
@@ -3017,7 +3128,10 @@ FROM m ORDER BY doc_id, summarizer""")
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
     "eval_judge_stats" -> (Pipelines.judgeStats(_, _)),
-    "eval_bertscore" -> (Pipelines.bertScores(_, _)))
+    "eval_bertscore" -> (Pipelines.bertScores(_, _)),
+    "eval_bertscore_tx" -> (evalBertscoreTx(_, _)),
+    "m3t_semantic_tx" -> (m3tSemanticTx(_, _)),
+    "tx_gate" -> (txGate(_, _)))
 
   // --------------------------------------------------------------- oracles
 
@@ -3731,6 +3845,11 @@ ORDER BY token_id"""
          FROM scored s LEFT JOIN cuts c ON s.domain = c.domain
          ORDER BY s.doc_id""",
     "ta17b_gate" -> "SELECT 75 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
+    // order sensitivity, near-dup beats unrelated, bit-exact determinism
+    "tx_gate" ->
+      """SELECT 1 AS self_pass, 1 AS order_pass, 1 AS neardup_pass,
+           1 AS det_pass, 1 AS has_rows""",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{cosineSimilarityF, exactAvg, exactStddevPop, r4}
 import graft.functions.udfs
-import graft.llm.{Embedder, HashingTfEmbedder}
+import graft.llm.{ContextualEmbedder, Embedder, HashingTfEmbedder}
 
 /** Evaluation layer (SURVEY.md §2.9, §3.2).
   *
@@ -43,6 +43,25 @@ object Metrics {
         if (s == null) Array.empty
         else graft.core.Text.metricTokens(s).map(embedder.embed)
       graft.core.BertScore.greedyMatch(tokVecs(gen), tokVecs(ref))
+    }
+    pairs.withColumn("bs", scoreUdf(col("gen"), col("ref")))
+      .select(col("doc_id"),
+        r4(col("bs._1")).as("bert_p"),
+        r4(col("bs._2")).as("bert_r"),
+        r4(col("bs._3")).as("bert_f"))
+  }
+
+  /** M2, contextual form — BERTScore as published: greedy matching over
+    * CONTEXTUAL per-token vectors from a transformer encoder (the
+    * reference's in-process model path,
+    * evaluate/evaluate_summaries_semantic.py:150-166), not per-token
+    * bag embeddings. One encoder forward pass per side per pair; pure
+    * map, no shuffle. Input: (doc_id, gen, ref).
+    */
+  def bertScoreContextual(pairs: DataFrame, encoder: ContextualEmbedder)
+      : DataFrame = {
+    val scoreUdf = udf { (gen: String, ref: String) =>
+      graft.core.BertScore.greedyMatch(encoder.encode(gen), encoder.encode(ref))
     }
     pairs.withColumn("bs", scoreUdf(col("gen"), col("ref")))
       .select(col("doc_id"),
