@@ -1496,6 +1496,20 @@ object SparkEntry {
         col("source"))
       .orderBy(col("doc_id"))
 
+  /** CUR2: DSIR importance resampling (Xie et al. 2023) — the non-English
+    * pool scored against the English target's hashed-bigram model, top-100
+    * Gumbel-resampled. FULL oracle: the SQL re-learns both bucket models,
+    * replays the micro-nat log-ratio sum, the keyed-hash Gumbel, and the
+    * (key desc, doc_id asc) k-th-tuple threshold.
+    */
+  private def cur2Dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.operators.Curation.dsirSelect(
+        docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"), 100)
+      .orderBy(col("doc_id"))
+  }
+
   /** TA17b: the sampled-cut CCNet bucketing — per-domain cut scores
     * learned on the deterministic keyed-hash half-sample (seed "cuts"),
     * broadcast, then a map-only bucket pass over the full corpus (the
@@ -3059,6 +3073,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
+    "cur2_dsir" -> (cur2Dsir(_, _)),
     "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
     "ta17b_gate" -> (ta17bGate(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
@@ -3749,6 +3764,64 @@ ORDER BY token_id"""
            FROM scored)
          SELECT doc_id, source, cls AS pred_source, sm / 1e6 AS score
          FROM best WHERE rn = 1 ORDER BY doc_id""",
+    // cur2: the full DSIR replay — both hashed-bigram bucket models
+    // re-learned (md5 60-bit buckets, Laplace-smoothed, 6dp micro-nat
+    // log-ratios), per-doc weight sum, keyed-hash Gumbel, and the
+    // (key desc, doc_id asc) k-th-tuple selection threshold
+    "cur2_dsir" ->
+      """WITH rawd AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+         tgtd AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         rt AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t FROM rawd),
+         tt AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t FROM tgtd),
+         rb AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('b:' || gram), 1, 15)) AS BIGINT)
+               % 4096 AS bucket
+           FROM (SELECT doc_id, unnest(list_concat(t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
+             AS gram FROM rt)),
+         tb AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('b:' || gram), 1, 15)) AS BIGINT)
+               % 4096 AS bucket
+           FROM (SELECT doc_id, unnest(list_concat(t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])))
+             AS gram FROM tt)),
+         rc AS (SELECT bucket, COUNT(*) AS n FROM rb GROUP BY 1),
+         tc AS (SELECT bucket, COUNT(*) AS n FROM tb GROUP BY 1),
+         rtot AS (SELECT COUNT(*) AS tr FROM rb),
+         ttot AS (SELECT COUNT(*) AS tg FROM tb),
+         ratio AS (
+           SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+             CAST(round(round(ln((COALESCE(tc.n, 0) + 1)
+               / CAST(tg + 4096 AS DOUBLE)), 6) * 1000000) AS BIGINT)
+             - CAST(round(round(ln((COALESCE(rc.n, 0) + 1)
+               / CAST(tr + 4096 AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lrm
+           FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, rtot, ttot),
+         dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM rb GROUP BY 1, 2),
+         dw AS (
+           SELECT d.doc_id, CAST(SUM(d.c * r.lrm) AS BIGINT) AS wm
+           FROM dcnt d JOIN ratio r USING (bucket) GROUP BY 1),
+         keyed AS (
+           SELECT rd.doc_id, COALESCE(dw.wm, 0) AS wm,
+             CAST(round(round(-ln(-ln(
+               (CAST(CAST(('0x' || substr(md5('dsir:'
+                  || CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 AS DOUBLE) + 0.5e0)
+               / 1152921504606846976.0e0)), 6) * 1000000) AS BIGINT) AS gm
+           FROM rawd rd LEFT JOIN dw ON dw.doc_id = rd.doc_id),
+         kth AS (
+           SELECT key, doc_id FROM (
+             SELECT wm + gm AS key, doc_id FROM keyed
+             ORDER BY key DESC, doc_id ASC LIMIT 100)
+           ORDER BY key ASC, doc_id DESC LIMIT 1)
+         SELECT k.doc_id, k.wm / 1e6 AS log_weight, k.gm / 1e6 AS gumbel,
+           CAST((k.wm + k.gm > kth.key)
+             OR (k.wm + k.gm = kth.key AND k.doc_id <= kth.doc_id)
+             AS INT) AS selected
+         FROM keyed k, kth ORDER BY k.doc_id""",
     // ta17: the ta16 LM replay + NTILE(3) per source over the identical
     // (avg_logprob DESC, doc_id) total order — both engines implement
     // SQL-standard ntile (first n mod 3 buckets take the extra row)

@@ -249,4 +249,109 @@ object Curation {
     gated.unpersist()
     curated
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * NeurIPS): score every raw document by how much more likely its
+    * hashed-n-gram profile is under a TARGET domain's bag-of-features
+    * model than under the raw pool's own, then resample the top-k by
+    * Gumbel-perturbed weight (= sampling without replacement proportional
+    * to the importance weights — Gumbel-top-k, Vieira 2014).
+    *
+    * Features (the paper's §3.2): unigrams AND bigrams of the ta11 token
+    * convention, hashed into `buckets` via the corpus-wide md5-60-bit
+    * convention — so feature extraction is pure Column expressions and
+    * bit-identical in DuckDB. Both feature models are Laplace-smoothed
+    * multinomials over buckets; per-bucket log-ratios ln(p̂_t/q̂_r) snap
+    * to the 6dp grid and become integer micro-nats BEFORE the per-doc
+    * sum (the ta16/ta18 discipline), so log-weights are exact integers.
+    * The Gumbel key g = -ln(-ln(u)) draws u from the keyed-hash uniform
+    * md5("<seed>:" ++ doc_id) (the sp1/o4 layout-independence
+    * convention), snaps to 6dp, and joins the weight in micro-nat units;
+    * selection is the top-k over (key desc, doc_id asc) — a total order,
+    * so the whole report carries a full hash oracle.
+    *
+    * Scale shape: two bucket-count hash-aggs (≤ `buckets` rows each,
+    * partial-aggregated), one broadcast of the ≤`buckets`-row log-ratio
+    * table, one map-side per-doc sum, and ONE top-k (TakeOrdered — k rows
+    * per partition merge, never a global sort). The corpus is scanned
+    * twice (once to fit q̂, once to score) and shuffled only by its own
+    * bucket counts; the target fits in one agg of its own. Nothing grows
+    * with corpus size except the two count aggregates.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+      buckets: Int = 4096, textCol: String = "text",
+      seed: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val toks = regexp_extract_all(lower(col(textCol)),
+      lit("[\\p{L}\\p{N}]+"), lit(0))
+    // unigrams ++ bigrams -> md5 60-bit -> bucket id
+    val feats = (df: DataFrame) => df.select(col("doc_id"),
+      explode(concat(
+        col("__t"),
+        filter(
+          zip_with(col("__t"), slice(col("__t"), lit(2), size(col("__t"))),
+            (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+          g => g.isNotNull))).as("gram"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(concat(lit("b:"), col("gram"))), 1, 15),
+          16, 10).cast("long"), lit(buckets.toLong)).as("bucket"))
+    val rawFeats = Materialize(
+      feats(raw.select(col("doc_id"), toks.as("__t"))))
+    val tgtFeats = feats(target.select(col("doc_id"), toks.as("__t")))
+    def bucketLp(f: DataFrame): DataFrame = {
+      val counts = f.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(tot)).select(col("bucket"),
+        round(round(log((col("n") + 1).cast("double") /
+          (col("tot") + buckets).cast("double")), 6) * 1e6)
+          .cast("long").as("lpm"),
+        col("tot"))
+    }
+    // smoothing gives unseen buckets ln(1/(tot+B)) — fold that default in
+    // via a full outer join + per-side coalesce; the totals ride in as
+    // broadcast scalar joins (metadata-scale, no driver math)
+    val pT = bucketLp(tgtFeats).select(col("bucket"), col("lpm").as("lp_t"))
+    val qR = bucketLp(rawFeats).select(col("bucket"), col("lpm").as("lp_r"))
+    val totTgt = tgtFeats.agg(count(lit(1)).as("tt"))
+    val totRaw = rawFeats.agg(count(lit(1)).as("tr"))
+    val ratioFull = pT.join(qR, Seq("bucket"), "full")
+      .crossJoin(broadcast(totTgt)).crossJoin(broadcast(totRaw))
+      .select(col("bucket"),
+        (coalesce(col("lp_t"),
+          round(round(log(lit(1.0) / (col("tt") + buckets)), 6) * 1e6)
+            .cast("long")) -
+         coalesce(col("lp_r"),
+           round(round(log(lit(1.0) / (col("tr") + buckets)), 6) * 1e6)
+             .cast("long"))).as("lrm"))
+    val docW = rawFeats.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratioFull), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lrm")).as("wm"))
+    // Gumbel-top-k key: micro-nat weight + 6dp-snapped Gumbel noise from
+    // the keyed-hash uniform in (0, 1]
+    // +0.5 centers the 60-bit lattice in (0, 1) — u can hit neither 0
+    // nor 1, so -ln(-ln(u)) is always finite
+    val u = (conv(substring(md5(concat(lit(s"$seed:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
+      lit(1152921504606846976.0) // 2^60
+    val keyed = Materialize(raw.select(col("doc_id"))
+      .join(docW, Seq("doc_id"), "left").na.fill(0L, Seq("wm"))
+      .withColumn("gm",
+        round(round(-log(-log(u)), 6) * 1e6).cast("long"))
+      .withColumn("key", col("wm") + col("gm")))
+    // top-k WITHOUT a global sort: TakeOrdered finds the k-th (key desc,
+    // doc_id asc) tuple — k rows per partition merge — and the selection
+    // is a broadcast threshold compare. (key, -doc_id) descending lex
+    // order == the rank order, so `selected` = tuple >= k-th tuple; with
+    // fewer than k docs the threshold is the global min and all pass.
+    val kth = keyed.orderBy(col("key").desc, col("doc_id").asc).limit(k)
+      .agg(min(struct(col("key"), (-col("doc_id")).as("nid"))).as("th"))
+    keyed.crossJoin(broadcast(kth))
+      .select(col("doc_id"), (col("wm") / 1e6).as("log_weight"),
+        (col("gm") / 1e6).as("gumbel"),
+        (struct(col("key"), (-col("doc_id")).as("nid")) >= col("th"))
+          .cast("int").as("selected"))
+  }
 }

@@ -156,4 +156,39 @@ class CurationSpec extends AnyFunSuite {
       Seq("doc_id", "lang_pred", "n_tokens", "n_chars", "stopword_ratio"))
     assert(kept.select("lang_pred").as[String].collect().forall(_ == "en"))
   }
+
+  test("DSIR: target-like docs outweigh dissimilar ones, exactly k selected, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val target = Seq(
+      (100L, "the cat sat on the mat and the cat slept"),
+      (101L, "a cat and a dog sat on the mat together"))
+      .toDF("doc_id", "text")
+    // raw pool: two docs sharing the target's n-grams, two disjoint
+    val raw = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog sat on the mat"),
+      (3L, "quantum flux capacitors oscillate rapidly"),
+      (4L, "zebra xylophone quark jabberwocky vortex"))
+      .toDF("doc_id", "text")
+    val rep = graft.operators.Curation.dsirSelect(raw, target, k = 2)
+      .select("doc_id", "log_weight", "selected")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep.size == 4 && rep.values.map(_._2).sum == 2)
+    // importance weights: target-overlapping docs strictly above disjoint
+    assert(math.min(rep(1L)._1, rep(2L)._1) >
+      math.max(rep(3L)._1, rep(4L)._1))
+    // k >= pool size selects everything
+    val all = graft.operators.Curation.dsirSelect(raw, target, k = 10)
+      .select("selected").as[Int].collect()
+    assert(all.length == 4 && all.forall(_ == 1))
+    // layout-independent: a repartitioned pool yields identical rows
+    val rep2 = graft.operators.Curation
+      .dsirSelect(raw.repartition(7), target.repartition(3), k = 2)
+      .select("doc_id", "log_weight", "selected")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep2 == rep)
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.dsirSelect(raw, target, k = 0)
+    }
+  }
 }
