@@ -1865,15 +1865,48 @@ object SparkEntry {
     * pinned by `tx_gate`'s near-dup property.
     */
   private def m3tSemanticTx(spark: SparkSession, dir: String): DataFrame = {
-    val embedUdf = udf((t: String) => txModel.embed(t))
-    val docs = tbl(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
+    val docs = txDocEmb(spark, dir)
     val queries = docs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.bruteForceTopK(docs, queries, 5)
       .select("query_id", "vec_id", "cosine", "rank")
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Transformer sentence embeddings over the documents table — the
+    * model-inference stage every tx retrieval query shares (pure map,
+    * repartitioned off the single input split).
+    */
+  private def txDocEmb(spark: SparkSession, dir: String): DataFrame = {
+    val embedUdf = udf((t: String) => txModel.embed(t))
+    tbl(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
+  }
+
+  /** M3 (scale path): the same transformer retrieval routed through the
+    * sign-LSH index instead of the brute-force scan — model inference
+    * composes with the registered ANN family unchanged (embeddings are
+    * just a column). Rows-only; m3tb_gate floors its recall against the
+    * m3t exact baseline.
+    */
+  private def m3tbSemanticTxLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = txDocEmb(spark, dir)
+    val queries = docs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.lshTopK(docs, queries, 5, 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@5 of the LSH-routed tx retrieval vs the exact m3t baseline. */
+  private def m3tbRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = txDocEmb(spark, dir)
+    val queries = docs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(docs, queries, 5),
+      Similarity.lshTopK(docs, queries, 5, 64))
+      .orderBy(col("query_id"))
   }
 
   /** The tx-family contract gate (FULL literal oracle) — pins the four
@@ -1894,7 +1927,20 @@ object SparkEntry {
     *    across executors, retries, and JVMs).
     * Floors verified at sf0.001/0.01/0.1 with wide margin (ProbeTx).
     */
-  private def txGate(spark: SparkSession, dir: String): DataFrame = {
+  private def txGate(spark: SparkSession, dir: String): DataFrame =
+    txGateStats(spark, dir)
+      .select(
+        (col("bad_self") === 0).cast("int").as("self_pass"),
+        (col("max_rev") < 0.9999).cast("int").as("order_pass"),
+        (col("nd_rate") >= 0.90).cast("int").as("neardup_pass"),
+        (col("det_min") === 1).cast("int").as("det_pass"),
+        (col("n") > 0).cast("int").as("has_rows"))
+
+  /** The raw tx_gate aggregates (one row: bad_self count, max reversed
+    * cosine, near-dup win rate, determinism min, n) — split out so
+    * ProbeTx can print the MARGINS behind the gate's literal booleans.
+    */
+  private[graft] def txGateStats(spark: SparkSession, dir: String): DataFrame = {
     val model2 = graft.llm.TinyTransformer()
     val embedUdf = udf((t: String) => txModel.embed(t))
     val embedUdf2 = udf((t: String) => model2.embed(t))
@@ -1934,12 +1980,6 @@ object SparkEntry {
       avg(col("nd_win")).as("nd_rate"),
       min(col("det_ok")).as("det_min"),
       count(lit(1)).as("n"))
-      .select(
-        (col("bad_self") === 0).cast("int").as("self_pass"),
-        (col("max_rev") < 0.9999).cast("int").as("order_pass"),
-        (col("nd_rate") >= 0.90).cast("int").as("neardup_pass"),
-        (col("det_min") === 1).cast("int").as("det_pass"),
-        (col("n") > 0).cast("int").as("has_rows"))
   }
 
   /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
@@ -3146,6 +3186,10 @@ FROM m ORDER BY doc_id, summarizer""")
     "eval_bertscore" -> (Pipelines.bertScores(_, _)),
     "eval_bertscore_tx" -> (evalBertscoreTx(_, _)),
     "m3t_semantic_tx" -> (m3tSemanticTx(_, _)),
+    "m3tb_semantic_tx_lsh" -> (m3tbSemanticTxLsh(_, _)),
+    "m3tb_recall" -> (m3tbRecall(_, _)),
+    "m3tb_gate" -> ((s: SparkSession, d: String) =>
+      recallGate(m3tbRecall(s, d), 90)),
     "tx_gate" -> (txGate(_, _)))
 
   // --------------------------------------------------------------- oracles
@@ -3923,6 +3967,10 @@ ORDER BY token_id"""
     "tx_gate" ->
       """SELECT 1 AS self_pass, 1 AS order_pass, 1 AS neardup_pass,
            1 AS det_pass, 1 AS has_rows""",
+    // m3tb_gate: recall floor for the LSH-routed transformer retrieval
+    // (measured 1.0 at sf0.001/0.01/0.1 — ProbeTx notes the anisotropy
+    // that makes sign-LSH candidate-rich on pooled transformer vectors)
+    "m3tb_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->

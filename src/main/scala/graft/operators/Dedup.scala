@@ -1090,29 +1090,53 @@ object Dedup {
     * its query count. Cosines snap to the 4dp grid (r4) before the
     * argmax, ties break to the lowest benchmark id — a total order, so
     * the report carries a full hash oracle.
+    *
+    * The argmax is a single hash-aggregable `max(long)`: the 4dp cosine
+    * (≤ 20001 values) and the benchmark id pack into one 58-bit key with
+    * the id ones'-complemented so larger key == (higher cosine, then
+    * LOWER id). A `min(struct(...))` here reads identically but compiles
+    * to SortAggregate (struct buffers aren't hash-aggregable), which at
+    * the 100x probe meant each task SORTING its slice of the
+    * corpus x bench stream — measured OOM at 8 GB heap on 2.2G joined
+    * rows; the packed form partial-aggregates map-side and holds one
+    * long per corpus item (measured 54 s for the same probe, flop-bound).
     */
   def semanticDecontamReport(corpus: DataFrame, bench: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", maxBench: Long = 100000L): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
-    val nb = bench.count()
+    val idSpace = (1L << 43) - 1
+    val stats = bench.agg(count(lit(1)), min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val nb = stats.getLong(0)
     require(nb <= maxBench,
       s"semanticDecontamReport broadcasts the benchmark and it has $nb " +
         s"rows (> $maxBench); a benchmark that size is not an eval suite " +
         "— split it or use embeddingCosinePairsLsh")
-    val b = bench.select(col(idCol).as("bench_id"),
+    require(nb == 0L || (stats.getLong(1) >= 0L && stats.getLong(2) <= idSpace),
+      s"benchmark $idCol must fit the 43-bit argmax key space [0, $idSpace]" +
+        s": got [${stats.get(1)}, ${stats.get(2)}]")
+    val b = bench.select(col(idCol).cast("long").as("bench_id"),
       col(vecCol).as("bench_emb"), vecNormF(col(vecCol)).as("bench_norm"))
     val c = corpus.select(col(idCol), col(vecCol).as("emb"),
       vecNormF(col(vecCol)).as("norm"))
     val denom = col("norm") * col("bench_norm")
+    // c4 recovers the snapped cosine's exact 4dp integer: |cos| <= 1, so
+    // snapped*1e4 has <= 9 significant digits and re-rounds losslessly
+    val snapped = r4(when(denom === 0.0, 0.0)
+      .otherwise(vecDotF(col("emb"), col("bench_emb")) / denom))
+    val c4 = round(snapped * 1e4).cast("long")
     c.crossJoin(broadcast(b))
-      .select(col(idCol), col("bench_id"),
-        r4(when(denom === 0.0, 0.0)
-          .otherwise(vecDotF(col("emb"), col("bench_emb")) / denom)).as("cos"))
+      .select(col(idCol),
+        (shiftleft(c4 + 10000L, 43) + (lit(idSpace) - col("bench_id")))
+          .as("k"))
       .groupBy(col(idCol))
-      .agg(min(struct((-col("cos")).as("nc"), col("bench_id"))).as("b"))
-      .select(col(idCol), col("b.bench_id").as("bench_id"),
-        (-col("b.nc")).as("max_cosine"),
-        (-col("b.nc") >= threshold).cast("int").as("contaminated"))
+      .agg(max(col("k")).as("k"))
+      .select(col(idCol),
+        (lit(idSpace) - col("k").bitwiseAND(lit(idSpace))).as("bench_id"),
+        ((shiftright(col("k"), 43) - 10000L).cast("double") / 1e4)
+          .as("max_cosine"))
+      .withColumn("contaminated",
+        (col("max_cosine") >= threshold).cast("int"))
   }
 }
