@@ -1953,10 +1953,14 @@ object SparkEntry {
     val docs = tbl(spark, dir, "documents").select(
       col("doc_id"), col("text"), toks.as("toks"),
       size(array_distinct(toks)).as("n_distinct"))
-    // the global-order lead() runs in ONE task (cheap: strings only);
-    // repartition BEFORE the forward passes so they spread across cores
-    val withNext = docs.withColumn("next_text",
-        lead(col("text"), 1).over(Window.orderBy(col("doc_id"))))
+    // "unrelated text" partner = the doc_id+1 neighbor via a plain
+    // equi-join (no global-window lead — that would serialize the corpus
+    // into one task); docs whose successor id is absent drop out of the
+    // near-dup rate only. Repartition BEFORE the forward passes.
+    val withNext = docs.join(
+        docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("next_text")),
+        Seq("doc_id"), "left")
       .repartition(spark.sparkContext.defaultParallelism)
     val cos = (a: Column, b: Column) =>
       graft.functions.cosineSimilarityF(a, b)

@@ -95,7 +95,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz5_matryoshka_topk", "qz5_recall", "qz6_sign_topk", "qz6_recall",
     "qz6b_sign_rerank", "qz6b_recall",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
-    "mx2_temperature", "pipe_training_mix")
+    "mx2_temperature", "pipe_training_mix",
+    // dc5 broadcasts the maxBench-required eval suite over the corpus
+    // scan (the declared contract); ta18/cur2 broadcast metadata-scale
+    // model tables (C x V grid, bucket log-ratios) and one-row totals;
+    // the tx retrieval family is ss1's broadcast-query scan over
+    // transformer embeddings (m3tb_recall/gate contain the same scan)
+    "dc5_semantic_decontam", "ta18_nb_classifier", "cur2_dsir",
+    "m3t_semantic_tx", "m3tb_recall", "m3tb_gate")
 
   /** Bounded unpartitioned windows: sp3 ranks AFTER `limit(n)` — the
     * window input is the n-row sample; mx3's waterfall window runs on the
