@@ -1831,6 +1831,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** M6 (oracle slice): sentence BLEU over the token-slice pairing —
+    * add-one smoothed clipped precisions + brevity penalty, all integer
+    * micro-nat arithmetic up to the final exp (core/Bleu.scala). FULL
+    * oracle: the SQL rebuilds the four gram tables, the clipped-match
+    * sums, the 6dp micro snaps, and the quarter-micro log score; the
+    * exact `log_bleu_qmicro` column is the integer the two engines must
+    * agree on verbatim, `bleu` its 4dp exp.
+    */
+  private def evalBleuNgram(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    graft.eval.Metrics.bleuScores(pairs).orderBy(col("doc_id"))
+  }
+
   /** The hermetic in-process transformer (seeded weights, no endpoint, no
     * files) every tx-family query shares. One instance so executor JVMs
     * build the weight matrices once.
@@ -3183,6 +3200,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "eval_judge_ngram" -> (evalJudgeNgram(_, _)),
     "eval_stats_ngram" -> (evalStatsNgram(_, _)),
     "eval_bert_ngram" -> (evalBertNgram(_, _)),
+    "eval_bleu_ngram" -> (evalBleuNgram(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
@@ -4534,6 +4552,64 @@ ORDER BY token_id"""
     "dd2_minhash_sig" -> minhashSigSql,
     "eval_rouge_ngram" ->
       s"WITH $rougeNgramCtes\n$rougeNgramSelect\nORDER BY l.doc_id",
+    // M6: BLEU replay — gram tables for n=1..4, clipped-match sums,
+    // 6dp micro ln-precisions, quarter-micro combined log, 4dp exp
+    "eval_bleu_ngram" ->
+      """WITH pairs AS (
+           SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:20], ' ') AS gen,
+             array_to_string(string_split_regex(trim(text), '\s+')[11:40], ' ') AS ref
+           FROM documents),
+         mt AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(gen), '[\p{L}\p{N}]+') AS ct,
+             regexp_extract_all(lower(ref), '[\p{L}\p{N}]+') AS rt
+           FROM pairs),
+         ns AS (SELECT UNNEST([1, 2, 3, 4]) AS n),
+         cg AS (
+           SELECT m.doc_id, ns.n,
+             UNNEST(list_transform(range(1, len(m.ct) - ns.n + 2),
+               i -> array_to_string(m.ct[i:i+ns.n-1], ' '))) AS gram
+           FROM mt m CROSS JOIN ns),
+         rg AS (
+           SELECT m.doc_id, ns.n,
+             UNNEST(list_transform(range(1, len(m.rt) - ns.n + 2),
+               i -> array_to_string(m.rt[i:i+ns.n-1], ' '))) AS gram
+           FROM mt m CROSS JOIN ns),
+         cc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY 1, 2, 3),
+         rcn AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rg GROUP BY 1, 2, 3),
+         mtc AS (
+           SELECT cc.doc_id, cc.n,
+             SUM(LEAST(cc.c, COALESCE(rcn.c, 0))) AS m, SUM(cc.c) AS t
+           FROM cc LEFT JOIN rcn ON cc.doc_id = rcn.doc_id
+             AND cc.n = rcn.n AND cc.gram = rcn.gram
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT m.doc_id, ns.n, len(m.ct) AS c, len(m.rt) AS r
+           FROM mt m CROSS JOIN ns),
+         lns AS (
+           SELECT g.doc_id, g.c, g.r,
+             CAST(round(round(ln((COALESCE(x.m, 0) + 1)
+               / CAST(COALESCE(x.t, 0) + 1 AS DOUBLE)), 6) * 1000000)
+               AS BIGINT) AS lnm
+           FROM grid g LEFT JOIN mtc x ON g.doc_id = x.doc_id AND g.n = x.n),
+         agg AS (
+           SELECT doc_id, MAX(c) AS c, MAX(r) AS r,
+             CAST(SUM(lnm) AS BIGINT) AS lnsum
+           FROM lns GROUP BY 1),
+         sc AS (
+           SELECT doc_id,
+             CASE WHEN c = 0 OR r = 0 THEN NULL
+               ELSE 4 * (CASE WHEN c >= r THEN 0
+                 ELSE CAST(round(round(1 - CAST(r AS DOUBLE) / c, 6)
+                   * 1000000) AS BIGINT) END) + lnsum
+             END AS q
+           FROM agg)
+         SELECT doc_id,
+           CASE WHEN q IS NULL THEN 0.0
+             ELSE round(exp(q / 4000000.0), 4) END AS bleu,
+           q AS log_bleu_qmicro
+         FROM sc ORDER BY doc_id""",
     // G9 mean-of-list stats over the SAME rouge-ngram metric rows:
     // exactAvg / population-std formulas (decimal-exact sums, the g6
     // pattern) held to DuckDB parity on a real metric distribution

@@ -70,6 +70,28 @@ object Metrics {
         r4(col("bs._3")).as("bert_f"))
   }
 
+  /** M6: sentence BLEU per pair — add-one-smoothed clipped n-gram
+    * precisions + brevity penalty over the metric-token convention (see
+    * [[graft.core.Bleu]]). `log_bleu_qmicro` is the exact integer
+    * log-score (maxN-quarter micro-nats) an oracle replays verbatim;
+    * `bleu` is its 4dp exp. Empty either side => (0.0, null), the
+    * BertScore degenerate convention. Input: (doc_id, gen, ref).
+    */
+  def bleuScores(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+    val u = udf { (gen: String, ref: String) =>
+      val c = graft.core.Text.metricTokens(if (gen == null) "" else gen)
+      val r = graft.core.Text.metricTokens(if (ref == null) "" else ref)
+      if (c.isEmpty || r.isEmpty) (0.0, None: Option[Long])
+      else {
+        val (b, q) = graft.core.Bleu.sentenceBleu(c, r, maxN)
+        (b, Some(q))
+      }
+    }
+    pairs.withColumn("b", u(col("gen"), col("ref")))
+      .select(col("doc_id"), col("b._1").as("bleu"),
+        col("b._2").as("log_bleu_qmicro"))
+  }
+
   /** G6: mean/std/min/max per metric (population std — the reference uses
     * numpy's default, evaluate/evaluate_summaries_semantic.py:600-617).
     * Output long-format: (metric, mean, std, min, max).
