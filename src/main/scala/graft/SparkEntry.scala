@@ -2457,6 +2457,43 @@ object SparkEntry {
     Seq(acc.value).toDF("n_clean")
   }
 
+  /** TA18s: train-batch / score-STREAM domain classification — the
+    * production shape of ta18: the NB model trains on the static corpus
+    * (two hash-aggs), collects as metadata (≤ C×V rows, contract-pinned),
+    * and ships inside a scoring UDF that runs as a STATELESS projection
+    * on the document stream — no state store, no watermark, every batch
+    * independent. Sink rows are held to ta18's oracle VERBATIM: the
+    * serving-side per-row integer scorer must reproduce the batch
+    * aggregate's micro-nat argmax exactly.
+    */
+  private def streamClassify(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val model = TextAnalysis.nbTrainCollect(
+      tbl(spark, dir, "documents"), col("source"))
+    val scoreUdf = udf { (t: String) =>
+      val (p, sm) = model.score(t)
+      (p, sm / 1e6)
+    }
+    val scored = docs.select(col("doc_id"), col("source"),
+        scoreUdf(col("text")).as("s"))
+      .select(col("doc_id"), col("source"),
+        col("s._1").as("pred_source"), col("s._2").as("score"))
+    val out = java.nio.file.Files.createTempDirectory("graft_cls_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clsc_").toString
+    val q = scored.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    spark.read.schema(scored.schema).parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** EV6: stream-STREAM attribution join, driver-checked end to end — the
     * purchase and click slices of the events table replayed as two
     * independent file-source streams, joined live on user + 30-minute
@@ -3189,6 +3226,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_curation" -> (streamCuration(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
+    "stream_classify" -> (streamClassify(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "q6_textrank" -> (q6TextRank(_, _)),
     "q7_summarizer_compare" -> (q7SummarizerCompare(_, _)),
@@ -3598,6 +3636,52 @@ ORDER BY token_id"""
          o2 AS (SELECT doc_id, SUM(least(u2.c, v2.c)) AS ov FROM u2 JOIN v2 USING (doc_id, tok) GROUP BY 1),
          lens AS (SELECT doc_id, len(gt) AS gc1, len(rt) AS rc1, len(g2) AS gc2, len(r2) AS rc2 FROM grams)"""
 
+  /** ta18's full NB replay — shared verbatim by `ta18_nb_classifier`
+    * (batch aggregate) and `stream_classify` (collected-model per-row
+    * scorer): both must reproduce this SQL exactly.
+    */
+  private val ta18NbSql: String =
+    """WITH tok AS (
+           SELECT doc_id, source AS cls,
+             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+           FROM documents),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+             ORDER BY c DESC, tok LIMIT 512)),
+         vt AS (SELECT t.doc_id, t.cls, t.tok FROM tok t JOIN vocab USING (tok)),
+         cls AS (SELECT source AS cls, COUNT(*) AS dc FROM documents GROUP BY 1),
+         nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         ctok AS (SELECT cls, tok, COUNT(*) AS n FROM vt GROUP BY 1, 2),
+         tc AS (SELECT cls, SUM(n) AS tc FROM ctok GROUP BY 1),
+         model AS (
+           SELECT g.cls, g.tok,
+             CAST(round(round(ln((COALESCE(ct.n, 0) + 1)
+               / CAST(t.tc + v.v AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lpm
+           FROM (SELECT c.cls, vb.tok FROM cls c CROSS JOIN vocab vb) g
+           LEFT JOIN ctok ct ON g.cls = ct.cls AND g.tok = ct.tok
+           JOIN tc t ON g.cls = t.cls, v),
+         prior AS (
+           SELECT cls,
+             CAST(round(round(ln(dc / n), 6) * 1000000) AS BIGINT) AS pm
+           FROM cls, nd),
+         dtok AS (SELECT doc_id, tok, COUNT(*) AS dn FROM vt GROUP BY 1, 2),
+         contrib AS (
+           SELECT dt.doc_id, m.cls, SUM(dt.dn * m.lpm) AS s
+           FROM dtok dt JOIN model m USING (tok) GROUP BY 1, 2),
+         scored AS (
+           SELECT d.doc_id, d.source, p.cls, p.pm + COALESCE(c.s, 0) AS sm
+           FROM documents d CROSS JOIN prior p
+           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cls = p.cls),
+         best AS (
+           SELECT doc_id, source, cls, sm,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY sm DESC, cls) AS rn
+           FROM scored)
+         SELECT doc_id, source, cls AS pred_source, sm / 1e6 AS score
+         FROM best WHERE rn = 1 ORDER BY doc_id"""
+
   private val rougeNgramCtes: String =
     """pairs AS (
            SELECT doc_id,
@@ -3788,48 +3872,11 @@ ORDER BY token_id"""
     // ta18: the whole NB training + scoring replayed — vocabulary by the
     // (count desc, token asc) total order, Laplace-smoothed log-probs
     // snapped to 6dp and micro-unit integers (the ta16 lmMicro
-    // convention), integer argmax with class-ascending tie-break
-    "ta18_nb_classifier" ->
-      """WITH tok AS (
-           SELECT doc_id, source AS cls,
-             UNNEST(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
-           FROM documents),
-         vocab AS (
-           SELECT tok FROM (
-             SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
-             ORDER BY c DESC, tok LIMIT 512)),
-         vt AS (SELECT t.doc_id, t.cls, t.tok FROM tok t JOIN vocab USING (tok)),
-         cls AS (SELECT source AS cls, COUNT(*) AS dc FROM documents GROUP BY 1),
-         nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-         v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-         ctok AS (SELECT cls, tok, COUNT(*) AS n FROM vt GROUP BY 1, 2),
-         tc AS (SELECT cls, SUM(n) AS tc FROM ctok GROUP BY 1),
-         model AS (
-           SELECT g.cls, g.tok,
-             CAST(round(round(ln((COALESCE(ct.n, 0) + 1)
-               / CAST(t.tc + v.v AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lpm
-           FROM (SELECT c.cls, vb.tok FROM cls c CROSS JOIN vocab vb) g
-           LEFT JOIN ctok ct ON g.cls = ct.cls AND g.tok = ct.tok
-           JOIN tc t ON g.cls = t.cls, v),
-         prior AS (
-           SELECT cls,
-             CAST(round(round(ln(dc / n), 6) * 1000000) AS BIGINT) AS pm
-           FROM cls, nd),
-         dtok AS (SELECT doc_id, tok, COUNT(*) AS dn FROM vt GROUP BY 1, 2),
-         contrib AS (
-           SELECT dt.doc_id, m.cls, SUM(dt.dn * m.lpm) AS s
-           FROM dtok dt JOIN model m USING (tok) GROUP BY 1, 2),
-         scored AS (
-           SELECT d.doc_id, d.source, p.cls, p.pm + COALESCE(c.s, 0) AS sm
-           FROM documents d CROSS JOIN prior p
-           LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.cls = p.cls),
-         best AS (
-           SELECT doc_id, source, cls, sm,
-             ROW_NUMBER() OVER (PARTITION BY doc_id
-               ORDER BY sm DESC, cls) AS rn
-           FROM scored)
-         SELECT doc_id, source, cls AS pred_source, sm / 1e6 AS score
-         FROM best WHERE rn = 1 ORDER BY doc_id""",
+    // convention), integer argmax with class-ascending tie-break.
+    // stream_classify (below) holds the serving-side per-row scorer to
+    // this same SQL VERBATIM — train-batch/score-stream must be invisible
+    "ta18_nb_classifier" -> ta18NbSql,
+    "stream_classify" -> ta18NbSql,
     // cur2: the full DSIR replay — both hashed-bigram bucket models
     // re-learned (md5 60-bit buckets, Laplace-smoothed, 6dp micro-nat
     // log-ratios), per-doc weight sum, keyed-hash Gumbel, and the

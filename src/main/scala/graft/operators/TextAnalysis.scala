@@ -772,6 +772,37 @@ object TextAnalysis {
     */
   def nbDomainClassifier(docs: DataFrame, classCol: Column,
       textCol: String = "text", vocabSize: Int = 512): DataFrame = {
+    val (model, priors) = nbModelTables(docs, classCol, textCol, vocabSize)
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("tok"))
+    val dtok = toks.join(broadcast(model.select("tok").distinct()), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("dn"))
+    val contrib = dtok.join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("dn") * col("lpm")).as("s"))
+    docs.select(col("doc_id"), classCol.as("source"))
+      .crossJoin(broadcast(priors))
+      .join(contrib, Seq("doc_id", "cls"), "left").na.fill(0L, Seq("s"))
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("pm") + col("s")).as("sm"))
+      // argmax with class-ascending tie-break: lexicographic min over
+      // (-score, class) — exact integers, so no float tie ambiguity
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct((-col("sm")).as("ns"), col("cls"))).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.cls").as("pred_source"),
+        (-col("b.ns") / 1e6).as("score"))
+  }
+
+  /** The NB model as two tables — (cls, tok, lpm) smoothed log-prob
+    * micro-nats over the C×V grid and (cls, pm) priors — shared by the
+    * batch classifier and the collected serving-side model so the two
+    * paths cannot drift.
+    */
+  private def nbModelTables(docs: DataFrame, classCol: Column,
+      textCol: String, vocabSize: Int): (DataFrame, DataFrame) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     val toks = docs.select(col("doc_id"), classCol.as("cls"),
       explode(regexp_extract_all(lower(col(textCol)),
@@ -800,22 +831,60 @@ object TextAnalysis {
       .select(col("cls"),
         round(round(log(col("dc").cast("double") / col("nd")), 6) * 1e6)
           .cast("long").as("pm"))
-    val dtok = vtoks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("dn"))
-    val contrib = dtok.join(broadcast(model), Seq("tok"))
-      .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("dn") * col("lpm")).as("s"))
-    docs.select(col("doc_id"), classCol.as("source"))
-      .crossJoin(broadcast(priors))
-      .join(contrib, Seq("doc_id", "cls"), "left").na.fill(0L, Seq("s"))
-      .select(col("doc_id"), col("source"), col("cls"),
-        (col("pm") + col("s")).as("sm"))
-      // argmax with class-ascending tie-break: lexicographic min over
-      // (-score, class) — exact integers, so no float tie ambiguity
-      .groupBy(col("doc_id"), col("source"))
-      .agg(min(struct((-col("sm")).as("ns"), col("cls"))).as("b"))
-      .select(col("doc_id"), col("source"),
-        col("b.cls").as("pred_source"),
-        (-col("b.ns") / 1e6).as("score"))
+    (model, priors)
+  }
+
+  /** Collected NB model for row-at-a-time scoring — the serving/stream
+    * shape: the model IS metadata (≤ C×V ≈ 10k rows), so it collects to
+    * the driver once and ships to executors inside the scoring UDF's
+    * closure; scoring is then a stateless projection that runs unchanged
+    * on a Structured Streaming DataFrame. Trained by the same
+    * [[nbModelTables]] as the batch classifier, so per-row scores are
+    * INTEGER-IDENTICAL to [[nbDomainClassifier]]'s aggregate form (the
+    * stream_classify query holds this to ta18's oracle verbatim).
+    *
+    * `maxModelRows` pins the collect contract (the ivfPqSearch
+    * discipline).
+    */
+  final case class NbModel(lpm: Map[String, Map[String, Long]],
+      priors: Map[String, Long]) extends Serializable {
+    /** (predicted class, score micro-nats); ties to the lexicographically
+      * first class — the batch argmax's total order.
+      */
+    def score(text: String): (String, Long) = {
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      graft.core.Text.metricTokens(if (text == null) "" else text)
+        .foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+      var bestCls: String = null
+      var bestSm = Long.MinValue
+      priors.toSeq.sortBy(_._1).foreach { case (cls, pm) =>
+        val m = lpm(cls)
+        var s = 0L
+        counts.foreach { case (tok, dn) =>
+          m.get(tok).foreach(l => s += dn.toLong * l)
+        }
+        val sm = pm + s
+        if (sm > bestSm) { bestSm = sm; bestCls = cls }
+      }
+      (bestCls, bestSm)
+    }
+  }
+
+  def nbTrainCollect(docs: DataFrame, classCol: Column,
+      textCol: String = "text", vocabSize: Int = 512,
+      maxModelRows: Long = 1000000L): NbModel = {
+    val (model, priors) = nbModelTables(docs, classCol, textCol, vocabSize)
+    val mRows = model.limit(maxModelRows.toInt + 1)
+      .select("cls", "tok", "lpm")
+      .collect()
+    require(mRows.length <= maxModelRows,
+      s"NB model exceeds $maxModelRows rows — raise vocabSize discipline " +
+        "or maxModelRows; the collected-model path is for metadata-scale models")
+    val lpm = mRows.groupBy(_.getString(0)).map { case (cls, rows) =>
+      cls -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    val ps = priors.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    NbModel(lpm, ps)
   }
 }

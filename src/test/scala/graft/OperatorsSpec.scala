@@ -534,6 +534,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cgot == Map(1L -> "A", 2L -> "A"))
   }
 
+  test("TA18s nbTrainCollect: serving-side scorer integer-identical to batch classifier") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "apple apple banana", "A"), (2L, "apple banana banana", "A"),
+      (3L, "zebra zebra yak", "B"), (4L, "zebra yak yak", "B"),
+      (5L, "apple zebra", "A"),       // mixed evidence
+      (6L, "unseen oov tokens only", "B"), // fully OOV at vocabSize=4
+      (7L, "", "A"))                  // empty text -> priors decide
+      .toDF("doc_id", "text", "source")
+    val batch = graft.operators.TextAnalysis
+      .nbDomainClassifier(docs, col("source"), vocabSize = 4)
+      .select("doc_id", "pred_source", "score")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val model = graft.operators.TextAnalysis
+      .nbTrainCollect(docs, col("source"), vocabSize = 4)
+    val served = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val (p, sm) = model.score(t)
+        id -> ((p, sm / 1e6))
+      }.toMap
+    assert(served == batch)
+    // the collect contract fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.nbTrainCollect(docs, col("source"),
+        vocabSize = 4, maxModelRows = 3L)
+    }
+    assert(e.getMessage.contains("metadata-scale"))
+  }
+
   test("DC5 semanticDecontamReport: nearest benchmark, flag, tie-break, contract") {
     import org.apache.spark.sql.functions.col
     val bench = Seq((0L, Array(1f, 0f)), (17L, Array(0f, 1f)))
