@@ -1052,6 +1052,22 @@ object SparkEntry {
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
 
+  /** SS9: mined hard negatives — per query the five highest-cosine
+    * DIFFERENT-label vectors below the 0.45 denoise cap (on this corpus,
+    * dd6's pair threshold: real ≥0.45 different-label pairs exist, so
+    * the false-negative exclusion demonstrably fires). FULL oracle: the
+    * SQL replays the label filter, the denoise cap, the split cosine,
+    * and the (cosine desc, vec_id) rank.
+    */
+  private def ss9HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding"), col("label")),
+        5, 0.45)
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   /** SS2 recall@5 vs the exact ss1 baseline — the hard quality signal for
     * the sign-LSH path (per-query rows; spec floors the mean).
     */
@@ -3140,6 +3156,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
+    "ss9_hard_negatives" -> (ss9HardNegatives(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
     "ss2_recall" -> (ss2Recall(_, _)),
@@ -5081,6 +5098,27 @@ ORDER BY token_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // ss9: ss1's cosine replay + label-mismatch filter + denoise cap +
+    // per-query rank — the full mined-negative set
+    "ss9_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS eq, label AS ql
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM embeddings c, q
+           WHERE c.vec_id <> q.query_id AND c.label <> q.ql)
+         SELECT query_id, neg_rank, vec_id, cosine FROM (
+           SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS neg_rank
+           FROM scored WHERE cosine < 0.45)
+         WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""",
     // qz5: ss1's cosine replay on the 32-dim list prefix (list_slice is
     // Spark's slice(_, 1, 32) — both inclusive 1-based)
     "qz5_matryoshka_topk" ->

@@ -44,6 +44,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SS9: hard-negative mining for contrastive training — per query, the
+    * top-k highest-cosine corpus items with a DIFFERENT label (Karpukhin
+    * et al. 2020's hard negatives), excluding candidates at or above
+    * `denoiseCosine`: a different-label item nearly identical to the
+    * query is overwhelmingly a labeling error — a FALSE negative — and
+    * training on it poisons the contrastive loss (RocketQA's denoising
+    * rule, Qu et al. 2021). Inputs carry (vec_id|query_id, embedding,
+    * label).
+    *
+    * Scale shape: the ss1 broadcast-query contract (queries are
+    * metadata-scale; the corpus scans once, map-side), split cosine
+    * (norms once per row, dot per pair), 4dp snap, per-query top-k via a
+    * query-partitioned window over the label-filtered candidates. Every
+    * step is SQL-replayable, so the mined triplets carry a full oracle.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      denoiseCosine: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{vecDotF, vecNormF}
+    require(k >= 1, s"k must be >= 1: $k")
+    val denom = col("norm_c") * col("norm_q")
+    val scored = corpus.select(col("vec_id"), col("label").as("c_label"),
+        col("embedding").as("emb_c"), vecNormF(col("embedding")).as("norm_c"))
+      .crossJoin(broadcast(
+        queries.select(col("query_id"), col("label").as("q_label"),
+          col("embedding").as("emb_q"), vecNormF(col("embedding")).as("norm_q"))))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("emb_q"), col("emb_c")) / denom)).as("cosine"))
+      .filter(col("cosine") < denoiseCosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select("query_id", "neg_rank", "vec_id", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): hash-derived value in [-1, 1). Seeds are static so plans are
     * reproducible across runs and engines.

@@ -534,6 +534,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cgot == Map(1L -> "A", 2L -> "A"))
   }
 
+  test("SS9 hardNegatives: label filter, denoise drops the mislabeled twin, rank order") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.99f, 0.14f), 1), // near-identical, different label: cos ~0.990
+      (3L, Array(0.6f, 0.8f), 1),   // genuine hard negative, cos 0.6
+      (4L, Array(0f, 1f), 1),       // easy negative, cos 0
+      (5L, Array(0.8f, 0.6f), 0))   // same label -> never a negative
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val mined = graft.operators.Similarity
+      .hardNegatives(corpus, queries, 3, denoiseCosine = 0.95)
+      .select("neg_rank", "vec_id", "cosine")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // the mislabeled twin (cos 0.9901 >= 0.95) is denoised away; the same-
+    // label vec 5 is filtered; survivors rank by cosine
+    assert(mined.map(_._2).toSeq == Seq(3L, 4L))
+    assert(mined.head._3 == 0.6 && mined(1)._3 == 0.0)
+    // raising the cap past 1.0 readmits the twin at rank 1
+    val undenoised = graft.operators.Similarity
+      .hardNegatives(corpus, queries, 3, denoiseCosine = 1.01)
+      .select("neg_rank", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(undenoised.map(_._2).toSeq == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.hardNegatives(corpus, queries, 0, 0.95)
+    }
+  }
+
   test("TA18s nbTrainCollect: serving-side scorer integer-identical to batch classifier") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

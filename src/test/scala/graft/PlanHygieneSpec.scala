@@ -78,6 +78,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     * BroadcastNestedLoopJoin by construction.
     */
   private val allowCartesian = Set("dd6_embedding_pairs", "ss1_cosine_topk",
+    "ss9_hard_negatives", // ss1's broadcast-query scan + label filter
     "ss2_lsh_topk", "qz2_topk_quant", "qz3_recall",
     // qz5 is ss1's broadcast-query scan on the sliced column; qz6 the
     // same scan over packed sign words
@@ -85,6 +86,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz6b_sign_rerank", "qz6b_recall",
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
+    "ss9_hard_negatives",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
