@@ -2956,6 +2956,62 @@ object SparkEntry {
     * is a front-of-doc token slice — the lead-bias every summarization
     * eval has to control for, reproduced measurably.
     */
+  /** Q8: the model-backed extractive summarizer (embedding-MMR over the
+    * hermetic transformer — llm.MmrSummarizer) on the q7 re-punctuated
+    * corpus. Rows-only (the encoder has no SQL replay); q8_gate pins the
+    * contract.
+    */
+  private def q8MmrSummaries(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 24
+    val repunct = udf((t: String, l: Int) => if (t == null) ""
+      else graft.core.Text.wsTokens(t).grouped(l)
+        .map(_.mkString(" ") + ".").mkString(" "))
+    val mmr = udf((t: String) =>
+      graft.llm.MmrSummarizer.summarize(if (t == null) "" else t, budget))
+    tbl(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        mmr(repunct(col("text"),
+          (lit(5) + pmod(col("doc_id"), lit(4))).cast("int"))).as("summary"))
+      .withColumn("n_tokens",
+        graft.functions.tokenCount(col("summary")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q8 gate (FULL literal oracle): every summary respects the 24-token
+    * budget, is non-empty for a non-empty doc, a SECOND summarize call
+    * reproduces it byte-for-byte (model determinism through the whole
+    * sentence-split → embed → MMR → budget-walk chain), and selection is
+    * doing semantic work: at least one doc's summary differs from the
+    * lead baseline at the same budget.
+    */
+  private def q8Gate(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 24
+    val repunct = udf((t: String, l: Int) => if (t == null) ""
+      else graft.core.Text.wsTokens(t).grouped(l)
+        .map(_.mkString(" ") + ".").mkString(" "))
+    val both = udf((t: String) => {
+      val t2 = if (t == null) "" else t
+      Array(graft.llm.MmrSummarizer.summarize(t2, budget),
+        graft.llm.MmrSummarizer.summarize(t2, budget),
+        graft.llm.IdentitySummarizer.summarize(t2, budget))
+    })
+    tbl(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), length(trim(col("text"))).as("src_len"),
+        both(repunct(col("text"),
+          (lit(5) + pmod(col("doc_id"), lit(4))).cast("int"))).as("g"))
+      .select(
+        (graft.functions.tokenCount(col("g")(0)) <= budget).cast("int").as("b"),
+        (col("g")(0) === col("g")(1)).cast("int").as("d"),
+        (col("src_len") === 0 || length(col("g")(0)) > 0).cast("int").as("ne"),
+        (col("g")(0) =!= col("g")(2)).cast("int").as("sel"))
+      .agg(min(col("b")).as("budget_pass"), min(col("d")).as("det_pass"),
+        min(col("ne")).as("nonempty_pass"),
+        (max(col("sel")) === 1).cast("int").as("selects_pass"),
+        (count(lit(1)) > 0).cast("int").as("has_rows"))
+  }
+
   private def q7SummarizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val budget = 24
     // the synthetic docs are ONE long sentence (no punctuation), which
@@ -3247,6 +3303,8 @@ FROM m ORDER BY doc_id, summarizer""")
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "q6_textrank" -> (q6TextRank(_, _)),
     "q7_summarizer_compare" -> (q7SummarizerCompare(_, _)),
+    "q8_mmr_summaries" -> (q8MmrSummaries(_, _)),
+    "q8_gate" -> (q8Gate(_, _)),
     "pipe_mapreduce" -> (Pipelines.mapReduce(_, _)),
     "pipe_critique" -> (Pipelines.critique(_, _)),
     "pipe_iterative" -> (Pipelines.iterative(_, _)),
@@ -4057,6 +4115,11 @@ ORDER BY token_id"""
     // (measured 1.0 at sf0.001/0.01/0.1 — ProbeTx notes the anisotropy
     // that makes sign-LSH candidate-rich on pooled transformer vectors)
     "m3tb_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // q8_gate: the MMR summarizer contract — budget, determinism,
+    // non-emptiness, and differs-from-lead on at least one doc
+    "q8_gate" ->
+      """SELECT 1 AS budget_pass, 1 AS det_pass, 1 AS nonempty_pass,
+           1 AS selects_pass, 1 AS has_rows""",
     // ta9: same NFC + control/zero-width strip as TextAnalysis.normalizeText;
     // SQL string literals are raw, so the regex escapes reach RE2 verbatim
     "ta9_normalize" ->

@@ -36,7 +36,7 @@ object Main {
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
-          "[--summarizer extractive|textrank|lead] [opts]\n" +
+          "[--summarizer extractive|textrank|lead|mmr] [opts]\n" +
           "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
@@ -219,8 +219,8 @@ object Main {
     // ignored flag must fail loudly, not run the corpus with the wrong
     // scalar
     val scalarChoice = opts.getOrElse("summarizer", "extractive")
-    require(Set("extractive", "textrank", "lead")(scalarChoice),
-      s"unknown --summarizer: $scalarChoice (extractive|textrank|lead)")
+    require(Set("extractive", "textrank", "lead", "mmr")(scalarChoice),
+      s"unknown --summarizer: $scalarChoice (extractive|textrank|lead|mmr)")
     require(!(opts.contains("summarizer") && opts.contains("ollama-url")),
       "--summarizer selects the in-process scalar and conflicts with " +
         "--ollama-url (the HTTP backend is bound to --models)")
@@ -245,6 +245,7 @@ object Main {
           case _ => scalarChoice match {
             case "textrank" => graft.llm.TextRankSummarizer
             case "lead" => graft.llm.LeadSummarizer
+            case "mmr" => graft.llm.MmrSummarizer
             case _ => ExtractiveSummarizer
           }
         }
