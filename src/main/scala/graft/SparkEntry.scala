@@ -1931,9 +1931,13 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Recall@5 of the LSH-routed tx retrieval vs the exact m3t baseline. */
+  /** Recall@5 of the LSH-routed tx retrieval vs the exact m3t baseline.
+    * The embedding table is Materialized: the brute and LSH branches both
+    * consume it, and the model forward passes are the dominant cost —
+    * without this the corpus embeds twice (the pipe_ccnet discipline).
+    */
   private def m3tbRecall(spark: SparkSession, dir: String): DataFrame = {
-    val docs = txDocEmb(spark, dir)
+    val docs = graft.operators.Materialize(txDocEmb(spark, dir))
     val queries = docs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.recallAtK(

@@ -24,6 +24,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stream_curation", "stream_dedup", "stream_decontam",
     // trains + collects the NB model and runs the stream at construction
     "stream_classify",
+    // Materializes the tx embedding table at construction (both recall
+    // branches consume it)
+    "m3tb_recall", "m3tb_gate",
     "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
