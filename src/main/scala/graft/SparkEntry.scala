@@ -1927,7 +1927,7 @@ object SparkEntry {
     val docs = txDocEmb(spark, dir)
     val queries = docs.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    Similarity.lshTopK(docs, queries, 5, 64)
+    Similarity.lshTopK(docs, queries, 5, txModel.dim)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1942,7 +1942,7 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding"))
     Similarity.recallAtK(
       Similarity.bruteForceTopK(docs, queries, 5),
-      Similarity.lshTopK(docs, queries, 5, 64))
+      Similarity.lshTopK(docs, queries, 5, txModel.dim))
       .orderBy(col("query_id"))
   }
 
@@ -2947,19 +2947,6 @@ object SparkEntry {
         lit(if (interMin >= 14) 1 else 0).as("inter_ok"))
   }
 
-  /** Q7 (beyond-reference): in-process summarizer quality comparison —
-    * the three deterministic scalars (extractive TF, lead-K, TextRank)
-    * each summarize every document at the same budget, scored by
-    * ROUGE-1/2 F against the eval family's token-slice reference proxy.
-    * One scan fanned to three map-only UDF branches, no shuffle until
-    * the final sort. The oracle replays ALL of it: the extractive CTE
-    * block, the full 10-round TextRank chain, the lead truncation, and
-    * the ROUGE chain — on a composite doc key (doc_id*4+variant) so the
-    * proven rouge CTEs run untouched. Finding on this corpus: lead wins
-    * (0.644/0.624/0.622 mean R1 at sf0.01) BECAUSE the reference proxy
-    * is a front-of-doc token slice — the lead-bias every summarization
-    * eval has to control for, reproduced measurably.
-    */
   /** Q8: the model-backed extractive summarizer (embedding-MMR over the
     * hermetic transformer — llm.MmrSummarizer) on the q7 re-punctuated
     * corpus. Rows-only (the encoder has no SQL replay); q8_gate pins the
@@ -3016,6 +3003,19 @@ object SparkEntry {
         (count(lit(1)) > 0).cast("int").as("has_rows"))
   }
 
+  /** Q7 (beyond-reference): in-process summarizer quality comparison —
+    * the three deterministic scalars (extractive TF, lead-K, TextRank)
+    * each summarize every document at the same budget, scored by
+    * ROUGE-1/2 F against the eval family's token-slice reference proxy.
+    * One scan fanned to three map-only UDF branches, no shuffle until
+    * the final sort. The oracle replays ALL of it: the extractive CTE
+    * block, the full 10-round TextRank chain, the lead truncation, and
+    * the ROUGE chain — on a composite doc key (doc_id*4+variant) so the
+    * proven rouge CTEs run untouched. Finding on this corpus: lead wins
+    * (0.644/0.624/0.622 mean R1 at sf0.01) BECAUSE the reference proxy
+    * is a front-of-doc token slice — the lead-bias every summarization
+    * eval has to control for, reproduced measurably.
+    */
   private def q7SummarizerCompare(spark: SparkSession, dir: String): DataFrame = {
     val budget = 24
     // the synthetic docs are ONE long sentence (no punctuation), which

@@ -94,19 +94,6 @@ object MmrSummarizer extends Summarizer {
       r += 1
     }
     val ranking = order.toSeq ++ (m until n) // past-cap tail in doc order
-    val sentLen = sents.map(Text.tokenCount)
-    (maxTokens: Int) => {
-      val chosen = scala.collection.mutable.BitSet.empty
-      var budget = maxTokens
-      ranking.foreach { i =>
-        val len = sentLen(i)
-        if (budget > 0 && (chosen.isEmpty || len <= budget)) {
-          chosen += i
-          budget -= len
-        }
-      }
-      val out = sents.indices.filter(chosen).map(sents).mkString(" ")
-      Text.truncateTokens(out, maxTokens)
-    }
+    BudgetWalk.emitter(sents, ranking)
   }
 }

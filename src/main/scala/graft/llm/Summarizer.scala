@@ -24,6 +24,32 @@ trait Summarizer extends Serializable {
   def prepared(text: String): Int => String = summarize(text, _)
 }
 
+/** The extractive family's ONE greedy budget walk — every ranking-based
+  * scalar (extractive TF, TextRank, MMR) must share it so the family
+  * invariant "the scalars differ ONLY in how sentences are ordered"
+  * cannot desynchronize: walk the ranking, take the first pick
+  * unconditionally, skip anything over the remaining budget, emit picked
+  * sentences in ORIGINAL order, truncate to the budget.
+  */
+private[llm] object BudgetWalk {
+  def emitter(sents: Vector[String], ranking: Seq[Int]): Int => String = {
+    val sentLen = sents.map(Text.tokenCount)
+    (maxTokens: Int) => {
+      val picked = scala.collection.mutable.BitSet.empty
+      var budget = maxTokens
+      ranking.foreach { i =>
+        val len = sentLen(i)
+        if (budget > 0 && (picked.isEmpty || len <= budget)) {
+          picked += i
+          budget -= len
+        }
+      }
+      val out = sents.indices.filter(picked).map(sents).mkString(" ")
+      Text.truncateTokens(out, maxTokens)
+    }
+  }
+}
+
 /** Deterministic extractive summarizer (the default scalar).
   *
   * Scores each sentence by the sum of corpus-free term frequencies of its
@@ -55,21 +81,7 @@ object ExtractiveSummarizer extends Summarizer {
     }
     // highest score first, earlier sentence wins ties
     val byScore = scored.sortBy { case (i, s) => (-s, i) }
-    val sentLen = sents.map(Text.tokenCount)
-
-    (maxTokens: Int) => {
-      val picked = scala.collection.mutable.BitSet.empty
-      var budget = maxTokens
-      byScore.foreach { case (i, _) =>
-        val n = sentLen(i)
-        if (budget > 0 && (picked.isEmpty || n <= budget)) {
-          picked += i
-          budget -= n
-        }
-      }
-      val out = sents.indices.filter(picked).map(sents).mkString(" ")
-      Text.truncateTokens(out, maxTokens)
-    }
+    BudgetWalk.emitter(sents, byScore.map(_._1))
   }
 }
 

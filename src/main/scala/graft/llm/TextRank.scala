@@ -106,20 +106,6 @@ object TextRankSummarizer extends Summarizer {
     val byScore = sents.indices
       .map(k => (k, if (k < m) r6(r(k)) else 0.0))
       .sortBy { case (k, s) => (-s, k) }
-    val sentLen = sents.map(Text.tokenCount)
-
-    (maxTokens: Int) => {
-      val picked = scala.collection.mutable.BitSet.empty
-      var budget = maxTokens
-      byScore.foreach { case (k, _) =>
-        val len = sentLen(k)
-        if (budget > 0 && (picked.isEmpty || len <= budget)) {
-          picked += k
-          budget -= len
-        }
-      }
-      val out = sents.indices.filter(picked).map(sents).mkString(" ")
-      Text.truncateTokens(out, maxTokens)
-    }
+    BudgetWalk.emitter(sents, byScore.map(_._1))
   }
 }

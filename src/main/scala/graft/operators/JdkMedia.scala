@@ -49,6 +49,15 @@ object JdkMedia {
     */
   object JdkMediaDecoder extends MediaDecoder {
 
+    // A decode-only stage deserializes this nested object WITHOUT
+    // initializing the outer JdkMedia object, so the in-memory-cache
+    // setting must live here too: open() runs once per task before any
+    // codec call (see the outer initializer's note on why disk-backed
+    // ImageIO stream caches are a measured regression).
+    ImageIO.setUseCache(false)
+
+    override def open(): Unit = ImageIO.setUseCache(false)
+
     private def isPng(p: Array[Byte]) =
       p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
     private def isJpeg(p: Array[Byte]) =

@@ -81,32 +81,41 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
 
-  /** Decode typed metadata per payload. One decoder instance per partition
-    * (open/close around the iterator), rows streamed — no per-row codec
-    * setup, no partition-sized materialization.
+  /** The per-partition decoder lifecycle every media stage shares: select
+    * (doc_id, payload), open the decoder once per partition, stream rows
+    * through `f`, close on exhaustion — no per-row codec setup, no
+    * partition-sized materialization. Fixing the lifecycle here fixes it
+    * for every stage at once (it was previously five hand-rolled copies
+    * that had already drifted on open/close coverage).
     */
-  def decodeMeta(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
+  private def mapWithDecoder[T <: Product
+      : scala.reflect.runtime.universe.TypeTag](
+      media: DataFrame, decoder: MediaDecoder)(
+      f: (MediaDecoder, Long, Array[Byte]) => IterableOnce[T]): DataFrame = {
     media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
         decoder.open()
-        val out = it.map { case (id, payload) =>
-          val m = decoder.decode(payload)
-          DecodedRow(id, m.format, m.width, m.height, m.n_frames, m.n_bytes)
-        }
-        new Iterator[DecodedRow] {
+        val out = it.flatMap { case (id, p) => f(decoder, id, p) }
+        new Iterator[T] {
           override def hasNext: Boolean = {
             val h = out.hasNext
             if (!h) decoder.close()
             h
           }
-          override def next(): DecodedRow = out.next()
+          override def next(): T = out.next()
         }
-      }(Encoders.product[DecodedRow])
+      }(Encoders.product[T])
       .toDF()
   }
+
+  /** Decode typed metadata per payload. */
+  def decodeMeta(media: DataFrame, decoder: MediaDecoder = StubDecoder): DataFrame =
+    mapWithDecoder(media, decoder) { (d, id, payload) =>
+      val m = d.decode(payload)
+      Iterator.single(
+        DecodedRow(id, m.format, m.width, m.height, m.n_frames, m.n_bytes))
+    }
 
   final case class FeatureRow(doc_id: Long, features: Array[Float])
 
@@ -118,36 +127,20 @@ object Multimodal {
     * (media ANN search / near-dup with zero extra plumbing).
     */
   def extractFeatures(media: DataFrame, dim: Int = 8,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        decoder.open()
-        it.map { case (id, p) => FeatureRow(id, decoder.extractFeatures(p, dim)) }
-      }(Encoders.product[FeatureRow])
-      .toDF()
-  }
+      decoder: MediaDecoder = StubDecoder): DataFrame =
+    mapWithDecoder(media, decoder) { (d, id, p) =>
+      Iterator.single(FeatureRow(id, d.extractFeatures(p, dim)))
+    }
 
   /** Resize every payload to the target dims (STUB codec re-encode; the
     * mapPartitions shape is where a real scaler lives).
     */
   def resizePayloads(media: DataFrame, width: Int, height: Int,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        decoder.open()
-        it.map { case (id, p) =>
-          val out = decoder.resize(p, width, height)
-          ResizedRow(id, out, out.length.toLong)
-        }
-      }(Encoders.product[ResizedRow])
-      .toDF()
-  }
+      decoder: MediaDecoder = StubDecoder): DataFrame =
+    mapWithDecoder(media, decoder) { (d, id, p) =>
+      val out = d.resize(p, width, height)
+      Iterator.single(ResizedRow(id, out, out.length.toLong))
+    }
 
   final case class RoundtripRow(doc_id: Long, format: String, width: Int,
     height: Int, n_frames: Int, r_width: Int, r_height: Int)
@@ -164,30 +157,13 @@ object Multimodal {
     * corpus.
     */
   def codecRoundtripFused(media: DataFrame, width: Int, height: Int,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        decoder.open()
-        val out = it.map { case (id, p) =>
-          val m = decoder.decode(p)
-          val rm = decoder.decode(decoder.resize(p, width, height))
-          RoundtripRow(id, m.format, m.width, m.height, m.n_frames,
-            rm.width, rm.height)
-        }
-        new Iterator[RoundtripRow] {
-          override def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) decoder.close()
-            h
-          }
-          override def next(): RoundtripRow = out.next()
-        }
-      }(Encoders.product[RoundtripRow])
-      .toDF()
-  }
+      decoder: MediaDecoder = StubDecoder): DataFrame =
+    mapWithDecoder(media, decoder) { (d, id, p) =>
+      val m = d.decode(p)
+      val rm = d.decode(d.resize(p, width, height))
+      Iterator.single(RoundtripRow(id, m.format, m.width, m.height,
+        m.n_frames, rm.width, rm.height))
+    }
 
   /** Sample every `stride`-th frame of each payload (video frame-sampling
     * shape): metadata decides the frame count, frames extract lazily per
@@ -197,18 +173,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int,
       decoder: MediaDecoder = StubDecoder): DataFrame = {
     require(stride > 0)
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        decoder.open()
-        it.flatMap { case (id, payload) =>
-          val m = decoder.decode(payload)
-          (0 until m.n_frames by stride).iterator
-            .map(f => FrameRow(id, f, decoder.extractFrame(payload, f)))
-        }
-      }(Encoders.product[FrameRow])
-      .toDF()
+    mapWithDecoder(media, decoder) { (d, id, payload) =>
+      val m = d.decode(payload)
+      (0 until m.n_frames by stride).iterator
+        .map(f => FrameRow(id, f, d.extractFrame(payload, f)))
+    }
   }
 }

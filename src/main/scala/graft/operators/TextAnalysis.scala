@@ -850,15 +850,24 @@ object TextAnalysis {
       priors: Map[String, Long]) extends Serializable {
     /** (predicted class, score micro-nats); ties to the lexicographically
       * first class — the batch argmax's total order.
+      *
+      * Tokenization is Locale.ROOT lowercase + the batch regex: the batch
+      * path lowercases with Spark's `lower()` (Unicode simple mapping),
+      * and a default-locale `toLowerCase` would diverge on a tr/az/lt JVM
+      * ("TITLE" -> "tıtle"), silently breaking the verbatim-oracle parity
+      * stream_classify promises.
       */
     def score(text: String): (String, Long) = {
       val counts = scala.collection.mutable.HashMap.empty[String, Int]
-      graft.core.Text.metricTokens(if (text == null) "" else text)
+      (if (text == null) "" else text).toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
         .foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
       var bestCls: String = null
       var bestSm = Long.MinValue
       priors.toSeq.sortBy(_._1).foreach { case (cls, pm) =>
-        val m = lpm(cls)
+        // empty-vocabulary model (no tokens anywhere in the training
+        // corpus): every class scores prior-only, like the batch path
+        val m = lpm.getOrElse(cls, Map.empty[String, Long])
         var s = 0L
         counts.foreach { case (tok, dn) =>
           m.get(tok).foreach(l => s += dn.toLong * l)
