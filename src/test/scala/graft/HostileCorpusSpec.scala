@@ -366,4 +366,52 @@ class HostileCorpusSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(perfect == 1.0)
   }
+
+  test("round-9 family survives hostile rows") {
+    // BLEU over the same hostile gen/ref shapes as pairMetrics
+    val pairs = Seq(
+      (1L, null.asInstanceOf[String], "the reference text"),
+      (2L, "a generated summary", null.asInstanceOf[String]),
+      (3L, "", ""),
+      (4L, "same words here", "same words here"),
+      (5L, "😀😀 emoji", "😀 emoji"))
+      .toDF("doc_id", "gen", "ref")
+    val b = graft.eval.Metrics.bleuScores(pairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b.size == 5 && b(1L) == 0.0 && b(3L) == 0.0 && b(4L) == 1.0)
+    // transformer encoder + BERTScore over hostile text: every row
+    // scored, degenerate sides zero, no crash on emoji/giant tokens
+    val hp = hostile.select(col("doc_id"), col("text").as("gen"),
+      coalesce(col("text"), lit("")).as("ref"))
+    assert(graft.eval.Metrics
+      .bertScoreContextual(hp, graft.llm.TinyTransformer()).count() == 8)
+    // MMR summarizer: total on every hostile row, budget respected
+    hostile.collect().foreach { r =>
+      val t = if (r.isNullAt(1)) "" else r.getString(1)
+      val s = graft.llm.MmrSummarizer.summarize(t, 5)
+      assert(graft.core.Text.tokenCount(s) <= 5)
+    }
+    // NB classifier + serving model: null/empty/unicode docs all scored
+    // (prior-only when nothing hits the vocabulary), batch == served
+    val labeled = hostile.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(2))))
+    val batch = TextAnalysis.nbDomainClassifier(labeled, col("source"))
+      .select("doc_id", "pred_source", "score")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(batch.size == 8)
+    val model = TextAnalysis.nbTrainCollect(labeled, col("source"))
+    hostile.collect().foreach { r =>
+      val t = if (r.isNullAt(1)) null else r.getString(1)
+      val (p, sm) = model.score(t)
+      assert(batch(r.getLong(0)) == ((p, sm / 1e6)))
+    }
+    // DSIR: hostile raw pool against a tiny clean target — every doc
+    // reported, token-less docs carry weight 0, exactly k selected
+    val target = Seq((100L, "clean target text about things"))
+      .toDF("doc_id", "text")
+    val rep = Curation.dsirSelect(hostile, target, k = 3)
+      .select("doc_id", "selected").as[(Long, Int)].collect()
+    assert(rep.length == 8 && rep.map(_._2).sum == 3)
+  }
 }
