@@ -1052,6 +1052,54 @@ object SparkEntry {
     emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
 
+  /** SS10: exact top-5 over the mean-CENTERED embeddings table
+    * (All-but-the-top step 1) — FULL oracle: the SQL re-computes the
+    * decimal-exact per-dim means, replays the double-subtract +
+    * float-re-round centering, and runs the ss1 cosine/rank chain on the
+    * centered lists. Holds the centering transform itself to SQL parity;
+    * dd13 then applies it where it matters (anisotropic tx embeddings).
+    */
+  private def ss10CenteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Similarity.centerEmbeddings(tbl(spark, dir, "embeddings"))
+    Similarity.bruteForceTopK(cent, topkQueries(cent), 5)
+      .select("query_id", "vec_id", "cosine", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DD13: SEMANTIC near-dup pairs on raw TEXT through the in-process
+    * model — tx sentence embeddings, mean-centered (ProbeDd13 measured
+    * the anisotropy that makes centering load-bearing: 27% of ALL doc
+    * pairs sat above cosine 0.93 raw; centered, the 0.8-threshold pair
+    * set shrinks ~200x while every lexical near-dup pair keeps cosine
+    * ≥ 0.88), then the LSH-bucketed pair scan. The SemDeDup-on-text
+    * shape: embed -> center -> bucket -> verify. Rows-only (the encoder
+    * has no SQL replay); dd13_gate floors lexical-pair recall.
+    */
+  private def dd13TextSemanticPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairsLsh(
+        Similarity.centerEmbeddings(
+          graft.operators.Materialize(txDocEmb(spark, dir))),
+        0.8, txModel.dim)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** DD13 gate (literal oracle): every lexical (jaccard ≥ 0.8) near-dup
+    * pair must surface in the semantic pair set — semantic dedup may
+    * catch MORE than lexical (that is its point) but never less. Floor
+    * 0.90; measured 1.0 at sf0.001/0.01/0.1 (ProbeDd13).
+    */
+  private def dd13Gate(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val sem = dd13TextSemanticPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("h"))
+    lex.join(sem, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("h")), lit(0)).as("nh"))
+      .select(lit(90).as("floor_x100"),
+        (col("n") > 0).cast("int").as("has_rows"),
+        (col("nh") >= col("n") * 0.90).cast("int").as("pass"))
+  }
+
   /** SS9: mined hard negatives — per query the five highest-cosine
     * DIFFERENT-label vectors below the 0.45 denoise cap (on this corpus,
     * dd6's pair threshold: real ≥0.45 different-label pairs exist, so
@@ -3217,6 +3265,9 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
     "ss9_hard_negatives" -> (ss9HardNegatives(_, _)),
+    "ss10_centered_topk" -> (ss10CenteredTopk(_, _)),
+    "dd13_text_semantic_pairs" -> (dd13TextSemanticPairs(_, _)),
+    "dd13_gate" -> (dd13Gate(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
     "ss2_recall" -> (ss2Recall(_, _)),
@@ -5165,6 +5216,39 @@ ORDER BY token_id"""
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // ss10: the centering transform + ss1's chain on the centered lists —
+    // decimal-exact per-dim means, double-subtract, float re-round
+    "ss10_centered_topk" ->
+      """WITH dm AS (
+           SELECT u.i AS i,
+             CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE)
+               AS DECIMAL(38, 10))) AS DOUBLE) / COUNT(*) AS mu
+           FROM embeddings e
+           CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) u
+           GROUP BY 1),
+         mv AS (SELECT list(mu ORDER BY i) AS m FROM dm),
+         cent AS (
+           SELECT vec_id,
+             list_transform(list_zip(embedding, (SELECT m FROM mv)),
+               p -> CAST(CAST(p[1] AS DOUBLE) - p[2] AS REAL)) AS embedding
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS eq FROM cent
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q.eq, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+           FROM cent c, q WHERE c.vec_id <> q.query_id)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // dd13_gate: lexical near-dups must all surface in the semantic set
+    "dd13_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // ss9: ss1's cosine replay + label-mismatch filter + denoise cap +
     // per-query rank — the full mined-negative set
     "ss9_hard_negatives" ->

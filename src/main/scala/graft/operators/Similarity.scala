@@ -44,6 +44,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Mean-center an embedding column — step 1 of All-but-the-top (Mu &
+    * Viswanath 2018), the standard fix for ANISOTROPIC embeddings
+    * (pooled transformer vectors concentrate in a narrow cone, so raw
+    * cosines are uniformly high and thresholds stop discriminating —
+    * measured on this repo's tx embeddings: 27% of ALL doc pairs above
+    * cosine 0.93 before centering, see ProbeDd13 / SCALE.md). Centering
+    * subtracts the corpus mean so cosine measures direction AROUND the
+    * cone axis.
+    *
+    * Exactness: per-dim means are decimal-exact sums (summation-order-
+    * proof) divided as doubles; the subtraction re-rounds to FLOAT so
+    * the centered corpus drops into the float-array ANN family
+    * (brute/LSH/IVF/PQ) unchanged — and the whole transform is
+    * SQL-replayable, so queries over centered tables keep full oracles.
+    *
+    * Scale shape: one partial-aggregated per-dim mean (dim rows), one
+    * broadcast of the dim-length mean vector, one map-side zip_with —
+    * the corpus is scanned twice and shuffled only by the dim-row agg.
+    */
+  def centerEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val mu = emb
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      // float -> double -> decimal: the q1 exactSum convention's input
+      // domain (double→decimal parity is what the oracles validated)
+      .agg((sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+        .cast("double") / count(lit(1))).as("mu"))
+    val muArr = mu.agg(
+      transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        s => s.getField("mu")).as("__muv"))
+    emb.crossJoin(broadcast(muArr))
+      .withColumn(vecCol,
+        zip_with(col(vecCol), col("__muv"),
+          (x, m) => (x.cast("double") - m).cast("float")))
+      .drop("__muv")
+  }
+
   /** SS9: hard-negative mining for contrastive training — per query, the
     * top-k highest-cosine corpus items with a DIFFERENT label (Karpukhin
     * et al. 2020's hard negatives), excluding candidates at or above

@@ -534,6 +534,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cgot == Map(1L -> "A", 2L -> "A"))
   }
 
+  test("SS10 centerEmbeddings: exact means subtracted, float re-round, layout-independent") {
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (1L, Array(1f, 10f)), (2L, Array(3f, 20f)), (3L, Array(5f, 30f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.centerEmbeddings(emb)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    // means are exactly (3, 20): centered values are exact floats
+    assert(got(1L) == Seq(-2f, -10f) && got(2L) == Seq(0f, 0f) &&
+      got(3L) == Seq(2f, 10f))
+    // repartitioned input yields identical vectors (decimal-exact means —
+    // double summation order cannot move them)
+    val got2 = graft.operators.Similarity.centerEmbeddings(emb.repartition(5))
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    assert(got2 == got)
+    // centering makes cosine discriminative on a cone-concentrated set:
+    // raw cosines of (1,1±eps) vectors are ~1; centered, opposite sides
+    // of the mean become anti-aligned
+    val cone = Seq((1L, Array(1f, 0.9f)), (2L, Array(1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val c = graft.operators.Similarity.centerEmbeddings(cone)
+      .select("embedding").as[Array[Float]].collect()
+    val dot = c(0).zip(c(1)).map { case (a, b) => a.toDouble * b }.sum
+    assert(dot < 0.0)
+  }
+
   test("SS9 hardNegatives: label filter, denoise drops the mislabeled twin, rank order") {
     import org.apache.spark.sql.functions.col
     val corpus = Seq(

@@ -29,8 +29,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "m3tb_recall", "m3tb_gate",
     // dd12 Materializes its gram table (keeper aggregate + hit join);
     // cur2 Materializes the raw feature stream and the keyed weights;
-    // dc5 counts the benchmark (id-space contract) at construction
+    // dc5 counts the benchmark (id-space contract) at construction;
+    // dd13 Materializes the tx embedding table before centering
     "dd12_span_self_dedup", "cur2_dsir", "dc5_semantic_decontam",
+    "dd13_text_semantic_pairs", "dd13_gate",
     "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
