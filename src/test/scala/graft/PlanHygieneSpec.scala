@@ -96,6 +96,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
     "ss9_hard_negatives",
+    // ss10 = the one-row mean-vector broadcast (centering) + ss1's
+    // broadcast-query scan over the centered table
+    "ss10_centered_topk",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
