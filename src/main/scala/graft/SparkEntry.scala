@@ -1060,7 +1060,11 @@ object SparkEntry {
     * dd13 then applies it where it matters (anisotropic tx embeddings).
     */
   private def ss10CenteredTopk(spark: SparkSession, dir: String): DataFrame = {
-    val cent = Similarity.centerEmbeddings(tbl(spark, dir, "embeddings"))
+    // Materialized: the corpus AND query sides of the broadcast scan both
+    // consume the centered table — without this the per-dim decimal mean
+    // aggregate runs twice
+    val cent = graft.operators.Materialize(
+      Similarity.centerEmbeddings(tbl(spark, dir, "embeddings")))
     Similarity.bruteForceTopK(cent, topkQueries(cent), 5)
       .select("query_id", "vec_id", "cosine", "rank")
       .orderBy(col("query_id"), col("rank"))
@@ -1075,12 +1079,14 @@ object SparkEntry {
     * shape: embed -> center -> bucket -> verify. Rows-only (the encoder
     * has no SQL replay); dd13_gate floors lexical-pair recall.
     */
-  private def dd13TextSemanticPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairsLsh(
-        Similarity.centerEmbeddings(
-          graft.operators.Materialize(txDocEmb(spark, dir))),
-        0.8, txModel.dim)
+  private def dd13TextSemanticPairs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.operators.Materialize(txDocEmb(spark, dir))
+    // planes from the Materialized base table's count (same rule, same k)
+    // — the auto path would execute the centering subplan just to learn n
+    Dedup.embeddingCosinePairsLsh(Similarity.centerEmbeddings(emb),
+        0.8, txModel.dim, planes = Dedup.autoPlanes(emb.count()))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** DD13 gate (literal oracle): every lexical (jaccard ≥ 0.8) near-dup
     * pair must surface in the semantic pair set — semantic dedup may
@@ -1092,12 +1098,8 @@ object SparkEntry {
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     val sem = dd13TextSemanticPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("h"))
-    lex.join(sem, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("h")), lit(0)).as("nh"))
-      .select(lit(90).as("floor_x100"),
-        (col("n") > 0).cast("int").as("has_rows"),
-        (col("nh") >= col("n") * 0.90).cast("int").as("pass"))
+    recallGate(lex.join(sem, Seq("id_a", "id_b"), "left")
+      .select(coalesce(col("h"), lit(0)).cast("double").as("recall")), 90)
   }
 
   /** SS9: mined hard negatives — per query the five highest-cosine
@@ -5235,13 +5237,19 @@ ORDER BY token_id"""
          q AS (SELECT vec_id AS query_id, embedding AS eq FROM cent
                WHERE vec_id < 5),
          scored AS (
+           -- unlike the raw-fixture ss1 shape, CENTERING can produce an
+           -- exact-zero vector (an embedding equal to the mean), so the
+           -- Scala path's zero-denominator guard is replayed here
            SELECT q.query_id, c.vec_id,
-             round(
+             CASE WHEN
+               (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) = 0
+             THEN 0.0 ELSE round(
                list_sum(list_transform(list_zip(q.eq, c.embedding),
                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q.eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-             4) AS cosine
+             4) END AS cosine
            FROM cent c, q WHERE c.vec_id <> q.query_id)
          SELECT query_id, vec_id, cosine, rank FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

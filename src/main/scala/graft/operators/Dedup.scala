@@ -305,6 +305,18 @@ object Dedup {
     * >= 0.97 at 0.85 on planted near-dups; see SCALE.md §Measured ANN
     * recall.
     */
+  /** The auto-planes rule `planes = clamp(4, 24, ceil(log2(n/target)))`
+    * shared by [[embeddingCosinePairsLsh]] and callers that already know
+    * `n` (so they need not run a count over an expensive upstream plan
+    * just to pick k — the dd13 centering case).
+    */
+  def autoPlanes(n: Long, targetBucketSize: Int = 16): Int = {
+    val nn = math.max(1L, n)
+    val raw = math.ceil(
+      math.log(nn.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   def embeddingCosinePairsLsh(emb: DataFrame, minCosine: Double, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       tables: Int = 16, planes: Int = 0, targetBucketSize: Int = 16,
@@ -312,11 +324,7 @@ object Dedup {
     import graft.functions.{r4, vecDotF, vecNormF}
     val k =
       if (planes > 0) planes
-      else {
-        val n = math.max(1L, emb.count())
-        val raw = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
-        math.min(24, math.max(4, raw))
-      }
+      else autoPlanes(emb.count(), targetBucketSize)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("embedding"),
       vecNormF(col(vecCol)).as("norm"))
     val keyed = Similarity.lshBucketed(base, dim, tables, k)

@@ -63,7 +63,7 @@ object Similarity {
     * broadcast of the dim-length mean vector, one map-side zip_with —
     * the corpus is scanned twice and shuffled only by the dim-row agg.
     */
-  def centerEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+  def centerEmbeddings(emb: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
     val mu = emb
       .select(posexplode(col(vecCol)).as(Seq("i", "x")))

@@ -32,7 +32,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dc5 counts the benchmark (id-space contract) at construction;
     // dd13 Materializes the tx embedding table before centering
     "dd12_span_self_dedup", "cur2_dsir", "dc5_semantic_decontam",
-    "dd13_text_semantic_pairs", "dd13_gate",
+    "dd13_text_semantic_pairs", "dd13_gate", "ss10_centered_topk",
     "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
