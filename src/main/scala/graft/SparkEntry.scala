@@ -438,6 +438,18 @@ object SparkEntry {
     Dedup.minhashLshPairs(tbl(spark, dir, "documents"), "text", 3, 4, 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** DD14: greedy single-pass LSH dedup at the SHARP 6x4 geometry
+    * (drop-on-collision needs sharp banding — no verify stage follows;
+    * see [[Dedup.lshDedupGreedy]]) — the keeper rule the streaming ingest
+    * filter evaluates per micro-batch ([[streamNeardup]] is held to THIS
+    * query's oracle verbatim). FULL oracle: DuckDB replays the
+    * shingle/minhash/band chain and the min-of-every-bucket rule
+    * independently.
+    */
+  private def dd14LshDedupGreedy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshDedupGreedy(tbl(spark, dir, "documents"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
   /** Boilerplate text planted on every tenth doc for the hot-bucket query:
     * identical text => identical minhash signature => one LSH bucket holds
     * n/10 docs in EVERY band (the degenerate "shared header" key real
@@ -2494,6 +2506,39 @@ object SparkEntry {
     Seq(acc.value).toDF("n_unique")
   }
 
+  /** Streaming near-dup ingest dedup, driver-checked: documents replay as
+    * a file stream through [[graft.streaming.CorpusStreams.NearDupDeduper]]
+    * with a fresh band-key store; AvailableNow + a high file cap lands the
+    * replay in ONE batch, making the store check vacuous and the greedy
+    * rule batch-global — so the kept set must equal [[dd14LshDedupGreedy]]
+    * VERBATIM (the stream_classify train-batch/score-stream invisibility
+    * discipline; cross-batch store semantics and replay idempotence are
+    * pinned by StreamingSpec). Kept rows round-trip a parquet sink (the
+    * ev6 discipline), so the oracle checks the full kept id set, not a
+    * count.
+    */
+  private def streamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val store = java.nio.file.Files.createTempDirectory("graft_snd_store_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_snd_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ck_").toString
+    val dedup = graft.streaming.CorpusStreams.nearDupDeduper(store)
+    val q = docs.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.CorpusStreams
+          .writeSummaryBatch(dedup(batch, batchId), outDir, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Streaming benchmark decontamination, driver-checked: the corpus side
     * streams through the STATELESS per-batch Bloom-prefilter + exact
     * verify-join path (CorpusStreams.decontaminator — distributed-built
@@ -3212,6 +3257,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd2_minhash_sig" -> (dd2MinhashSig(_, _)),
     "dd3_minhash_lsh" -> (dd3MinhashLsh(_, _)),
     "dd3b_minhash_lsh_capped" -> (dd3bMinhashLshCapped(_, _)),
+    "dd14_lsh_dedup_greedy" -> (dd14LshDedupGreedy(_, _)),
     "dd4_jaccard_pairs" -> (dd4Jaccard(_, _)),
     "dd4b_jaccard_lsh" -> (dd4bJaccardLsh(_, _)),
     "dd4c_jaccard_sharp" -> (dd4cJaccardSharp(_, _)),
@@ -3355,6 +3401,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "pipe_training_mix" -> (pipeTrainingMix(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
+    "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
@@ -4800,6 +4847,10 @@ ORDER BY token_id"""
     "eval_stats_ngram" -> rougeStatsSql,
     "dd3_minhash_lsh" -> minhashLshSql,
     "dd3b_minhash_lsh_capped" -> minhashLshCappedSql(4),
+    "dd14_lsh_dedup_greedy" -> lshGreedyDedupSql(),
+    // stream_neardup: one AvailableNow batch == the batch greedy rule —
+    // held to dd14's oracle verbatim
+    "stream_neardup" -> lshGreedyDedupSql(),
     "dd4b_jaccard_lsh" -> jaccardLshVerifiedSql(),
     "dd4c_jaccard_sharp" -> jaccardLshVerifiedSql(nBands = 6, rowsPerBand = 4),
     // SimHash is md5-derived (60-bit token hashes), so the weighted bit-sum
@@ -6345,6 +6396,41 @@ ORDER BY token_id"""
        FROM bands x JOIN bands y USING (band, band_key)
        WHERE x.doc_id < y.doc_id
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** dd14/stream_neardup oracle: the shingle/minhash/band replay at the
+    * sharp 6x4 geometry, then the greedy keeper rule — a doc survives iff
+    * it is the MIN doc_id of every (band, band_key) bucket it occupies.
+    * Docs with no signature are always kept: the `trim(text) <> ''` guard
+    * both mirrors the Spark side's null-signature ban from banding and
+    * keeps DuckDB's ['']-token rows (its split of an empty string) out of
+    * the band space.
+    */
+  private def lshGreedyDedupSql(nBands: Int = 6, rowsPerBand: Int = 4): String = {
+    val bandKey = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(mh_${rowsPerBand * b + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"WHEN ${b} THEN md5($parts)"
+    }.mkString("CASE band ", " ", " END")
+    val bandVals = (0 until nBands).map(b => s"($b)").mkString(",")
+    s"""WITH $shingleCte,
+       sig AS (SELECT doc_id, ${minhashMinsN(nBands * rowsPerBand)} FROM sh GROUP BY doc_id),
+       bands AS (
+         SELECT s.doc_id, band, $bandKey AS band_key
+         FROM sig s JOIN documents d USING (doc_id),
+           (VALUES $bandVals) AS b(band)
+         WHERE trim(coalesce(d.text, '')) <> ''),
+       dropped AS (
+         SELECT DISTINCT b.doc_id
+         FROM bands b JOIN (
+           SELECT band, band_key, MIN(doc_id) AS keeper
+           FROM bands GROUP BY 1, 2) m USING (band, band_key)
+         WHERE b.doc_id <> m.keeper)
+       SELECT d.doc_id FROM documents d
+       LEFT JOIN dropped x USING (doc_id)
+       WHERE x.doc_id IS NULL
+       ORDER BY d.doc_id"""
   }
 
   /** dd4b/dd4c oracle: dd3's minhash/band replay produces the candidate

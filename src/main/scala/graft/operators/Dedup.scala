@@ -138,24 +138,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String = "text",
       shingleSize: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigs = minhashSignature(docs, textCol, shingleSize, numHashes)
-    // long format: (doc_id, band, band_key) — ALL band keys from one
-    // projection + posexplode, not a `bands`-way union: each union branch
-    // would re-run the whole signature subtree (shingling + md5 minhashes),
-    // multiplying the dominant cost by `bands` per join side.
-    val bandKeys = array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      md5(concat_ws("_", parts: _*))
-    }: _*)
-    // Empty/whitespace-only docs have null signatures: drop them before
-    // banding. concat_ws would otherwise skip the null parts and give every
-    // empty doc the SAME md5("") band key — SQL NULL-key semantics never
-    // join those rows, and at corpus scale that one degenerate bucket would
-    // emit m^2 candidate pairs of documents with no content to compare.
-    val bandRows = sigs
-      .filter(col("mh_0").isNotNull)
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val bandRows = lshBandRows(docs, textCol, shingleSize, bands, rowsPerBand)
     val buckets = bandRows.groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -169,6 +152,91 @@ object Dedup {
     capped
       .select(explode(pairCombinations(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Long-format `(doc_id, band, band_key)` banding rows for a MinHash
+    * signature — the shared front half of the LSH family (candidate pairs,
+    * greedy dedup, the streaming ingest filter). ALL band keys come from
+    * one projection + posexplode, not a `bands`-way union: each union
+    * branch would re-run the whole signature subtree (shingling + md5
+    * minhashes), multiplying the dominant cost by `bands` per consumer.
+    *
+    * Empty/whitespace-only docs have null signatures: drop them before
+    * banding. concat_ws would otherwise skip the null parts and give every
+    * empty doc the SAME md5("") band key — SQL NULL-key semantics never
+    * join those rows, and at corpus scale that one degenerate bucket would
+    * emit m^2 candidate pairs of documents with no content to compare.
+    */
+  private[graft] def lshBandRows(docs: DataFrame, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignature(docs, textCol, shingleSize, bands * rowsPerBand)
+    val bandKeys = array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      md5(concat_ws("_", parts: _*))
+    }: _*)
+    sigs.filter(col("mh_0").isNotNull)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** DD14: greedy single-pass LSH near-dup dedup — keep a document iff it
+    * is the min-doc_id member of EVERY (band, band_key) bucket it occupies;
+    * docs with no signature (empty/whitespace-only text) are always kept.
+    *
+    * This is the keeper rule a streaming ingest filter can evaluate per
+    * micro-batch ([[graft.streaming.CorpusStreams.nearDupDeduper]]): unlike
+    * the CC-based DD8 keeper (min over the TRANSITIVE closure of the
+    * candidate-pair graph) it needs no iterative component propagation, and
+    * unlike the dd3→dd8 chain it never enumerates candidate PAIRS at all —
+    * one banding pass, one hash-agg, one anti-join, so a degenerate bucket
+    * of m members costs m rows here, not m²/2. Semantics vs DD8: on a chain
+    * a~b, b~c (a<b<c) where a and c share no bucket, both rules keep only
+    * a — b loses its bucket with a, and c loses its bucket with b (greedy
+    * compares against everything SEEN, kept or dropped — the arrival-
+    * order-free analogue of the first-seen-wins rule online fingerprint
+    * stores implement; DD8 keeps min-of-component). They differ only on
+    * corpora where bucket membership and the verified-pair graph disagree.
+    *
+    * The hot-bucket cap mirrors [[minhashLshPairs]] but is CONSERVATIVE
+    * here: an over-cap bucket's members are all KEPT (skipping dedup on a
+    * degenerate near-universal key — its true dups still drop via their
+    * other bands), never dropped wholesale. None = dedup every bucket (the
+    * oracle-checked default; safe even for hot buckets, see above).
+    *
+    * GEOMETRY MATTERS MORE HERE than in the candidate generators: a band
+    * collision DROPS a document with no downstream verify stage (the
+    * published drop-on-collision MinHash dedup — Rae et al. 2021
+    * MassiveText §A.2, Penedo et al. 2023 RefinedWeb §3.2 — trades the
+    * dd4b verify join for banding sharp enough that sub-threshold
+    * collisions are negligible). Hence the default is the SHARP 6x4 point
+    * (s-curve threshold ~0.64; a j=0.2 pair collides at ~1% vs ~15% at
+    * the loose 4x2 candidate-generation default of [[minhashLshPairs]],
+    * where a verify stage follows). Raise rowsPerBand further to sharpen;
+    * [[lshGeometry]] picks (bands, rows) from a similarity target.
+    */
+  def lshDedupGreedy(docs: DataFrame, textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 6, rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val dropped = lshDroppedIds(
+      lshBandRows(docs, textCol, shingleSize, bands, rowsPerBand), maxBucketSize)
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Dropped doc_ids under the greedy keeper rule, from banding rows —
+    * factored so the streaming deduper applies the same rule to a
+    * micro-batch. One hash-agg: `sort_array(collect_list)` makes ids[0]
+    * the bucket min and everything after it the drops, so the banding
+    * subtree is consumed ONCE (a min-per-bucket join-back would plan the
+    * signature scan twice).
+    */
+  private[graft] def lshDroppedIds(bandRows: DataFrame,
+      maxBucketSize: Option[Int]): DataFrame = {
+    val buckets = bandRows.groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxBucketSize.fold(buckets)(m => buckets.filter(size(col("ids")) <= m))
+    capped
+      .select(explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("doc_id"))
       .distinct()
   }
 
@@ -325,23 +393,40 @@ object Dedup {
     val k =
       if (planes > 0) planes
       else autoPlanes(emb.count(), targetBucketSize)
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("embedding"),
-      vecNormF(col(vecCol)).as("norm"))
+    // Materialized: consumed by the bucketing pass AND both sides of the
+    // verify join below. (The construction is already eager through the
+    // autoPlanes count; localCheckpoint adds one pass over n rows.)
+    val base = Materialize(emb.select(col(idCol).as("id"),
+      col(vecCol).as("embedding"), vecNormF(col(vecCol)).as("norm")))
+    // Candidate pairs carry IDS ONLY through the bucket aggregation — the
+    // earlier form collected struct(id, norm, embedding) per member, and
+    // at the 100x probe (500k docs x 16 tables of ~300 B structs) the
+    // aggregation state OOMed the 8 GB heap before the over-cap filter
+    // could drop a single bucket. Ids shrink the agg state ~40x; the
+    // vectors come back via two equi-joins against the Materialized base
+    // (the dd4b candidates-then-verify shape). distinct() moves BEFORE the
+    // verify too: a pair surfacing in several tables is scored once.
     val keyed = Similarity.lshBucketed(base, dim, tables, k)
+      .select(col("tbl"), col("bkt"), col("id"))
     val buckets = keyed.groupBy(col("tbl"), col("bkt"))
-      .agg(sort_array(collect_list(struct(col("id"), col("norm"), col("embedding"))))
-        .as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val capped = maxBucketSize.fold(buckets)(m => buckets.filter(size(col("ids")) <= m))
-    val denom = col("p.a.norm") * col("p.b.norm")
-    capped
+    val cand = capped
       .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val denom = col("na") * col("nb")
+    cand
+      .join(base.select(col("id").as("id_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
         r4(when(denom === 0.0, 0.0)
-          .otherwise(vecDotF(col("p.a.embedding"), col("p.b.embedding")) / denom))
+          .otherwise(vecDotF(col("ea"), col("eb")) / denom))
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .distinct() // same pair from several tables scores identically
   }
 
   /** Near-duplicate RESOLUTION: connected components over a candidate-pair

@@ -179,6 +179,105 @@ object CorpusStreams {
     new StreamDecontaminator(benchGrams, bc, textCol, ngramSize, idCol)
   }
 
+  /** Streaming near-duplicate ingest dedup: the DD14 greedy keeper rule
+    * ([[graft.operators.Dedup.lshDedupGreedy]]) applied per micro-batch
+    * against a PERSISTENT band-key store. Per batch:
+    *
+    *  1. band the batch with the exact dd2/dd3 MinHash chain;
+    *  2. drop docs whose band keys collide with any STORED key — keys of
+    *    previously-dropped docs count as seen too, the same compare-
+    *    against-anything-seen greedy every online fingerprint store
+    *    implements (and the rule dd14 evaluates arrival-order-free within
+    *    one set);
+    *  3. within the batch, apply dd14's rule among the batch's own docs
+    *    (min doc_id wins each bucket — deterministic where intra-batch
+    *    arrival order is not);
+    *  4. append the batch's band keys to the store under `batch_id=<id>`
+    *    with overwrite semantics (the [[writeSummaryBatch]] exactly-once
+    *    discipline). The store snapshot read in step 2 EXCLUDES the
+    *    current batch_id, so a batch replayed after a crash between the
+    *    store write and the sink commit does not collide with its own
+    *    half-written keys.
+    *
+    * Scale shape: the store is disk-backed parquet, linear in corpus bands
+    * — the production fingerprint-store pattern, not driver state. The
+    * per-batch collision check scans the store ONCE against the batch's
+    * broadcast key set (micro-batches are small by construction), so no
+    * store shuffle per trigger; at 100 TB the scan amortizes further with
+    * a Bloom prefilter over stored keys (the dc3/stream_decontam
+    * composition) or a key-prefix-bucketed store layout — the parquet
+    * store here is the exact-verify side either way. Near-dup dedup needs
+    * this store because LSH collision is a JOIN, not a per-key equality —
+    * `dropDuplicatesWithinWatermark` (the stream_dedup form) can TTL-edit
+    * exact fingerprints but cannot express "any of my 4 band keys was
+    * ever seen".
+    */
+  final class NearDupDeduper private[streaming] (storeDir: String,
+      textCol: String, shingleSize: Int, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Option[Int]) {
+
+    /** The kept subset of one micro-batch (side effect: appends the
+      * batch's band keys to the store, idempotently per `batchId`).
+      */
+    def apply(batch: DataFrame, batchId: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val banded = graft.operators.Materialize(
+        graft.operators.Dedup.lshBandRows(
+          batch, textCol, shingleSize, bands, rowsPerBand))
+      val storeHits = storeSnapshot(batch.sparkSession, batchId) match {
+        case Some(store) =>
+          // store streams, batch keys broadcast-build: collided keys are
+          // bounded by the batch's key count, so both joins keep the
+          // store out of any shuffle.
+          val batchKeys = banded.select(col("band"), col("band_key")).distinct()
+          val collided = store
+            .join(broadcast(batchKeys), Seq("band", "band_key"), "left_semi")
+            .distinct()
+          banded.join(broadcast(collided), Seq("band", "band_key"), "left_semi")
+            .select(col("doc_id")).distinct()
+        case None => banded.select(col("doc_id")).limit(0)
+      }
+      val batchDropped =
+        graft.operators.Dedup.lshDroppedIds(banded, maxBucketSize)
+      // Materialize BEFORE the store append below: the drop set must be
+      // computed against the store snapshot as of this batch's start.
+      val dropped = graft.operators.Materialize(
+        storeHits.union(batchDropped).distinct())
+      banded.select(col("band"), col("band_key")).distinct()
+        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+      batch.join(dropped, Seq("doc_id"), "left_anti")
+    }
+
+    /** Stored band keys from every batch EXCEPT `batchId` (replay safety),
+      * or None before the first append.
+      */
+    private def storeSnapshot(spark: SparkSession,
+        batchId: Long): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.col
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).exists(_.isDirectory))
+        Some(spark.read.parquet(storeDir)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("band"), col("band_key")))
+      else None
+    }
+  }
+
+  /** Build a [[NearDupDeduper]] over a fresh or resumed band-key store
+    * directory. Geometry defaults to dd14's SHARP 6x4 point — a store
+    * collision drops a document with no verify stage, so the banding must
+    * be sharp enough that sub-threshold collisions are negligible (see
+    * [[graft.operators.Dedup.lshDedupGreedy]]); pick other operating
+    * points from a similarity target with
+    * [[graft.operators.Dedup.lshGeometry]].
+    */
+  def nearDupDeduper(storeDir: String, textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 6, rowsPerBand: Int = 4,
+      maxBucketSize: Option[Int] = None): NearDupDeduper =
+    new NearDupDeduper(storeDir, textCol, shingleSize, bands, rowsPerBand,
+      maxBucketSize)
+
   /** Full map-reduce summarization per micro-batch, written to `outPath`
     * keyed by batch id (exactly-once; see [[writeSummaryBatch]]).
     * The collapse loop's driver actions run inside foreachBatch on the

@@ -799,6 +799,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((4L, 5L))) // no degenerate md5("") bucket pairs
   }
 
+  test("DD14 lshDedupGreedy: min-id wins each dup group; empties kept") {
+    val docs = Seq(
+      (5L, "a b c d e f g h"), (1L, "a b c d e f g h"), // dups: keep 1
+      (3L, "a b c d e f g h"),                          // third copy: dropped
+      (7L, "q r s t u v w x"),                          // unrelated: kept
+      (8L, ""), (9L, "   "), (10L, null.asInstanceOf[String])) // no sig: kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.lshDedupGreedy(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L, 8L, 9L, 10L))
+  }
+
+  test("DD14 lshDedupGreedy: layout-independent kept set") {
+    val docs = Seq(
+      (5L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (7L, "q r s t u v w x"), (2L, "i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.lshDedupGreedy(docs.repartition(7))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val k2 = Dedup.lshDedupGreedy(docs.coalesce(1))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 == k2)
+  }
+
+  test("DD14 lshDedupGreedy: over-cap buckets are kept wholesale, not dropped") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    // cap below the bucket size: dedup on that bucket is SKIPPED (keep all)
+    val capped = Dedup.lshDedupGreedy(docs, maxBucketSize = Some(2))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(1L, 2L, 3L))
+    // cap at the bucket size: the greedy rule applies
+    val exact = Dedup.lshDedupGreedy(docs, maxBucketSize = Some(3))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact == Seq(1L))
+  }
+
   test("DD5 SimHash: identical docs at Hamming 0; unrelated docs filtered") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

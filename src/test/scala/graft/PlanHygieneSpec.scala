@@ -21,7 +21,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     * specs (CurationSpec scan-count, StreamingSpec, dev PlanProbe).
     */
   private val eager = Set(
-    "stream_curation", "stream_dedup", "stream_decontam",
+    "stream_curation", "stream_dedup", "stream_decontam", "stream_neardup",
     // trains + collects the NB model and runs the stream at construction
     "stream_classify",
     // Materializes the tx embedding table at construction (both recall

@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup deduper: cross-batch store drops, replay idempotence, batch parity") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_snd_t_").toString
+    val dd = graft.streaming.CorpusStreams.nearDupDeduper(store)
+    val keptIds = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // batch 0: a dup pair (min id 1 wins) + one distinct doc
+    val b0 = Seq(
+      (4L, "a b c d e f g h"), (1L, "a b c d e f g h"),
+      (2L, "q r s t u v w x")).toDF("doc_id", "text")
+    assert(keptIds(dd(b0, 0L)) == Seq(1L, 2L))
+    // single-batch == the batch operator (the stream_neardup oracle claim)
+    assert(keptIds(dd(b0, 0L)) ==
+      keptIds(graft.operators.Dedup.lshDedupGreedy(b0)))
+    // batch 1: a dup of batch 0's KEPT doc and of its DROPPED doc both
+    // drop (the store holds every seen band key); a new token-disjoint
+    // doc is kept (disjoint shingle sets cannot band-collide: equal band
+    // keys would need an md5 collision)
+    val b1 = Seq(
+      (10L, "a b c d e f g h"), (11L, "q r s t u v w x"),
+      (12L, "i j k l m n o p")).toDF("doc_id", "text")
+    assert(keptIds(dd(b1, 1L)) == Seq(12L))
+    // replay batch 1 under the SAME id (crash between store write and
+    // sink commit): the snapshot excludes the batch's own keys, so the
+    // answer is unchanged — no self-collision, no duplicate drops
+    assert(keptIds(dd(b1, 1L)) == Seq(12L))
+    // and a LATER batch still sees batch 1's keys exactly once
+    val b2 = Seq((20L, "i j k l m n o p"), (21L, "z0 z1 z2 z3 z4 z5 z6 z7"))
+      .toDF("doc_id", "text")
+    assert(keptIds(dd(b2, 2L)) == Seq(21L))
+  }
+
   test("attributionJoin: stream-stream join, cross-batch state, window bounds") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
