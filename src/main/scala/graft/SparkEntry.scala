@@ -1114,6 +1114,48 @@ object SparkEntry {
       .select(coalesce(col("h"), lit(0)).cast("double").as("recall")), 90)
   }
 
+  /** DD13b: the OUTPUT-bounded twin of dd13 — SemDeDup-on-text through
+    * the in-process model with k-means cluster routing (the cl2 recipe,
+    * Abbas et al. 2023) instead of a global LSH pair scan. The 100x probe
+    * measured the tradeoff from both sides. dd13's pair LISTING is
+    * output-bound on a structure-dense corpus (tiny vocabulary, so token
+    * mixes repeat): the ≥0.8 centered-cosine pair mass grows
+    * quadratically — its first 100x bench attempt exhausted the probe
+    * host's 74 GB of spill disk; the retry completed in 503 s. dd13b
+    * bounds CANDIDATE VOLUME to ~n x targetClusterSize and caps
+    * degenerate cells (maxClusterSize), so its shuffle/spill footprint
+    * stays linear — but auto-k makes the centroid-assignment pass
+    * O(n x k) = n²/targetClusterSize FLOPs, which is exactly the step
+    * the SemDeDup paper runs on GPUs at LAION scale: measured 4.8/53.5 s
+    * at 1x/10x, and the 100x point extrapolates to ~an hour on 32 CPU
+    * threads (probe killed, recorded in SCALE.md). Routing rule: capped
+    * dd13 is the CPU wall-clock path while pair mass is manageable;
+    * dd13b is the memory/spill-safe shape whose 100 TB story assumes an
+    * accelerated or ANN-assisted assignment step (e.g. routing
+    * assignment itself through sign-LSH). Rows-only; dd13b_gate floors
+    * the planted-lexical-pair recall at the dd13_gate contract.
+    */
+  private def dd13bTextSemdedupClustered(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.operators.Materialize(txDocEmb(spark, dir))
+    graft.operators.Clustering.semDedupPairs(
+        Similarity.centerEmbeddings(emb), 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DD13b gate: the dd13_gate contract on the clustered twin — every
+    * lexical (jaccard ≥ 0.8) near-dup pair must surface in the clustered
+    * semantic pair set at the same 0.90 floor.
+    */
+  private def dd13bGate(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.8)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val sem = dd13bTextSemdedupClustered(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("h"))
+    recallGate(lex.join(sem, Seq("id_a", "id_b"), "left")
+      .select(coalesce(col("h"), lit(0)).cast("double").as("recall")), 90)
+  }
+
   /** SS9: mined hard negatives — per query the five highest-cosine
     * DIFFERENT-label vectors below the 0.45 denoise cap (on this corpus,
     * dd6's pair threshold: real ≥0.45 different-label pairs exist, so
@@ -3316,6 +3358,8 @@ FROM m ORDER BY doc_id, summarizer""")
     "ss10_centered_topk" -> (ss10CenteredTopk(_, _)),
     "dd13_text_semantic_pairs" -> (dd13TextSemanticPairs(_, _)),
     "dd13_gate" -> (dd13Gate(_, _)),
+    "dd13b_text_semdedup" -> (dd13bTextSemdedupClustered(_, _)),
+    "dd13b_gate" -> (dd13bGate(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
     "ss2_recall" -> (ss2Recall(_, _)),
@@ -5308,6 +5352,7 @@ ORDER BY token_id"""
          WHERE rank <= 5 ORDER BY query_id, rank""",
     // dd13_gate: lexical near-dups must all surface in the semantic set
     "dd13_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "dd13b_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // ss9: ss1's cosine replay + label-mismatch filter + denoise cap +
     // per-query rank — the full mined-negative set
     "ss9_hard_negatives" ->

@@ -98,29 +98,42 @@ object Clustering {
     import graft.functions.{r4, vecDotF, vecNormF}
     val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
     require(nAssign >= 1 && nAssign <= k)
+    // Materialized: consumed by the k-means/assignment pass AND both
+    // sides of the verify join (construction is already eager through the
+    // centroid training).
+    val base = Materialize(emb.select(col("vec_id").as("id"),
+      col("embedding"), vecNormF(col("embedding")).as("norm")))
     val centroids = Similarity.trainKmeans(
-      emb.select(col("vec_id"), col("embedding")), k, iterations,
+      base.select(col("id").as("vec_id"), col("embedding")), k, iterations,
       trainSampleMod, nKnown)
-    val assigned = emb.select(
-      explode(Similarity.bestCellsUdf(emb.sparkSession, centroids, nAssign)(
+    // Ids only through the cluster aggregation; vectors come back via the
+    // verify join — the same memory shape as Dedup.embeddingCosinePairsLsh
+    // after its 100x-probe OOM fix: collecting struct(id, norm, embedding)
+    // per member held every cluster's vectors in aggregation state.
+    val assigned = base.select(
+      explode(Similarity.bestCellsUdf(base.sparkSession, centroids, nAssign)(
         col("embedding"))).as("cluster"),
-      col("vec_id").as("id"), col("embedding"),
-      vecNormF(col("embedding")).as("norm"))
+      col("id"))
     val clusters = assigned.groupBy(col("cluster"))
-      .agg(sort_array(collect_list(struct(col("id"), col("norm"), col("embedding"))))
-        .as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val capped = maxClusterSize.fold(clusters)(m =>
       clusters.filter(size(col("ids")) <= m))
-    val denom = col("p.a.norm") * col("p.b.norm")
-    capped
+    val cand = capped
       .select(explode(Dedup.pairCombinations(col("ids"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct() // a pair sharing two cells scores identically in both
+    val denom = col("na") * col("nb")
+    cand
+      .join(base.select(col("id").as("id_a"), col("embedding").as("ea"),
+        col("norm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
         r4(when(denom === 0.0, 0.0)
-          .otherwise(vecDotF(col("p.a.embedding"), col("p.b.embedding")) / denom))
+          .otherwise(vecDotF(col("ea"), col("eb")) / denom))
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
-      .distinct() // a pair sharing two cells scores identically in both
   }
 
   /** SemDeDup-deduplicated corpus: resolve [[semDedupPairs]] through

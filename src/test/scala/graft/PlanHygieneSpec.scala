@@ -33,6 +33,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dd13 Materializes the tx embedding table before centering
     "dd12_span_self_dedup", "cur2_dsir", "dc5_semantic_decontam",
     "dd13_text_semantic_pairs", "dd13_gate", "ss10_centered_topk",
+    // dd13b Materializes the tx embedding table and trains k-means at
+    // construction (the cl2 shape)
+    "dd13b_text_semdedup", "dd13b_gate",
     "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
