@@ -1554,6 +1554,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TA19: HTML-to-text extraction on an HTML corpus derived in-query
+    * (the clean test corpus is prose, so each doc is wrapped in a
+    * deterministic page template carrying every rule's trigger: comment,
+    * script with a raw `<` inside, style, title, nav list with anchors,
+    * block tags, `<br/>`, and all five structural entities). The body
+    * prose rides through the full transform, so the extraction is
+    * exercised on real text, not just the template. Full oracle — the
+    * SQL replays the template and every regex/replace stage verbatim.
+    */
+  private def ta19HtmlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    tbl(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style type=\"text/css\">body { color: #fff; }" +
+          "</style><script type=\"text/javascript\">var x = 1; " +
+          "if (x < 2) { x = \"a&b\"; }</script></head><body><!-- nav "), id,
+        lit(" --><div id=\"nav\"><ul><li><a href=\"/home\">Home</a></li>" +
+          "<li><a href=\"/about\">About&nbsp;Us</a></li></ul></div>" +
+          "<h1>Doc "), id,
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Fish &amp; Chips say &quot;hi&quot; to " +
+          "&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>")).as("text"))
+  }
+
+  private def ta19HtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.extractHtml(ta19HtmlCorpus(spark, dir))
+      .select(col("doc_id"), col("clean_text"), col("n_tags"),
+        col("n_links"), col("text_ratio"))
+      .orderBy(col("doc_id"))
+
   /** TA8: repetition signals on a multi-line corpus derived in-query
     * (8-word lines plus the first line repeated once, so every doc has a
     * known injected duplicate and the natural word-salad bigram mode on
@@ -3379,6 +3410,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta5_vocab" -> (ta5Vocab(_, _)),
     "ta5b_vocab_hll" -> (ta5bVocabHll(_, _)),
     "ta7_pii_redact" -> (ta7PiiRedact(_, _)),
+    "ta19_html_extract" -> (ta19HtmlExtract(_, _)),
     "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta10_compress" -> (ta10Compress(_, _)),
@@ -4018,6 +4050,61 @@ ORDER BY token_id"""
            CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
            CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INT) AS n_ips
          FROM pii ORDER BY doc_id"""
+    },
+    // ta19: the HTML template and every regex/replace stage replayed
+    // verbatim (patterns interpolated from the shared constants; chr(10)
+    // = the literal newline the Spark side writes)
+    "ta19_html_extract" -> {
+      import graft.operators.TextAnalysis.{HtmlBlockCloseRe, HtmlCommentRe,
+        HtmlLinkRe, HtmlNlRunRe, HtmlNlSpaceRe, HtmlOuterWsRe, HtmlScriptRe,
+        HtmlSpaceRunRe, HtmlStyleRe, HtmlTagRe, HtmlTitleRe}
+      s"""WITH html AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style type="text/css">body { color: #fff; }' ||
+             '</style><script type="text/javascript">var x = 1; ' ||
+             'if (x < 2) { x = "a&b"; }</script></head><body><!-- nav ' ||
+             CAST(doc_id AS VARCHAR) ||
+             ' --><div id="nav"><ul><li><a href="/home">Home</a></li>' ||
+             '<li><a href="/about">About&nbsp;Us</a></li></ul></div>' ||
+             '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+             '</p><p>Fish &amp; Chips say &quot;hi&quot; to ' ||
+             '&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>' AS h
+           FROM documents),
+         st1 AS (
+           SELECT doc_id, h,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+               '$HtmlCommentRe', '', 'g'),
+               '$HtmlScriptRe', '', 'g'),
+               '$HtmlStyleRe', '', 'g'),
+               '$HtmlTitleRe', '', 'g') AS t
+           FROM html),
+         st2 AS (
+           SELECT doc_id, h,
+             regexp_replace(regexp_replace(t,
+               '$HtmlBlockCloseRe', chr(10), 'g'),
+               '$HtmlTagRe', '', 'g') AS t
+           FROM st1),
+         st3 AS (
+           SELECT doc_id, h,
+             replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
+               '&amp;', '&') AS t
+           FROM st2),
+         st4 AS (
+           SELECT doc_id, h,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '$HtmlSpaceRunRe', ' ', 'g'),
+               '$HtmlNlSpaceRe', chr(10), 'g'),
+               '$HtmlNlRunRe', chr(10) || chr(10), 'g'),
+               '$HtmlOuterWsRe', '', 'g') AS t
+           FROM st3)
+         SELECT doc_id, t AS clean_text,
+           CAST(len(regexp_extract_all(h, '$HtmlTagRe')) AS INT) AS n_tags,
+           CAST(len(regexp_extract_all(h, '$HtmlLinkRe')) AS INT) AS n_links,
+           CASE WHEN length(h) = 0 THEN 0.0
+             ELSE round(length(t) * 1.0 / length(h), 4) END AS text_ratio
+         FROM st4 ORDER BY doc_id"""
     },
     // ta8: dup-line fraction + top-bigram fraction on the derived
     // multi-line corpus (first line repeated once per doc)

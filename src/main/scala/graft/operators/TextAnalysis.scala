@@ -238,6 +238,73 @@ object TextAnalysis {
           Ipv4Re, "<IP>"))
   }
 
+  /** TA19: HTML-to-text extraction — the ingestion step every web-scale
+    * training pipeline starts with (CCNet/RefinedWeb/Dolma read WET/WARC
+    * pages, not prose). Deliberately regex-structural, not a DOM parse:
+    * one map-only Column pass (codegen, no UDF) whose patterns are
+    * RE2-compatible (no lookaround, no backrefs — script/style/title need
+    * three patterns instead of one backreferenced alternation) so the
+    * exact same strings run under Java (Spark) and RE2 (DuckDB oracle).
+    *
+    * Transform order (each step's output feeds the next):
+    * comments → script/style/title blocks removed wholesale → block-level
+    * closing tags (+<br>) become newlines → every remaining tag strips →
+    * the five structural entities decode (&amp; LAST, so "&amp;lt;"
+    * decodes to the literal text "&lt;", not to "<") → whitespace
+    * normalization (space runs collapse, spaces around newlines drop,
+    * ≥3 newlines become a paragraph break, outer whitespace trims).
+    * Explicit character classes ([ \t\r\n]) everywhere instead of \s —
+    * Java's \s includes \x0B, RE2's does not.
+    *
+    * Signals ride along, computed on the ORIGINAL html (the ta7
+    * count-on-original convention): `n_tags`, `n_links` (anchor density —
+    * the classic nav/boilerplate discriminator), and `text_ratio`
+    * (extracted/raw length — near-zero pages are markup shells). Entity
+    * coverage is the five structural ones; numeric/exotic entities pass
+    * through as text (a full HTML5 table is a data file, not a regex).
+    */
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlTitleRe = "(?is)<title\\b[^>]*>.*?</title>"
+  val HtmlBlockCloseRe =
+    "(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>|<br[ /]*>"
+  val HtmlTagRe = "(?s)<[^>]*>"
+  val HtmlLinkRe = "(?i)<a\\b"
+  val HtmlSpaceRunRe = "[ \\t\\r]+"
+  val HtmlNlSpaceRe = " *\\n *"
+  val HtmlNlRunRe = "\\n{3,}"
+  val HtmlOuterWsRe = "^[ \\n]+|[ \\n]+$"
+  /** Decode order is load-bearing: `&amp;` must be last (see scaladoc). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&quot;" -> "\"", "&lt;" -> "<", "&gt;" -> ">",
+    "&amp;" -> "&")
+
+  def extractHtml(docs: DataFrame, htmlCol: String = "text"): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    val noHidden = Seq(HtmlCommentRe, HtmlScriptRe, HtmlStyleRe, HtmlTitleRe)
+      .foldLeft(h)((c, re) => regexp_replace(c, re, ""))
+    val stripped = regexp_replace(
+      regexp_replace(noHidden, HtmlBlockCloseRe, "\n"), HtmlTagRe, "")
+    val decoded = HtmlEntities.foldLeft(stripped) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to)) }
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(decoded, HtmlSpaceRunRe, " "),
+          HtmlNlSpaceRe, "\n"),
+        HtmlNlRunRe, "\n\n"),
+      HtmlOuterWsRe, "")
+    docs
+      .withColumn("clean_text", clean)
+      .withColumn("n_tags", regexp_count(h, lit(HtmlTagRe)))
+      .withColumn("n_links", regexp_count(h, lit(HtmlLinkRe)))
+      .withColumn("text_ratio",
+        when(length(h) === 0, lit(0.0)).otherwise(
+          r4(length(col("clean_text")).cast("double") /
+            length(h).cast("double"))))
+  }
+
   /** TA8: repetition signals — the Gopher/RefinedWeb-style quality gates
     * for machine-generated / boilerplate text: the fraction of duplicate
     * (trimmed, non-empty) lines, and the fraction of all word bigrams

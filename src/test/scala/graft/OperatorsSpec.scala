@@ -430,6 +430,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("plain ascii unchanged", false)))
   }
 
+  test("TA19 extractHtml: closed-form extraction, entity order, counts") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "<html><head><title>T</title><style>b{c:d}</style>" +
+        "<script>if (x < 2) { y(\"a&b\"); }</script></head><body>" +
+        "<!-- nav --><ul><li><a href=\"/h\">Home</a></li></ul>" +
+        "<h1>Head</h1><p>Fish &amp; Chips say &quot;hi&quot;</p>" +
+        "<p>a &lt;b&gt; c</p><br/></body></html>"),
+      // &amp;lt; decodes to the TEXT "&lt;", never to "<" (amp is last)
+      (2L, "<p>literal &amp;lt; stays</p>"),
+      // whitespace: space runs, spaces around newlines, 3+ newlines, trim
+      (3L, "<div>  a  \t b </div><p></p><p></p><p>c</p>  "),
+      (4L, null.asInstanceOf[String]), // null html -> empty, ratio 0
+      (5L, "plain prose, no markup at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.extractHtml(docs)
+      .select("doc_id", "clean_text", "n_tags", "n_links", "text_ratio")
+      .as[(Long, String, Int, Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 ==
+      "Home\n\nHead\nFish & Chips say \"hi\"\na <b> c")
+    assert(got(1L)._3 > 10 && got(1L)._4 == 1) // tags counted on raw html
+    assert(got(2L)._2 == "literal &lt; stays")
+    assert(got(3L)._2 == "a b\n\nc")
+    assert(got(4L)._2 == "" && got(4L)._5 == 0.0)
+    assert(got(5L)._2 == "plain prose, no markup at all")
+    assert(got(5L)._3 == 0 && got(5L)._4 == 0 && got(5L)._5 == 1.0)
+  }
+
   test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
     // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
     val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
