@@ -655,6 +655,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PK1b: packed-sequence document-span manifest — the cross-document
+    * attention-mask / per-doc loss-reset metadata over pk1's layout
+    * (within-sequence span start/length + doc first/last-token flags).
+    * Same budget as pk1 so the two queries describe one layout.
+    */
+  private def pk1bPackedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.Packing.packedSpans(docs, budget = 256)
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   /** PK2: no-split first-fit packing within hash shards (whole docs,
     * greedy reset — the BinPack semantics at corpus scale).
     */
@@ -3361,6 +3373,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "mx1_resample" -> (mx1Resample(_, _)),
     "mx3_unimax" -> (mx3Unimax(_, _)),
     "pk1_pack" -> (pk1Pack(_, _)),
+    "pk1b_packed_spans" -> (pk1bPackedSpans(_, _)),
     "pk2_pack_greedy" -> (pk2PackGreedy(_, _)),
     "sh1_shuffle" -> (sh1Shuffle(_, _)),
     "qz1_quantize" -> (qz1Quantize(_, _)),
@@ -5292,6 +5305,30 @@ ORDER BY token_id"""
            ((start_offset + greatest(n_tokens, 1) - 1) // 256)
              > (start_offset // 256) AS crosses_boundary
          FROM c ORDER BY doc_id""",
+    // pk1b: pk1's prefix-sum CTE + generate_series over each doc's
+    // spanned sequences; within-sequence span arithmetic is end-exclusive
+    // (span covers [max(start, base), min(start+n, base+budget)))
+    "pk1b_packed_spans" ->
+      s"""WITH d AS (
+           SELECT doc_id, CAST($tokSql AS BIGINT) AS n_tokens FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+           FROM d),
+         p AS (
+           SELECT doc_id, n_tokens, start_offset,
+             UNNEST(generate_series(start_offset // 256,
+               (start_offset + n_tokens - 1) // 256)) AS seq_id
+           FROM c WHERE n_tokens > 0)
+         SELECT seq_id, doc_id,
+           greatest(start_offset, seq_id * 256) - seq_id * 256 AS span_start,
+           least(start_offset + n_tokens, seq_id * 256 + 256)
+             - greatest(start_offset, seq_id * 256) AS span_len,
+           start_offset >= seq_id * 256 AS is_doc_start,
+           start_offset + n_tokens <= seq_id * 256 + 256 AS is_doc_end
+         FROM p ORDER BY seq_id, doc_id""",
     "pk2_pack_greedy" ->
       s"""WITH RECURSIVE d AS (
            SELECT doc_id, CAST($tokSql AS BIGINT) AS w,

@@ -76,6 +76,42 @@ object Packing {
         col("seq_last"), col("crosses_boundary"))
   }
 
+  /** PK1b: per-sequence document-span manifest over [[packSequences]]'s
+    * layout — the boundary metadata a training loader needs to mask
+    * cross-document attention and reset per-document loss inside packed
+    * sequences (concat-and-cut without boundary masks lets documents
+    * attend into their packing neighbors; every modern pretrain stack
+    * carries exactly this manifest next to the token stream). For each
+    * (sequence, document) intersection: the span's within-sequence start
+    * position, its token length, and whether the document's first/last
+    * token lives in this sequence (`is_doc_start`/`is_doc_end` — the
+    * loss-reset edge flags a loader keys on).
+    *
+    * Pure layout arithmetic off packSequences' prefix sum: each doc
+    * explodes over the sequences it spans, so output rows ≤ n_docs +
+    * total_tokens/budget (each doc contributes one span plus one per cut
+    * it straddles) — linear in the corpus, no shuffle beyond
+    * packSequences' own range partition, and within a sequence the spans
+    * tile [0, budget) contiguously by construction. Zero-token docs
+    * occupy no positions and emit no span.
+    */
+  def packedSpans(docs: DataFrame, budget: Long,
+      tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    val packed = packSequences(docs, budget, tokenCol, idCol)
+      .filter(col(tokenCol) > 0)
+    val base = col("seq_id") * budget
+    packed
+      .select(col(idCol), col(tokenCol), col("start_offset"),
+        explode(sequence(col("seq_id"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        (greatest(col("start_offset"), base) - base).as("span_start"),
+        (least(col("start_offset") + col(tokenCol), base + budget)
+          - greatest(col("start_offset"), base)).as("span_len"),
+        (col("start_offset") >= base).as("is_doc_start"),
+        (col("start_offset") + col(tokenCol) <= base + budget)
+          .as("is_doc_end"))
+  }
+
   /** No-split first-fit packing within hash shards: docs (in id order) fold
     * greedily into sequences capped at `budget`; a doc larger than the
     * budget gets a sequence of its own (same reset rule as

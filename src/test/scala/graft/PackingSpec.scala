@@ -46,6 +46,37 @@ class PackingSpec extends AnyFunSuite {
     assert(last == (1L to 500L).map(_ % 7).sum)
   }
 
+  test("PK1b packedSpans: exact span manifest, tiling, edge flags") {
+    // tokens: 4, 10, 3, 25, 0 → starts 0, 4, 14, 17, 42; budget 10
+    val docs = Seq((1L, 4L), (2L, 10L), (3L, 3L), (4L, 25L), (5L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packedSpans(docs, budget = 10)
+      .select("seq_id", "doc_id", "span_start", "span_len",
+        "is_doc_start", "is_doc_end")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 4L, true, true),    // whole doc inside seq 0
+      (0L, 2L, 4L, 6L, true, false),   // head of the straddler
+      (1L, 2L, 0L, 4L, false, true),   // its tail
+      (1L, 3L, 4L, 3L, true, true),
+      (1L, 4L, 7L, 3L, true, false),   // 25-token doc: 3 + 10 + 10 + 2
+      (2L, 4L, 0L, 10L, false, false), // full middle sequences
+      (3L, 4L, 0L, 10L, false, false),
+      (4L, 4L, 0L, 2L, false, true)))
+    // zero-token doc 5 emits nothing; spans tile each sequence gaplessly
+    assert(!got.exists(_._2 == 5L))
+    assert(got.map(_._4).sum == 42L)
+    got.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 == b._3)
+        case _ =>
+      }
+    }
+  }
+
   test("PK2 packGreedyShards: budget respected, oversize isolated, matches BinPack") {
     val docs = Seq((0L, 4L), (8L, 9L), (16L, 3L), (24L, 15L), (32L, 1L),
       (1L, 5L), (9L, 5L))

@@ -40,7 +40,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
-    "dd7_components", "dd8b_dedup_best", "pk1_pack", "sh1_shuffle",
+    "dd7_components", "dd8b_dedup_best", "pk1_pack", "pk1b_packed_spans",
+    "sh1_shuffle",
     "pipe_mapreduce", "pipe_critique", "pipe_iterative", "pipe_hierarchical",
     "pipe_truncated", "s3_tree_ingest", "ss3_ivf_topk", "ss3_recall",
     "ss2_recall", "dd6b_recall", "eval_pair_metrics", "eval_summary_stats",
