@@ -677,6 +677,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** S11: WARC-style shard roundtrip — serialize the corpus into
+    * length-prefixed record blobs (8 hash shards, records in doc_id
+    * order) and parse them back with the Content-Length-driven reader.
+    * Every 7th payload gets a complete FAKE RECORD injected (version
+    * line, headers, empty body): a delimiter-splitting parser would
+    * shred it; the length-driven parse must return it byte-identical.
+    * Full oracle — record framing, byte offsets (strlen = UTF-8 octets,
+    * exercised by the multi-byte corpus), and payloads replayed in SQL.
+    */
+  private val warcInjection: String =
+    "\r\n\r\n" + graft.operators.Warc.VersionLine +
+      "\r\nWARC-Record-ID: 999999\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+
+  private def s11WarcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(coalesce(col("text"), lit("")), lit(warcInjection)))
+        .otherwise(coalesce(col("text"), lit(""))).as("text"))
+    graft.operators.Warc.parseShards(
+        graft.operators.Warc.buildShards(docs, 8))
+      .orderBy(col("shard"), col("rec_idx"))
+  }
+
   /** DD7: near-dup groups = connected components over the dd4 pair graph
     * (min-label propagation; oracled against a recursive-CTE transitive
     * closure on the same pairs).
@@ -3447,6 +3470,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd10_paragraph_dedup" -> (dd10ParagraphDedup(_, _)),
     "s9_sharded_export" -> (s9ShardedExport(_, _)),
     "s10_partitioned_export" -> (s10PartitionedExport(_, _)),
+    "s11_warc_roundtrip" -> (s11WarcRoundtrip(_, _)),
     "ta6_top_ngrams" -> (ta6TopNgrams(_, _)),
     "aj1_asof_join" -> (aj1Asof(_, _)),
     "aj1b_asof_salted" -> (aj1bAsofSalted(_, _)),
@@ -6204,6 +6228,35 @@ ORDER BY token_id"""
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // s11: record framing + byte offsets replayed in SQL (strlen = UTF-8
+    // octets = Spark's octet_length); the injected fake record is part of
+    // the expected payload — length-driven parsing returns it intact
+    "s11_warc_roundtrip" -> {
+      val crlf = "chr(13) || chr(10)"
+      val inj = s"$crlf || $crlf || 'WARC/1.0' || $crlf || " +
+        s"'WARC-Record-ID: 999999' || $crlf || 'Content-Length: 0' || " +
+        s"$crlf || $crlf || $crlf || $crlf"
+      s"""WITH d AS (
+           SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || $inj
+                  ELSE coalesce(text, '') END AS payload
+           FROM documents),
+         r AS (
+           SELECT doc_id, shard, payload,
+             'WARC/1.0' || $crlf ||
+             'WARC-Record-ID: ' || CAST(doc_id AS VARCHAR) || $crlf ||
+             'Content-Length: ' || CAST(strlen(payload) AS VARCHAR) ||
+             $crlf || $crlf || payload || $crlf || $crlf AS rec
+           FROM d)
+         SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+             AS BIGINT) AS rec_idx,
+           CAST(COALESCE(SUM(strlen(rec)) OVER (PARTITION BY shard
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             1 PRECEDING), 0) AS BIGINT) AS byte_offset,
+           doc_id, payload AS text
+         FROM r ORDER BY shard, rec_idx"""
+    },
     // stream_dedup: first-arrival-wins over one replay == distinct prefix
     // fingerprints (the dd1b derivation)
     "stream_dedup" ->

@@ -459,6 +459,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L)._3 == 0 && got(5L)._4 == 0 && got(5L)._5 == 1.0)
   }
 
+  test("S11 Warc: length-driven roundtrip, byte offsets, adversarial payload") {
+    import graft.operators.Warc
+    val fake = "\r\n\r\nWARC/1.0\r\nWARC-Record-ID: 7\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val docs = Seq(
+      (0L, "xin chào thế giới"), // multi-byte: octets != chars
+      (2L, "plain"),
+      (4L, "body with a fake record " + fake + " inside"),
+      (1L, ""), // empty payload
+      (3L, "second shard"))
+      .toDF("doc_id", "text")
+    val shards = Warc.buildShards(docs, 2)
+    assert(shards.count() == 2)
+    val got = Warc.parseShards(shards)
+      .select("shard", "rec_idx", "byte_offset", "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // shard 0 = docs 0,2,4 in id order; shard 1 = docs 1,3
+    assert(got.map(r => (r._1, r._4)) ==
+      Seq((0L, 0L), (0L, 2L), (0L, 4L), (1L, 1L), (1L, 3L)))
+    // payloads byte-identical, INCLUDING the embedded fake record
+    val byId = got.map(r => r._4 -> r._5).toMap
+    assert(byId(0L) == "xin chào thế giới")
+    assert(byId(4L) == "body with a fake record " + fake + " inside")
+    assert(byId(1L) == "")
+    // offsets: record 0 at 0; record 1 at record 0's byte length
+    val r0len = ("WARC/1.0\r\nWARC-Record-ID: 0\r\nContent-Length: " +
+      "xin chào thế giới".getBytes("UTF-8").length +
+      "\r\n\r\nxin chào thế giới\r\n\r\n").getBytes("UTF-8").length
+    assert(got.find(r => r._4 == 2L).get._3 == r0len.toLong)
+    // truncated blob fails loudly instead of resyncing
+    val bad = shards.limit(1).selectExpr("shard",
+      "substr(blob, 1, length(blob) - 3) AS blob")
+    assertThrows[org.apache.spark.SparkException] {
+      Warc.parseShards(bad).collect()
+    }
+  }
+
   test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
     // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
     val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
