@@ -1696,6 +1696,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CUR3: excess-loss selection (RHO-loss shape) — top-150 docs by
+    * bigram-minus-unigram average logprob, both models self-trained on
+    * the corpus. FULL oracle: both LM replays (the ta11/ta16 CTEs), the
+    * exact-integer means, and the (excess desc, doc_id asc) k-th-tuple
+    * threshold as a ROW_NUMBER rank.
+    */
+  private def cur3ExcessLoss(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.excessLossSelect(
+        tbl(spark, dir, "documents"), 150)
+      .orderBy(col("doc_id"))
+
   /** TA17b: the sampled-cut CCNet bucketing — per-domain cut scores
     * learned on the deterministic keyed-hash half-sample (seed "cuts"),
     * broadcast, then a map-only bucket pass over the full corpus (the
@@ -3460,6 +3471,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
     "cur2_dsir" -> (cur2Dsir(_, _)),
+    "cur3_excess_loss" -> (cur3ExcessLoss(_, _)),
     "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
     "ta17b_gate" -> (ta17bGate(_, _)),
     "mx2_temperature" -> (mx2Temperature(_, _)),
@@ -4224,6 +4236,56 @@ ORDER BY token_id"""
     // this same SQL VERBATIM — train-batch/score-stream must be invisible
     "ta18_nb_classifier" -> ta18NbSql,
     "stream_classify" -> ta18NbSql,
+    // cur3: both self-trained LMs replayed (the ta11 unigram and ta16
+    // interpolated-bigram CTEs verbatim, u/b-prefixed), exact-integer
+    // 4dp means, excess = lp_bi - lp_uni, and the k-th-tuple threshold
+    // expressed as its equivalent (excess DESC, doc_id ASC) rank
+    "cur3_excess_loss" ->
+      s"""WITH ut AS (
+           SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS tok
+           FROM documents),
+         uf AS (SELECT tok, COUNT(*) AS c FROM ut GROUP BY 1),
+         utot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM ut),
+         ulp AS (
+           SELECT doc_id, round(ln(c / total), 6) AS lp
+           FROM ut JOIN uf USING (tok), utot),
+         ulm AS (
+           SELECT doc_id, SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) * 100 AS d
+           FROM ulp GROUP BY 1),
+         uavg AS (SELECT doc_id, $lmAvgExpr AS lp_uni FROM ulm),
+         arr AS (
+           SELECT doc_id,
+             regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[CAST(g.i AS INT)] AS w1,
+             toks[CAST(g.i AS INT) + 1] AS w2
+           FROM arr, LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+         blp AS (
+           SELECT big.doc_id,
+             round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 0.25 * (CAST(uf.c AS DOUBLE) / utot.total)), 6) AS lp
+           FROM big
+           JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+           JOIN c1 ON big.w1 = c1.w1
+           JOIN uf ON big.w2 = uf.tok, utot),
+         blm AS (
+           SELECT doc_id, SUM(CAST(round(lp * 1000000) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) * 100 AS d
+           FROM blp GROUP BY 1),
+         bavg AS (SELECT doc_id, $lmAvgExpr AS lp_bi FROM blm),
+         x AS (
+           SELECT u.doc_id, u.lp_uni, b.lp_bi,
+             b.lp_bi - u.lp_uni AS excess
+           FROM uavg u JOIN bavg b USING (doc_id))
+         SELECT doc_id, lp_uni, lp_bi, excess,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY excess DESC, doc_id ASC)
+             <= 150 THEN 1 ELSE 0 END AS selected
+         FROM x ORDER BY doc_id""",
     // cur2: the full DSIR replay — both hashed-bigram bucket models
     // re-learned (md5 60-bit buckets, Laplace-smoothed, 6dp micro-nat
     // log-ratios), per-doc weight sum, keyed-hash Gumbel, and the

@@ -278,6 +278,54 @@ object Curation {
     * bucket counts; the target fits in one agg of its own. Nothing grows
     * with corpus size except the two count aggregates.
     */
+  /** CUR3: excess-loss data selection (the RHO-loss shape, Mindermann et
+    * al. 2022, "Prioritized training on points that are learnable, worth
+    * learning, and not yet learnt"): score each document by its loss
+    * under the CURRENT weak model minus its loss under a stronger
+    * REFERENCE model, and keep the top k. High excess = the stronger
+    * model explains the text far better than the weak one — there is
+    * learnable structure the weak model has not captured. Near-zero
+    * excess = either noise (both models equally bad — irreducible loss,
+    * not worth training on) or trivially repetitive text (both equally
+    * good — already learnt). The published form trains a NN pair; this
+    * uses the library's self-trained LM ladder as the proxy pair — the
+    * ta11 corpus unigram as the current model and the ta16 interpolated
+    * bigram as the reference — so the operator ships no weights and
+    * every score is SQL-replayable. Losses are negated logprobs, so
+    * excess = avg_lp_bigram - avg_lp_unigram.
+    *
+    * Selection is the cur2 discipline: TakeOrdered finds the k-th
+    * (excess desc, doc_id asc) tuple — k rows per partition merge — and
+    * selection is a broadcast threshold compare, never a global sort.
+    * Both avg logprobs are exact integer half-up means on the 4dp grid
+    * (the lmMicro convention), so excess is the same double on every
+    * engine and partitioning. Docs with fewer than two tokens have no
+    * bigram score and do not compete (a sub-2-token doc is not training
+    * data). Scale shape: two self-trained LM passes (each a token
+    * explode + hash-aggs + a vocab-keyed shuffle join — the ta11/ta16
+    * shapes, linear in tokens), one doc-keyed join, one metadata-scale
+    * threshold.
+    */
+  def excessLossSelect(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // one corpus scan feeds both LM trainings (the double-branch rule)
+    val base = Materialize(
+      docs.select(col("doc_id"), col(textCol).as("text")))
+    val uni = TextAnalysis.unigramLogProb(base)
+      .select(col("doc_id"), col("avg_logprob").as("lp_uni"))
+    val bi = TextAnalysis.bigramLogProb(base)
+      .select(col("doc_id"), col("avg_logprob").as("lp_bi"))
+    val keyed = Materialize(uni.join(bi, Seq("doc_id"))
+      .withColumn("excess", col("lp_bi") - col("lp_uni")))
+    val kth = keyed.orderBy(col("excess").desc, col("doc_id").asc).limit(k)
+      .agg(min(struct(col("excess"), (-col("doc_id")).as("nid"))).as("th"))
+    keyed.crossJoin(broadcast(kth))
+      .select(col("doc_id"), col("lp_uni"), col("lp_bi"), col("excess"),
+        (struct(col("excess"), (-col("doc_id")).as("nid")) >= col("th"))
+          .cast("int").as("selected"))
+  }
+
   def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
       buckets: Int = 4096, textCol: String = "text",
       seed: String = "dsir"): DataFrame = {

@@ -191,4 +191,39 @@ class CurationSpec extends AnyFunSuite {
       graft.operators.Curation.dsirSelect(raw, target, k = 0)
     }
   }
+
+  test("excess-loss: structured docs outrank order-free ones, exactly k, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // structured docs: word ORDER is perfectly predictable (every bigram
+    // deterministic), so the bigram reference crushes the unigram model.
+    // noise docs: same unigram profile per doc but every arrangement
+    // different, so bigrams spread and the reference gains far less.
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a b a b a b a b"),
+      (3L, "c d e f g h c d e f g h"),
+      (4L, "c e g d f h e c g f d h"),
+      (5L, "g c f h d e h f c e g d"),
+      (6L, "solo")) // one token: no bigram score, must not compete
+      .toDF("doc_id", "text")
+    val got = Curation.excessLossSelect(docs, k = 2)
+      .select("doc_id", "excess", "selected")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(6L) && got.size == 5)
+    assert(got.values.map(_._2).sum == 2)
+    // the two perfectly-ordered docs carry the highest excess and win
+    assert(got(1L)._1 == got(2L)._1)
+    assert(math.min(got(1L)._1, got(2L)._1) >
+      Seq(got(3L)._1, got(4L)._1, got(5L)._1).max)
+    assert(got(1L)._2 == 1 && got(2L)._2 == 1)
+    // k >= pool: everything with a bigram score selects
+    val all = Curation.excessLossSelect(docs, k = 10)
+      .select("selected").as[Int].collect()
+    assert(all.length == 5 && all.forall(_ == 1))
+    // layout independence
+    val got2 = Curation.excessLossSelect(docs.repartition(7), k = 2)
+      .select("doc_id", "excess", "selected")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 == got)
+  }
 }

@@ -31,7 +31,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // cur2 Materializes the raw feature stream and the keyed weights;
     // dc5 counts the benchmark (id-space contract) at construction;
     // dd13 Materializes the tx embedding table before centering
-    "dd12_span_self_dedup", "cur2_dsir", "dc5_semantic_decontam",
+    "dd12_span_self_dedup", "cur2_dsir", "cur3_excess_loss",
+    "dc5_semantic_decontam",
     "dd13_text_semantic_pairs", "dd13_gate", "ss10_centered_topk",
     // dd13b Materializes the tx embedding table and trains k-means at
     // construction (the cl2 shape)
