@@ -1606,10 +1606,13 @@ object SparkEntry {
         lit("</title><style type=\"text/css\">body { color: #fff; }" +
           "</style><script type=\"text/javascript\">var x = 1; " +
           "if (x < 2) { x = \"a&b\"; }</script></head><body><!-- nav "), id,
+        // h1 is CONSTANT (not id-bearing): extraction must map exact-dup
+        // source docs to exact-dup clean text, or downstream dedup
+        // (stream_ccingest) would see phantom uniqueness. The id still
+        // exercises id-varying removal via title and comment.
         lit(" --><div id=\"nav\"><ul><li><a href=\"/home\">Home</a></li>" +
           "<li><a href=\"/about\">About&nbsp;Us</a></li></ul></div>" +
-          "<h1>Doc "), id,
-        lit("</h1><p>"), col("text"),
+          "<h1>Corpus</h1><p>"), col("text"),
         lit("</p><p>Fish &amp; Chips say &quot;hi&quot; to " +
           "&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>")).as("text"))
   }
@@ -2594,6 +2597,45 @@ object SparkEntry {
     Seq(acc.value).toDF("n_curated")
   }
 
+  /** Streaming CommonCrawl-shaped ingest, driver-checked end to end: the
+    * derived HTML corpus is serialized into WARC shard blobs (s11's
+    * writer) and landed as a parquet directory; the STREAM then reads
+    * blob files as they arrive, parses records with the length-driven
+    * reader (stateless typed flatMap), extracts text with ta19's chain
+    * (projection), and runs the stream_curation gate + watermarked
+    * first-arrival prefix dedup. One AvailableNow batch proves batch
+    * parity; the oracle replays template → extraction → gate in SQL and
+    * counts distinct gated prefix fingerprints (the stream_curation
+    * contract). This is the full ingest boundary a 100 TB web corpus
+    * arrives through: container → records → text → gates → dedup, as one
+    * continuous query.
+    */
+  private def streamCcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shardsDir =
+      java.nio.file.Files.createTempDirectory("graft_cci_shards_").toString
+    graft.operators.Warc.buildShards(ta19HtmlCorpus(spark, dir), 8)
+      .write.mode("overwrite").parquet(shardsDir)
+    val schema = spark.read.parquet(shardsDir).schema
+    val blobs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4096).parquet(shardsDir)
+    val docs = TextAnalysis.extractHtml(
+        graft.operators.Warc.parseShards(blobs), "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
+    val curated = graft.streaming.CorpusStreams.curateStream(docs)
+    val acc = spark.sparkContext.longAccumulator("graft.streamCcIngest")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cci_ck_").toString
+    val q = curated.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+      .start()
+    q.awaitTermination()
+    Seq(acc.value).toDF("n_curated")
+  }
+
   /** Streaming exact (prefix-fingerprint) dedup, driver-checked end to
     * end: the documents table replayed as a file-source stream through the
     * watermarked `dropDuplicatesWithinWatermark` path (state TTL — see
@@ -3525,6 +3567,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "pipe_ccnet" -> (pipeCcnet(_, _)),
     "pipe_training_mix" -> (pipeTrainingMix(_, _)),
     "stream_curation" -> (streamCuration(_, _)),
+    "stream_ccingest" -> (streamCcIngest(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
@@ -4101,59 +4144,17 @@ ORDER BY token_id"""
          FROM pii ORDER BY doc_id"""
     },
     // ta19: the HTML template and every regex/replace stage replayed
-    // verbatim (patterns interpolated from the shared constants; chr(10)
-    // = the literal newline the Spark side writes)
+    // verbatim (the shared htmlExtractCtes fragment — also composed into
+    // the stream_ccingest oracle)
     "ta19_html_extract" -> {
-      import graft.operators.TextAnalysis.{HtmlBlockCloseRe, HtmlCommentRe,
-        HtmlLinkRe, HtmlNlRunRe, HtmlNlSpaceRe, HtmlOuterWsRe, HtmlScriptRe,
-        HtmlSpaceRunRe, HtmlStyleRe, HtmlTagRe, HtmlTitleRe}
-      s"""WITH html AS (
-           SELECT doc_id,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-             '</title><style type="text/css">body { color: #fff; }' ||
-             '</style><script type="text/javascript">var x = 1; ' ||
-             'if (x < 2) { x = "a&b"; }</script></head><body><!-- nav ' ||
-             CAST(doc_id AS VARCHAR) ||
-             ' --><div id="nav"><ul><li><a href="/home">Home</a></li>' ||
-             '<li><a href="/about">About&nbsp;Us</a></li></ul></div>' ||
-             '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-             '</p><p>Fish &amp; Chips say &quot;hi&quot; to ' ||
-             '&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>' AS h
-           FROM documents),
-         st1 AS (
-           SELECT doc_id, h,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
-               '$HtmlCommentRe', '', 'g'),
-               '$HtmlScriptRe', '', 'g'),
-               '$HtmlStyleRe', '', 'g'),
-               '$HtmlTitleRe', '', 'g') AS t
-           FROM html),
-         st2 AS (
-           SELECT doc_id, h,
-             regexp_replace(regexp_replace(t,
-               '$HtmlBlockCloseRe', chr(10), 'g'),
-               '$HtmlTagRe', '', 'g') AS t
-           FROM st1),
-         st3 AS (
-           SELECT doc_id, h,
-             replace(replace(replace(replace(replace(t,
-               '&nbsp;', ' '), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
-               '&amp;', '&') AS t
-           FROM st2),
-         st4 AS (
-           SELECT doc_id, h,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-               '$HtmlSpaceRunRe', ' ', 'g'),
-               '$HtmlNlSpaceRe', chr(10), 'g'),
-               '$HtmlNlRunRe', chr(10) || chr(10), 'g'),
-               '$HtmlOuterWsRe', '', 'g') AS t
-           FROM st3)
+      import graft.operators.TextAnalysis.{HtmlLinkRe, HtmlTagRe}
+      s"""WITH ${htmlExtractCtes()}
          SELECT doc_id, t AS clean_text,
            CAST(len(regexp_extract_all(h, '$HtmlTagRe')) AS INT) AS n_tags,
            CAST(len(regexp_extract_all(h, '$HtmlLinkRe')) AS INT) AS n_links,
            CASE WHEN length(h) = 0 THEN 0.0
              ELSE round(length(t) * 1.0 / length(h), 4) END AS text_ratio
-         FROM st4 ORDER BY doc_id"""
+         FROM xs4 ORDER BY doc_id"""
     },
     // ta8: dup-line fraction + top-bigram fraction on the derived
     // multi-line corpus (first line repeated once per doc)
@@ -6172,6 +6173,15 @@ ORDER BY token_id"""
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
     "stream_curation" -> streamCurationSql,
+    // stream_ccingest: template → extraction (the shared ta19 CTEs) →
+    // gate → one survivor per distinct gated prefix fingerprint
+    "stream_ccingest" ->
+      s"""WITH ${htmlExtractCtes()},
+         xdocs AS (SELECT doc_id, t AS text FROM xs4),
+         ${gateCtes("xdocs")}
+         SELECT CAST(COUNT(DISTINCT md5(substr(text, 1, 100))) AS BIGINT)
+           AS n_curated
+         FROM cgated""",
     "pipe_training_mix" -> trainingMixSql,
     "pipe_ccnet" -> ccnetSql,
     // dd11: cut after token i iff md5-grid hit on gram (i, i+1)
@@ -6799,6 +6809,58 @@ ORDER BY token_id"""
     * oracle and the `stream_curation` count oracle, mirroring how
     * `Curation.gate` is the single Scala definition behind both paths.
     */
+  /** ta19's derived-page template + full extraction chain as CTEs ending
+    * in `xs4(doc_id, h, t)` — h = the raw page, t = the extracted text.
+    * Shared verbatim by the ta19 oracle and the stream_ccingest oracle
+    * (patterns interpolated from the TextAnalysis constants).
+    */
+  private def htmlExtractCtes(src: String = "documents"): String = {
+    import graft.operators.TextAnalysis.{HtmlBlockCloseRe, HtmlCommentRe,
+      HtmlNlRunRe, HtmlNlSpaceRe, HtmlOuterWsRe, HtmlScriptRe,
+      HtmlSpaceRunRe, HtmlStyleRe, HtmlTagRe, HtmlTitleRe}
+    s"""xhtml AS (
+       SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style type="text/css">body { color: #fff; }' ||
+         '</style><script type="text/javascript">var x = 1; ' ||
+         'if (x < 2) { x = "a&b"; }</script></head><body><!-- nav ' ||
+         CAST(doc_id AS VARCHAR) ||
+         ' --><div id="nav"><ul><li><a href="/home">Home</a></li>' ||
+         '<li><a href="/about">About&nbsp;Us</a></li></ul></div>' ||
+         '<h1>Corpus</h1><p>' || text ||
+         '</p><p>Fish &amp; Chips say &quot;hi&quot; to ' ||
+         '&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>' AS h
+       FROM $src),
+     xs1 AS (
+       SELECT doc_id, h,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+           '$HtmlCommentRe', '', 'g'),
+           '$HtmlScriptRe', '', 'g'),
+           '$HtmlStyleRe', '', 'g'),
+           '$HtmlTitleRe', '', 'g') AS t
+       FROM xhtml),
+     xs2 AS (
+       SELECT doc_id, h,
+         regexp_replace(regexp_replace(t,
+           '$HtmlBlockCloseRe', chr(10), 'g'),
+           '$HtmlTagRe', '', 'g') AS t
+       FROM xs1),
+     xs3 AS (
+       SELECT doc_id, h,
+         replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&quot;', '"'), '&lt;', '<'), '&gt;', '>'),
+           '&amp;', '&') AS t
+       FROM xs2),
+     xs4 AS (
+       SELECT doc_id, h,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           '$HtmlSpaceRunRe', ' ', 'g'),
+           '$HtmlNlSpaceRe', chr(10), 'g'),
+           '$HtmlNlRunRe', chr(10) || chr(10), 'g'),
+           '$HtmlOuterWsRe', '', 'g') AS t
+       FROM xs3)"""
+  }
+
   private def gateCtes(src: String = "documents"): String = {
     val en = TextAnalysis.StopwordMarkers("en").map(s => s"'$s'").mkString(", ")
     val langs = TextAnalysis.StopwordMarkers.keys.toSeq.sorted

@@ -151,6 +151,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ccingest composition: WARC files -> parse -> extract -> gate -> cross-batch dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import graft.operators.{TextAnalysis, Warc}
+    val en = "the cat and the dog sat in the house of it is that warm sun " +
+      "while the birds fly over the tall green trees outside"
+    val en2 = "it is that the sun and the moon share the sky in the evening " +
+      "while the quiet river runs past the old stone bridge below"
+    val de = "der hund und die katze ist nicht ein zu der hund die katze " +
+      "und der vogel ist nicht ein zu der baum und das haus"
+    def wrap(text: String) =
+      s"<html><body><p>$text</p><script>var x < 2;</script></body></html>"
+    val dir = java.nio.file.Files.createTempDirectory("cci_spec_").toString
+    // two separate files -> two micro-batches at maxFilesPerTrigger=1;
+    // doc 11 (second file) is an exact extracted-text dup of doc 1
+    Warc.buildShards(Seq((1L, wrap(en)), (3L, wrap(de)))
+      .toDF("doc_id", "text"), 1).write.mode("append").parquet(dir)
+    Warc.buildShards(Seq((11L, wrap(en)), (5L, wrap(en2)))
+      .toDF("doc_id", "text"), 1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val blobs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val docs = TextAnalysis.extractHtml(Warc.parseShards(blobs), "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
+    val q = graft.streaming.CorpusStreams.curateStream(docs)
+      .writeStream.format("memory").queryName("cci_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cci_out")
+      val ids = got.select("doc_id").as[Long].collect().toSet
+      // extraction is exact: the gate saw the unwrapped prose
+      val texts = got.select("text").as[String].collect().toSet
+      assert(texts.subsetOf(Set(en, en2)))
+      assert(ids.intersect(Set(1L, 11L)).size == 1) // cross-batch dedup
+      assert(ids.contains(5L) && !ids.contains(3L)) // lang gate fires
+      // genuinely multi-batch (one file per trigger)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
+
   test("stream decontaminator: Bloom + exact verify per batch, batch parity") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
