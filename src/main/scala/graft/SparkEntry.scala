@@ -2048,6 +2048,21 @@ object SparkEntry {
     graft.eval.Metrics.bleuScores(pairs).orderBy(col("doc_id"))
   }
 
+  /** M7 (oracle slice): chrF2 over the same token-slice pairing — the
+    * character-level metric next to ROUGE/BLEU/BERTScore. FULL oracle:
+    * the SQL rebuilds all four char-gram tables per side, the clipped
+    * matches, the 6dp micro snaps of every per-order P/R, the exact
+    * integer averages, and the β=2 F.
+    */
+  private def evalChrf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val pairs = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(toks, 1, 20), " ").as("gen"),
+      array_join(slice(toks, 11, 30), " ").as("ref"))
+    graft.eval.Metrics.chrfScores(pairs).orderBy(col("doc_id"))
+  }
+
   /** The hermetic in-process transformer (seeded weights, no endpoint, no
     * files) every tx-family query shares. One instance so executor JVMs
     * build the weight matrices once.
@@ -3598,6 +3613,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "eval_stats_ngram" -> (evalStatsNgram(_, _)),
     "eval_bert_ngram" -> (evalBertNgram(_, _)),
     "eval_bleu_ngram" -> (evalBleuNgram(_, _)),
+    "eval_chrf" -> (evalChrf(_, _)),
     "eval_pair_metrics" -> (Pipelines.pairMetrics(_, _)),
     "eval_summary_stats" -> (Pipelines.evalStats(_, _)),
     "eval_judge_scores" -> (Pipelines.judgeScores(_, _)),
@@ -5028,6 +5044,64 @@ ORDER BY token_id"""
       s"WITH $rougeNgramCtes\n$rougeNgramSelect\nORDER BY l.doc_id",
     // M6: BLEU replay — gram tables for n=1..4, clipped-match sums,
     // 6dp micro ln-precisions, quarter-micro combined log, 4dp exp
+    // eval_chrf: char-gram chrF2 replay — whitespace removed by joining
+    // the token slices with '' (equivalent to the Scala \s+ strip: split
+    // tokens carry no whitespace), per-order P/R micro-snapped before the
+    // exact integer averages (the Bleu micro6 convention)
+    "eval_chrf" ->
+      """WITH pairs AS (
+           SELECT doc_id,
+             array_to_string(string_split_regex(trim(text), '\s+')[1:20], '') AS g,
+             array_to_string(string_split_regex(trim(text), '\s+')[11:40], '') AS r
+           FROM documents),
+         ns AS (SELECT UNNEST([1, 2, 3, 4]) AS n),
+         cg AS (
+           SELECT p.doc_id, ns.n,
+             UNNEST(list_transform(range(1, length(p.g) - ns.n + 2),
+               i -> substr(p.g, CAST(i AS INT), CAST(ns.n AS INT)))) AS gram
+           FROM pairs p CROSS JOIN ns),
+         rgr AS (
+           SELECT p.doc_id, ns.n,
+             UNNEST(list_transform(range(1, length(p.r) - ns.n + 2),
+               i -> substr(p.r, CAST(i AS INT), CAST(ns.n AS INT)))) AS gram
+           FROM pairs p CROSS JOIN ns),
+         cc AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM cg GROUP BY 1, 2, 3),
+         rcn AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM rgr GROUP BY 1, 2, 3),
+         mtc AS (
+           SELECT cc.doc_id, cc.n, SUM(LEAST(cc.c, COALESCE(rcn.c, 0))) AS m
+           FROM cc LEFT JOIN rcn ON cc.doc_id = rcn.doc_id
+             AND cc.n = rcn.n AND cc.gram = rcn.gram
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT p.doc_id, ns.n,
+             greatest(length(p.g) - ns.n + 1, 0) AS ct,
+             greatest(length(p.r) - ns.n + 1, 0) AS rt
+           FROM pairs p CROSS JOIN ns),
+         pn AS (
+           SELECT g.doc_id, g.n, g.ct, g.rt, COALESCE(x.m, 0) AS m
+           FROM grid g LEFT JOIN mtc x ON g.doc_id = x.doc_id AND g.n = x.n),
+         mic AS (
+           SELECT doc_id,
+             SUM(CASE WHEN ct > 0 THEN CAST(round(round(
+               m / CAST(ct AS DOUBLE), 6) * 1000000) AS BIGINT) END) AS ps,
+             COUNT(*) FILTER (WHERE ct > 0) AS pk,
+             SUM(CASE WHEN rt > 0 THEN CAST(round(round(
+               m / CAST(rt AS DOUBLE), 6) * 1000000) AS BIGINT) END) AS rs,
+             COUNT(*) FILTER (WHERE rt > 0) AS rk
+           FROM pn GROUP BY 1),
+         fin AS (
+           SELECT doc_id, COALESCE(ps, 0) AS a, pk * 1000000 AS ba,
+             COALESCE(rs, 0) AS b, rk * 1000000 AS bb
+           FROM mic)
+         SELECT doc_id,
+           CASE WHEN ba = 0 OR bb = 0 OR (4*a*bb + b*ba) = 0 THEN 0.0
+             ELSE ((2*(5*a*b)*10000 + (4*a*bb + b*ba))
+               // (2*(4*a*bb + b*ba))) / 10000.0 END AS chrf,
+           CASE WHEN ba = 0 THEN 0.0
+             ELSE ((2*a*10000 + ba) // (2*ba)) / 10000.0 END AS chrf_p,
+           CASE WHEN bb = 0 THEN 0.0
+             ELSE ((2*b*10000 + bb) // (2*bb)) / 10000.0 END AS chrf_r
+         FROM fin ORDER BY doc_id""",
     "eval_bleu_ngram" ->
       """WITH pairs AS (
            SELECT doc_id,

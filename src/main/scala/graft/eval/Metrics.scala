@@ -92,6 +92,16 @@ object Metrics {
         col("b._2").as("log_bleu_qmicro"))
   }
 
+  /** M7: chrF2 per pair (Popović 2015 at the sacrebleu-default β=2) —
+    * character-level n-gram F, the tokenization-robust member of the
+    * metric suite (see core.ChrF for the exactness discipline that gives
+    * it a full SQL oracle). Input: (doc_id, gen, ref).
+    */
+  def chrfScores(pairs: DataFrame): DataFrame =
+    pairs.withColumn("c", udfs.chrfStruct(col("gen"), col("ref")))
+      .select(col("doc_id"), col("c.chrf").as("chrf"),
+        col("c.chrf_p").as("chrf_p"), col("c.chrf_r").as("chrf_r"))
+
   /** G6: mean/std/min/max per metric (population std — the reference uses
     * numpy's default, evaluate/evaluate_summaries_semantic.py:600-617).
     * Output long-format: (metric, mean, std, min, max).

@@ -97,4 +97,12 @@ object udfs {
 
   def rouge12Struct(cand: Column, ref: Column): Column =
     rouge12(cand, ref).cast("struct<rouge1_f:double,rouge2_f:double>")
+
+  /** chrF2 (char n-gram F, β=2) — values pre-snapped by core.ChrF. */
+  private val chrfAll = udf { (cand: String, ref: String) =>
+    graft.core.ChrF.chrF2(cand, ref)
+  }
+
+  def chrfStruct(cand: Column, ref: Column): Column =
+    chrfAll(cand, ref).cast("struct<chrf:double,chrf_p:double,chrf_r:double>")
 }
