@@ -602,6 +602,17 @@ object SparkEntry {
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
       .orderBy(col("doc_id"))
 
+  /** SP4: leakage-safe splits — every near-dup component (dd7's closure
+    * over the dd4 jaccard-0.5 pairs) keys its split on the component
+    * representative, so duplicate clusters never straddle a train/test
+    * boundary; singletons are identical to sp1 (same weights, same seed).
+    */
+  private def sp4ComponentSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.componentSplits(
+        tbl(spark, dir, "documents").select(col("doc_id")),
+        Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.5))
+      .orderBy(col("doc_id"))
+
   /** SP2: per-stratum exact-fraction sample (even ids keep 3/4, odd 1/4;
     * the stratum column is deliberately trivial — the op under test is the
     * per-stratum keyed-hash filter, not the stratum derivation).
@@ -3471,6 +3482,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "cl3_gate" -> (cl3Gate(_, _)),
     "cl1_gate" -> (cl1Gate(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
+    "sp4_component_split" -> (sp4ComponentSplit(_, _)),
     "sp2_stratified" -> (sp2Stratified(_, _)),
     "sp3_fixed_sample" -> (sp3FixedSample(_, _)),
     "mx1_resample" -> (mx1Resample(_, _)),
@@ -5419,6 +5431,44 @@ ORDER BY token_id"""
            CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
                 ELSE 'test' END AS split
          FROM u ORDER BY doc_id""",
+    // sp4: the dd7 closure verbatim + sp1's split CASE keyed on the
+    // component representative (singletons key on their own id)
+    "sp4_component_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[k:k+2], ' ') AS shingle
+           FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(k)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         jp AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+             FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+           WHERE jaccard >= 0.5),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM jp
+           UNION SELECT doc_b, doc_a FROM jp),
+         reach AS (
+           SELECT DISTINCT a AS src, a AS dst FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+         k AS (
+           SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         uu AS (
+           SELECT doc_id, split_key,
+             CAST(('0x' || substr(md5('split:' || CAST(split_key AS VARCHAR)), 1, 15))
+               AS BIGINT) / 1152921504606846976.0 AS u
+           FROM k)
+         SELECT doc_id, split_key,
+           CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+         FROM uu ORDER BY doc_id""",
     "sp2_stratified" ->
       """SELECT doc_id FROM (
            SELECT doc_id,

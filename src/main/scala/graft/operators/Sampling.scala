@@ -51,6 +51,35 @@ object Sampling {
     docs.withColumn("split", expr)
   }
 
+  /** SP4: leakage-safe split assignment — near-duplicate GROUPS, not
+    * documents, are the split unit. Per-doc hashing ([[assignSplits]])
+    * puts two near-identical documents in train and test with probability
+    * 2·p·(1−p) each — exactly the train/test contamination corpus-level
+    * dedup papers warn about (Lee et al. 2021 §6: near-dups across the
+    * split boundary inflate eval). Here every doc keys its split on its
+    * near-dup component representative (min doc_id, from
+    * [[Dedup.connectedComponents]] over caller-supplied pairs), so a
+    * whole duplicate cluster lands on one side of every boundary;
+    * singleton docs key on their own id, making the assignment identical
+    * to [[assignSplits]] wherever no near-dup exists (and append-stable
+    * the same way, as long as a doc's component representative is
+    * stable). One closure over the pair graph (metadata next to the
+    * corpus — pairs are near-dups, not documents) + a left join + the
+    * same map-only CASE.
+    */
+  def componentSplits(docs: DataFrame, pairs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125),
+      seed: String = "split", idCol: String = "doc_id"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("component"))
+    val keyed = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+    assignSplits(keyed, weights, seed, "split_key")
+      .select(col(idCol), col("split_key"), col("split"))
+  }
+
   /** Weighted deterministic resampling — the corpus-mixing primitive: each
     * row is emitted `floor(weight)` times plus one more with probability
     * `frac(weight)` (keyed on (seed, id), not rand()). weight < 1

@@ -45,6 +45,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.forall { case (id, s) => grown(id) == s })
   }
 
+  test("SP4 componentSplits: near-dup clusters share a split, singletons match SP1") {
+    val docs = ids(500)
+    // pair graph: {1,2,3} chained, {10,11} — everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Sampling.componentSplits(docs, pairs)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 500)
+    // whole cluster keys on the min id and shares one split
+    assert(Seq(1L, 2L, 3L).map(got(_)) == Seq.fill(3)(got(1L)))
+    assert(got(1L)._1 == 1L && got(10L) == got(11L) && got(10L)._1 == 10L)
+    // singletons are bit-identical to per-doc assignSplits (same seed)
+    val sp1 = Sampling.assignSplits(docs,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    docs.as[Long].collect().filterNot(Set(2L, 3L, 11L)).foreach { id =>
+      assert(got(id)._2 == sp1(id), s"doc $id")
+    }
+    // layout independence
+    val got2 = Sampling.componentSplits(docs.repartition(7), pairs.repartition(3))
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 == got)
+  }
+
   test("MX1 weightedResample: integer weights copy exactly, 0 drops, frac samples") {
     val docs = ids(400)
     val w = when(col("doc_id") % 4 === 0, 2.0)
