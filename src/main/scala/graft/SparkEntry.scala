@@ -1146,19 +1146,24 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** DD13 gate (literal oracle): every lexical (jaccard ≥ 0.8) near-dup
-    * pair must surface in the semantic pair set — semantic dedup may
-    * catch MORE than lexical (that is its point) but never less. Floor
-    * 0.90; measured 1.0 at sf0.001/0.01/0.1 (ProbeDd13).
+  /** Shared dd13/dd13b gate contract (literal oracle): every lexical
+    * (jaccard ≥ 0.8) near-dup pair must surface in the given semantic
+    * pair set — semantic dedup may catch MORE than lexical (that is its
+    * point) but never less. Floor 0.90; measured 1.0 at sf0.001/0.01/0.1
+    * (ProbeDd13). One helper so the threshold/floor pair cannot drift
+    * between the LSH and clustered twins.
     */
-  private def dd13Gate(spark: SparkSession, dir: String): DataFrame = {
+  private def textSemGate(spark: SparkSession, dir: String,
+      semPairs: DataFrame): DataFrame = {
     val lex = Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.8)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    val sem = dd13TextSemanticPairs(spark, dir)
-      .select(col("id_a"), col("id_b"), lit(1).as("h"))
+    val sem = semPairs.select(col("id_a"), col("id_b"), lit(1).as("h"))
     recallGate(lex.join(sem, Seq("id_a", "id_b"), "left")
       .select(coalesce(col("h"), lit(0)).cast("double").as("recall")), 90)
   }
+
+  private def dd13Gate(spark: SparkSession, dir: String): DataFrame =
+    textSemGate(spark, dir, dd13TextSemanticPairs(spark, dir))
 
   /** DD13b: the OUTPUT-bounded twin of dd13 — SemDeDup-on-text through
     * the in-process model with k-means cluster routing (the cl2 recipe,
@@ -1189,18 +1194,9 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** DD13b gate: the dd13_gate contract on the clustered twin — every
-    * lexical (jaccard ≥ 0.8) near-dup pair must surface in the clustered
-    * semantic pair set at the same 0.90 floor.
-    */
-  private def dd13bGate(spark: SparkSession, dir: String): DataFrame = {
-    val lex = Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"), "text", 3, 0.8)
-      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-    val sem = dd13bTextSemdedupClustered(spark, dir)
-      .select(col("id_a"), col("id_b"), lit(1).as("h"))
-    recallGate(lex.join(sem, Seq("id_a", "id_b"), "left")
-      .select(coalesce(col("h"), lit(0)).cast("double").as("recall")), 90)
-  }
+  /** DD13b gate: [[textSemGate]] on the clustered twin. */
+  private def dd13bGate(spark: SparkSession, dir: String): DataFrame =
+    textSemGate(spark, dir, dd13bTextSemdedupClustered(spark, dir))
 
   /** SS9: mined hard negatives — per query the five highest-cosine
     * DIFFERENT-label vectors below the 0.45 denoise cap (on this corpus,
@@ -1623,7 +1619,7 @@ object SparkEntry {
         // exercises id-varying removal via title and comment.
         lit(" --><div id=\"nav\"><ul><li><a href=\"/home\">Home</a></li>" +
           "<li><a href=\"/about\">About&nbsp;Us</a></li></ul></div>" +
-          "<h1>Corpus</h1><p>"), col("text"),
+          "<h1>Corpus</h1><p>"), coalesce(col("text"), lit("")),
         lit("</p><p>Fish &amp; Chips say &quot;hi&quot; to " +
           "&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>")).as("text"))
   }
@@ -6963,7 +6959,7 @@ ORDER BY token_id"""
          CAST(doc_id AS VARCHAR) ||
          ' --><div id="nav"><ul><li><a href="/home">Home</a></li>' ||
          '<li><a href="/about">About&nbsp;Us</a></li></ul></div>' ||
-         '<h1>Corpus</h1><p>' || text ||
+         '<h1>Corpus</h1><p>' || coalesce(text, '') ||
          '</p><p>Fish &amp; Chips say &quot;hi&quot; to ' ||
          '&lt;b&gt;bold&lt;/b&gt;</p><br/></body></html>' AS h
        FROM $src),

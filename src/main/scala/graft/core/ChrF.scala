@@ -44,11 +44,16 @@ object ChrF {
     if (den == 0L) 0.0
     else ((2L * num * 10000L + den) / (2L * den)).toDouble / 1e4
 
-  private def gramCounts(s: String, n: Int): mutable.HashMap[String, Int] = {
+  /** Grams over CODE POINTS, not UTF-16 units — chrF counts characters
+    * (sacrebleu counts code points), and Spark SQL / DuckDB length and
+    * substr are code-point based, so a surrogate pair must be one
+    * character here too or the oracle diverges on any non-BMP text.
+    */
+  private def gramCounts(cps: Array[Int], n: Int): mutable.HashMap[String, Int] = {
     val m = mutable.HashMap.empty[String, Int]
     var i = 0
-    while (i + n <= s.length) {
-      val g = s.substring(i, i + n)
+    while (i + n <= cps.length) {
+      val g = new String(cps, i, n)
       m.update(g, m.getOrElse(g, 0) + 1)
       i += 1
     }
@@ -59,7 +64,9 @@ object ChrF {
     * Null-safe: a null side is the empty string.
     */
   def chrF2(cand: String, ref: String, maxN: Int = 4): (Double, Double, Double) = {
-    def strip(s: String) = if (s == null) "" else s.replaceAll("\\s+", "")
+    def strip(s: String): Array[Int] =
+      (if (s == null) "" else s.replaceAll("\\s+", ""))
+        .codePoints().toArray
     val c = strip(cand)
     val r = strip(ref)
     var pSum = 0L; var pK = 0

@@ -43,6 +43,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
     "dd7_components", "dd8b_dedup_best", "pk1_pack", "pk1b_packed_spans",
+    // sp4 runs connectedComponents' small-graph probe (edges.count +
+    // driver union-find) at construction, like dd7
+    "sp4_component_split",
     "sh1_shuffle",
     "pipe_mapreduce", "pipe_critique", "pipe_iterative", "pipe_hierarchical",
     "pipe_truncated", "s3_tree_ingest", "ss3_ivf_topk", "ss3_recall",

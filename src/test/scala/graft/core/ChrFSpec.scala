@@ -43,6 +43,16 @@ class ChrFSpec extends AnyFunSuite {
     assert(ChrF.chrF2("a", "a") == ((1.0, 1.0, 1.0)))
   }
 
+  test("grams count code points, not UTF-16 units (the SQL-oracle contract)") {
+    // U+1F600 is a surrogate pair in Java; chrF must see ONE character,
+    // like DuckDB/Spark SQL length/substr do
+    val smile = new String(Character.toChars(0x1F600))
+    assert(ChrF.chrF2(smile, smile) == ((1.0, 1.0, 1.0)))
+    // "😀a" vs "😀b": 1-grams m=1 of 2 -> P1=R1=0.5; 2-grams m=0 of 1
+    val (f, p, r) = ChrF.chrF2(smile + "a", smile + "b", maxN = 2)
+    assert(p == 0.25 && r == 0.25 && f == 0.25)
+  }
+
   test("null and empty sides score 0 without error") {
     assert(ChrF.chrF2(null, "abc")._1 == 0.0)
     assert(ChrF.chrF2("abc", "")._1 == 0.0)
