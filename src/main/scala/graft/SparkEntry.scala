@@ -2343,6 +2343,16 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** EV9: view → click → purchase funnel, 1-hour horizon from the first
+    * view — per-user step timestamps + contiguous-prefix count. Strict
+    * step ordering, inclusive horizon (EventOps.funnel's pinned
+    * semantics); FULL oracle via cascaded min-joins.
+    */
+  private def ev9Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.funnel(eventsTbl(spark, dir),
+        Seq("view", "click", "purchase"), Some(3600000000L))
+      .orderBy(col("user_id"))
+
   /** EV2: gap-based sessionization (30-minute inactivity boundary). */
   private def ev2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3571,6 +3581,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ev8b_attribution_binned" -> (ev8bAttributionBinned(_, _)),
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
+    "ev9_funnel" -> (ev9Funnel(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "ev7_session_window" -> (ev7SessionWindow(_, _)),
@@ -6535,6 +6546,33 @@ ORDER BY token_id"""
          FROM p JOIN s ON p.user_id = s.user_id
            AND p.ts_us BETWEEN s.w_start AND s.w_end
          ORDER BY p.event_id, s.window_id""",
+    // ev9: cascaded min-joins — strict step ordering (>), inclusive
+    // horizon (<=), prefix property by construction
+    "ev9_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+             AND epoch_us(e.ts) <= s1.t1 + 3600000000
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+             JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+             AND epoch_us(e.ts) <= s1.t1 + 3600000000
+           GROUP BY 1)
+         SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+             AS steps_completed
+         FROM s1
+         LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     "ev2_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,

@@ -150,4 +150,52 @@ object EventOps {
           col("n_events"), col("total_value"))
     }
   }
+
+  /** EV9: funnel analysis — for each user who performed `steps.head`, the
+    * earliest timestamp of every funnel step, each STRICTLY after the
+    * previous step's match and (with `horizonUs`) no later than
+    * t1 + horizon; `steps_completed` counts the contiguous prefix
+    * reached. The classic product-analytics sequence query (view →
+    * click → purchase), absent from Spark's built-ins.
+    *
+    * Semantics pinned for the oracle: step boundaries are strict (an
+    * event sharing its timestamp with the previous match does NOT
+    * advance the funnel — simultaneous events cannot prove order) and
+    * the horizon is inclusive (an event exactly at t1 + horizon counts).
+    * The prefix property holds by construction: a null tᵢ nulls every
+    * later step through the cascaded strict comparison.
+    *
+    * Scale shape: one pre-filtered projection of the event stream,
+    * Materialized because all k step passes read it; then per step one
+    * user-keyed join + hash-agg — k shuffles on user_id, each linear in
+    * that step's events, with partial aggregation on the map side.
+    * Nothing collects per-user event lists, so a hot user costs a wide
+    * join group, never aggregation-state memory (route through the
+    * ev2b/g1b salting pattern if one user dominates a step).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      horizonUs: Option[Long] = None, userCol: String = "user_id",
+      typeCol: String = "event_type", tsUsCol: String = "ts_us"): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val ev = Materialize(events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(typeCol), col(tsUsCol).cast("long").as("__ts")))
+    var acc = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
+    steps.tail.zipWithIndex.foreach { case (step, idx) =>
+      val i = idx + 2
+      val prevT = col(s"t${i - 1}")
+      val within = horizonUs.fold(lit(true))(h => col("__s") <= col("t1") + h)
+      val si = ev.filter(col(typeCol) === step)
+        .select(col(userCol), col("__ts").as("__s"))
+      val carried = (1 until i).map(j => col(s"t$j"))
+      acc = acc.join(si, Seq(userCol), "left")
+        .groupBy(col(userCol) +: carried: _*)
+        .agg(min(when(col("__s") > prevT && within, col("__s"))).as(s"t$i"))
+    }
+    acc.withColumn("steps_completed",
+      steps.indices.map(j => when(col(s"t${j + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
 }

@@ -170,4 +170,44 @@ class EventOpsSpec extends AnyFunSuite {
         "user_id", "ts", "event_id", "value", 0L, SwB)
     }
   }
+
+  test("EV9 funnel: strict ordering, inclusive horizon, prefix property") {
+    val ev = Seq(
+      // user 1: full funnel inside the horizon
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE the first view never counts; no later click
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 200L),
+      // user 3: click at EXACTLY t1 does not advance (strict), later one does
+      (3L, "view", 100L), (3L, "click", 100L), (3L, "click", 150L),
+      // user 4: purchase lands exactly at t1 + horizon — inclusive, counts
+      (4L, "view", 0L), (4L, "click", 10L), (4L, "purchase", 1000L),
+      // user 5: purchase one past the horizon — out
+      (5L, "view", 0L), (5L, "click", 10L), (5L, "purchase", 1001L),
+      // user 6: no view at all -> absent from the funnel
+      (6L, "click", 5L), (6L, "purchase", 6L),
+      // noise types are ignored
+      (1L, "error", 150L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = EventOps.funnel(ev, Seq("view", "click", "purchase"),
+        horizonUs = Some(1000L))
+      .select("user_id", "t1", "t2", "t3", "steps_completed")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(6L) && got.size == 5)
+    assert(got(1L) == ((1L, Some(100L), Some(200L), Some(300L), 3)))
+    assert(got(2L) == ((2L, Some(100L), None, None, 1))) // early click dead
+    assert(got(3L) == ((3L, Some(100L), Some(150L), None, 2)))
+    assert(got(4L) == ((4L, Some(0L), Some(10L), Some(1000L), 3)))
+    assert(got(5L) == ((5L, Some(0L), Some(10L), None, 2)))
+    // layout independence + duplicate steps rejected
+    val got2 = EventOps.funnel(ev.repartition(5),
+        Seq("view", "click", "purchase"), horizonUs = Some(1000L))
+      .select("user_id", "t1", "t2", "t3", "steps_completed")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got2 == got)
+    assertThrows[IllegalArgumentException] {
+      EventOps.funnel(ev, Seq("view", "view"))
+    }
+  }
 }
