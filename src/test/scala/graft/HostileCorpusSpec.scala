@@ -414,4 +414,44 @@ class HostileCorpusSpec extends AnyFunSuite {
       .select("doc_id", "selected").as[(Long, Int)].collect()
     assert(rep.length == 8 && rep.map(_._2).sum == 3)
   }
+
+  test("second round-9 family survives hostile rows") {
+    import graft.operators.{Packing, Sampling, Warc}
+    // HTML extraction: every hostile row survives (null -> empty); the
+    // giant-token row is also a pathological "unclosed tag" when wrapped
+    val asHtml = hostile.select(col("doc_id"),
+      concat(lit("<p>"), coalesce(col("text"), lit("")), lit("</p><script>x<1")).as("text"))
+    val ext = TextAnalysis.extractHtml(asHtml).collect()
+    assert(ext.length == 8)
+    // WARC shards: hostile payloads (null, empty, emoji, giant) round-trip
+    val parsed = Warc.parseShards(Warc.buildShards(hostile, 3))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(parsed.size == 8 && parsed(1L) == "" && parsed(2L) == "")
+    assert(parsed(7L) == "😀😀 👍🏽 emoji" && parsed(5L) == "x" * 10000)
+    // packed spans: token-less rows emit nothing, token sum conserved
+    val docsTok = hostile.select(col("doc_id"),
+      graft.functions.tokenCount(col("text")).as("n_tokens"))
+    val spans = Packing.packedSpans(docsTok, budget = 4)
+      .select("span_len").as[Long].collect()
+    val totTok = docsTok.select(sum(col("n_tokens"))).as[Long].head()
+    assert(spans.sum == totTok)
+    // excess-loss selection: degenerate corpora do not crash — only
+    // bigram-scored docs compete, and k can exceed them
+    val sel = Curation.excessLossSelect(hostile, k = 50)
+      .select("doc_id", "selected").as[(Long, Int)].collect()
+    assert(sel.nonEmpty && sel.forall(_._2 == 1))
+    // leakage-safe splits: every doc assigned even with an EMPTY pair graph
+    val noPairs = spark.emptyDataFrame
+      .select(lit(0L).as("doc_a"), lit(0L).as("doc_b")).limit(0)
+    val splits = Sampling.componentSplits(hostile, noPairs)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(splits.length == 8)
+    // funnel: empty step slice (no such event type) yields an empty funnel
+    val ev = hostile.select(col("doc_id").as("user_id"),
+      lit("view").as("event_type"), col("doc_id").as("ts_us"))
+    assert(graft.operators.EventOps.funnel(ev,
+      Seq("click", "purchase")).count() == 0)
+    // chrF: giant/emoji/null rows score without error
+    assert(graft.core.ChrF.chrF2("x" * 10000, "x").toString.nonEmpty)
+  }
 }
