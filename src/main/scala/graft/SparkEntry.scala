@@ -2353,6 +2353,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"), Some(3600000000L))
       .orderBy(col("user_id"))
 
+  /** EV10: daily cohort retention — cohort = first-activity day,
+    * retention by whole-day age. FULL oracle (two aggs + two joins
+    * replayed; integer div day bucketing).
+    */
+  private def ev10Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventOps.cohortRetention(eventsTbl(spark, dir),
+        86400000000L)
+      .orderBy(col("cohort"), col("age"))
+
   /** EV2: gap-based sessionization (30-minute inactivity boundary). */
   private def ev2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3582,6 +3591,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev9_funnel" -> (ev9Funnel(_, _)),
+    "ev10_retention" -> (ev10Retention(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
     "ev7_session_window" -> (ev7SessionWindow(_, _)),
@@ -6546,6 +6556,24 @@ ORDER BY token_id"""
          FROM p JOIN s ON p.user_id = s.user_id
            AND p.ts_us BETWEEN s.w_start AND s.w_end
          ORDER BY p.event_id, s.window_id""",
+    // ev10: distinct (user, day) activity, min-day cohorts, count per
+    // (cohort, age) — activity rows are distinct and a user has one
+    // cohort, so COUNT(*) is the distinct-user count
+    "ev10_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+           FROM events),
+         frst AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1),
+         sizes AS (
+           SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM frst GROUP BY 1),
+         aa AS (
+           SELECT f.cohort, a.period - f.cohort AS age,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM act a JOIN frst f USING (user_id) GROUP BY 1, 2)
+         SELECT cohort, age, n_active, n_cohort,
+           round(n_active * 1.0 / n_cohort, 4) AS retention
+         FROM aa JOIN sizes USING (cohort) ORDER BY cohort, age""",
     // ev9: cascaded min-joins — strict step ordering (>), inclusive
     // horizon (<=), prefix property by construction
     "ev9_funnel" ->

@@ -198,4 +198,36 @@ object EventOps {
       steps.indices.map(j => when(col(s"t${j + 1}").isNotNull, 1).otherwise(0))
         .reduce(_ + _))
   }
+
+  /** EV10: cohort retention — users are cohorted by the period (integer
+    * `div` of the microsecond timestamp, exact past 2^53 like pk1's
+    * layout math) of their FIRST activity; retention(cohort, age) =
+    * fraction of the cohort active `age` periods later. The other
+    * canonical product-analytics aggregate next to [[funnel]].
+    *
+    * Scale shape: one distinct (user, period) projection — Materialized,
+    * it feeds both the first-activity aggregate and the activity join —
+    * then two hash-aggs and two user/cohort-keyed joins, all with
+    * map-side partials; per-(cohort, age) counts need no distinct
+    * because activity rows are already distinct and a user has exactly
+    * one cohort. Output is (cohorts × ages) rows — metadata-scale for
+    * any real period length.
+    */
+  def cohortRetention(events: DataFrame, periodUs: Long,
+      userCol: String = "user_id", tsUsCol: String = "ts_us"): DataFrame = {
+    import graft.functions.r4
+    require(periodUs > 0, s"periodUs must be positive: $periodUs")
+    val act = Materialize(events
+      .select(col(userCol).as("user_id"),
+        expr(s"CAST($tsUsCol AS BIGINT) div $periodUs").as("period"))
+      .distinct())
+    val first = act.groupBy(col("user_id")).agg(min(col("period")).as("cohort"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    act.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_active"), col("n_cohort"),
+        r4(col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
 }

@@ -210,4 +210,34 @@ class EventOpsSpec extends AnyFunSuite {
       EventOps.funnel(ev, Seq("view", "view"))
     }
   }
+
+  test("EV10 cohortRetention: cohorts by first period, exact fractions") {
+    // period 10: users 1,2,3 start at p0; user 4 starts at p1.
+    // p0 cohort: all 3 active at age 0; 2 at age 1; 1 at age 2.
+    val ev = Seq(
+      (1L, 0L), (1L, 12L), (1L, 25L), // ages 0,1,2
+      (2L, 5L), (2L, 15L), (2L, 5L),  // dup activity same period collapses
+      (3L, 9L),
+      (4L, 11L), (4L, 21L))
+      .toDF("user_id", "ts_us")
+    val got = EventOps.cohortRetention(ev, periodUs = 10L)
+      .select("cohort", "age", "n_active", "n_cohort", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((3L, 3L, 1.0)),
+      (0L, 1L) -> ((2L, 3L, 0.6667)),
+      (0L, 2L) -> ((1L, 3L, 0.3333)),
+      (1L, 0L) -> ((1L, 1L, 1.0)),
+      (1L, 1L) -> ((1L, 1L, 1.0))))
+    // layout independence
+    val got2 = EventOps.cohortRetention(ev.repartition(5), periodUs = 10L)
+      .select("cohort", "age", "n_active", "n_cohort", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got2 == got)
+    assertThrows[IllegalArgumentException] {
+      EventOps.cohortRetention(ev, periodUs = 0L)
+    }
+  }
 }
