@@ -789,6 +789,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SS11: MMR-diversified top-5 over the exact top-20 shortlist, λ=0.7
+    * (ss1's query set). FULL oracle — the 5 greedy rounds unroll as
+    * generated CTEs (the gr1 pattern), with λ and 1−λ interpolated as
+    * the exact double literals the Scala walk uses.
+    */
+  private def ss11MmrTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.mmrTopK(emb, queries, k = 5, shortlist = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SS2: LSH-bucketed approximate top-5 (the 100 TB path; rows-only check
     * — hyperplane banding is not reasonably SQL-expressible).
     */
@@ -3528,6 +3541,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd5_simhash_pairs" -> (dd5Simhash(_, _)),
     "dd6_embedding_pairs" -> (dd6EmbeddingPairs(_, _)),
     "ss1_cosine_topk" -> (ss1CosineTopk(_, _)),
+    "ss11_mmr_topk" -> (ss11MmrTopk(_, _)),
     "ss9_hard_negatives" -> (ss9HardNegatives(_, _)),
     "ss10_centered_topk" -> (ss10CenteredTopk(_, _)),
     "dd13_text_semantic_pairs" -> (dd13TextSemanticPairs(_, _)),
@@ -5662,6 +5676,65 @@ ORDER BY token_id"""
              ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
            FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
+    // ss11: the 5 greedy MMR rounds unrolled as generated CTEs over the
+    // r4-snapped cosine tables; λ / (1−λ) are the exact double literals
+    // the Scala walk uses (1−0.7 interpolated, never a DECIMAL literal)
+    "ss11_mmr_topk" -> {
+      val lam = "0.7e0"
+      val olam = s"${1.0 - 0.7}e0"
+      def cosExpr(x: String, y: String) =
+        s"""round(
+             list_sum(list_transform(list_zip($x, $y),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+           4)"""
+      val rounds = (2 to 5).map { i =>
+        val joins = (1 until i).map(j =>
+          s"JOIN sel$j s$j ON c.query_id = s$j.query_id " +
+            s"LEFT JOIN prs p$j ON p$j.query_id = c.query_id " +
+            s"AND p$j.a = c.vec_id AND p$j.b = s$j.vec_id").mkString(" ")
+        val reds = (1 until i).map(j => s"COALESCE(p$j.cs, 0.0e0)").mkString(", ")
+        val notPicked = (1 until i).map(j => s"c.vec_id <> s$j.vec_id").mkString(" AND ")
+        s"""red$i AS (
+           SELECT c.query_id, c.vec_id, c.cosine, greatest($reds) AS red
+           FROM cand c $joins
+           WHERE $notPicked),
+         sel$i AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY $lam * cosine - $olam * red DESC, vec_id ASC) AS rn
+             FROM red$i) WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      val unions = (1 to 5).map(i =>
+        s"SELECT query_id, CAST($i AS INT) AS rank, vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS eq
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id, c.embedding,
+             ${cosExpr("q.eq", "c.embedding")} AS cosine
+           FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+         cand AS (
+           SELECT query_id, vec_id, embedding, cosine FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rnk
+             FROM scored) WHERE rnk <= 20),
+         prs AS (
+           SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+             ${cosExpr("x.embedding", "y.embedding")} AS cs
+           FROM cand x JOIN cand y
+             ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+         sel1 AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id ASC) AS rn
+             FROM cand) WHERE rn = 1),
+         $rounds
+         SELECT query_id, rank, vec_id FROM ($unions)
+         ORDER BY query_id, rank"""
+    },
     "ss1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
          scored AS (

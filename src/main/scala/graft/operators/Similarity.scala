@@ -44,6 +44,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SS11: MMR-diversified top-k retrieval (Carbonell & Goldstein 1998
+    * applied to search): greedy rerank of the exact top-`shortlist` —
+    * each pick maximizes λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s),
+    * ties to the lowest vec_id — so near-duplicate hits stop crowding
+    * out coverage (q8 applies the same principle to summary sentences;
+    * this is the retrieval-side form).
+    *
+    * Exactness: both cosine tables ride the 4dp r4 snap, λ and (1−λ) are
+    * computed ONCE in Scala and interpolated into the oracle as double
+    * literals (1−0.7 is 0.30000000000000004 — a DECIMAL-parsing SQL
+    * literal would diverge, the OracleSqlGen double-literal rule), and
+    * the greedy argmax scans candidates in ascending vec_id with strict
+    * `>` so ties resolve identically to the oracle's (score DESC, vec_id
+    * ASC) rank.
+    *
+    * Scale shape: the shortlist is the bounded rerank set (the qz6b/ss8
+    * discipline) — m rows and m² pair sims per query, computed
+    * distributed; the greedy walk runs per query over collected
+    * metadata-scale arrays (m=20 → 380 pair rows), never the corpus.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+    import graft.functions.{r4, vecDotF, vecNormF}
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1: k=$k shortlist=$shortlist")
+    require(lambda > 0 && lambda <= 1, s"lambda in (0,1]: $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val top = Materialize(bruteForceTopK(corpus, queries, shortlist)
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("embedding"), vecNormF(col("embedding")).as("norm")))
+    val a = top.select(col("query_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = top.select(col("query_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val denom = col("na") * col("nb")
+    val pairs = a.join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        r4(when(denom === 0.0, 0.0)
+          .otherwise(vecDotF(col("ea"), col("eb")) / denom)).as("cs"))
+    val packed = top.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("cosine"))))
+        .as("cands"))
+      .join(pairs.groupBy(col("query_id"))
+        .agg(collect_list(struct(col("a"), col("b"), col("cs"))).as("sims")),
+        Seq("query_id"), "left")
+    val lam = lambda
+    val oneMinusLam = 1.0 - lambda // ONE subtraction, shared with the oracle
+    packed
+      .select(col("query_id"), col("cands"), col("sims"))
+      .as[(Long, Seq[(Long, Double)], Option[Seq[(Long, Long, Double)]])]
+      .flatMap { case (qid, cands, simsOpt) =>
+        val sims = simsOpt.getOrElse(Seq.empty)
+          .map { case (x, y, c) => (x, y) -> c }.toMap
+        val remaining = scala.collection.mutable.TreeMap.empty[Long, Double]
+        cands.foreach { case (id, cq) => remaining.update(id, cq) }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          remaining.foreach { case (id, cq) => // ascending id: ties -> lowest
+            val red =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(s => sims.getOrElse((id, s), 0.0)).max
+            val score = lam * cq - oneMinusLam * red
+            if (score > bestScore) { bestScore = score; bestId = id }
+          }
+          out += ((qid, rank, bestId, bestScore))
+          picked += bestId
+          remaining.remove(bestId)
+          rank += 1
+        }
+        out.result()
+      }
+      .toDF("query_id", "rank", "vec_id", "mmr_score")
+      .drop("mmr_score") // discrete picks are the contract; scores are
+                         // derivable from the oracled cosine tables
+  }
+
   /** Mean-center an embedding column — step 1 of All-but-the-top (Mu &
     * Viswanath 2018), the standard fix for ANISOTROPIC embeddings
     * (pooled transformer vectors concentrate in a narrow cone, so raw

@@ -496,6 +496,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SS11 mmrTopK: diversity beats a crowding near-dup; plain top-k keeps it") {
+    import graft.operators.Similarity
+    // q on the x-axis; v1 at 18deg (most relevant), v2 at 20deg (near-dup
+    // of v1, cos(v1,v2)=0.999), v3 at -26deg (relevant AND diverse,
+    // cos(v1,v3)=0.72); fillers far away
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq(1L -> v(18), 2L -> v(20), 3L -> v(-26),
+      4L -> Array(0f, 1f), 5L -> Array(-1f, 0.2f))
+      .toDF("vec_id", "embedding")
+    val q = Seq(100L -> Array(1f, 0f)).toDF("query_id", "embedding")
+    val plain = Similarity.bruteForceTopK(corpus, q, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L)) // relevance-only keeps the near-dup
+    val mmr = Similarity.mmrTopK(corpus, q, k = 2, shortlist = 5)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L)) // MMR swaps the near-dup for coverage
+    // layout-independent; shortlist smaller than k emits what exists
+    val mmr2 = Similarity.mmrTopK(corpus.repartition(3), q, 2, 5)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect().toSeq
+    assert(mmr2 == mmr)
+    val all = Similarity.mmrTopK(corpus, q, k = 10, shortlist = 10)
+    assert(all.count() == 5)
+    assertThrows[IllegalArgumentException] {
+      Similarity.mmrTopK(corpus, q, k = 5, shortlist = 3)
+    }
+  }
+
   test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
     // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
     val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
