@@ -5682,13 +5682,16 @@ ORDER BY token_id"""
     "ss11_mmr_topk" -> {
       val lam = "0.7e0"
       val olam = s"${1.0 - 0.7}e0"
-      def cosExpr(x: String, y: String) =
-        s"""round(
+      // zero-norm guard mirrors the Scala when(denom === 0.0, 0.0)
+      def cosExpr(x: String, y: String) = {
+        def nrm(v: String) =
+          s"sqrt(list_sum(list_transform($v, w -> CAST(w AS DOUBLE) * CAST(w AS DOUBLE))))"
+        s"""CASE WHEN ${nrm(x)} * ${nrm(y)} = 0 THEN 0.0 ELSE round(
              list_sum(list_transform(list_zip($x, $y),
                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                * sqrt(list_sum(list_transform($y, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-           4)"""
+             / (${nrm(x)} * ${nrm(y)}),
+           4) END"""
+      }
       val rounds = (2 to 5).map { i =>
         val joins = (1 until i).map(j =>
           s"JOIN sel$j s$j ON c.query_id = s$j.query_id " +
@@ -6635,7 +6638,7 @@ ORDER BY token_id"""
     "ev10_retention" ->
       """WITH act AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          frst AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1),
          sizes AS (
            SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
@@ -6652,18 +6655,21 @@ ORDER BY token_id"""
     "ev9_funnel" ->
       """WITH s1 AS (
            SELECT user_id, MIN(epoch_us(ts)) AS t1
-           FROM events WHERE event_type = 'view' GROUP BY 1),
+           FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+           GROUP BY 1),
          s2 AS (
            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
            FROM events e JOIN s1 ON e.user_id = s1.user_id
-           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+           WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+             AND epoch_us(e.ts) > s1.t1
              AND epoch_us(e.ts) <= s1.t1 + 3600000000
            GROUP BY 1),
          s3 AS (
            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
            FROM events e JOIN s1 ON e.user_id = s1.user_id
              JOIN s2 ON e.user_id = s2.user_id
-           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+             AND epoch_us(e.ts) > s2.t2
              AND epoch_us(e.ts) <= s1.t1 + 3600000000
            GROUP BY 1)
          SELECT s1.user_id, s1.t1, s2.t2, s3.t3,

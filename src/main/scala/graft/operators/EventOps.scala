@@ -178,8 +178,11 @@ object EventOps {
       typeCol: String = "event_type", tsUsCol: String = "ts_us"): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct: $steps")
+    // null-timestamp events are malformed and carry no order information:
+    // dropped HERE so t1 can never be null (a min over nulls would keep
+    // the user with a null head timestamp and an ill-defined horizon)
     val ev = Materialize(events
-      .filter(col(typeCol).isin(steps: _*))
+      .filter(col(typeCol).isin(steps: _*) && col(tsUsCol).isNotNull)
       .select(col(userCol), col(typeCol), col(tsUsCol).cast("long").as("__ts")))
     var acc = ev.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col("__ts")).as("t1"))
@@ -218,10 +221,13 @@ object EventOps {
     import graft.functions.r4
     require(periodUs > 0, s"periodUs must be positive: $periodUs")
     val act = Materialize(events
+      .filter(col(tsUsCol).isNotNull) // the ev9 malformed-event rule
       .select(col(userCol).as("user_id"),
         expr(s"CAST($tsUsCol AS BIGINT) div $periodUs").as("period"))
       .distinct())
-    val first = act.groupBy(col("user_id")).agg(min(col("period")).as("cohort"))
+    // Materialized: feeds both the cohort-size aggregate and the join
+    val first = Materialize(
+      act.groupBy(col("user_id")).agg(min(col("period")).as("cohort")))
     val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
     act.join(first, Seq("user_id"))
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("age"))

@@ -81,13 +81,14 @@ object Similarity {
     val b = top.select(col("query_id"), col("vec_id").as("b"),
       col("embedding").as("eb"), col("norm").as("nb"))
     val denom = col("na") * col("nb")
-    val pairs = a.join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+    // a < b once per unordered pair — cosine is symmetric, so the (b, a)
+    // half would double both the dot products and the collected payload
+    val pairs = a.join(b, Seq("query_id")).filter(col("a") < col("b"))
       .select(col("query_id"), col("a"), col("b"),
         r4(when(denom === 0.0, 0.0)
           .otherwise(vecDotF(col("ea"), col("eb")) / denom)).as("cs"))
     val packed = top.groupBy(col("query_id"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("cosine"))))
-        .as("cands"))
+      .agg(collect_list(struct(col("vec_id"), col("cosine"))).as("cands"))
       .join(pairs.groupBy(col("query_id"))
         .agg(collect_list(struct(col("a"), col("b"), col("cs"))).as("sims")),
         Seq("query_id"), "left")
@@ -99,25 +100,33 @@ object Similarity {
       .flatMap { case (qid, cands, simsOpt) =>
         val sims = simsOpt.getOrElse(Seq.empty)
           .map { case (x, y, c) => (x, y) -> c }.toMap
+        def sim(x: Long, y: Long): Double =
+          sims.getOrElse(if (x < y) (x, y) else (y, x), 0.0)
         val remaining = scala.collection.mutable.TreeMap.empty[Long, Double]
         cands.foreach { case (id, cq) => remaining.update(id, cq) }
         val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
         val out = Seq.newBuilder[(Long, Int, Long, Double)]
         var rank = 1
-        while (rank <= k && remaining.nonEmpty) {
+        var exhausted = false
+        while (rank <= k && remaining.nonEmpty && !exhausted) {
           var bestId = -1L
           var bestScore = Double.NegativeInfinity
           remaining.foreach { case (id, cq) => // ascending id: ties -> lowest
             val red =
               if (picked.isEmpty) 0.0
-              else picked.iterator.map(s => sims.getOrElse((id, s), 0.0)).max
+              else picked.iterator.map(s => sim(id, s)).max
             val score = lam * cq - oneMinusLam * red
             if (score > bestScore) { bestScore = score; bestId = id }
           }
-          out += ((qid, rank, bestId, bestScore))
-          picked += bestId
-          remaining.remove(bestId)
-          rank += 1
+          // no finite-scored candidate left (NaN cosines): stop, never
+          // emit the -1 sentinel
+          if (bestId < 0) exhausted = true
+          else {
+            out += ((qid, rank, bestId, bestScore))
+            picked += bestId
+            remaining.remove(bestId)
+            rank += 1
+          }
         }
         out.result()
       }

@@ -46,6 +46,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // sp4 runs connectedComponents' small-graph probe (edges.count +
     // driver union-find) at construction, like dd7
     "sp4_component_split",
+    // ss11/ev9/ev10 Materialize (checkpoint) their shared inputs at
+    // construction; ss11's broadcast crossJoin lives inside the
+    // checkpointed bruteForceTopK subtree (the ss1 shape, spec-pinned)
+    "ss11_mmr_topk", "ev9_funnel", "ev10_retention",
     "sh1_shuffle",
     "pipe_mapreduce", "pipe_critique", "pipe_iterative", "pipe_hierarchical",
     "pipe_truncated", "s3_tree_ingest", "ss3_ivf_topk", "ss3_recall",
