@@ -2555,6 +2555,24 @@ object SparkEntry {
     * per-doc small files are the compatibility path, not the scale path
     * (that is the parquet/bucketed table; see operators/Sinks.scala).
     */
+  /** S12: atomic manifest publish round-tripped in-query — stage, write
+    * `_manifest.json` from the staged files, atomic rename, then read
+    * back through the validating reader (which throws on any mismatch)
+    * and report count + order-independent key fingerprint. FULL oracle:
+    * the fingerprint is bit_xor of the md5-prefix long, replayed exactly.
+    */
+  private def s12ManifestPublish(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_s12_")
+      .resolve("published").toString
+    operators.Sinks.publishWithManifest(
+      tbl(spark, dir, "documents").select(col("doc_id")), out)
+    operators.Sinks.readPublished(spark, out)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        expr(s"bit_xor(${operators.Sinks.keyFingerprintSql("doc_id")})")
+          .as("key_xor"))
+      .withColumn("manifest_ok", lit(1))
+  }
+
   private def s4SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_s4_").toString
     val summaries = tbl(spark, dir, "documents")
@@ -3616,6 +3634,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s7_health" -> (s7Health(_, _)),
     "s6_incremental" -> (s6Incremental(_, _)),
     "s4_sink_roundtrip" -> (s4SinkRoundtrip(_, _)),
+    "s12_manifest_publish" -> (s12ManifestPublish(_, _)),
     "s8_compact_roundtrip" -> (s8CompactRoundtrip(_, _)),
     "cl4_semdedup_corpus" -> (cl4SemdedupCorpus(_, _)),
     "s5_report_sink" -> (s5ReportSink(_, _)),
@@ -6529,6 +6548,16 @@ ORDER BY token_id"""
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    // s12: the manifest aggregates replayed — count + bit_xor of the
+    // md5-prefix-long key fingerprint (order/partitioning-independent);
+    // manifest_ok = 1 is meaningful because readPublished THROWS on any
+    // data/manifest mismatch before this row can exist
+    "s12_manifest_publish" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT)) AS key_xor,
+           1 AS manifest_ok
+         FROM documents""",
     // s11: record framing + byte offsets replayed in SQL (strlen = UTF-8
     // octets = Spark's octet_length); the injected fake record is part of
     // the expected payload — length-driven parsing returns it intact

@@ -131,4 +131,73 @@ object Sinks {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** S12: atomic manifest publish — the export-correctness discipline a
+    * retried 100 TB job needs: data is written to a STAGING directory,
+    * a content manifest (row count + order-independent key fingerprint)
+    * is recomputed FROM THE STAGED FILES (validating the write, not the
+    * plan) and written as `_manifest.json` (underscore-prefixed, so
+    * Spark's reader ignores it like _SUCCESS), and only then does one
+    * atomic directory rename make the dataset visible. Readers that went
+    * through [[readPublished]] can never observe a half-written export,
+    * and a retry that dies mid-write leaves only an invisible staging
+    * dir. The fingerprint is `bit_xor` of the md5-prefix-long of the key
+    * column — order- and partitioning-independent with no overflow, so
+    * it is exactly reproducible by the SQL oracle.
+    *
+    * Rename atomicity holds on POSIX/HDFS; on an object store publish to
+    * a versioned prefix and commit by swapping a pointer object instead
+    * (same manifest, different rename).
+    */
+  def publishWithManifest(df: DataFrame, destDir: String,
+      keyCol: String = "doc_id"): Unit = {
+    val spark = df.sparkSession
+    val dest = java.nio.file.Paths.get(destDir)
+    require(!java.nio.file.Files.exists(dest),
+      s"publish target already exists: $destDir (publish is write-once)")
+    val staging = java.nio.file.Paths.get(destDir + ".staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val m = spark.read.parquet(staging.toString)
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr(s"bit_xor(${keyFingerprintSql(keyCol)})").as("x"))
+      .head()
+    val json = s"""{"n_rows":${m.getLong(0)},"key_xor":${m.getLong(1)},""" +
+      s""""key_col":"$keyCol"}"""
+    java.nio.file.Files.write(staging.resolve("_manifest.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(staging, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Validating reader for [[publishWithManifest]]: recomputes the row
+    * count and key fingerprint from the published files and FAILS LOUDLY
+    * on any mismatch with `_manifest.json` — a truncated, duplicated, or
+    * tampered export is an error, never silently-short data.
+    */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val mTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def field(k: String): String =
+      s""""$k":("?)([^,"}]*)\\1""".r.findFirstMatchIn(mTxt)
+        .getOrElse(sys.error(s"manifest missing $k: $mTxt")).group(2)
+    val keyCol = field("key_col")
+    val df = spark.read.parquet(dir)
+    val got = df.agg(count(lit(1)).cast("long").as("n"),
+      expr(s"bit_xor(${keyFingerprintSql(keyCol)})").as("x")).head()
+    require(got.getLong(0) == field("n_rows").toLong &&
+      got.getLong(1) == field("key_xor").toLong,
+      s"published data does not match its manifest at $dir: " +
+        s"rows ${got.getLong(0)} vs ${field("n_rows")}, " +
+        s"xor ${got.getLong(1)} vs ${field("key_xor")}")
+    df
+  }
+
+  /** md5-prefix-long of a key column — the repo's keyed-hash convention,
+    * emitted as SQL so both the manifest aggregates and the DuckDB
+    * oracle share one definition.
+    */
+  private[graft] def keyFingerprintSql(keyCol: String): String =
+    s"cast(conv(substring(md5(cast($keyCol as string)), 1, 15), 16, 10) as bigint)"
 }

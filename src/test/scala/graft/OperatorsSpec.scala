@@ -524,6 +524,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("S12 publishWithManifest: atomic publish, validating read, tamper fails") {
+    import graft.operators.Sinks
+    val docs = (1L to 100L).toDF("doc_id")
+    val base = java.nio.file.Files.createTempDirectory("s12_spec_")
+    val out = base.resolve("pub").toString
+    Sinks.publishWithManifest(docs, out)
+    // staging gone, manifest present, data validates and round-trips
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".staging")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_manifest.json")))
+    val back = Sinks.readPublished(spark, out)
+    assert(back.as[Long].collect().sorted.toSeq == (1L to 100L))
+    // publish is write-once
+    assertThrows[IllegalArgumentException] {
+      Sinks.publishWithManifest(docs, out)
+    }
+    // tampering (drop a data file) fails the validating read loudly
+    val victim = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.delete(victim)
+    assertThrows[IllegalArgumentException] {
+      Sinks.readPublished(spark, out).collect()
+    }
+  }
+
   test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
     // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
     val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))

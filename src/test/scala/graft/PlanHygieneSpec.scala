@@ -38,7 +38,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // dd13b Materializes the tx embedding table and trains k-means at
     // construction (the cl2 shape)
     "dd13b_text_semdedup", "dd13b_gate",
-    "s4_sink_roundtrip", "s5_report_sink", "s9_sharded_export",
+    "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
+    "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
     "pipe_curation_funnel",
