@@ -33,6 +33,7 @@ object Main {
     case "prep" :: rest => runPrep(parseOpts(rest))
     case "index" :: "build" :: rest => runIndexBuild(parseOpts(rest))
     case "index" :: "search" :: rest => runIndexSearch(parseOpts(rest))
+    case "publish" :: rest => runPublish(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
@@ -52,8 +53,30 @@ object Main {
           "       graft index build --embeddings PATH --out DIR [--pq] " +
           "[--cells N] [--m M] [--ksub K] [--iterations I] [--sample-mod S]\n" +
           "       graft index search --index DIR --queries PATH --out DIR " +
-          "[--k K] [--probe P] [--shortlist S] [--embeddings PATH]")
+          "[--k K] [--probe P] [--shortlist S] [--embeddings PATH]\n" +
+          "       graft publish --in PARQUET --out DIR [--key COL] | " +
+          "--check DIR")
       sys.exit(2)
+  }
+
+  /** S12 on the CLI: atomic manifest publish of a parquet dataset, or
+    * validation of an already-published one (`--check`). The reader path
+    * exits nonzero on a data/manifest mismatch — usable as a CI gate.
+    */
+  private def runPublish(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      opts.get("check") match {
+        case Some(dir) =>
+          val n = graft.operators.Sinks.readPublished(spark, dir).count()
+          println(s"[graft] verified $dir: $n rows match the manifest")
+        case None =>
+          val df = spark.read.parquet(opts("in"))
+          val key = opts.getOrElse("key", "doc_id")
+          graft.operators.Sinks.publishWithManifest(df, opts("out"), key)
+          println(s"[graft] published ${opts("out")} (manifest keyed on $key)")
+      }
+    } finally if (owned) spark.stop()
   }
 
   private def parseOpts(args: List[String]): Map[String, String] = {

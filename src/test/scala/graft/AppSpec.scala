@@ -367,4 +367,22 @@ class AppSpec extends AnyFunSuite {
     assert(parsed.get("similarity_distribution").get(0).get("bucket").asText == "high")
     assert(parsed.get("detailed_results").size() == 1)
   }
+
+  test("CLI publish: atomic manifest publish + --check validation gate") {
+    val src = tmpDir("graft_pub_src") + "/data"
+    (1L to 40L).toDF("doc_id").write.parquet(src)
+    val out = tmpDir("graft_pub_out") + "/published"
+    graft.app.Main.main(Array("publish", "--in", src, "--out", out))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_manifest.json")))
+    // --check validates; after tampering it must throw (the CI-gate path)
+    graft.app.Main.main(Array("publish", "--check", out))
+    val victim = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.delete(victim)
+    assertThrows[IllegalArgumentException] {
+      graft.app.Main.main(Array("publish", "--check", out))
+    }
+  }
 }
