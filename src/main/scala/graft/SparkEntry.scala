@@ -3236,6 +3236,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** MM9: audio signal features (RMS + zero-crossing rate) over REAL
+    * decoded WAV — each doc renders a ±12000 square wave (nf = 256 +
+    * id%512 frames, half-cycle p = 2 + id%7) into a real WAV container,
+    * the JDK codec parses it back, and the features compute from the
+    * decoded samples. FULL oracle: every sample is a pure integer
+    * function of its index, so the SQL replays the waveform and both
+    * feature formulas exactly.
+    */
+  private def mm9AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JdkMedia
+    val dims = tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      (lit(256) + pmod(col("doc_id"), lit(512))).cast("int").as("nf"),
+      (lit(2) + pmod(col("doc_id"), lit(7))).cast("int").as("p"))
+    JdkMedia.audioSignalFeatures(
+        JdkMedia.withRenderedWavSquare(dims, "nf", "p", sampleRate = 8000))
+      .orderBy(col("doc_id"))
+  }
+
   /** MM8: perceptual near-dup over REAL decoded images — the media analog
     * of dd5's SimHash text near-dup, proving the codec pipeline
     * (render → real parse → 9x8 rescale → dHash) preserves perceptual
@@ -3646,6 +3665,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "mm6_codec_roundtrip" -> (mm6CodecRoundtrip(_, _)),
     "mm6b_codec_fused" -> (mm6bCodecFused(_, _)),
     "mm7_wav_roundtrip" -> (mm7WavRoundtrip(_, _)),
+    "mm9_audio_features" -> (mm9AudioFeatures(_, _)),
     "mm8_media_neardup" -> (mm8MediaNeardup(_, _)),
     "g3_binpack_greedy" -> (binpackGreedy(_, _)),
     "pipe_curation" -> (pipeCuration(_, _)),
@@ -4644,6 +4664,27 @@ ORDER BY token_id"""
          CAST(1 + (doc_id % 2) AS INT) AS channels,
          CAST(256 + (doc_id % 512) AS INT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    // mm9: the square waveform regenerated sample-by-sample, then the
+    // same RMS / strict-sign-product ZCR formulas (a zero sample crosses
+    // nothing on both engines; the wave never emits zeros anyway)
+    "mm9_audio_features" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(256 + doc_id % 512 AS BIGINT) AS n,
+             CAST(2 + doc_id % 7 AS BIGINT) AS p
+           FROM documents),
+         s AS (
+           SELECT doc_id, n, u.i,
+             CASE WHEN ((u.i // p) % 2) = 0 THEN 12000 ELSE -12000 END AS v
+           FROM d, LATERAL UNNEST(generate_series(0, n - 1)) AS u(i)),
+         z AS (
+           SELECT doc_id, n, v,
+             CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+               THEN 1 ELSE 0 END AS c
+           FROM s)
+         SELECT doc_id, MAX(n) AS n_samples,
+           round(sqrt(SUM(CAST(v AS DOUBLE) * v) / MAX(n)), 4) AS rms,
+           round(SUM(c) * 1.0 / (MAX(n) - 1), 4) AS zcr
+         FROM z GROUP BY doc_id ORDER BY doc_id""",
     // BERTScore greedy match with the md5-bucket embedder: a single-token
     // embedding is exactly +/-e_(h % 64) (h = first 60 md5 bits, sign =
     // bit 6), so cosine(tok_a, tok_b) = same bucket ? sign_a*sign_b : 0 —

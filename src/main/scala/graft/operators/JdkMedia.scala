@@ -343,6 +343,102 @@ object JdkMedia {
       .toDF()
   }
 
+  /** Render a real mono 16-bit WAV whose PCM is a ±12000 square wave with
+    * `period` samples per half-cycle — sample i = +12000 when
+    * (i div period) is even, −12000 otherwise. Unlike [[renderWav]]'s
+    * seeded-random PCM, every sample is a pure integer function of its
+    * index, so RMS/ZCR computed from the DECODED bytes replay exactly in
+    * SQL (the mm9 oracle) while the WAV container and codec path stay
+    * fully real.
+    */
+  def renderWavSquare(nFrames: Int, period: Int, sampleRate: Int): Array[Byte] = {
+    require(nFrames > 0 && period > 0, s"bad wav dims: $nFrames/$period")
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if ((i / period) % 2 == 0) 12000 else -12000
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos) finally ais.close()
+    baos.toByteArray
+  }
+
+  /** REAL decode of a 16-bit signed little-endian WAV payload into its
+    * interleaved integer samples (all channels), via the JDK sound stack
+    * — the parse half mm9's features ride on.
+    */
+  def wavSamples(payload: Array[Byte]): Array[Int] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+        f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+        s"mm9 expects 16-bit LE signed PCM, got $f")
+      val bytes = ais.readAllBytes()
+      Array.tabulate(bytes.length / 2) { i =>
+        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF))
+      }
+    } finally ais.close()
+  }
+
+  final case class AudioFeatRow(doc_id: Long, n_samples: Long,
+    rms: Double, zcr: Double)
+
+  /** MM9: audio signal features over REAL decoded WAV — RMS energy and
+    * zero-crossing rate, the two classic cheap audio descriptors
+    * (silence/clipping gates, crude voiced/unvoiced and tonality
+    * signals for audio corpus curation). One map pass; per row the
+    * payload decodes through the real JDK codec and the features are
+    * integer-exact until the final sqrt/ratio: RMS =
+    * sqrt(Σ s² / n), ZCR = |{i : sᵢ·sᵢ₋₁ < 0}| / (n−1) (strict sign
+    * product — a zero sample crosses nothing, matching the SQL replay's
+    * `v * lag(v) < 0`), both 4dp-snapped.
+    */
+  def audioSignalFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])](Encoders.product[(Long, Array[Byte])])
+      .map { case (id, p) =>
+        val s = wavSamples(p)
+        val n = s.length
+        var ss = 0L
+        var ch = 0L
+        var i = 0
+        while (i < n) {
+          ss += s(i).toLong * s(i)
+          if (i > 0 && s(i).toLong * s(i - 1) < 0) ch += 1
+          i += 1
+        }
+        def r4d(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        AudioFeatRow(id, n.toLong,
+          if (n == 0) 0.0 else r4d(math.sqrt(ss.toDouble / n)),
+          if (n <= 1) 0.0 else r4d(ch.toDouble / (n - 1)))
+      }(Encoders.product[AudioFeatRow])
+      .toDF()
+  }
+
+  /** Render one real square-wave WAV per row ((`framesCol`, `periodCol`)
+    * per doc) — the mm9 corpus builder.
+    */
+  def withRenderedWavSquare(docs: DataFrame, framesCol: String,
+      periodCol: String, sampleRate: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(framesCol).cast("int"),
+        col(periodCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (id, nf, p) =>
+        RenderedRow(id, renderWavSquare(nf, p, 8000)) }(
+        Encoders.product[RenderedRow])
+      .toDF()
+  }
+
   /** Render one real WAV per row with `framesCol` frames, `chCol` channels. */
   def withRenderedWav(docs: DataFrame, framesCol: String, chCol: String,
       sampleRate: Int): DataFrame = {
