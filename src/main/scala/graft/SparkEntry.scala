@@ -2375,6 +2375,25 @@ object SparkEntry {
         86400000000L)
       .orderBy(col("cohort"), col("age"))
 
+  /** EV9's streaming twin run in batch mode (one group pass == one
+    * micro-batch): the O(steps)-state live funnel must produce ev9's
+    * answer VERBATIM — held to the same oracle (the ev2/ev3 same-SQL
+    * discipline). Cross-batch state semantics are pinned in
+    * StreamingSpec.
+    */
+  private def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val ev = eventsTbl(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts_us").cast("long"))
+      .as[EventStreams.FunnelEvent]
+    EventStreams.funnelStream(ev, Seq("view", "click", "purchase"),
+        Some(3600000000L))
+      .toDF().orderBy(col("user_id"))
+  }
+
   /** EV2: gap-based sessionization (30-minute inactivity boundary). */
   private def ev2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3642,6 +3661,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ev1_event_window" -> (ev1EventWindow(_, _)),
     "ev2_sessionize" -> (ev2Sessionize(_, _)),
     "ev9_funnel" -> (ev9Funnel(_, _)),
+    "stream_funnel" -> (streamFunnel(_, _)),
     "ev10_retention" -> (ev10Retention(_, _)),
     "ev3_sessionize_state" -> (ev3SessionizeState(_, _)),
     "ev4_stream_window" -> (ev4StreamWindow(_, _)),
@@ -6721,35 +6741,10 @@ ORDER BY token_id"""
            round(n_active * 1.0 / n_cohort, 4) AS retention
          FROM aa JOIN sizes USING (cohort) ORDER BY cohort, age""",
     // ev9: cascaded min-joins — strict step ordering (>), inclusive
-    // horizon (<=), prefix property by construction
-    "ev9_funnel" ->
-      """WITH s1 AS (
-           SELECT user_id, MIN(epoch_us(ts)) AS t1
-           FROM events WHERE event_type = 'view' AND ts IS NOT NULL
-           GROUP BY 1),
-         s2 AS (
-           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
-           FROM events e JOIN s1 ON e.user_id = s1.user_id
-           WHERE e.event_type = 'click' AND e.ts IS NOT NULL
-             AND epoch_us(e.ts) > s1.t1
-             AND epoch_us(e.ts) <= s1.t1 + 3600000000
-           GROUP BY 1),
-         s3 AS (
-           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
-           FROM events e JOIN s1 ON e.user_id = s1.user_id
-             JOIN s2 ON e.user_id = s2.user_id
-           WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
-             AND epoch_us(e.ts) > s2.t2
-             AND epoch_us(e.ts) <= s1.t1 + 3600000000
-           GROUP BY 1)
-         SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
-           CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
-                  + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INT)
-             AS steps_completed
-         FROM s1
-         LEFT JOIN s2 ON s1.user_id = s2.user_id
-         LEFT JOIN s3 ON s1.user_id = s3.user_id
-         ORDER BY s1.user_id""",
+    // horizon (<=), prefix property by construction. stream_funnel (the
+    // O(steps)-state live form) is held to this SAME SQL verbatim.
+    "ev9_funnel" -> ev9FunnelSql,
+    "stream_funnel" -> ev9FunnelSql,
     "ev2_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, ts,
@@ -7156,6 +7151,40 @@ ORDER BY token_id"""
     * oracle and the `stream_curation` count oracle, mirroring how
     * `Curation.gate` is the single Scala definition behind both paths.
     */
+  /** ev9's cascaded min-join funnel oracle — strict step ordering (>),
+    * inclusive horizon (<=), null timestamps dropped, prefix property by
+    * construction. Shared VERBATIM by ev9_funnel (batch) and
+    * stream_funnel (the O(steps)-state live form).
+    */
+  private val ev9FunnelSql: String =
+    """WITH s1 AS (
+         SELECT user_id, MIN(epoch_us(ts)) AS t1
+         FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+         GROUP BY 1),
+       s2 AS (
+         SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+           AND epoch_us(e.ts) > s1.t1
+           AND epoch_us(e.ts) <= s1.t1 + 3600000000
+         GROUP BY 1),
+       s3 AS (
+         SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+           JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+           AND epoch_us(e.ts) > s2.t2
+           AND epoch_us(e.ts) <= s1.t1 + 3600000000
+         GROUP BY 1)
+       SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+         CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS INT)
+           AS steps_completed
+       FROM s1
+       LEFT JOIN s2 ON s1.user_id = s2.user_id
+       LEFT JOIN s3 ON s1.user_id = s3.user_id
+       ORDER BY s1.user_id"""
+
   /** ta19's derived-page template + full extraction chain as CTEs ending
     * in `xs4(doc_id, h, t)` — h = the raw page, t = the extracted text.
     * Shared verbatim by the ta19 oracle and the stream_ccingest oracle

@@ -118,6 +118,76 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  final case class FunnelState(times: Array[Long])
+
+  final case class FunnelRow(user_id: Long, t1: Option[Long],
+    t2: Option[Long], t3: Option[Long], steps_completed: Int)
+
+  /** EV9's streaming twin: a live funnel over the event stream —
+    * O(steps) state per user (the earliest qualifying timestamp of each
+    * step), updated per micro-batch by replaying that batch's events in
+    * event-time order through exactly the batch rule (strict step
+    * ordering, inclusive t1+horizon; see
+    * [[graft.operators.EventOps.funnel]]). A user's current funnel row
+    * re-emits whenever a batch advances it, so a dashboard reads
+    * conversion live; one AvailableNow batch over a table replay
+    * produces [[graft.operators.EventOps.funnel]]'s answer VERBATIM
+    * (the registered query holds it to ev9's oracle — the ev2/ev3
+    * same-SQL discipline).
+    *
+    * Exactness contract: a sequential in-order scan ("first qualifying
+    * event per step wins") equals the batch cascaded-min — within a
+    * batch events are sorted, so single-batch replays are always exact;
+    * across batches exactness needs per-user event-time order (the
+    * watermark assumption). A late-arriving EARLIER step-head cannot
+    * retroactively re-derive downstream steps from O(k) state — that is
+    * the price of not retaining the event log, the standard streaming-
+    * funnel tradeoff (StreamingSpec pins the in-order semantics).
+    * Null-timestamp events are dropped at the boundary (ev9's
+    * malformed-event rule). Hardwired to 3 steps in the emitted row
+    * shape (the ev9 query surface); the state machine itself is
+    * step-count-generic.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+      horizonUs: Option[Long]): Dataset[FunnelRow] = {
+    require(steps.size == 3 && steps.distinct.size == 3,
+      s"funnelStream emits the 3-step ev9 row shape: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+
+    def advance(userId: Long, it: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      val k = steps.size
+      val t = state.getOption.map(_.times.clone())
+        .getOrElse(Array.fill(k)(Long.MinValue))
+      val before = t.toSeq
+      it.toVector.filter(e => stepIdx.contains(e.event_type))
+        .sortBy(_.ts_us)
+        .foreach { e =>
+          val j = stepIdx(e.event_type)
+          val prevOk = j == 0 || t(j - 1) != Long.MinValue
+          val strictlyAfter = j == 0 || e.ts_us > t(j - 1)
+          val inHorizon = j == 0 ||
+            horizonUs.forall(h => e.ts_us <= t(0) + h)
+          if (t(j) == Long.MinValue && prevOk && strictlyAfter && inHorizon)
+            t(j) = e.ts_us
+        }
+      if (t.toSeq == before || t(0) == Long.MinValue) Iterator.empty
+      else {
+        state.update(FunnelState(t))
+        def opt(i: Int) = if (t(i) == Long.MinValue) None else Some(t(i))
+        Iterator.single(FunnelRow(userId, opt(0), opt(1), opt(2),
+          t.count(_ != Long.MinValue)))
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
+  }
+
   /** EV6: stream-STREAM attribution join — every purchase-side row pairs
     * with the click-side rows of the same user that happened within
     * `windowMinutes` BEFORE it (inclusive on both ends). The one streaming

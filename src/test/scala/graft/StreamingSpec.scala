@@ -151,6 +151,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: cross-batch state, pre-head step dead, horizon, no-change silence") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{FunnelEvent, FunnelRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelStream(input.toDS(),
+        Seq("view", "click", "purchase"), Some(1000L))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      input.addData(FunnelEvent(1L, "click", 50L), FunnelEvent(1L, "view", 100L),
+        FunnelEvent(2L, "purchase", 10L))
+      q.processAllAvailable()
+      val r1 = spark.table("funnel_out").as[FunnelRow].collect().toSeq
+      // pre-view click is dead; headless user 2 emits nothing
+      assert(r1 == Seq(FunnelRow(1L, Some(100L), None, None, 1)))
+      // later batch advances the funnel from carried state
+      input.addData(FunnelEvent(1L, "click", 200L), FunnelEvent(1L, "purchase", 300L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").as[FunnelRow].collect()
+        .contains(FunnelRow(1L, Some(100L), Some(200L), Some(300L), 3)))
+      // horizon inclusive at t1+h, exclusive one past
+      input.addData(
+        FunnelEvent(3L, "view", 0L), FunnelEvent(3L, "click", 10L),
+        FunnelEvent(3L, "purchase", 1000L),
+        FunnelEvent(4L, "view", 0L), FunnelEvent(4L, "click", 10L),
+        FunnelEvent(4L, "purchase", 1001L))
+      q.processAllAvailable()
+      val byUser = spark.table("funnel_out").as[FunnelRow].collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.steps_completed)).toMap
+      assert(byUser(3L) == FunnelRow(3L, Some(0L), Some(10L), Some(1000L), 3))
+      assert(byUser(4L) == FunnelRow(4L, Some(0L), Some(10L), None, 2))
+      // a batch that changes nothing emits nothing
+      val n = spark.table("funnel_out").count()
+      input.addData(FunnelEvent(1L, "view", 999L)) // later view: t1 stays
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == n)
+    } finally q.stop()
+  }
+
   test("ccingest composition: WARC files -> parse -> extract -> gate -> cross-batch dedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
