@@ -3265,10 +3265,14 @@ object SparkEntry {
     */
   private def mm9AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.JdkMedia
+    // repartition off the (possibly single) input split BEFORE the
+    // render+decode map chain — the mm6b/eval_bertscore_tx discipline;
+    // the 1x probe measured 26 s single-partition vs ~2 s spread
     val dims = tbl(spark, dir, "documents").select(
       col("doc_id"),
       (lit(256) + pmod(col("doc_id"), lit(512))).cast("int").as("nf"),
       (lit(2) + pmod(col("doc_id"), lit(7))).cast("int").as("p"))
+      .repartition(spark.sparkContext.defaultParallelism)
     JdkMedia.audioSignalFeatures(
         JdkMedia.withRenderedWavSquare(dims, "nf", "p", sampleRate = 8000))
       .orderBy(col("doc_id"))
