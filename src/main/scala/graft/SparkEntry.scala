@@ -4463,6 +4463,7 @@ ORDER BY token_id"""
            FROM dcnt d JOIN ratio r USING (bucket) GROUP BY 1),
          keyed AS (
            SELECT rd.doc_id, COALESCE(dw.wm, 0) AS wm,
+             dw.doc_id IS NOT NULL AS hasf,
              CAST(round(round(-ln(-ln(
                (CAST(CAST(('0x' || substr(md5('dsir:'
                   || CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -4471,14 +4472,14 @@ ORDER BY token_id"""
            FROM rawd rd LEFT JOIN dw ON dw.doc_id = rd.doc_id),
          kth AS (
            SELECT key, doc_id FROM (
-             SELECT wm + gm AS key, doc_id FROM keyed
+             SELECT wm + gm AS key, doc_id FROM keyed WHERE hasf
              ORDER BY key DESC, doc_id ASC LIMIT 100)
            ORDER BY key ASC, doc_id DESC LIMIT 1)
          SELECT k.doc_id, k.wm / 1e6 AS log_weight, k.gm / 1e6 AS gumbel,
-           CAST((k.wm + k.gm > kth.key)
-             OR (k.wm + k.gm = kth.key AND k.doc_id <= kth.doc_id)
-             AS INT) AS selected
-         FROM keyed k, kth ORDER BY k.doc_id""",
+           CAST(COALESCE(k.hasf AND ((k.wm + k.gm > kth.key)
+             OR (k.wm + k.gm = kth.key AND k.doc_id <= kth.doc_id)),
+             FALSE) AS INT) AS selected
+         FROM keyed k LEFT JOIN kth ON TRUE ORDER BY k.doc_id""",
     // ta17: the ta16 LM replay + NTILE(3) per source over the identical
     // (avg_logprob DESC, doc_id) total order — both engines implement
     // SQL-standard ntile (first n mod 3 buckets take the extra row)

@@ -75,7 +75,11 @@ object Text {
     * we keep all unicode letters/digits).
     */
   def metricTokens(s: String): Array[String] =
-    s.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark lower()
+    // and the DuckDB oracle on tr/az/lt JVMs ('TITLE' -> 'tıtle') — the
+    // NbModel.score convention, applied at the shared tokenizer
+    s.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
+      .filter(_.nonEmpty)
 
   /** F8: filename stem. */
   def stem(fname: String): String = {

@@ -384,8 +384,15 @@ object Curation {
     val u = (conv(substring(md5(concat(lit(s"$seed:"),
       col("doc_id").cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
       lit(1152921504606846976.0) // 2^60
+    // A doc with NO features (empty/token-less text) carries no evidence
+    // of target-likeness; filling its weight with 0 would rank it ABOVE
+    // every doc with a negative log-ratio (most of any real corpus), so
+    // feature-less docs are excluded from selection outright
+    // (selected = 0) and never compete for the k slots.
     val keyed = Materialize(raw.select(col("doc_id"))
-      .join(docW, Seq("doc_id"), "left").na.fill(0L, Seq("wm"))
+      .join(docW, Seq("doc_id"), "left")
+      .withColumn("__hasf", col("wm").isNotNull)
+      .na.fill(0L, Seq("wm"))
       .withColumn("gm",
         round(round(-log(-log(u)), 6) * 1e6).cast("long"))
       .withColumn("key", col("wm") + col("gm")))
@@ -394,12 +401,16 @@ object Curation {
     // is a broadcast threshold compare. (key, -doc_id) descending lex
     // order == the rank order, so `selected` = tuple >= k-th tuple; with
     // fewer than k docs the threshold is the global min and all pass.
-    val kth = keyed.orderBy(col("key").desc, col("doc_id").asc).limit(k)
+    val kth = keyed.filter(col("__hasf"))
+      .orderBy(col("key").desc, col("doc_id").asc).limit(k)
       .agg(min(struct(col("key"), (-col("doc_id")).as("nid"))).as("th"))
+    // false && null = false (SQL 3VL), so a corpus with ZERO feature-ful
+    // docs (null threshold) still yields selected = 0 rows, never nulls
     keyed.crossJoin(broadcast(kth))
       .select(col("doc_id"), (col("wm") / 1e6).as("log_weight"),
         (col("gm") / 1e6).as("gumbel"),
-        (struct(col("key"), (-col("doc_id")).as("nid")) >= col("th"))
+        (col("__hasf") &&
+          (struct(col("key"), (-col("doc_id")).as("nid")) >= col("th")))
           .cast("int").as("selected"))
   }
 }

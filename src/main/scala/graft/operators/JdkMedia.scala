@@ -434,7 +434,7 @@ object JdkMedia {
         col(periodCol).cast("int"))
       .as[(Long, Int, Int)]
       .map { case (id, nf, p) =>
-        RenderedRow(id, renderWavSquare(nf, p, 8000)) }(
+        RenderedRow(id, renderWavSquare(nf, p, sampleRate)) }(
         Encoders.product[RenderedRow])
       .toDF()
   }

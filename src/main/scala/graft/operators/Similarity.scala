@@ -20,10 +20,36 @@ import graft.functions.{cosineSimilarityF, r4}
   */
 object Similarity {
 
+  /** Fail-loudly cap on the broadcast query side of the exact-scan family
+    * — the [[Pq.ivfPqSearch]] `maxQueries` contract applied to
+    * [[bruteForceTopK]] / [[hardNegatives]] / [[mmrTopK]]: an exact scan
+    * is O(|corpus| x |queries|) flops and the query side is BROADCAST, so
+    * an unbounded query table would go quadratic (and blow the broadcast)
+    * SILENTLY. `limit(cap+1).count()` short-circuits, so the check costs
+    * one bounded job, never a full scan of a large query table.
+    */
+  private def requireQueryCap(queries: DataFrame, maxQueries: Int,
+      op: String): Unit = {
+    require(maxQueries >= 1, s"maxQueries must be >= 1: $maxQueries")
+    val n = queries.limit(maxQueries + 1).count()
+    require(n <= maxQueries,
+      s"$op: query set exceeds maxQueries=$maxQueries — the exact scan is" +
+        " O(|corpus| x |queries|) with a broadcast query side; for large" +
+        " query sets use the ANN paths (lshTopK / ivfTopK / Pq.ivfPqSearch)" +
+        " or chunk the queries; raise maxQueries only deliberately")
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     * `queries`: (query_id, embedding); `corpus`: (vec_id, embedding).
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    requireQueryCap(queries, maxQueries, "bruteForceTopK")
+    bruteForceTopKUnchecked(corpus, queries, k)
+  }
+
+  private def bruteForceTopKUnchecked(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{vecDotF, vecNormF}
     // split cosine (see Dedup.embeddingCosinePairs): norms once per corpus
@@ -65,14 +91,16 @@ object Similarity {
     * metadata-scale arrays (m=20 → 380 pair rows), never the corpus.
     */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+      shortlist: Int = 20, lambda: Double = 0.7,
+      maxQueries: Int = 100000): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
     require(k >= 1 && shortlist >= k,
       s"need shortlist >= k >= 1: k=$k shortlist=$shortlist")
     require(lambda > 0 && lambda <= 1, s"lambda in (0,1]: $lambda")
+    requireQueryCap(queries, maxQueries, "mmrTopK")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val top = Materialize(bruteForceTopK(corpus, queries, shortlist)
+    val top = Materialize(bruteForceTopKUnchecked(corpus, queries, shortlist)
       .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cosine"),
         col("embedding"), vecNormF(col("embedding")).as("norm")))
@@ -190,10 +218,11 @@ object Similarity {
     * step is SQL-replayable, so the mined triplets carry a full oracle.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-      denoiseCosine: Double): DataFrame = {
+      denoiseCosine: Double, maxQueries: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{vecDotF, vecNormF}
     require(k >= 1, s"k must be >= 1: $k")
+    requireQueryCap(queries, maxQueries, "hardNegatives")
     val denom = col("norm_c") * col("norm_q")
     val scored = corpus.select(col("vec_id"), col("label").as("c_label"),
         col("embedding").as("emb_c"), vecNormF(col("embedding")).as("norm_c"))

@@ -145,9 +145,13 @@ object Sinks {
     * column — order- and partitioning-independent with no overflow, so
     * it is exactly reproducible by the SQL oracle.
     *
-    * Rename atomicity holds on POSIX/HDFS; on an object store publish to
-    * a versioned prefix and commit by swapping a pointer object instead
-    * (same manifest, different rename).
+    * SCOPE: the staging write goes through Spark's Hadoop FS but the
+    * manifest write and the atomic rename use java.nio.file — this
+    * publish path is LOCAL-FILESYSTEM only (the CLI/export use case it
+    * ships for). On HDFS route the manifest + rename through the Hadoop
+    * FileSystem API (rename is atomic there too); on an object store
+    * publish to a versioned prefix and commit by swapping a pointer
+    * object instead (same manifest, different rename).
     */
   def publishWithManifest(df: DataFrame, destDir: String,
       keyCol: String = "doc_id"): Unit = {
@@ -157,9 +161,11 @@ object Sinks {
       s"publish target already exists: $destDir (publish is write-once)")
     val staging = java.nio.file.Paths.get(destDir + ".staging")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // bit_xor over ZERO rows is NULL — coalesce so an empty publish gets
+    // a valid {n_rows:0, key_xor:0} manifest instead of an opaque NPE
     val m = spark.read.parquet(staging.toString)
       .agg(count(lit(1)).cast("long").as("n"),
-        expr(s"bit_xor(${keyFingerprintSql(keyCol)})").as("x"))
+        expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
       .head()
     val json = s"""{"n_rows":${m.getLong(0)},"key_xor":${m.getLong(1)},""" +
       s""""key_col":"$keyCol"}"""
@@ -185,7 +191,7 @@ object Sinks {
     val keyCol = field("key_col")
     val df = spark.read.parquet(dir)
     val got = df.agg(count(lit(1)).cast("long").as("n"),
-      expr(s"bit_xor(${keyFingerprintSql(keyCol)})").as("x")).head()
+      expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x")).head()
     require(got.getLong(0) == field("n_rows").toLong &&
       got.getLong(1) == field("key_xor").toLong,
       s"published data does not match its manifest at $dir: " +

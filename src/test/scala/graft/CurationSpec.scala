@@ -190,6 +190,15 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.Curation.dsirSelect(raw, target, k = 0)
     }
+    // a feature-less doc (no tokens) never competes for a slot — even
+    // with k >= pool size it stays selected = 0 (weight 0 would otherwise
+    // outrank every negative-log-ratio doc)
+    val withEmpty = raw.union(Seq((5L, "   "), (6L, "")).toDF("doc_id", "text"))
+    val sel = graft.operators.Curation.dsirSelect(withEmpty, target, k = 10)
+      .select("doc_id", "selected")
+      .as[(Long, Int)].collect().toMap
+    assert(sel.size == 6 && sel(5L) == 0 && sel(6L) == 0)
+    assert((1L to 4L).forall(sel(_) == 1))
   }
 
   test("excess-loss: structured docs outrank order-free ones, exactly k, deterministic") {

@@ -710,6 +710,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-scan maxQueries tripwire: over-cap fails loudly, at-cap serves") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.6f, 0.8f), 1),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.8f, 0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q3 = corpus.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    // at-cap: all three exact scans serve
+    assert(graft.operators.Similarity
+      .bruteForceTopK(corpus, q3, 2, maxQueries = 3).count() > 0)
+    assert(graft.operators.Similarity
+      .mmrTopK(corpus, q3, 2, shortlist = 3, maxQueries = 3).count() > 0)
+    assert(graft.operators.Similarity
+      .hardNegatives(corpus, q3, 2, 0.99, maxQueries = 3).count() > 0)
+    // over-cap: each fails loudly and names the contract + the ANN path
+    for (thunk <- Seq(
+        () => graft.operators.Similarity.bruteForceTopK(corpus, q3, 2, maxQueries = 2),
+        () => graft.operators.Similarity.mmrTopK(corpus, q3, 2, 3, maxQueries = 2),
+        () => graft.operators.Similarity.hardNegatives(corpus, q3, 2, 0.99, maxQueries = 2))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains("maxQueries") && e.getMessage.contains("lshTopK"))
+    }
+  }
+
   test("TA18s nbTrainCollect: serving-side scorer integer-identical to batch classifier") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
