@@ -1980,6 +1980,37 @@ object SparkEntry {
       .select(col("doc_id"), col("compress_ratio"))
       .orderBy(col("doc_id"))
 
+  /** TA10 gate (literal oracle — the recallGate discipline applied to the
+    * one remaining rows-only entry with no registry-level check): deflate
+    * must (a) rank a PLANTED maximally-repetitive doc strictly below
+    * planted varied prose — the discriminating property every
+    * compression-quality gate relies on — and (b) stay in [0, 1.5] over
+    * the whole corpus (deflate overhead can push tiny docs above 1.0 but
+    * never near 1.5 on word text). A Deflater-config regression (level,
+    * dictionary, ratio denominator) flips a literal and breaks the hash.
+    */
+  private def ta10Gate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Seq.fill(60)("spark").mkString(" ")),
+      (2L, "the quick brown fox jumps over a lazy dog while seventeen " +
+        "divergent engineers measure quantile sketches against parquet " +
+        "row groups and shuffle partitions under adaptive execution"))
+      .toDF("doc_id", "text")
+    val pr = TextAnalysis.compressionRatio(planted)
+    val rep = pr.filter(col("doc_id") === 1L)
+      .select(col("compress_ratio").as("r_rep"))
+    val prose = pr.filter(col("doc_id") === 2L)
+      .select(col("compress_ratio").as("r_prose"))
+    TextAnalysis.compressionRatio(tbl(spark, dir, "documents"))
+      .agg(count(lit(1)).as("n"), min(col("compress_ratio")).as("mn"),
+        max(col("compress_ratio")).as("mx"))
+      .crossJoin(broadcast(rep)).crossJoin(broadcast(prose))
+      .select((col("n") > 0).cast("int").as("has_rows"),
+        (col("r_rep") < col("r_prose")).cast("int").as("ordered"),
+        (col("mn") >= 0.0 && col("mx") <= 1.5).cast("int").as("bounded"))
+  }
+
   private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
     // tokens materialized as an attribute before the line-building lambda:
     // slice() inside transform() would otherwise re-split the doc per line
@@ -3631,6 +3662,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta8_repetition" -> (ta8Repetition(_, _)),
     "ta9_normalize" -> (ta9Normalize(_, _)),
     "ta10_compress" -> (ta10Compress(_, _)),
+    "ta10_gate" -> (ta10Gate(_, _)),
     "ta11_logprob" -> (ta11LogProb(_, _)),
     "ta12_length_stats" -> (ta12LengthStats(_, _)),
     "ta12b_length_approx" -> (ta12bLengthApprox(_, _)),
@@ -4576,6 +4608,10 @@ ORDER BY token_id"""
          FROM scored s LEFT JOIN cuts c ON s.domain = c.domain
          ORDER BY s.doc_id""",
     "ta17b_gate" -> "SELECT 75 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // ta10_gate: deflate ratio separates planted repetition from prose
+    // and stays bounded over the corpus (SQL has no deflate, so the gate
+    // carries the registry-level check for the rows-only ta10)
+    "ta10_gate" -> "SELECT 1 AS has_rows, 1 AS ordered, 1 AS bounded",
     // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
     // order sensitivity, near-dup beats unrelated, bit-exact determinism
     "tx_gate" ->

@@ -407,12 +407,42 @@ class HostileCorpusSpec extends AnyFunSuite {
       assert(batch(r.getLong(0)) == ((p, sm / 1e6)))
     }
     // DSIR: hostile raw pool against a tiny clean target — every doc
-    // reported, token-less docs carry weight 0, exactly k selected
+    // reported, exactly k selected, and token-less docs (null/empty/
+    // blank) NEVER selected: they carry no target-likeness evidence and
+    // are excluded from the Gumbel top-k outright
     val target = Seq((100L, "clean target text about things"))
       .toDF("doc_id", "text")
     val rep = Curation.dsirSelect(hostile, target, k = 3)
       .select("doc_id", "selected").as[(Long, Int)].collect()
     assert(rep.length == 8 && rep.map(_._2).sum == 3)
+    assert(rep.filter(r => Set(1L, 2L, 3L)(r._1)).forall(_._2 == 0))
+  }
+
+  test("span-surgical family: whitespace-only docs tokenize to ZERO tokens") {
+    // The dc4/dd12 tokenization contract (split \s+, drop empty fields —
+    // mirrored by the oracles' list_filter): a tabs/newlines-only doc has
+    // NO tokens, never a phantom '' token. DuckDB's trim strips spaces
+    // only, so without the convention a "\t\n"-doc would tokenize
+    // differently on the two engines — this pins the Spark half.
+    val ws = Seq(
+      (1L, "\t\n \t"), // whitespace-only, no plain space at the edges
+      (2L, "  \n\nshared gram one two\t"),
+      (3L, "shared gram one two"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dd12 = Dedup.spanSelfDedup(ws, "text", 2)
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(dd12.size == 4)
+    assert(dd12(1L)._3 == 0L && dd12(1L)._2 == "" && dd12(1L)._4 == 0L)
+    assert(dd12(4L)._3 == 0L)
+    // the shared 4-token span survives only in its min-doc_id occurrence
+    // (doc 2 is the keeper; doc 3 loses all four covered tokens)
+    assert(dd12(2L)._4 == 0L && dd12(3L)._4 == 4L)
+    val dc4 = Dedup.spanDecontaminate(ws,
+        Seq((9L, "shared gram one two")).toDF("doc_id", "text"), "text", 2)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(dc4(1L) == 0L && dc4(4L) == 0L && dc4(3L) == 4L)
   }
 
   test("second round-9 family survives hostile rows") {
