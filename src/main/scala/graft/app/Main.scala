@@ -38,7 +38,8 @@ object Main {
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
           "[--summarizer extractive|textrank|lead|mmr] [opts]\n" +
-          "       graft evaluate --gen PATH --ref PATH --report FILE\n" +
+          "       graft evaluate --gen PATH --ref PATH --report FILE " +
+          "[--tx-bertscore [--weights CKPT.safetensors]]\n" +
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
           "[--min-stopword-ratio X] [--jaccard X] [--write-corpus] " +
@@ -613,7 +614,23 @@ object Main {
         case None =>
           val pairs = summariesOf(opts.getOrElse("gen", sys.error("--gen required")), "gen")
             .join(ref, "doc_id") // J1: inner equi-join on the shared key
-          val metrics = Metrics.pairMetrics(pairs)
+          // --tx-bertscore: add the contextual BERTScore columns through
+          // the in-process transformer; --weights PATH loads a trained
+          // flat-tensor checkpoint into it (TinyTransformer/TensorFile) —
+          // the seeded hermetic model is the default
+          val metrics0 = Metrics.pairMetrics(pairs)
+          val metrics =
+            if (!opts.contains("tx-bertscore")) metrics0
+            else {
+              val enc = graft.llm.TinyTransformer(
+                weightsPath = opts.get("weights"))
+              metrics0.join(
+                Metrics.bertScoreContextual(pairs, enc)
+                  .withColumnRenamed("bert_p", "tx_bert_p")
+                  .withColumnRenamed("bert_r", "tx_bert_r")
+                  .withColumnRenamed("bert_f", "tx_bert_f"),
+                Seq("doc_id"), "left")
+            }
           val stats = Metrics.summaryStats(metrics, MetricCols)
           val hist = Metrics.similarityHistogram(metrics)
           timed("evaluate + report")(

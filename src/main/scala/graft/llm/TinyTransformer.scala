@@ -27,9 +27,13 @@ trait ContextualEmbedder extends Serializable {
   * Classification"), which makes this the principled stand-in for the
   * reference's in-process sentence-transformer
   * (evaluate/evaluate_summaries_semantic.py:128-139) in an offline build:
-  * the ARCHITECTURE and the execution path are the real thing; a trained
-  * checkpoint is a constructor away (replace the seeded generator with a
-  * weight loader — no plan, schema, or operator changes).
+  * the ARCHITECTURE and the execution path are the real thing, and a
+  * trained checkpoint IS a constructor away: pass
+  * `weightsPath = Some(path)` to load the transformer-block weights from
+  * a flat-tensor checkpoint ([[TensorFile]], safetensors container) —
+  * no plan, schema, or operator changes (token base vectors stay
+  * hash-seeded/vocabulary-free; a vocab-tied embedding table is the one
+  * remaining delta to a published sentence-transformer).
   *
   * What the contextual path buys over the hashing embedders, concretely:
   * identical sequences score BERTScore F1 = 1.0 exactly; reordering
@@ -61,7 +65,9 @@ final case class TinyTransformer(
     heads: Int = 4,
     ffMult: Int = 2,
     maxTokens: Int = 128,
-    seed: Long = 0x7a317e5eedL) extends Embedder with ContextualEmbedder {
+    seed: Long = 0x7a317e5eedL,
+    weightsPath: Option[String] = None) extends Embedder
+    with ContextualEmbedder {
 
   require(dim >= 2 && heads >= 1 && dim % heads == 0,
     s"dim ($dim) must be a positive multiple of heads ($heads)")
@@ -120,8 +126,19 @@ final case class TinyTransformer(
       wo: Array[Double], w1: Array[Double], w2: Array[Double])
 
   // Xavier-style 1/sqrt(fan_in) keeps activations O(1) through untrained
-  // blocks; residual + pre-LN do the rest. Built once per JVM.
-  @transient private lazy val weights: Array[Layer] = {
+  // blocks; residual + pre-LN do the rest. Built once per JVM — or, with
+  // `weightsPath`, loaded once per JVM from a flat-tensor checkpoint
+  // ([[TensorFile]], the safetensors container): tensors are named
+  // `layers.<i>.<wq|wk|wv|wo|w1|w2>` with row-major shapes
+  // (dim,dim)/(dim,ffDim)/(ffDim,dim). The seeded-generator -> loader
+  // swap changes NO plan, schema, or operator: embedding stays a pure
+  // per-row map with per-executor lazy weight materialization (on a
+  // cluster, ship the file via --files / shared mount so the local path
+  // resolves on every executor).
+  @transient private lazy val weights: Array[Layer] =
+    weightsPath.fold(seededWeights)(loadWeights)
+
+  private def seededWeights: Array[Layer] = {
     val sAttn = 1.0 / StrictMath.sqrt(dim.toDouble)
     val sFf1 = 1.0 / StrictMath.sqrt(dim.toDouble)
     val sFf2 = 1.0 / StrictMath.sqrt(ffDim.toDouble)
@@ -136,6 +153,46 @@ final case class TinyTransformer(
         w2 = randMat(t | 6L, ffDim, dim, sFf2))
     }
   }
+
+  private def loadWeights(path: String): Array[Layer] = {
+    val t = TensorFile.load(path)
+    def mat(name: String, rows: Int, cols: Int): Array[Double] = {
+      val tensor = t.getOrElse(name, sys.error(
+        s"checkpoint $path: missing tensor $name (have: " +
+          s"${t.keys.toSeq.sorted.mkString(", ")})"))
+      require(tensor.shape.toSeq == Seq(rows, cols),
+        s"checkpoint $path: tensor $name has shape " +
+          s"${tensor.shape.mkString("x")}, model needs ${rows}x$cols — " +
+          "construct TinyTransformer with the checkpoint's dim/ffMult")
+      tensor.data
+    }
+    Array.tabulate(layers) { l =>
+      Layer(
+        wq = mat(s"layers.$l.wq", dim, dim),
+        wk = mat(s"layers.$l.wk", dim, dim),
+        wv = mat(s"layers.$l.wv", dim, dim),
+        wo = mat(s"layers.$l.wo", dim, dim),
+        w1 = mat(s"layers.$l.w1", dim, ffDim),
+        w2 = mat(s"layers.$l.w2", ffDim, dim))
+    }
+  }
+
+  /** Export the model's CURRENT weights as a flat-tensor checkpoint (the
+    * same naming/shape contract [[loadWeights]] reads) — round-trip
+    * exact (F64), so `TinyTransformer(weightsPath = Some(p))` after
+    * `m.saveWeights(p)` is bit-identical to `m`.
+    */
+  def saveWeights(path: String): Unit =
+    TensorFile.save(path, (0 until layers).flatMap { l =>
+      val w = weights(l)
+      Seq(
+        s"layers.$l.wq" -> TensorFile.Tensor(Array(dim, dim), w.wq),
+        s"layers.$l.wk" -> TensorFile.Tensor(Array(dim, dim), w.wk),
+        s"layers.$l.wv" -> TensorFile.Tensor(Array(dim, dim), w.wv),
+        s"layers.$l.wo" -> TensorFile.Tensor(Array(dim, dim), w.wo),
+        s"layers.$l.w1" -> TensorFile.Tensor(Array(dim, ffDim), w.w1),
+        s"layers.$l.w2" -> TensorFile.Tensor(Array(ffDim, dim), w.w2))
+    })
 
   // Sinusoidal positional table (Vaswani et al. §3.5), built to maxTokens.
   @transient private lazy val posEnc: Array[Array[Double]] =

@@ -325,6 +325,17 @@ class AppSpec extends AnyFunSuite {
     assert(report.contains("\"summary_statistics\""))
     assert(report.contains("\"rouge1_f\""))
     assert(report.contains("\"mean\":1.0"))
+    // --tx-bertscore --weights: contextual BERTScore through a LOADED
+    // checkpoint (gen == ref -> tx_bert_f exactly 1.0 per pair)
+    val ckpt = s"$out/tx.safetensors"
+    graft.llm.TinyTransformer(seed = 77L).saveWeights(ckpt)
+    graft.app.Main.main(Array(
+      "evaluate", "--gen", s"$gen/g", "--ref", docs,
+      "--report", s"$out/report_tx.json",
+      "--tx-bertscore", "--weights", ckpt))
+    val reportTx = ujsonParse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/report_tx.json")))
+    assert(reportTx.contains("\"tx_bert_f\":1.0"))
   }
 
   // minimal validity check without a JSON lib: jackson is on Spark's classpath

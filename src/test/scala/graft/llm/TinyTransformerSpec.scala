@@ -67,6 +67,62 @@ class TinyTransformerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TinyTransformer(layers = 0) }
   }
 
+  test("checkpoint round-trip: saved weights load back bit-identically") {
+    val p = java.nio.file.Files.createTempDirectory("graft_tx_")
+      .resolve("ckpt.safetensors").toString
+    m.saveWeights(p)
+    val loaded = TinyTransformer(weightsPath = Some(p))
+    val t = "checkpointed weights must reproduce the seeded model exactly"
+    assert(loaded.embed(t).toSeq == m.embed(t).toSeq)
+    assert(loaded.encode(t).map(_.toSeq).toSeq == m.encode(t).map(_.toSeq).toSeq)
+    // F32 interchange: a float-rounded checkpoint still loads and embeds
+    // (values differ from F64 only at float precision)
+    val p32 = p + ".f32"
+    TensorFile.save(p32, TensorFile.load(p).toSeq.map {
+      case (n, tns) => n -> tns }, dtype = "F32")
+    val v32 = TinyTransformer(weightsPath = Some(p32)).embed(t)
+    assert(v32.zip(m.embed(t)).forall { case (a, b) => math.abs(a - b) < 1e-3 })
+  }
+
+  test("checkpoint loader fails loudly on missing tensors and wrong shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx_bad_")
+    val missing = dir.resolve("missing.safetensors").toString
+    TensorFile.save(missing, Seq(
+      "layers.0.wq" -> TensorFile.Tensor(Array(2, 2), Array(1.0, 0, 0, 1))))
+    val e1 = intercept[RuntimeException] {
+      TinyTransformer(dim = 2, heads = 1, layers = 1,
+        weightsPath = Some(missing)).embed("x")
+    }
+    assert(e1.getMessage.contains("missing tensor"))
+    val wrong = dir.resolve("wrong.safetensors").toString
+    val m2 = TinyTransformer(dim = 2, heads = 1, layers = 1, ffMult = 1)
+    m2.saveWeights(wrong)
+    val e2 = intercept[IllegalArgumentException] {
+      TinyTransformer(dim = 4, heads = 1, layers = 1, ffMult = 1,
+        weightsPath = Some(wrong)).embed("x")
+    }
+    assert(e2.getMessage.contains("shape"))
+  }
+
+  test("committed fixture checkpoint produces the pinned vectors") {
+    val url = getClass.getResource("/fixtures/tiny_tx.safetensors")
+    assert(url != null, "fixture checkpoint not on the test classpath")
+    val path = java.nio.file.Paths.get(url.toURI).toString
+    // the fixture was exported from a seed-4242 model by GenTxFixture;
+    // the loading model keeps the DEFAULT seed (token base vectors ride
+    // the model seed), so its output is reproducible only by actually
+    // loading the checkpoint tensors — the seeded fallback embeds
+    // differently, and so does the 4242 model itself
+    val loaded = TinyTransformer(dim = 8, layers = 1, heads = 2, ffMult = 2,
+      maxTokens = 16, weightsPath = Some(path))
+    val t = "pinned fixture forward pass"
+    assert(loaded.embed(t).toSeq != TinyTransformer(dim = 8, layers = 1,
+      heads = 2, ffMult = 2, maxTokens = 16).embed(t).toSeq)
+    // absolute pin (StrictMath end-to-end => bit-stable across platforms):
+    // first three components of the pooled vector, exact float literals
+    assert(loaded.embed(t).take(3).toSeq == FixturePin.first3)
+  }
+
   test("serializes and embeds identically after the round-trip (executor shipping)") {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
