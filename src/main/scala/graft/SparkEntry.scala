@@ -1211,6 +1211,47 @@ object SparkEntry {
   private def dd13bGate(spark: SparkSession, dir: String): DataFrame =
     textSemGate(spark, dir, dd13bTextSemdedupClustered(spark, dir))
 
+  /** DD13c: dd13b's clustered SemDeDup with the ANN-ASSISTED assignment
+    * (assignGroups = 4 coarse groups per row,
+    * [[graft.operators.CentroidIndex.searchApprox]]) — the shape that
+    * closes dd13b's measured O(n·k) assignment wall: per-row cost drops
+    * from O(k·d) to O(√k·(1+4)·d), and the 100× probe point that was
+    * killed at ~1 h extrapolated for the exact form COMPLETES (SCALE.md
+    * r10). Rows-only like its twins; dd13c_gate holds the same
+    * lexical-recall contract.
+    */
+  private def dd13cTextSemdedupAnn(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.operators.Materialize(txDocEmb(spark, dir))
+    graft.operators.Clustering.semDedupPairs(
+        Similarity.centerEmbeddings(emb), 0.8, assignGroups = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def dd13cGate(spark: SparkSession, dir: String): DataFrame =
+    textSemGate(spark, dir, dd13cTextSemdedupAnn(spark, dir))
+
+  /** DD13r: the semantic-dedup ROUTER itself, driver-verified (the ev7c
+    * discipline) — [[graft.operators.Clustering.semDedupPairsRouted]]
+    * probes the corpus's pair mass on a deterministic sample and picks
+    * the LSH listing (output-linear corpora) or the ANN-assigned
+    * clustered shape (pair-dense corpora). At the verify SFs the probe
+    * measures ~0.25 pairs/doc and routes to the LSH branch; the 100×
+    * structure-dense probe corpus routes clustered (SCALE.md r10 pins
+    * both decisions). Held to the same recall gate whichever branch
+    * fires — routing is a plan choice inside one contract.
+    */
+  private def dd13rTextSemdedupRouted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.operators.Materialize(txDocEmb(spark, dir))
+    graft.operators.Clustering.semDedupPairsRouted(
+        Similarity.centerEmbeddings(emb), 0.8, txModel.dim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def dd13rGate(spark: SparkSession, dir: String): DataFrame =
+    textSemGate(spark, dir, dd13rTextSemdedupRouted(spark, dir))
+
   /** SS9: mined hard negatives — per query the five highest-cosine
     * DIFFERENT-label vectors below the 0.45 denoise cap (on this corpus,
     * dd6's pair threshold: real ≥0.45 different-label pairs exist, so
@@ -3639,6 +3680,10 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd13_gate" -> (dd13Gate(_, _)),
     "dd13b_text_semdedup" -> (dd13bTextSemdedupClustered(_, _)),
     "dd13b_gate" -> (dd13bGate(_, _)),
+    "dd13c_text_semdedup_ann" -> (dd13cTextSemdedupAnn(_, _)),
+    "dd13c_gate" -> (dd13cGate(_, _)),
+    "dd13r_text_semdedup_routed" -> (dd13rTextSemdedupRouted(_, _)),
+    "dd13r_gate" -> (dd13rGate(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
     "ss2_recall" -> (ss2Recall(_, _)),
@@ -5914,6 +5959,10 @@ ORDER BY token_id"""
     // dd13_gate: lexical near-dups must all surface in the semantic set
     "dd13_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd13b_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    // dd13c/dd13r: the ANN-assigned clustered form and the measured
+    // router both hold the identical lexical-recall contract
+    "dd13c_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "dd13r_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // ss9: ss1's cosine replay + label-mismatch filter + denoise cap +
     // per-query rank — the full mined-negative set
     "ss9_hard_negatives" ->

@@ -45,7 +45,30 @@ private[graft] final class CentroidIndex(
     * scoring all k cells with `cosLocal` and taking
     * `sortBy((-score, id)).take(n)`.
     */
-  def search(v: Array[Float], n: Int): Array[Int] = {
+  def search(v: Array[Float], n: Int): Array[Int] =
+    searchImpl(v, n, Int.MaxValue)
+
+  /** BOUNDED approximate top-`n`: visit at most `maxGroups` coarse groups
+    * (best cosine-upper-bound first, the exact search's own visit order)
+    * and stop — the exactness prune still fires early when it can, but
+    * the scan never degrades to the flat O(k·d) worst case. This is the
+    * ANN-ASSISTED assignment the SemDeDup family needs at auto-k: on
+    * high-dimensional concentrated data the triangle-inequality bounds
+    * barely separate (all group distances look alike), so the EXACT
+    * search's fallback is the full scan — the measured O(n·k) wall the
+    * 100× dd13b probe died on. Capping groups bounds per-row work at
+    * O((√k + maxGroups·√k)·d); the true nearest cell lives in one of the
+    * best-bound groups with high probability (same recovery argument as
+    * multiprobe LSH / `nAssign`), and for clustering-style consumers a
+    * rare second-best assignment perturbs cluster shape, not correctness
+    * — measured assignment agreement and the dd13c recall gate pin it.
+    */
+  def searchApprox(v: Array[Float], n: Int, maxGroups: Int): Array[Int] = {
+    require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
+    searchImpl(v, n, maxGroups)
+  }
+
+  private def searchImpl(v: Array[Float], n: Int, maxGroups: Int): Array[Int] = {
     var nv = 0.0
     var i = 0
     while (i < v.length) { val x = v(i).toDouble; nv += x * x; i += 1 }
@@ -55,6 +78,7 @@ private[graft] final class CentroidIndex(
     // coarse pass: distance from v̂ to each group center
     val order = new Array[Int](coarse.length)
     val lb = new Array[Double](coarse.length) // cosine upper bound per group
+    val dv = new Array[Double](coarse.length) // raw center distance
     var g = 0
     while (g < coarse.length) {
       val z = coarse(g)
@@ -64,14 +88,26 @@ private[graft] final class CentroidIndex(
       while (j < m) { val t = v(j) * inv - z(j); d2 += t * t; j += 1 }
       while (j < z.length) { d2 += z(j) * z(j); j += 1 }
       while (j < v.length) { val t = v(j) * inv; d2 += t * t; j += 1 } // v longer
-      val slack = math.max(0.0, math.sqrt(d2) - radius(g))
+      dv(g) = math.sqrt(d2)
+      val slack = math.max(0.0, dv(g) - radius(g))
       lb(g) = 1.0 - slack * slack / 2.0 // cosine UPPER bound for the group
       order(g) = g
       g += 1
     }
-    // visit groups best-bound-first; once a bound is prunable, all later
-    // ones are too (bounds descend along the visit order)
-    val visit = order.sortBy(g => -lb(g))
+    // EXACT mode visits best-bound-first: once a bound is prunable, all
+    // later ones are too (bounds descend along the visit order), so the
+    // first prunable group ends the scan with the flat result proven.
+    // BOUNDED mode visits nearest-coarse-center-first instead (the
+    // standard two-level IVF probe order): the upper bound is a PRUNING
+    // device, not a proximity ranking — on concentrated data it is
+    // dominated by group radii and correlates weakly with which group
+    // holds the true nearest (measured 77% top-1 agreement ordering the
+    // visited prefix by bound vs 9x fewer misses by dv) — and keeps the
+    // bound as a per-group skip, which stays valid in any order.
+    val exact = maxGroups == Int.MaxValue
+    val visit =
+      if (exact) order.sortBy(g => -lb(g))
+      else order.sortBy(g => dv(g))
 
     // top-n buffer under the flat scan's exact total order (−score, id):
     // insertion into a sorted n-slot array — n is tiny (1..nProbe)
@@ -93,10 +129,14 @@ private[graft] final class CentroidIndex(
     alwaysScan.foreach(offer)
     var vi = 0
     var done = false
-    while (vi < visit.length && !done) {
+    while (vi < visit.length && vi < maxGroups && !done) {
       val gg = visit(vi)
-      if (filled == n && lb(gg) < bs(n - 1) - eps) done = true
-      else groups(gg).foreach(offer)
+      if (filled == n && lb(gg) < bs(n - 1) - eps) {
+        // prunable group: in bound order everything after it is too (end
+        // the scan — exactness proof); in dv order only THIS group is
+        // proven empty of contenders (skip it, keep walking)
+        if (exact) done = true
+      } else groups(gg).foreach(offer)
       vi += 1
     }
     bi.take(filled)

@@ -53,14 +53,15 @@ object Clustering {
     * uniform (r4 advice).
     */
   def kmeansAssign(emb: DataFrame, nClusters: Int, iterations: Int = 2,
-      trainSampleMod: Int = 1, targetClusterSize: Int = 128): DataFrame = {
+      trainSampleMod: Int = 1, targetClusterSize: Int = 128,
+      assignGroups: Int = 0): DataFrame = {
     val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
     val centroids = Similarity.trainKmeans(
       emb.select(col("vec_id"), col("embedding")), k, iterations,
-      trainSampleMod, nKnown)
+      trainSampleMod, nKnown, assignGroups)
     emb.select(col("vec_id"),
-      Similarity.bestCellUdf(emb.sparkSession, centroids)(col("embedding"))
-        .as("cluster"))
+      Similarity.bestCellUdf(emb.sparkSession, centroids, assignGroups)(
+        col("embedding")).as("cluster"))
   }
 
   /** Cluster cardinality profile: (cluster, n_vectors) — the one-line
@@ -91,10 +92,26 @@ object Clustering {
     * web scale nClusters is chosen so n/k is bounded; SemDeDup used 50k
     * clusters for LAION-scale corpora).
     */
+  /** `assignGroups` (default 0 = provably-exact assignment): with a
+    * positive value every centroid-assignment pass — Lloyd training
+    * rounds AND the nAssign multi-assignment — is capped at that many
+    * coarse groups of the two-level index
+    * ([[CentroidIndex.searchApprox]]). This is the ANN-ASSISTED
+    * assignment that closes the auto-k scale wall: exact assignment is
+    * O(n·k) = n²/targetClusterSize FLOPs when the triangle-inequality
+    * bounds cannot prune (measured: the 100× dd13b probe, killed at ~1 h
+    * extrapolated); capped, it is O(n·√k·(1+assignGroups)·d) — at the
+    * 100× probe the same operator completes in minutes (SCALE.md r10).
+    * Assignment becomes approximate the same way the nAssign/multiprobe
+    * shells already are: a boundary vector may land in its second-best
+    * cell, which perturbs WHICH cluster verifies a pair, never the exact
+    * cosine scoring — the dd13c gate holds the same lexical-recall
+    * contract as the exact form.
+    */
   def semDedupPairs(emb: DataFrame, minCosine: Double, nClusters: Int = 0,
       iterations: Int = 2, trainSampleMod: Int = 1,
       maxClusterSize: Option[Int] = Some(4096), nAssign: Int = 2,
-      targetClusterSize: Int = 128): DataFrame = {
+      targetClusterSize: Int = 128, assignGroups: Int = 0): DataFrame = {
     import graft.functions.{r4, vecDotF, vecNormF}
     val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
     require(nAssign >= 1 && nAssign <= k)
@@ -105,14 +122,14 @@ object Clustering {
       col("embedding"), vecNormF(col("embedding")).as("norm")))
     val centroids = Similarity.trainKmeans(
       base.select(col("id").as("vec_id"), col("embedding")), k, iterations,
-      trainSampleMod, nKnown)
+      trainSampleMod, nKnown, assignGroups)
     // Ids only through the cluster aggregation; vectors come back via the
     // verify join — the same memory shape as Dedup.embeddingCosinePairsLsh
     // after its 100x-probe OOM fix: collecting struct(id, norm, embedding)
     // per member held every cluster's vectors in aggregation state.
     val assigned = base.select(
-      explode(Similarity.bestCellsUdf(base.sparkSession, centroids, nAssign)(
-        col("embedding"))).as("cluster"),
+      explode(Similarity.bestCellsUdf(base.sparkSession, centroids, nAssign,
+        assignGroups)(col("embedding"))).as("cluster"),
       col("id"))
     val clusters = assigned.groupBy(col("cluster"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -144,12 +161,91 @@ object Clustering {
   def semDedupCorpus(emb: DataFrame, minCosine: Double, nClusters: Int = 0,
       iterations: Int = 2, trainSampleMod: Int = 1,
       maxClusterSize: Option[Int] = Some(4096), nAssign: Int = 2,
-      targetClusterSize: Int = 128): DataFrame = {
+      targetClusterSize: Int = 128, assignGroups: Int = 0): DataFrame = {
     val pairs = semDedupPairs(emb, minCosine, nClusters, iterations,
-      trainSampleMod, maxClusterSize, nAssign, targetClusterSize)
+      trainSampleMod, maxClusterSize, nAssign, targetClusterSize,
+      assignGroups)
     val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
     emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** The semantic-dedup ROUTER, as code (the ev7c/sessionWindowSkewSafe
+    * precedent): choose between the two measured shapes of
+    * semantic-pair listing from a MEASURED pair-mass estimate, instead
+    * of leaving the dd13-vs-dd13b rule as prose.
+    *
+    * The two shapes (both hold the same recall contract; SCALE.md
+    * §dd13-vs-dd13b measured both at 1×/10×/100×):
+    *  - LSH pair scan ([[Dedup.embeddingCosinePairsLsh]], the dd13
+    *    shape): CPU-cheapest, but its shuffle/spill footprint IS the
+    *    output pair mass — on a pair-dense corpus the ≥threshold mass
+    *    grows quadratically (the 100× probe exhausted 74 GB of spill).
+    *  - clustered SemDeDup with ANN-assisted assignment
+    *    ([[semDedupPairs]] `assignGroups`, the dd13b/dd13c shape):
+    *    candidate volume bounded at ~n·targetClusterSize and capped per
+    *    cell, so spill stays linear whatever the pair mass; costs the
+    *    clustering passes.
+    *
+    * The probe: a deterministic `vec_id % mod` sample of ~`sampleTarget`
+    * vectors (the trainKmeans sampling convention — layout- and
+    * retry-independent), all-pairs cosine ON THE DRIVER (metadata-scale:
+    * 1024 vectors = 524k cosines, milliseconds), giving p̂ = the
+    * fraction of pairs at/above `minCosine`; expected output pairs per
+    * doc = p̂·(n−1)/2. At or under `pairBudgetPerDoc` the output is
+    * LINEAR in the corpus and the LSH listing is safe; over it, the
+    * listing's own output is the scale hazard and the clustered shape
+    * wins. `knownPairsPerDoc` skips the probe (the
+    * sessionWindowSkewSafe `knownTopShare` convention) — also the
+    * deterministic branch-pin for tests.
+    *
+    * Routing is a PLAN choice within one contract (both branches are
+    * approximate pair listings holding the same recall gate), not a
+    * semantics switch: callers must not depend on which near-miss pairs
+    * an individual branch recovers.
+    */
+  def semDedupPairsRouted(emb: DataFrame, minCosine: Double, dim: Int,
+      pairBudgetPerDoc: Double = 32.0, sampleTarget: Int = 1024,
+      assignGroups: Int = 4, targetClusterSize: Int = 128,
+      knownPairsPerDoc: Option[Double] = None): DataFrame = {
+    require(pairBudgetPerDoc > 0, s"pairBudgetPerDoc: $pairBudgetPerDoc")
+    require(sampleTarget >= 16 && sampleTarget <= 8192,
+      s"sampleTarget out of [16, 8192]: $sampleTarget")
+    // Materialized: consumed by the count, the probe sample, and the
+    // chosen branch's full scan.
+    val base = Materialize(emb.select(col("vec_id"), col("embedding")))
+    val n = math.max(0L, base.count())
+    val estPairsPerDoc = knownPairsPerDoc.getOrElse {
+      if (n < 2) 0.0
+      else {
+        val mod = math.max(1L, n / sampleTarget)
+        val sample = base
+          .filter(pmod(col("vec_id"), lit(mod)) === 0)
+          .filter(col("embedding").isNotNull)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).toArray)
+        val s = sample.length
+        var hits = 0L
+        var i = 0
+        while (i < s) {
+          var j = i + 1
+          while (j < s) {
+            if (Similarity.cosLocal(sample(i), sample(j)) >= minCosine)
+              hits += 1
+            j += 1
+          }
+          i += 1
+        }
+        val tot = s.toLong * (s - 1) / 2
+        if (tot == 0L) 0.0
+        else hits.toDouble / tot * (n - 1).toDouble / 2.0
+      }
+    }
+    if (estPairsPerDoc <= pairBudgetPerDoc)
+      Dedup.embeddingCosinePairsLsh(base, minCosine, dim)
+    else
+      semDedupPairs(base, minCosine,
+        targetClusterSize = targetClusterSize, assignGroups = assignGroups)
   }
 }

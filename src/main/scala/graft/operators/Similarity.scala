@@ -359,11 +359,20 @@ object Similarity {
     * per row instead of the flat O(k·d) scan, with a conservative bound
     * that makes the result provably identical to the flat scan.
     */
+  /** `assignGroups = 0` (default) keeps the provably-exact search;
+    * `> 0` caps the per-row scan at that many coarse groups
+    * ([[CentroidIndex.searchApprox]] — the ANN-assisted assignment for
+    * auto-k clustering, where exact assignment is the measured O(n·k)
+    * scale wall).
+    */
   private[operators] def bestCellUdf(spark: org.apache.spark.sql.SparkSession,
-      cs: Array[Array[Float]]) = {
+      cs: Array[Array[Float]], assignGroups: Int = 0) = {
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cs))
+    val g = assignGroups
     udf { (emb: Seq[Float]) =>
-      if (emb == null) -1 else bc.value.search(emb.toArray, 1)(0)
+      if (emb == null) -1
+      else if (g > 0) bc.value.searchApprox(emb.toArray, 1, g)(0)
+      else bc.value.search(emb.toArray, 1)(0)
     }
   }
 
@@ -375,10 +384,13 @@ object Similarity {
     * like [[bestCellUdf]].
     */
   private[operators] def bestCellsUdf(spark: org.apache.spark.sql.SparkSession,
-      cs: Array[Array[Float]], n: Int) = {
+      cs: Array[Array[Float]], n: Int, assignGroups: Int = 0) = {
     val bc = spark.sparkContext.broadcast(CentroidIndex.build(cs))
+    val g = assignGroups
     udf { (emb: Seq[Float]) =>
-      if (emb == null) Array.empty[Int] else bc.value.search(emb.toArray, n)
+      if (emb == null) Array.empty[Int]
+      else if (g > 0) bc.value.searchApprox(emb.toArray, n, g)
+      else bc.value.search(emb.toArray, n)
     }
   }
 
@@ -408,9 +420,15 @@ object Similarity {
     */
   private[operators] val MaxTrainVectors: Long = 1L << 20
 
+  /** `assignGroups > 0` caps the Lloyd rounds' per-row assignment scan at
+    * that many coarse groups (the same ANN-assist as the final
+    * assignment — each Lloyd round IS an assignment pass, so at auto-k
+    * the training rounds hit the same O(n·k) wall).
+    */
   private[operators] def trainKmeans(corpus: DataFrame, nCells: Int,
       iterations: Int, trainSampleMod: Int = 1,
-      knownCount: Option[Long] = None): Array[Array[Float]] = {
+      knownCount: Option[Long] = None,
+      assignGroups: Int = 0): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(nCells > 0 && iterations >= 0 && trainSampleMod >= 1)
@@ -439,7 +457,7 @@ object Similarity {
 
     for (_ <- 0 until iterations) {
       val means = train
-        .select(bestCellUdf(spark, centroids)(col("embedding")).as("cell"),
+        .select(bestCellUdf(spark, centroids, assignGroups)(col("embedding")).as("cell"),
           posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg((graft.functions.exactSum(col("x")) / count(lit(1))).as("m"))

@@ -121,6 +121,105 @@ class ClusteringSpec extends AnyFunSuite {
       assert(idx64.search(q, 2).toSeq == idx64.flatSearch(q, 2).toSeq)
   }
 
+  test("CentroidIndex.searchApprox: bounded groups, structured accuracy, twin consistency") {
+    import graft.operators.CentroidIndex
+    val rnd = new java.util.Random(13)
+    val d = 24
+    // STRUCTURED centroid model — the regime a TRAINED k-means actually
+    // produces (centroids concentrate around the data's modes, so the
+    // coarse Lloyd grouping recovers real structure): 16 super-centers,
+    // 16 centroids each at small spread
+    val supers = Array.fill(16, d)(rnd.nextGaussian().toFloat * 3f)
+    val cs: Array[Array[Float]] = Array.tabulate(256) { i =>
+      val s = supers(i / 16)
+      Array.tabulate(d)(j => s(j) + 0.2f * rnd.nextGaussian().toFloat)
+    }
+    val idx = CentroidIndex.build(cs)
+    val queries = (0 until 300).map { _ =>
+      val s = supers(rnd.nextInt(16))
+      Array.tabulate(d)(j => s(j) + 0.5f * rnd.nextGaussian().toFloat)
+    }
+    // a huge cap IS the exact search (the prune path is shared)
+    for (q <- queries.take(50))
+      assert(idx.searchApprox(q, 2, Int.MaxValue).toSeq == idx.search(q, 2).toSeq)
+    // a tight cap (4 of ~16 groups) recovers the true nearest cell on
+    // structured models essentially always
+    val agree = queries.count(q =>
+      idx.searchApprox(q, 1, 4).headOption == idx.search(q, 1).headOption)
+    assert(agree >= (queries.size * 0.97).toInt,
+      s"approx top-1 agreement too low on structured model: $agree/${queries.size}")
+    // TWIN CONSISTENCY — the property SemDeDup actually rides: a
+    // near-duplicate pair must land in the SAME cells even when the
+    // absolute assignment is the second-best (both vectors walk the same
+    // group order), else the pair is never co-candidate. Worst case
+    // (UNSTRUCTURED random centroids, where coarse search degrades):
+    val randCs: Array[Array[Float]] =
+      Array.tabulate(256)(_ => Array.fill(d)(rnd.nextGaussian().toFloat))
+    val randIdx = CentroidIndex.build(randCs)
+    val twinsAgree = (0 until 200).count { _ =>
+      val v = Array.fill(d)(rnd.nextGaussian().toFloat)
+      val w = Array.tabulate(d)(j => v(j) * 1.001f + 0.001f) // jittered twin
+      randIdx.searchApprox(v, 2, 4).toSeq == randIdx.searchApprox(w, 2, 4).toSeq
+    }
+    assert(twinsAgree >= 196, s"near-dup twins split cells: $twinsAgree/200")
+    // always top-n distinct, never more than n, never empty on live data
+    for (q <- queries.take(20)) {
+      val r = idx.searchApprox(q, 3, 2)
+      assert(r.length <= 3 && r.distinct.length == r.length && r.nonEmpty)
+    }
+    intercept[IllegalArgumentException] { idx.searchApprox(queries.head, 1, 0) }
+  }
+
+  test("semDedupPairs assignGroups: ANN-assisted form keeps precision and the planted dups") {
+    val emb = rows.toDF("vec_id", "embedding")
+    val ann = Clustering.semDedupPairs(emb, 0.95, k, 2, assignGroups = 4)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // precision 1.0: scoring is the exact formula whatever assigned the
+    // cluster — every pair is in the exact cartesian at the threshold
+    val exact = Dedup.embeddingCosinePairs(emb, 0.95)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ann.subsetOf(exact))
+    // the planted near-dup group still surfaces
+    val ids = ann.flatMap(p => Seq(p._1, p._2))
+    assert(ids.contains(0L) && ids.contains(1000L) && ids.contains(1001L))
+    // deterministic across layouts
+    val ann2 = Clustering.semDedupPairs(emb.repartition(7), 0.95, k, 2,
+        assignGroups = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(ann2 == ann)
+  }
+
+  test("semDedupPairsRouted: measured probe picks a branch; both branches hold the contract") {
+    val emb = rows.toDF("vec_id", "embedding")
+    // this corpus is pair-sparse at 0.95 (only the planted group), so the
+    // probe routes to the LSH listing — identical rows to calling it
+    val routed = Clustering.semDedupPairsRouted(emb, 0.95, dim)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(emb, 0.95, dim)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(routed == lsh && routed.nonEmpty)
+    // knownPairsPerDoc pins the branch (the sessionWindowSkewSafe
+    // convention): forcing "pair-dense" routes to the clustered shape,
+    // which must still surface the planted group with exact cosines
+    val clustered = Clustering.semDedupPairsRouted(emb, 0.95, dim,
+        knownPairsPerDoc = Some(1e9))
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.embeddingCosinePairs(emb, 0.95)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(clustered.subsetOf(exact))
+    val ids = clustered.flatMap(p => Seq(p._1, p._2))
+    assert(ids.contains(0L) && ids.contains(1000L) && ids.contains(1001L))
+    // schema identical whichever branch fires
+    assert(Clustering.semDedupPairsRouted(emb, 0.95, dim).columns.toSeq ==
+      Clustering.semDedupPairsRouted(emb, 0.95, dim,
+        knownPairsPerDoc = Some(1e9)).columns.toSeq)
+    intercept[IllegalArgumentException] {
+      Clustering.semDedupPairsRouted(emb, 0.95, dim, pairBudgetPerDoc = 0.0)
+    }
+  }
+
   test("kmeansAssign auto-k (nClusters <= 0) resolves like semDedupPairs") {
     val emb = rows.toDF("vec_id", "embedding")
     // 82 rows at targetClusterSize 16 -> ceil(82/16) = 6 cells, floor 8
