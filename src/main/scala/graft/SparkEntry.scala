@@ -2908,6 +2908,57 @@ object SparkEntry {
     Seq(acc.value).toDF("n_clean")
   }
 
+  /** STREAM-STATE gate (literal oracle): the
+    * [[graft.streaming.StreamObservability]] metrics table, held to
+    * DETERMINISTIC ground truth — replay the documents as a stream
+    * through a watermarked streaming dedup and require (a) progress rows
+    * exist, (b) the metrics' total input rows equal the corpus count
+    * exactly, and (c) the final state-store row count equals the
+    * corpus's distinct fingerprint count exactly (dedup state holds one
+    * row per distinct key; the doc_id-derived event time spans far less
+    * than the watermark delay, so nothing evicts). Timings and bytes are
+    * host noise, but THESE three are exact invariants — the
+    * observability operator's accounting is driver-verified, not just
+    * spec-asserted.
+    */
+  private def streamStateGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+      .withColumn("ts",
+        timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
+    val deduped = docs
+      .withColumn("fp", md5(substring(col("text"), 1, 100)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssg_").toString
+    val q = deduped.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+      .start()
+    q.awaitTermination()
+    // recentProgress is populated synchronously by the (terminated)
+    // execution thread — the deterministic source for the gate; the
+    // listener-based ProgressRecorder (async bus) is spec territory
+    val m = graft.streaming.StreamObservability.stateMetrics(spark, q)
+      .orderBy(col("batch_id")).collect()
+    val corpus = tbl(spark, dir, "documents")
+    val nRows = corpus.count()
+    val nDistinct = corpus
+      .select(md5(substring(col("text"), 1, 100))).distinct().count()
+    val inputTotal = m.map(_.getAs[Long]("input_rows")).sum
+    val finalState = m.lastOption.map(_.getAs[Long]("state_rows")).getOrElse(-1L)
+    Seq((
+      if (m.nonEmpty) 1 else 0,
+      if (inputTotal == nRows) 1 else 0,
+      if (finalState == nDistinct) 1 else 0))
+      .toDF("has_batches", "input_match", "state_match")
+  }
+
   /** TA18s: train-batch / score-STREAM domain classification — the
     * production shape of ta18: the NB model trains on the static corpus
     * (two hash-aggs), collects as metadata (≤ C×V rows, contract-pinned),
@@ -3779,6 +3830,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_curation" -> (streamCuration(_, _)),
     "stream_ccingest" -> (streamCcIngest(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
+    "stream_state_gate" -> (streamStateGate(_, _)),
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
@@ -4657,6 +4709,11 @@ ORDER BY token_id"""
     // and stays bounded over the corpus (SQL has no deflate, so the gate
     // carries the registry-level check for the rows-only ta10)
     "ta10_gate" -> "SELECT 1 AS has_rows, 1 AS ordered, 1 AS bounded",
+    // stream_state_gate: the observability table's accounting equals
+    // exact ground truth (input rows == corpus count, final dedup state
+    // rows == distinct fingerprints)
+    "stream_state_gate" ->
+      "SELECT 1 AS has_batches, 1 AS input_match, 1 AS state_match",
     // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
     // order sensitivity, near-dup beats unrelated, bit-exact determinism
     "tx_gate" ->

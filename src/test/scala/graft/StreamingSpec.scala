@@ -114,6 +114,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamObservability: recorder captures every trigger, metrics match ground truth") {
+    import spark.implicits._
+    import graft.streaming.StreamObservability
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val rec = StreamObservability.attach(spark)
+    val q = EventStreams.dedupStream(df, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 01:00:00")
+      input.addData((t0, 1L, "a"), (t0, 2L, "a"), (t0, 3L, "b"))
+      q.processAllAvailable()
+      input.addData((t0, 4L, "b"), (t0, 5L, "c"))
+      q.processAllAvailable()
+      // ring-buffer source: exact accounting — 5 input rows over the
+      // data batches, dedup state holds the 3 distinct hashes
+      val m = StreamObservability.stateMetrics(spark, q)
+        .orderBy("batch_id")
+        .select("batch_id", "input_rows", "state_rows")
+        .as[(Long, Long, Long)].collect()
+      // sums stay exact even though a no-data trigger can REPEAT the
+      // last batch_id with 0 input rows (ring-buffer semantics)
+      assert(m.map(_._2).sum == 5L)
+      assert(m.last._3 == 3L)
+      // listener source (async bus): eventually sees the same batches
+      val qid = q.id.toString
+      def recorded() = rec.snapshot.filter(_.query_id == qid)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (recorded().map(_.input_rows).sum < 5L &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val r = recorded()
+      assert(r.map(_.input_rows).sum == 5L)
+      assert(r.maxBy(_.batch_id).state_rows == 3L)
+      assert(rec.droppedEvents == 0L)
+      assert(rec.stateMetrics(spark).columns.toSeq == Seq("query_id",
+        "batch_id", "input_rows", "state_operators", "state_rows",
+        "state_bytes", "rows_updated", "rows_removed"))
+    } finally {
+      q.stop()
+      StreamObservability.detach(spark, rec)
+    }
+    // bounded buffer: overflow drops oldest, counts drops, never throws
+    val tiny = new StreamObservability.ProgressRecorder(maxEvents = 1)
+    intercept[IllegalArgumentException] {
+      new StreamObservability.ProgressRecorder(maxEvents = 0)
+    }
+    assert(tiny.snapshot.isEmpty && tiny.droppedEvents == 0L)
+  }
+
   test("curateStream: gates + prefix dedup over a stream, batch-gate parity") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
