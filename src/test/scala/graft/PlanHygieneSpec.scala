@@ -126,6 +126,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "qz6b_sign_rerank", "qz6b_recall",
     // one-row (ntot, z) mixture-totals broadcast onto the domain table
     "mx2_temperature", "pipe_training_mix",
+    // two one-row planted-scalar broadcasts (r_rep, r_prose) onto the
+    // one-row corpus aggregate
+    "ta10_gate",
     // dc5 broadcasts the maxBench-required eval suite over the corpus
     // scan (the declared contract); ta18/cur2 broadcast metadata-scale
     // model tables (C x V grid, bucket log-ratios) and one-row totals;
