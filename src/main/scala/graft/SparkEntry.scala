@@ -1407,6 +1407,36 @@ object SparkEntry {
       Dedup.embeddingCosinePairsLsh(emb, 0.85, 64))
   }
 
+  /** DD6c: the semantic-dedup ROUTER on the fully oracle-able embeddings
+    * table — the dd13r machinery with the hard anchors the tx path
+    * cannot carry: containment is ORACLED (whichever branch fires, every
+    * routed pair is exact-scored and must appear in the cartesian at the
+    * threshold with an identical cosine) and the recall gate floors the
+    * planted-pair recall at dd6b's 95. At the verify SFs the pair-mass
+    * probe measures the planted corpus pair-sparse and routes the LSH
+    * listing; the clustered branch is pinned by ClusteringSpec's
+    * forced-branch case and the 100x probe.
+    */
+  private def dd6cEmbeddingPairsRouted(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.operators.Clustering.semDedupPairsRouted(
+        nearDupEmbeddings(tbl(spark, dir, "embeddings")), 0.85, 64)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dd6cContainment(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    containmentAudit(
+      graft.operators.Clustering.semDedupPairsRouted(emb, 0.85, 64),
+      Dedup.embeddingCosinePairs(emb, 0.85))
+  }
+
+  private def dd6cRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = nearDupEmbeddings(tbl(spark, dir, "embeddings"))
+    Similarity.pairRecall(
+      Dedup.embeddingCosinePairs(emb, 0.85),
+      graft.operators.Clustering.semDedupPairsRouted(emb, 0.85, 64))
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** CL1: k-means cluster cardinality profile (8 cells, 2 Lloyd rounds,
@@ -1555,6 +1585,9 @@ object SparkEntry {
 
   private def dd6bGate(spark: SparkSession, dir: String): DataFrame =
     recallGate(dd6bRecall(spark, dir), 95)
+
+  private def dd6cGate(spark: SparkSession, dir: String): DataFrame =
+    recallGate(dd6cRecall(spark, dir), 95)
 
   private def cl3Gate(spark: SparkSession, dir: String): DataFrame =
     recallGate(cl3SemdedupRecall(spark, dir), 90)
@@ -3690,6 +3723,10 @@ FROM m ORDER BY doc_id, summarizer""")
     "ss7b_index_append" -> (ss7bIndexAppend(_, _)),
     "qz4_gate" -> (qz4Gate(_, _)),
     "dd6b_gate" -> (dd6bGate(_, _)),
+    "dd6c_embedding_pairs_routed" -> (dd6cEmbeddingPairsRouted(_, _)),
+    "dd6c_containment" -> (dd6cContainment(_, _)),
+    "dd6c_recall" -> (dd6cRecall(_, _)),
+    "dd6c_gate" -> (dd6cGate(_, _)),
     "cl3_gate" -> (cl3Gate(_, _)),
     "cl1_gate" -> (cl1Gate(_, _)),
     "sp1_split" -> (sp1Split(_, _)),
@@ -6420,6 +6457,11 @@ ORDER BY token_id"""
     "dd6b_containment" ->
       """SELECT 1 AS has_pairs, CAST(0 AS BIGINT) AS n_missing,
            CAST(0 AS BIGINT) AS n_cosine_mismatch""",
+    // dd6c: the routed listing is exact-scored whichever branch the
+    // pair-mass probe picks — containment holds as a literal
+    "dd6c_containment" ->
+      """SELECT 1 AS has_pairs, CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_cosine_mismatch""",
     // cl4 removal precision: every removed doc has an exactly-verified
     // near-dup partner (see cl4Containment scaladoc).
     "cl4_containment" ->
@@ -6439,6 +6481,7 @@ ORDER BY token_id"""
     "qz4_gate" -> "SELECT 70 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "ss8_gate" -> "SELECT 65 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "dd6b_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
+    "dd6c_gate" -> "SELECT 95 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "cl3_gate" -> "SELECT 90 AS floor_x100, 1 AS has_rows, 1 AS pass",
     // cl1 partition invariant: 8 non-empty cells covering every vector
     "cl1_gate" -> "SELECT 8 AS n_cells, 1 AS coverage_ok",
