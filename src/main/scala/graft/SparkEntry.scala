@@ -2059,9 +2059,13 @@ object SparkEntry {
     * must (a) rank a PLANTED maximally-repetitive doc strictly below
     * planted varied prose — the discriminating property every
     * compression-quality gate relies on — and (b) stay in [0, 1.5] over
-    * the whole corpus (deflate overhead can push tiny docs above 1.0 but
-    * never near 1.5 on word text). A Deflater-config regression (level,
-    * dictionary, ratio denominator) flips a literal and breaks the hash.
+    * every corpus doc of >= 64 UTF-8 bytes: deflate's fixed ~10-byte
+    * zlib overhead legitimately pushes TINY docs far above 1.5 (a
+    * 2-byte doc deflates to ~10 bytes, ratio ~5), so the bound only
+    * means something once the overhead is amortized — shorter docs are
+    * the length gates' (ta1/ta13) jurisdiction, not a compression
+    * defect. A Deflater-config regression (level, dictionary, ratio
+    * denominator) flips a literal and breaks the hash.
     */
   private def ta10Gate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -2076,13 +2080,17 @@ object SparkEntry {
       .select(col("compress_ratio").as("r_rep"))
     val prose = pr.filter(col("doc_id") === 2L)
       .select(col("compress_ratio").as("r_prose"))
+    val amortized = when(octet_length(col("text")) >= 64,
+      col("compress_ratio"))
     TextAnalysis.compressionRatio(tbl(spark, dir, "documents"))
-      .agg(count(lit(1)).as("n"), min(col("compress_ratio")).as("mn"),
-        max(col("compress_ratio")).as("mx"))
+      .agg(count(lit(1)).as("n"), min(amortized).as("mn"),
+        max(amortized).as("mx"))
       .crossJoin(broadcast(rep)).crossJoin(broadcast(prose))
       .select((col("n") > 0).cast("int").as("has_rows"),
         (col("r_rep") < col("r_prose")).cast("int").as("ordered"),
-        (col("mn") >= 0.0 && col("mx") <= 1.5).cast("int").as("bounded"))
+        // vacuously bounded when no doc reaches the amortized regime
+        coalesce(col("mn") >= 0.0 && col("mx") <= 1.5, lit(true))
+          .cast("int").as("bounded"))
   }
 
   private def ta8Repetition(spark: SparkSession, dir: String): DataFrame = {
@@ -2967,13 +2975,18 @@ object SparkEntry {
       .withColumn("fp", md5(substring(col("text"), 1, 100)))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssg_").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ssg_")
     val q = deduped.writeStream
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptDir.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
       .start()
     q.awaitTermination()
+    // the checkpoint is per-invocation scratch — delete it (bench/verify
+    // loops would otherwise leak a state-store tree per run)
+    java.nio.file.Files.walk(ckptDir).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
     // recentProgress is populated synchronously by the (terminated)
     // execution thread — the deterministic source for the gate; the
     // listener-based ProgressRecorder (async bus) is spec territory

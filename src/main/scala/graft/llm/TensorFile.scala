@@ -60,7 +60,8 @@ object TensorFile {
         case other => sys.error(
           s"$path: tensor $name has unsupported dtype $other (need F32/F64)")
       }
-      require(end - start == n.toLong * width &&
+      require(start >= 0 && start <= end &&
+        end - start == n.toLong * width &&
         dataBase + end <= bytes.length,
         s"$path: tensor $name offsets [$start,$end) inconsistent with " +
           s"shape ${shape.mkString("x")}")
@@ -86,6 +87,14 @@ object TensorFile {
       case "F32" => 4
       case "F64" => 8
       case other => sys.error(s"unsupported dtype $other")
+    }
+    // names interpolate into the JSON header unescaped — restrict to the
+    // character set real checkpoint tensor names use and fail loudly on
+    // anything that would corrupt (or forge entries in) the header
+    tensors.foreach { case (name, _) =>
+      require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+        s"tensor name not header-safe (need [A-Za-z0-9._-]+): '$name'")
     }
     var off = 0L
     val fields = tensors.map { case (name, t) =>

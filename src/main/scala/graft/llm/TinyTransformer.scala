@@ -156,6 +156,16 @@ final case class TinyTransformer(
 
   private def loadWeights(path: String): Array[Layer] = {
     val t = TensorFile.load(path)
+    // fail-loudly symmetry: a checkpoint carrying tensors this model
+    // cannot consume (extra layers, misspelled names) is a config
+    // mismatch, not something to silently half-load
+    val expected = (0 until layers).flatMap(l =>
+      Seq("wq", "wk", "wv", "wo", "w1", "w2").map(m => s"layers.$l.$m")).toSet
+    val unconsumed = t.keySet -- expected
+    require(unconsumed.isEmpty,
+      s"checkpoint $path: unconsumed tensors ${unconsumed.toSeq.sorted
+          .mkString(", ")} — the model has layers=$layers; construct " +
+        "TinyTransformer with the checkpoint's layer count")
     def mat(name: String, rows: Int, cols: Int): Array[Double] = {
       val tensor = t.getOrElse(name, sys.error(
         s"checkpoint $path: missing tensor $name (have: " +

@@ -31,7 +31,10 @@ object Similarity {
   private def requireQueryCap(queries: DataFrame, maxQueries: Int,
       op: String): Unit = {
     require(maxQueries >= 1, s"maxQueries must be >= 1: $maxQueries")
-    val n = queries.limit(maxQueries + 1).count()
+    // maxQueries = Int.MaxValue (cap effectively off) must not overflow
+    // the +1 into a negative limit
+    val lim = if (maxQueries == Int.MaxValue) Int.MaxValue else maxQueries + 1
+    val n = queries.limit(lim).count()
     require(n <= maxQueries,
       s"$op: query set exceeds maxQueries=$maxQueries — the exact scan is" +
         " O(|corpus| x |queries|) with a broadcast query side; for large" +

@@ -725,6 +725,9 @@ class OperatorsSpec extends AnyFunSuite {
       .mmrTopK(corpus, q3, 2, shortlist = 3, maxQueries = 3).count() > 0)
     assert(graft.operators.Similarity
       .hardNegatives(corpus, q3, 2, 0.99, maxQueries = 3).count() > 0)
+    // cap-effectively-off must not overflow the +1 into a negative limit
+    assert(graft.operators.Similarity
+      .bruteForceTopK(corpus, q3, 2, maxQueries = Int.MaxValue).count() > 0)
     // over-cap: each fails loudly and names the contract + the ANN path
     for (thunk <- Seq(
         () => graft.operators.Similarity.bruteForceTopK(corpus, q3, 2, maxQueries = 2),

@@ -102,6 +102,20 @@ class TinyTransformerSpec extends AnyFunSuite {
         weightsPath = Some(wrong)).embed("x")
     }
     assert(e2.getMessage.contains("shape"))
+    // a checkpoint with MORE layers than the model must not half-load
+    val deep = dir.resolve("deep.safetensors").toString
+    TinyTransformer(dim = 2, heads = 1, layers = 2, ffMult = 1)
+      .saveWeights(deep)
+    val e3 = intercept[IllegalArgumentException] {
+      TinyTransformer(dim = 2, heads = 1, layers = 1, ffMult = 1,
+        weightsPath = Some(deep)).embed("x")
+    }
+    assert(e3.getMessage.contains("unconsumed"))
+    // header-unsafe tensor names are rejected at save time
+    intercept[IllegalArgumentException] {
+      TensorFile.save(dir.resolve("bad.safetensors").toString,
+        Seq("a\"b" -> TensorFile.Tensor(Array(1), Array(1.0))))
+    }
   }
 
   test("committed fixture checkpoint produces the pinned vectors") {
