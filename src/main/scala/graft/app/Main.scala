@@ -52,7 +52,8 @@ object Main {
           "[--mix-unimax BUDGET[:EPOCHS]] " +
           "[--heavy-hitters K] [--eval-sample N] [--partition-by COLS]\n" +
           "       graft index build --embeddings PATH --out DIR [--pq] " +
-          "[--cells N] [--m M] [--ksub K] [--iterations I] [--sample-mod S]\n" +
+          "[--cells N] [--m M] [--ksub K] [--iterations I] [--sample-mod S] " +
+          "[--assign-groups G]\n" +
           "       graft index search --index DIR --queries PATH --out DIR " +
           "[--k K] [--probe P] [--shortlist S] [--embeddings PATH]\n" +
           "       graft publish --in PARQUET --out DIR [--key COL] | " +
@@ -115,8 +116,12 @@ object Main {
           emb, cells, m, ksub, iters, mod)
         graft.operators.Pq.saveIvfPqIndex(idx, cs, cbs, out)
       } else {
+        // --assign-groups N: ANN-assisted training/assignment (bounded
+        // coarse-group visits) for builds at cell counts where exact
+        // assignment is the O(n·k) wall; 0 (default) stays exact
+        val ag = opts.get("assign-groups").map(_.toInt).getOrElse(0)
         val (idx, cs) = graft.operators.Similarity.buildIvfIndex(
-          emb, cells, iters, mod)
+          emb, cells, iters, mod, ag)
         graft.operators.Similarity.saveIvfIndex(idx, cs, out)
       }
       println(s"[graft] index -> $out")

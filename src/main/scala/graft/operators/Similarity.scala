@@ -495,11 +495,13 @@ object Similarity {
     * query batch, and reloading it skips both retraining and the full
     * reassignment scan.
     */
-  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  def ivfAssign(corpus: DataFrame, centroids: Array[Array[Float]],
+      assignGroups: Int = 0): DataFrame = {
     import graft.functions.vecNormF
     corpus.select(col("vec_id"), col("embedding").as("emb_c"),
       vecNormF(col("embedding")).as("norm_c"),
-      bestCellUdf(corpus.sparkSession, centroids)(col("embedding")).as("cell"))
+      bestCellUdf(corpus.sparkSession, centroids, assignGroups)(
+        col("embedding")).as("cell"))
   }
 
   /** Serve approximate top-k from a prebuilt IVF index ([[ivfAssign]]
@@ -532,10 +534,19 @@ object Similarity {
   /** Train the coarse quantizer and build the inverted file in one call —
     * the index-construction half of the lifecycle (see [[saveIvfIndex]]).
     */
+  /** `assignGroups > 0` = ANN-assisted training AND assignment (the
+    * [[CentroidIndex.searchApprox]] bound) — the knob for index builds at
+    * cell counts where exact assignment is the measured O(n·k) wall; an
+    * approximately-assigned inverted file only shifts boundary vectors to
+    * a neighboring cell, which nProbe > 1 search absorbs the same way it
+    * absorbs centroid drift.
+    */
   def buildIvfIndex(corpus: DataFrame, nCells: Int = 16, iterations: Int = 2,
-      trainSampleMod: Int = 1): (DataFrame, Array[Array[Float]]) = {
-    val cs = trainKmeans(corpus, nCells, iterations, trainSampleMod)
-    (ivfAssign(corpus, cs), cs)
+      trainSampleMod: Int = 1,
+      assignGroups: Int = 0): (DataFrame, Array[Array[Float]]) = {
+    val cs = trainKmeans(corpus, nCells, iterations, trainSampleMod,
+      assignGroups = assignGroups)
+    (ivfAssign(corpus, cs, assignGroups), cs)
   }
 
   /** SS7: persist an IVF index — the centroid model (nCells rows) and the

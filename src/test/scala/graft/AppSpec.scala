@@ -292,6 +292,19 @@ class AppSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(hits.nonEmpty && hits.head._1 == 7L && hits.head._2 == 1.0)
 
+    // --assign-groups: the ANN-assisted build serves the same obvious
+    // nearest (identical-vector hit) through nProbe search
+    graft.app.Main.main(Array("index", "build",
+      "--embeddings", s"$dir/emb", "--out", s"$dir/ivf_ag",
+      "--cells", "4", "--assign-groups", "2"))
+    graft.app.Main.main(Array("index", "search",
+      "--index", s"$dir/ivf_ag", "--queries", s"$dir/q",
+      "--out", s"$dir/hits_ag", "--k", "3", "--probe", "2"))
+    val hitsAg = spark.read.parquet(s"$dir/hits_ag")
+      .orderBy(col("rank")).select("vec_id", "cosine")
+      .as[(Long, Double)].collect()
+    assert(hitsAg.nonEmpty && hitsAg.head._1 == 7L && hitsAg.head._2 == 1.0)
+
     graft.app.Main.main(Array("index", "build",
       "--embeddings", s"$dir/emb", "--out", s"$dir/ivfpq", "--pq",
       "--cells", "4", "--m", "2", "--ksub", "4"))
