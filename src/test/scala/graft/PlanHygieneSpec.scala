@@ -36,8 +36,14 @@ class PlanHygieneSpec extends AnyFunSuite {
     "dc5_semantic_decontam",
     "dd13_text_semantic_pairs", "dd13_gate", "ss10_centered_topk",
     // dd13b Materializes the tx embedding table and trains k-means at
-    // construction (the cl2 shape)
+    // construction (the cl2 shape); dd13c the same with ANN-assisted
+    // assignment; the dd13r/dd6c router additionally runs the pair-mass
+    // probe (count + driver sample) at construction
     "dd13b_text_semdedup", "dd13b_gate",
+    "dd13c_text_semdedup_ann", "dd13c_gate",
+    "dd13r_text_semdedup_routed", "dd13r_gate",
+    "dd6c_embedding_pairs_routed", "dd6c_containment", "dd6c_recall",
+    "dd6c_gate",
     "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
     "s9_sharded_export",
     "s10_partitioned_export",
