@@ -3005,6 +3005,51 @@ object SparkEntry {
       .toDF("has_batches", "input_match", "state_match")
   }
 
+  /** STREAM-INDEX gate (literal oracle): streaming ANN-index maintenance
+    * ([[graft.streaming.IndexStreams]]) held to its append contract —
+    * the embeddings table replays as a file stream, each micro-batch
+    * assigns against the FROZEN centroid model and lands under its
+    * batch_id partition (replay-idempotent overwrite), and the grown
+    * inverted file must be ROW-IDENTICAL (vec_id, cell) to the batch
+    * build over the same corpus with the same model: assignment is a
+    * pure function of (vector, centroids), so streamed-vs-batch
+    * divergence is a defect, never drift. The ss7b append contract,
+    * driver-verified in its streaming form.
+    */
+  private def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (batchIdx, cs) = Similarity.buildIvfIndex(emb, 16, 2)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "embeddings.parquet")
+    val stream = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val root = java.nio.file.Files.createTempDirectory("graft_sia_")
+    val store = s"$root/idx"
+    val appender = new graft.streaming.IndexStreams.IvfAppender(cs, store)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
+      .start()
+    q.awaitTermination()
+    val streamed = graft.streaming.IndexStreams.readIndex(spark, store)
+      .select(col("vec_id"), col("cell"))
+    val bsel = batchIdx.select(col("vec_id"), col("cell"))
+    val nB = bsel.count()
+    val nS = streamed.count()
+    val nM = bsel.join(streamed, Seq("vec_id", "cell")).count()
+    java.nio.file.Files.walk(root).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    Seq((
+      if (nS == nB && nB > 0) 1 else 0,
+      if (nM == nB) 1 else 0))
+      .toDF("rows_match", "assign_match")
+  }
+
   /** TA18s: train-batch / score-STREAM domain classification — the
     * production shape of ta18: the NB model trains on the static corpus
     * (two hash-aggs), collects as metadata (≤ C×V rows, contract-pinned),
@@ -3881,6 +3926,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_ccingest" -> (streamCcIngest(_, _)),
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_state_gate" -> (streamStateGate(_, _)),
+    "stream_index_append" -> (streamIndexAppend(_, _)),
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
@@ -4764,6 +4810,10 @@ ORDER BY token_id"""
     // rows == distinct fingerprints)
     "stream_state_gate" ->
       "SELECT 1 AS has_batches, 1 AS input_match, 1 AS state_match",
+    // stream_index_append: the streamed inverted file is row-identical
+    // to the batch build with the same frozen centroid model
+    "stream_index_append" ->
+      "SELECT 1 AS rows_match, 1 AS assign_match",
     // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
     // order sensitivity, near-dup beats unrelated, bit-exact determinism
     "tx_gate" ->

@@ -177,6 +177,13 @@ class HostileCorpusSpec extends AnyFunSuite {
     assert(Dedup.embeddingCosinePairs(emb, 0.5).count() >= 0)
     assert(Dedup.embeddingCosinePairsLsh(emb, 0.5, 4, tables = 2, planes = 2)
       .count() >= 0)
+    // the router: the pair-mass probe must survive null/zero/short
+    // vectors (nulls are excluded from the driver sample), and BOTH
+    // branches must run on the hostile corpus
+    import graft.operators.Clustering
+    assert(Clustering.semDedupPairsRouted(emb, 0.5, 4).count() >= 0)
+    assert(Clustering.semDedupPairsRouted(emb, 0.5, 4,
+      knownPairsPerDoc = Some(1e9)).count() >= 0)
   }
 
   test("connected components with negative vertex ids (both paths)") {

@@ -22,7 +22,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     */
   private val eager = Set(
     "stream_curation", "stream_dedup", "stream_decontam", "stream_neardup",
-    "stream_ccingest",
+    "stream_ccingest", "stream_state_gate", "stream_index_append",
     // trains + collects the NB model and runs the stream at construction
     "stream_classify",
     // Materializes the tx embedding table at construction (both recall

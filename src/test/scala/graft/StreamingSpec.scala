@@ -114,6 +114,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IndexStreams: streamed inverted file == batch build, replay idempotent, servable") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.IndexStreams
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = (0 until 12).map { i =>
+      val v = Array.fill(4)(0f); v(i % 4) = 1f; v((i + 1) % 4) = 0.1f * (i % 3)
+      (i.toLong, v)
+    }
+    val all = vecs.toDF("vec_id", "embedding")
+    val (batchIdx, cs) = Similarity.buildIvfIndex(all, nCells = 4, iterations = 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_sia_t").toString
+    val appender = new IndexStreams.IvfAppender(cs, s"$root/idx")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.take(6): _*); q.processAllAvailable()
+      input.addData(vecs.drop(6): _*); q.processAllAvailable()
+    } finally q.stop()
+    def streamedSet() = IndexStreams.readIndex(spark, s"$root/idx")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val want = batchIdx.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(streamedSet() == want && want.size == 12)
+    // failure-replay idempotence: rewriting batch 0 under its original
+    // batchId (crash between parquet write and offset commit) overwrites
+    // its own partition — the index is unchanged
+    appender(vecs.take(6).toDF("vec_id", "embedding"), 0L)
+    assert(streamedSet() == want)
+    // the streamed store serves ivfSearch as-is (drop batch_id is inside
+    // readIndex); the identical-vector query tops its own list
+    val hits = Similarity.ivfSearch(
+        IndexStreams.readIndex(spark, s"$root/idx"), cs,
+        Seq((100L, vecs(3)._2)).toDF("query_id", "embedding"), 2, nProbe = 2)
+      .orderBy(col("rank")).select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty && hits.head == 3L)
+  }
+
   test("StreamObservability: recorder captures every trigger, metrics match ground truth") {
     import spark.implicits._
     import graft.streaming.StreamObservability
