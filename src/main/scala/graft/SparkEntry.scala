@@ -2976,22 +2976,22 @@ object SparkEntry {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ssg_")
-    val q = deduped.writeStream
-      .option("checkpointLocation", ckptDir.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
-      .start()
-    q.awaitTermination()
-    // the checkpoint is per-invocation scratch — delete it (bench/verify
-    // loops would otherwise leak a state-store tree per run)
-    java.nio.file.Files.walk(ckptDir).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    // recentProgress is populated synchronously by the (terminated)
-    // execution thread — the deterministic source for the gate; the
-    // listener-based ProgressRecorder (async bus) is spec territory
-    val m = graft.streaming.StreamObservability.stateMetrics(spark, q)
-      .orderBy(col("batch_id")).collect()
+    // the checkpoint is per-invocation scratch — delete it even on
+    // failure (bench/verify loops would otherwise leak a state-store
+    // tree per run)
+    val m = try {
+      val q = deduped.writeStream
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+        .start()
+      q.awaitTermination()
+      // recentProgress is populated synchronously by the (terminated)
+      // execution thread — the deterministic source for the gate; the
+      // listener-based ProgressRecorder (async bus) is spec territory
+      graft.streaming.StreamObservability.stateMetrics(spark, q)
+        .orderBy(col("batch_id")).collect()
+    } finally deleteRecursively(ckptDir)
     val corpus = tbl(spark, dir, "documents")
     val nRows = corpus.count()
     val nDistinct = corpus
@@ -3029,25 +3029,39 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft_sia_")
     val store = s"$root/idx"
     val appender = new graft.streaming.IndexStreams.IvfAppender(cs, store)
-    val q = stream.writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
-      .start()
-    q.awaitTermination()
-    val streamed = graft.streaming.IndexStreams.readIndex(spark, store)
-      .select(col("vec_id"), col("cell"))
-    val bsel = batchIdx.select(col("vec_id"), col("cell"))
-    val nB = bsel.count()
-    val nS = streamed.count()
-    val nM = bsel.join(streamed, Seq("vec_id", "cell")).count()
-    java.nio.file.Files.walk(root).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+    try {
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
+        .start()
+      q.awaitTermination()
+      // Materialized: each side feeds a count AND both exceptAll legs.
+      // exceptAll = MULTISET difference — a duplicated row compensating a
+      // dropped one (the exactly-once defect class this gate exists for)
+      // cannot false-pass the way a join count would.
+      val streamed = graft.operators.Materialize(
+        graft.streaming.IndexStreams.readIndex(spark, store)
+          .select(col("vec_id"), col("cell")))
+      val bsel = graft.operators.Materialize(
+        batchIdx.select(col("vec_id"), col("cell")))
+      val nB = bsel.count()
+      val nS = streamed.count()
+      val nDiff = bsel.exceptAll(streamed).count() +
+        streamed.exceptAll(bsel).count()
+      Seq((
+        if (nS == nB && nB > 0) 1 else 0,
+        if (nDiff == 0L) 1 else 0))
+        .toDF("rows_match", "assign_match")
+    } finally deleteRecursively(root)
+  }
+
+  /** Recursive temp-scratch delete (walk stream closed; deepest-first). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    Seq((
-      if (nS == nB && nB > 0) 1 else 0,
-      if (nM == nB) 1 else 0))
-      .toDF("rows_match", "assign_match")
+    finally s.close()
   }
 
   /** TA18s: train-batch / score-STREAM domain classification — the

@@ -109,17 +109,17 @@ object Main {
       val cells = opts.get("cells").map(_.toInt).getOrElse(16)
       val iters = opts.get("iterations").map(_.toInt).getOrElse(2)
       val mod = opts.get("sample-mod").map(_.toInt).getOrElse(1)
+      // --assign-groups N: ANN-assisted coarse training/assignment
+      // (bounded coarse-group visits) for builds at cell counts where
+      // exact assignment is the O(n·k) wall; 0 (default) stays exact
+      val ag = opts.get("assign-groups").map(_.toInt).getOrElse(0)
       if (opts.contains("pq")) {
         val m = opts.get("m").map(_.toInt).getOrElse(8)
         val ksub = opts.get("ksub").map(_.toInt).getOrElse(16)
         val (idx, cs, cbs) = graft.operators.Pq.buildIvfPqIndex(
-          emb, cells, m, ksub, iters, mod)
+          emb, cells, m, ksub, iters, mod, ag)
         graft.operators.Pq.saveIvfPqIndex(idx, cs, cbs, out)
       } else {
-        // --assign-groups N: ANN-assisted training/assignment (bounded
-        // coarse-group visits) for builds at cell counts where exact
-        // assignment is the O(n·k) wall; 0 (default) stays exact
-        val ag = opts.get("assign-groups").map(_.toInt).getOrElse(0)
         val (idx, cs) = graft.operators.Similarity.buildIvfIndex(
           emb, cells, iters, mod, ag)
         graft.operators.Similarity.saveIvfIndex(idx, cs, out)

@@ -184,8 +184,15 @@ object Pq {
     * persistable inverted file; model = (centroids, residual codebooks),
     * metadata-scale. Train scans are sample-bounded like every model here.
     */
+  /** `assignGroups > 0` bounds the COARSE cell assignment (training
+    * rounds + the index pass) at that many CentroidIndex groups — the
+    * [[Similarity.buildIvfIndex]] ANN-assist, which is where the O(n·k)
+    * wall lives; the sub-quantizer codebooks stay exact (ksub is small
+    * by construction, no wall there).
+    */
   def buildIvfPqIndex(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
-      ksub: Int = 16, iterations: Int = 2, trainSampleMod: Int = 1):
+      ksub: Int = 16, iterations: Int = 2, trainSampleMod: Int = 1,
+      assignGroups: Int = 0):
       (DataFrame, Array[Array[Float]], Array[Array[Array[Float]]]) = {
     import graft.functions.vecNormF
     val spark = corpus.sparkSession
@@ -194,7 +201,7 @@ object Pq {
     val base = corpus.filter(col("embedding").isNotNull &&
       size(col("embedding")) % m === 0)
     val centroids = Similarity.trainKmeans(base, nCells, iterations,
-      trainSampleMod)
+      trainSampleMod, assignGroups = assignGroups)
     val bcCs = spark.sparkContext.broadcast(centroids)
     val residUdf = udf { (cell: Int, v: Seq[Float]) =>
       if (v == null || cell < 0) null
@@ -209,7 +216,8 @@ object Pq {
     val assigned = base
       .select(col("vec_id"), col("embedding"),
         vecNormF(col("embedding")).as("norm_c"),
-        Similarity.bestCellUdf(spark, centroids)(col("embedding")).as("cell"))
+        Similarity.bestCellUdf(spark, centroids, assignGroups)(
+          col("embedding")).as("cell"))
       .withColumn("residual", residUdf(col("cell"), col("embedding")))
     // PQ trains on residual space (feed residuals through the standard
     // trainer via the embedding column contract)

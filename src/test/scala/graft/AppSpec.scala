@@ -292,14 +292,26 @@ class AppSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(hits.nonEmpty && hits.head._1 == 7L && hits.head._2 == 1.0)
 
-    // --assign-groups: the ANN-assisted build serves the same obvious
-    // nearest (identical-vector hit) through nProbe search
+    // --assign-groups: the ANN-assisted build serves the identical-vector
+    // hit through nProbe search. The corpus/cell count must put the
+    // centroid model PAST the flat-scan degenerate point (CentroidIndex
+    // builds a single group at k <= 64, where searchApprox == flatSearch
+    // and the flag would be a no-op): 100 vectors, 72 cells => a real
+    // multi-group index, so the bounded branch actually executes.
+    val bigVecs = (0 until 100).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f; v((i + 3) % 8) = 0.1f * (i % 5)
+      (i.toLong, v)
+    }
+    bigVecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/emb_big")
+    Seq((700L, bigVecs(7)._2)).toDF("query_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/q_big")
     graft.app.Main.main(Array("index", "build",
-      "--embeddings", s"$dir/emb", "--out", s"$dir/ivf_ag",
-      "--cells", "4", "--assign-groups", "2"))
+      "--embeddings", s"$dir/emb_big", "--out", s"$dir/ivf_ag",
+      "--cells", "72", "--assign-groups", "2"))
     graft.app.Main.main(Array("index", "search",
-      "--index", s"$dir/ivf_ag", "--queries", s"$dir/q",
-      "--out", s"$dir/hits_ag", "--k", "3", "--probe", "2"))
+      "--index", s"$dir/ivf_ag", "--queries", s"$dir/q_big",
+      "--out", s"$dir/hits_ag", "--k", "3", "--probe", "4"))
     val hitsAg = spark.read.parquet(s"$dir/hits_ag")
       .orderBy(col("rank")).select("vec_id", "cosine")
       .as[(Long, Double)].collect()

@@ -139,13 +139,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     def streamedSet() = IndexStreams.readIndex(spark, s"$root/idx")
       .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    // raw row count alongside the set compare: toSet would collapse a
+    // duplicated row, hiding exactly the exactly-once defect under test
+    def streamedCount() = IndexStreams.readIndex(spark, s"$root/idx").count()
     val want = batchIdx.select("vec_id", "cell").as[(Long, Int)].collect().toSet
-    assert(streamedSet() == want && want.size == 12)
+    assert(streamedSet() == want && want.size == 12 && streamedCount() == 12L)
     // failure-replay idempotence: rewriting batch 0 under its original
     // batchId (crash between parquet write and offset commit) overwrites
-    // its own partition — the index is unchanged
+    // its own partition — the index is unchanged, row count included
     appender(vecs.take(6).toDF("vec_id", "embedding"), 0L)
-    assert(streamedSet() == want)
+    assert(streamedSet() == want && streamedCount() == 12L)
     // the streamed store serves ivfSearch as-is (drop batch_id is inside
     // readIndex); the identical-vector query tops its own list
     val hits = Similarity.ivfSearch(
