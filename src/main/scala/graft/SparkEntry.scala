@@ -2976,6 +2976,14 @@ object SparkEntry {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ssg_")
+    // the gate reads recentProgress, a ring buffer of the LAST
+    // numRecentProgressUpdates (default 100) triggers — a corpus needing
+    // more triggers than that would silently drop early batches and
+    // false-fail input_match. Pin the buffer above any plausible trigger
+    // count for the gate's run, restore after (session-level conf).
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProg = spark.conf.getOption(progKey)
+    spark.conf.set(progKey, "100000")
     // the checkpoint is per-invocation scratch — delete it even on
     // failure (bench/verify loops would otherwise leak a state-store
     // tree per run)
@@ -2991,7 +2999,10 @@ object SparkEntry {
       // listener-based ProgressRecorder (async bus) is spec territory
       graft.streaming.StreamObservability.stateMetrics(spark, q)
         .orderBy(col("batch_id")).collect()
-    } finally deleteRecursively(ckptDir)
+    } finally {
+      deleteRecursively(ckptDir)
+      prevProg.fold(spark.conf.unset(progKey))(spark.conf.set(progKey, _))
+    }
     val corpus = tbl(spark, dir, "documents")
     val nRows = corpus.count()
     val nDistinct = corpus

@@ -33,9 +33,24 @@ object TensorFile {
 
   // ------------------------------------------------------------------ read
 
-  /** Load every tensor in the file (F32/F64 widened to Double). */
+  /** Load every tensor in the file (F32/F64 widened to Double).
+    *
+    * Resolution order: filesystem path first, then CLASSPATH resource of
+    * the same name. The fallback is what lets a committed checkpoint ship
+    * INSIDE the library jar and resolve on every executor with no
+    * `--files` plumbing — the deployment shape of a small bundled model
+    * (checkpoints are metadata-scale; see the object scaladoc).
+    */
   def load(path: String): Map[String, Tensor] = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+    val bytes =
+      if (Files.exists(Paths.get(path))) Files.readAllBytes(Paths.get(path))
+      else {
+        val in = Thread.currentThread().getContextClassLoader
+          .getResourceAsStream(path.stripPrefix("/"))
+        if (in == null) sys.error(
+          s"$path: neither a file nor a classpath resource")
+        try in.readAllBytes() finally in.close()
+      }
     require(bytes.length >= 8, s"$path: not a tensor file (${bytes.length} B)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val headerLen = bb.getLong(0)
@@ -44,8 +59,18 @@ object TensorFile {
     val header = new String(bytes, 8, headerLen.toInt, StandardCharsets.UTF_8)
     val entries = Json.parseObject(header, path)
     val dataBase = 8 + headerLen.toInt
-    entries.collect { case (name, fields: Map[String @unchecked, _])
-        if name != "__metadata__" =>
+    // every non-__metadata__ entry MUST be a tensor descriptor object — a
+    // collect-with-partial-function here would silently DROP a corrupted
+    // or hand-edited entry (the "malformed headers fail loudly" contract
+    // would only surface later, and only for consumers that look the
+    // tensor up by name)
+    entries.filter(_._1 != "__metadata__").map { case (name, rawFields) =>
+      val fields = rawFields match {
+        case m: Map[String @unchecked, _] => m
+        case other => sys.error(
+          s"$path: header entry $name is not a tensor object (got " +
+            s"${if (other == null) "null" else other.getClass.getSimpleName})")
+      }
       def field(k: String): Any = fields.getOrElse(k,
         sys.error(s"$path: tensor $name missing $k"))
       val dtype = field("dtype").asInstanceOf[String]
@@ -105,6 +130,13 @@ object TensorFile {
     }
     val header = fields.mkString("{", ",", "}")
       .getBytes(StandardCharsets.UTF_8)
+    // single-buffer write (and load()'s whole-file read) caps a checkpoint
+    // at the JVM array limit — name the ceiling instead of letting
+    // ByteBuffer.allocate throw on the Int-truncated size
+    require(off + header.length + 8 <= Int.MaxValue,
+      s"checkpoint too large for the single-buffer writer: " +
+        s"${off + header.length + 8} B data+header exceeds 2 GiB " +
+        s"(shard the tensors across files)")
     val bb = ByteBuffer.allocate(8 + header.length + off.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.putLong(header.length.toLong)

@@ -62,6 +62,16 @@ private[graft] final class CentroidIndex(
     * multiprobe LSH / `nAssign`), and for clustering-style consumers a
     * rare second-best assignment perturbs cluster shape, not correctness
     * — measured assignment agreement and the dd13c recall gate pin it.
+    *
+    * Cost-bound escape hatches (exactness is preserved in both; only the
+    * per-row bound is lost — size `assignGroups` cost models accordingly):
+    * a ZERO-NORM query and a SINGLE-GROUP index (k <= 64, where the
+    * builder skips the coarse model because a flat scan is already cheap)
+    * both fall back to the exact flat O(k·d) scan, ignoring `maxGroups`.
+    * A corpus with many zero-norm embeddings therefore pays the flat scan
+    * per such row even in bounded mode — at k <= 64 that is the cheap
+    * case by construction, and at large k zero-norm rows are degenerate
+    * input (cosine 0 against everything) a caller should filter upstream.
     */
   def searchApprox(v: Array[Float], n: Int, maxGroups: Int): Array[Int] = {
     require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")

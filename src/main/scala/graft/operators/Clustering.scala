@@ -37,10 +37,11 @@ object Clustering {
     * training-sample ceiling share one job instead of scanning twice.
     */
   private def resolveK(emb: DataFrame, nClusters: Int,
-      targetClusterSize: Int): (Int, Option[Long]) =
+      targetClusterSize: Int, knownCount: Option[Long] = None)
+      : (Int, Option[Long]) =
     if (nClusters > 0) (nClusters, None)
     else {
-      val n = math.max(1L, emb.count())
+      val n = math.max(1L, knownCount.getOrElse(emb.count()))
       val raw = math.ceil(n.toDouble / targetClusterSize).toInt
       (math.min(65536, math.max(8, raw)), Some(n))
     }
@@ -112,14 +113,33 @@ object Clustering {
       iterations: Int = 2, trainSampleMod: Int = 1,
       maxClusterSize: Option[Int] = Some(4096), nAssign: Int = 2,
       targetClusterSize: Int = 128, assignGroups: Int = 0): DataFrame = {
-    import graft.functions.{r4, vecDotF, vecNormF}
-    val (k, nKnown) = resolveK(emb, nClusters, targetClusterSize)
-    require(nAssign >= 1 && nAssign <= k)
+    import graft.functions.vecNormF
     // Materialized: consumed by the k-means/assignment pass AND both
     // sides of the verify join (construction is already eager through the
     // centroid training).
     val base = Materialize(emb.select(col("vec_id").as("id"),
       col("embedding"), vecNormF(col("embedding")).as("norm")))
+    semDedupPairsNormed(base, minCosine, nClusters, iterations,
+      trainSampleMod, maxClusterSize, nAssign, targetClusterSize,
+      assignGroups, knownCount = None)
+  }
+
+  /** [[semDedupPairs]] over a PRE-NORMED, already-Materialized base
+    * (id, embedding, norm), with the corpus count optionally known — the
+    * entry point for [[semDedupPairsRouted]], which pays the norm pass
+    * and the count ONCE and shares them between its probe and both
+    * branches (r10 verdict: the routed entry re-derived both).
+    */
+  private[graft] def semDedupPairsNormed(base: DataFrame, minCosine: Double,
+      nClusters: Int = 0, iterations: Int = 2, trainSampleMod: Int = 1,
+      maxClusterSize: Option[Int] = Some(4096), nAssign: Int = 2,
+      targetClusterSize: Int = 128, assignGroups: Int = 0,
+      knownCount: Option[Long] = None): DataFrame = {
+    import graft.functions.{r4, vecDotF}
+    val (k, nKnown) = resolveK(
+      base.select(col("id").as("vec_id"), col("embedding")),
+      nClusters, targetClusterSize, knownCount)
+    require(nAssign >= 1 && nAssign <= k)
     val centroids = Similarity.trainKmeans(
       base.select(col("id").as("vec_id"), col("embedding")), k, iterations,
       trainSampleMod, nKnown, assignGroups)
@@ -212,17 +232,33 @@ object Clustering {
     require(pairBudgetPerDoc > 0, s"pairBudgetPerDoc: $pairBudgetPerDoc")
     require(sampleTarget >= 16 && sampleTarget <= 8192,
       s"sampleTarget out of [16, 8192]: $sampleTarget")
-    // Materialized: consumed by the count, the probe sample, and the
-    // chosen branch's full scan.
-    val base = Materialize(emb.select(col("vec_id"), col("embedding")))
+    import graft.functions.vecNormF
+    // ONE normed Materialized base, shared by the count, the probe
+    // sample, and the chosen branch's full scan: both branches need
+    // (id, embedding, norm), so deriving norms here means neither
+    // re-computes them (r10 verdict item — the routed entry paid the
+    // norm pass and the corpus count once per branch on top of the
+    // router's own).
+    val base = Materialize(emb.select(col("vec_id"), col("embedding"),
+      vecNormF(col("embedding")).as("norm")))
     val n = math.max(0L, base.count())
     val estPairsPerDoc = knownPairsPerDoc.getOrElse {
       if (n < 2) 0.0
       else {
         val mod = math.max(1L, n / sampleTarget)
+        // sample by a HASH of vec_id, not the raw id: a sparse or
+        // structured id space (ids all sharing a factor with mod) would
+        // make `vec_id % mod` select far more than sampleTarget rows.
+        // The orderBy+limit is the hard driver-memory bound on top
+        // (TakeOrdered — per-partition top-k, no full shuffle): whatever
+        // the id distribution, at most 2·sampleTarget vectors reach the
+        // driver, and deterministically so (the lowest vec_ids among the
+        // hash-selected — layout- and retry-independent).
         val sample = base
-          .filter(pmod(col("vec_id"), lit(mod)) === 0)
           .filter(col("embedding").isNotNull)
+          .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          .orderBy(col("vec_id"))
+          .limit(2 * sampleTarget)
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).toArray)
         val s = sample.length
@@ -242,10 +278,14 @@ object Clustering {
         else hits.toDouble / tot * (n - 1).toDouble / 2.0
       }
     }
+    val normed = base.select(col("vec_id").as("id"), col("embedding"),
+      col("norm"))
     if (estPairsPerDoc <= pairBudgetPerDoc)
-      Dedup.embeddingCosinePairsLsh(base, minCosine, dim)
+      Dedup.embeddingCosinePairsLshNormed(normed, minCosine, dim,
+        tables = 16, planes = Dedup.autoPlanes(n), maxBucketSize = Some(1024))
     else
-      semDedupPairs(base, minCosine,
-        targetClusterSize = targetClusterSize, assignGroups = assignGroups)
+      semDedupPairsNormed(normed, minCosine,
+        targetClusterSize = targetClusterSize, assignGroups = assignGroups,
+        knownCount = Some(n))
   }
 }

@@ -389,15 +389,31 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       tables: Int = 16, planes: Int = 0, targetBucketSize: Int = 16,
       maxBucketSize: Option[Int] = Some(1024)): DataFrame = {
-    import graft.functions.{r4, vecDotF, vecNormF}
-    val k =
-      if (planes > 0) planes
-      else autoPlanes(emb.count(), targetBucketSize)
+    import graft.functions.vecNormF
     // Materialized: consumed by the bucketing pass AND both sides of the
-    // verify join below. (The construction is already eager through the
-    // autoPlanes count; localCheckpoint adds one pass over n rows.)
+    // verify join below (and by the autoPlanes count, which now runs on
+    // the checkpointed table instead of re-executing the input plan).
     val base = Materialize(emb.select(col(idCol).as("id"),
       col(vecCol).as("embedding"), vecNormF(col(vecCol)).as("norm")))
+    val k =
+      if (planes > 0) planes
+      else autoPlanes(base.count(), targetBucketSize)
+    embeddingCosinePairsLshNormed(base, minCosine, dim, tables, k,
+      maxBucketSize)
+  }
+
+  /** [[embeddingCosinePairsLsh]] over a PRE-NORMED, already-Materialized
+    * base (id, embedding, norm) with the plane count resolved — the entry
+    * point for callers that already paid the norm pass (the
+    * [[Clustering.semDedupPairsRouted]] router shares ONE normed base
+    * between its probe and both branches; r10 verdict: the LSH branch
+    * re-derived norms the clustered branch also computes).
+    */
+  private[graft] def embeddingCosinePairsLshNormed(base: DataFrame,
+      minCosine: Double, dim: Int, tables: Int, planes: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
+    import graft.functions.{r4, vecDotF}
+    val k = planes
     // Candidate pairs carry IDS ONLY through the bucket aggregation — the
     // earlier form collected struct(id, norm, embedding) per member, and
     // at the 100x probe (500k docs x 16 tables of ~300 B structs) the
