@@ -121,7 +121,7 @@ final case class TinyTransformer(
     m
   }
 
-  private final case class Layer(
+  private[llm] final case class Layer(
       wq: Array[Double], wk: Array[Double], wv: Array[Double],
       wo: Array[Double], w1: Array[Double], w2: Array[Double])
 
@@ -135,7 +135,7 @@ final case class TinyTransformer(
   // per-row map with per-executor lazy weight materialization (on a
   // cluster, ship the file via --files / shared mount so the local path
   // resolves on every executor).
-  @transient private lazy val weights: Array[Layer] =
+  @transient private[llm] lazy val weights: Array[Layer] =
     weightsPath.fold(seededWeights)(loadWeights)
 
   private def seededWeights: Array[Layer] = {
@@ -205,7 +205,7 @@ final case class TinyTransformer(
     })
 
   // Sinusoidal positional table (Vaswani et al. §3.5), built to maxTokens.
-  @transient private lazy val posEnc: Array[Array[Double]] =
+  @transient private[llm] lazy val posEnc: Array[Array[Double]] =
     Array.tabulate(maxTokens) { p =>
       Array.tabulate(dim) { i =>
         val expo = (2 * (i / 2)).toDouble / dim.toDouble
@@ -229,7 +229,7 @@ final case class TinyTransformer(
     h
   }
 
-  private def tokenBase(tok: String): Array[Double] = {
+  private[llm] def tokenBase(tok: String): Array[Double] = {
     val g = new Gauss(mix(seed ^ fnv64(tok)))
     Array.fill(dim)(g.next())
   }
