@@ -567,4 +567,187 @@ SELECT COUNT(*) AS n_pairs,
   ${stat("coherence", "coh")}
 FROM js""")
   }
+
+  // =================================================================== ANN
+  // DuckDB replay of the ANN family's MODELS — the r10 verdict item 6:
+  // the LSH hyperplanes are corpus-INDEPENDENT seeded constants
+  // (Similarity.planeComponent), so they interpolate as literal tables;
+  // the IVF coarse quantizer is deterministic k-means whose every step
+  // (lowest-vec_id seeding, double cosine assignment with lowest-cell
+  // ties, decimal-exact per-dim means cast to float, empty cells keeping
+  // their centroid) is SQL-expressible — the ss10 oracle already proved
+  // the decimal-mean parity pattern on these exact float values.
+
+  /** Guarded split cosine between two float-list SQL exprs — bit-for-bit
+    * graft.operators.Similarity.cosLocal / bruteForceTopK's column form:
+    * doubles throughout, zero denominator -> 0.
+    */
+  private def cosD(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+        THEN 0.0
+        ELSE list_sum(list_transform(list_zip($a, $b),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) END)"""
+
+  /** The exact-top-5 side + recall@5 tail shared by the ss2/ss3 recall
+    * oracles (the qz3/qz6 recall template, lifted verbatim): `ap` must be
+    * a CTE of (query_id, vec_id) approximate hits.
+    */
+  private def recallTail: String =
+    s"""fq2 AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+fscored AS (
+  SELECT fq2.query_id, c.vec_id, round(${cosD("fq2.eq", "c.embedding")}, 4) AS cosine
+  FROM embeddings c, fq2 WHERE c.vec_id <> fq2.query_id),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM fscored)
+  WHERE rank <= 5),
+j AS (
+  SELECT ex.query_id,
+    CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ex LEFT JOIN ap
+    ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id)
+SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(hit) AS BIGINT) AS n_hit,
+  round(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+FROM j GROUP BY 1 ORDER BY query_id"""
+
+  // --------------------------------------------------------- ss2 (sign-LSH)
+
+  /** The 16x8 hyperplane literal table (64 weights each) — the exact
+    * doubles of Similarity.lshKeysUdf's closure, printed with Scala's
+    * shortest-round-trip Double.toString so DuckDB parses them back
+    * bit-identically.
+    */
+  private def hpCte(dim: Int, tables: Int, planes: Int): String = {
+    val rows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val ws = Array.tabulate(dim)(d =>
+        graft.operators.Similarity.planeComponent(t, p, d))
+      s"($t, $p, [${ws.mkString(", ")}])"
+    }).mkString(",\n  ")
+    s"hp AS (SELECT * FROM (VALUES\n  $rows) AS v(tbl, plane, w))"
+  }
+
+  /** Shared ss2 CTE chain: bucket keys (bit p set iff the float->double
+    * dot with hyperplane (tbl, p) is >= 0, packed exactly as
+    * lshKeysUdf), query-side Hamming-1 multiprobe shell, DISTINCT
+    * candidates, exact rerank at 4dp -> `ap` = the lshTopK top-5.
+    */
+  private def ss2Ctes: String =
+    s"""${hpCte(64, 16, 8)},
+cb AS (
+  SELECT e.vec_id, h.tbl,
+    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, h.w),
+        p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0
+      THEN CAST(POWER(2, h.plane) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+  FROM embeddings e CROSS JOIN hp h
+  WHERE e.embedding IS NOT NULL
+  GROUP BY 1, 2),
+qb AS (
+  SELECT vec_id AS query_id, tbl, bkt FROM cb WHERE vec_id < 5
+  UNION ALL
+  SELECT c.vec_id AS query_id, c.tbl,
+    xor(c.bkt, CAST(POWER(2, r.b) AS BIGINT)) AS bkt
+  FROM cb c CROSS JOIN range(0, 8) AS r(b) WHERE c.vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE c.vec_id <> q.query_id),
+fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+rr AS (
+  SELECT cand.query_id, cand.vec_id,
+    round(${cosD("fq.eq", "c.embedding")}, 4) AS cosine
+  FROM cand JOIN embeddings c ON cand.vec_id = c.vec_id
+  JOIN fq ON cand.query_id = fq.query_id),
+ap AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+  WHERE rank <= 5)"""
+
+  private[graft] def ss2TopkSql: String =
+    s"""WITH $ss2Ctes
+SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
+
+  private[graft] def ss2RecallSql: String =
+    s"""WITH $ss2Ctes,
+$recallTail"""
+
+  // ------------------------------------------------------------- ss3 (IVF)
+
+  /** Deterministic k-means replay at ss3's operating point (16 cells,
+    * 2 Lloyd rounds, vec_id-mod-4 training sample) -> `cells` (the
+    * inverted file: every corpus vector with its best cell) and `c2`
+    * (the final float centroids).
+    */
+  private def kmeansCtes(nCells: Int, trainMod: Int): String = {
+    def round(r: Int): String =
+      s"""a$r AS (
+  SELECT vec_id, cell FROM (
+    SELECT t.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+        ORDER BY ${cosD("t.embedding", "c.c")} DESC, c.cell ASC) AS rn
+    FROM tr t CROSS JOIN c${r - 1} c) WHERE rn = 1),
+m$r AS (
+  SELECT a.cell, u.k - 1 AS i,
+    CAST(CAST(SUM(CAST(CAST(t.embedding[u.k] AS DOUBLE) AS DECIMAL(38, 10)))
+      AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+  FROM a$r a JOIN tr t USING (vec_id),
+    LATERAL UNNEST(generate_series(1, len(t.embedding))) AS u(k)
+  GROUP BY 1, 2),
+c$r AS (
+  SELECT p.cell, COALESCE(n.c, p.c) AS c
+  FROM c${r - 1} p LEFT JOIN
+    (SELECT cell, list(m ORDER BY i) AS c FROM m$r GROUP BY 1) n USING (cell))"""
+    s"""tr AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % $trainMod = 0),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+  FROM (SELECT vec_id, embedding FROM tr ORDER BY vec_id LIMIT $nCells)),
+${round(1)},
+${round(2)},
+cells AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ${cosD("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1)"""
+  }
+
+  /** ss3's probe + rerank on the replayed model -> `ap` (the ivfTopK
+    * top-5): each query probes its 6 nearest centroids (same double
+    * cosine, lowest-cell ties), exact 4dp rerank within probed cells.
+    */
+  private def ss3Ctes: String =
+    s"""${kmeansCtes(16, 4)},
+pq AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY ${cosD("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 5) WHERE rn <= 6),
+fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+rr AS (
+  SELECT fq.query_id, cl.vec_id,
+    round(${cosD("fq.eq", "cl.embedding")}, 4) AS cosine
+  FROM cells cl JOIN pq ON cl.cell = pq.cell
+  JOIN fq ON pq.query_id = fq.query_id
+  WHERE cl.vec_id <> fq.query_id),
+ap AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+  WHERE rank <= 5)"""
+
+  private[graft] def ss3TopkSql: String =
+    s"""WITH $ss3Ctes
+SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
+
+  private[graft] def ss3RecallSql: String =
+    s"""WITH $ss3Ctes,
+$recallTail"""
 }

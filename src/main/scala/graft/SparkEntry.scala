@@ -3157,6 +3157,68 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** STREAM-DRIFT gate (literal oracle): the centroid-drift monitor
+    * ([[graft.streaming.IndexDrift]]) held to a PLANTED ground truth —
+    * the frozen-model streamed index's missing rebuild signal, measured.
+    * The embeddings table is staged as three clean files plus one
+    * DRIFTED file (ids offset, every embedding replaced by a direction
+    * ORTHOGONAL to all centroids — [[graft.streaming.IndexDrift
+    * .uncoveredDirection]]: assignment cosine ≈ 0 so per-row distance
+    * ≈ 1 past the train-time p95, and occupancy collapses into one cell),
+    * streamed one file per micro-batch through the
+    * [[graft.streaming.IndexDrift.DriftingIvfAppender]] against the
+    * train-time profile. The gate requires EXACT flag parity per batch:
+    * every clean batch unflagged, the planted batch flagged — joined
+    * through the index store's own batch_id partitions (the planted ids
+    * identify the drifted batch), so the check does not depend on file
+    * discovery order.
+    */
+  private def streamDriftGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (assigned, cs) = Similarity.buildIvfIndex(emb, 16, 2)
+    val prof = graft.streaming.IndexDrift.profile(assigned, cs)
+    val root = java.nio.file.Files.createTempDirectory("graft_sdg_")
+    try {
+      val inDir = s"$root/in"
+      emb.repartition(3).write.mode("overwrite").parquet(inDir)
+      val ood = graft.streaming.IndexDrift.uncoveredDirection(cs)
+      emb.select((col("vec_id") + 10000000L).as("vec_id"),
+          typedLit(ood.toSeq).as("embedding"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val stream = graft.streaming.CorpusStreams
+        .readDocStream(spark, inDir, schema, maxFilesPerTrigger = 1,
+          glob = "*.parquet")
+      val store = s"$root/idx"
+      val driftDir = s"$root/drift"
+      val appender = new graft.streaming.IndexDrift.DriftingIvfAppender(
+        cs, store, driftDir, prof)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
+        .start()
+      q.awaitTermination()
+      val drift = graft.streaming.IndexDrift.readDrift(spark, driftDir)
+      // which batch carries the planted rows, from the index store itself
+      val planted = spark.read.option("basePath", store).parquet(store)
+        .groupBy(col("batch_id"))
+        .agg((max(col("vec_id")) >= 10000000L).cast("int").as("planted"))
+      val rows = drift.join(planted, Seq("batch_id")).collect()
+      val nBatches = rows.length
+      val nPlanted = rows.map(_.getAs[Int]("planted")).sum
+      val flagMatch = rows.forall(r =>
+        r.getAs[Int]("drifted") == r.getAs[Int]("planted"))
+      Seq((
+        if (nBatches >= 2) 1 else 0,
+        if (nPlanted == 1) 1 else 0,
+        if (flagMatch) 1 else 0))
+        .toDF("has_batches", "planted_ok", "flag_match")
+    } finally deleteRecursively(root)
+  }
+
   /** Recursive temp-scratch delete (walk stream closed; deepest-first). */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(root)
@@ -4042,6 +4104,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_dedup" -> (streamDedup(_, _)),
     "stream_state_gate" -> (streamStateGate(_, _)),
     "stream_index_append" -> (streamIndexAppend(_, _)),
+    "stream_drift_gate" -> (streamDriftGate(_, _)),
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
@@ -4930,6 +4993,10 @@ ORDER BY token_id"""
     // to the batch build with the same frozen centroid model
     "stream_index_append" ->
       "SELECT 1 AS rows_match, 1 AS assign_match",
+    // stream_drift_gate: the centroid-drift monitor flags the planted
+    // drifted batch and nothing else (exact per-batch flag parity)
+    "stream_drift_gate" ->
+      "SELECT 1 AS has_batches, 1 AS planted_ok, 1 AS flag_match",
     // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
     // order sensitivity, near-dup beats unrelated, bit-exact determinism
     "tx_gate" ->
@@ -6184,6 +6251,21 @@ ORDER BY token_id"""
          SELECT query_id, rank, vec_id FROM ($unions)
          ORDER BY query_id, rank"""
     },
+    // ss2: the sign-LSH top-5 REPLAYED end to end — hyperplanes are
+    // corpus-independent seeded constants interpolated as literals;
+    // bucket keys, the Hamming-1 multiprobe shell, candidate dedup and
+    // the 4dp rerank are all re-derived in SQL (OracleSqlGen.ss2TopkSql).
+    // The former "approximate by construction => rows-only" stance was
+    // too weak: approximate vs the EXACT scan, yes — but deterministic
+    // given the corpus, so fully oracle-able.
+    "ss2_lsh_topk" -> OracleSqlGen.ss2TopkSql,
+    "ss2_recall" -> OracleSqlGen.ss2RecallSql,
+    // ss3: the IVF top-5 with the coarse quantizer RE-TRAINED in SQL
+    // (lowest-vec_id seeds, two Lloyd rounds with double-cosine
+    // assignment and decimal-exact float means, empty cells keeping
+    // their centroid), then probe + rerank (OracleSqlGen.ss3TopkSql).
+    "ss3_ivf_topk" -> OracleSqlGen.ss3TopkSql,
+    "ss3_recall" -> OracleSqlGen.ss3RecallSql,
     "ss1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
          scored AS (

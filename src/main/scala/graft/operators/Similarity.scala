@@ -249,7 +249,7 @@ object Similarity {
     * dim): hash-derived value in [-1, 1). Seeds are static so plans are
     * reproducible across runs and engines.
     */
-  private def planeComponent(table: Int, plane: Int, d: Int): Double = {
+  private[graft] def planeComponent(table: Int, plane: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.caseClassHash((table, plane, d))
     (h.toDouble / Int.MaxValue)
   }

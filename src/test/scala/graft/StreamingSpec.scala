@@ -599,4 +599,43 @@ class StreamingSpec extends AnyFunSuite {
       strategies.mapReduce(wave2), out, batchId = 1L)
     assert(readOut() == got)
   }
+
+  test("IndexDrift: uncovered direction is orthogonal, clean batches " +
+      "stay unflagged, planted batch flags") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF(
+      "vec_id", "embedding")
+    val (assigned, cs) =
+      graft.operators.Similarity.buildIvfIndex(emb, 4, 2)
+    val prof = graft.streaming.IndexDrift.profile(assigned, cs)
+    assert(prof.meanDist > 0 && prof.p95Dist >= prof.meanDist)
+    assert(math.abs(prof.cellShare.values.sum - 1.0) < 1e-9)
+    // orthogonality: |cos(ood, c)| ~ 0 for every centroid
+    val ood = graft.streaming.IndexDrift.uncoveredDirection(cs)
+    cs.foreach { c =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      c.indices.foreach { i =>
+        dot += c(i) * ood(i); na += c(i) * c(i); nb += ood(i) * ood(i)
+      }
+      assert(math.abs(dot) / math.sqrt(na * nb) < 1e-5)
+    }
+    // a clean re-draw of the SAME distribution does not flag
+    val clean = graft.operators.Similarity.ivfAssign(
+      emb.filter($"vec_id" % 2 === 0), cs)
+    val dClean = graft.streaming.IndexDrift.batchDrift(clean, cs, prof, 0L)
+    assert(dClean.drifted == 0, s"clean batch flagged: $dClean")
+    // the planted uncovered-direction batch flags on BOTH signals
+    val planted = graft.operators.Similarity.ivfAssign(
+      (0 until 50).map(i => (1000L + i, ood)).toDF("vec_id", "embedding"),
+      cs)
+    val dBad = graft.streaming.IndexDrift.batchDrift(planted, cs, prof, 1L)
+    assert(dBad.drifted == 1 && dBad.mean_dist > prof.p95Dist &&
+      dBad.occ_tv > 0.5, s"planted batch not flagged: $dBad")
+    // empty batch: zero row, unflagged
+    val dEmpty = graft.streaming.IndexDrift.batchDrift(
+      clean.filter(lit(false)), cs, prof, 2L)
+    assert(dEmpty.n == 0L && dEmpty.drifted == 0)
+  }
 }
