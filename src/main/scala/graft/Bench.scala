@@ -131,7 +131,19 @@ object Bench {
     // Headline fields AFTER the per-query map: the driver keeps only the
     // LAST 2000 chars of this line, so anything printed before ~180
     // query entries is cut — rounds 1-8 lost "value" to exactly that.
-    println(f"""{"metric":"total","unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","value":$total%.3f}""")
+    val line =
+      f"""{"metric":"total","unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","value":$total%.3f}"""
+    println(line)
+    // The COMPLETE per-query map as a real artifact (r10 verdict item 3:
+    // the stdout tail truncates to ~78 visible queries, so cross-round
+    // comparisons were regex reconstructions) — every entry diffs
+    // mechanically against the previous round's file. Best-effort: a
+    // read-only working dir must not fail the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -49,6 +49,13 @@ object ScaleProbeTable {
         val rows = df.count()
         df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        // the Bench block-leak sweep: Materialize-backed queries leave
+        // localCheckpoint blocks persisted; across a multi-cell probe run
+        // those accumulate until a 100x cell OOMs on execution memory
+        // (measured: dd13r-100x died at 8 GB after 21 prior cells, and
+        // completes alone) — drop them before the next cell
+        spark.sparkContext.getPersistentRDDs
+          .foreach(_._2.unpersist(blocking = false))
         println(f"[scale-probe] $q%-30s $d%-5s ${sec}%9.2f s  $rows rows")
         f""""$d":{"sec":$sec%.2f,"rows":$rows}"""
       }
