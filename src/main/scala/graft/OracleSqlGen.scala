@@ -750,4 +750,97 @@ SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
   private[graft] def ss3RecallSql: String =
     s"""WITH $ss3Ctes,
 $recallTail"""
+
+  // ------------------------------------------------------ ss13 (graph ANN)
+
+  /** The whole graph-ANN chain replayed: LSH bucket pairs (8 tables x 8
+    * planes, hyperplane literals), exact 4dp pair scoring, per-node
+    * top-8 out-edges, symmetrize, then THREE unrolled beam-search rounds
+    * (beam 16, 4 lowest-id entry points) -> `ap` = graphTopK's top-5.
+    * Duplicate (query, vec) hits collapse via MAX(cosine) — scoring is a
+    * pure function of the pair, so every duplicate carries the identical
+    * value and MAX == first-seen.
+    */
+  private def ss13Ctes: String = {
+    import graft.operators.GraphAnn.{RegBeam, RegEntry, RegM, RegRounds}
+    def beamTop(rel: String, n: Int): String =
+      s"""(SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rk FROM $rel) WHERE rk <= $n)"""
+    def round(r: Int): String =
+      s"""e$r AS (
+  SELECT DISTINCT b.query_id, ed.dst AS vec_id
+  FROM ${beamTop(s"b${r - 1}", RegBeam)} b
+  JOIN edges ed ON b.vec_id = ed.src),
+s$r AS (
+  SELECT e.query_id, e.vec_id,
+    round(${cosD("fq.eq", "c.embedding")}, 4) AS cosine
+  FROM e$r e JOIN embeddings c ON e.vec_id = c.vec_id
+  JOIN fq ON e.query_id = fq.query_id
+  WHERE e.vec_id <> e.query_id),
+b$r AS (
+  SELECT query_id, vec_id, MAX(cosine) AS cosine
+  FROM (SELECT * FROM b${r - 1} UNION ALL SELECT * FROM s$r)
+  GROUP BY 1, 2)"""
+    s"""${hpCte(64, 8, 24)},
+kp AS (
+  SELECT LEAST(24, GREATEST(4,
+    CAST(ceil(ln(CAST(COUNT(*) AS DOUBLE) / 16.0) / ln(2.0)) AS INT))) AS k
+  FROM embeddings),
+cb AS (
+  SELECT e.vec_id, h.tbl,
+    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, h.w),
+        p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0
+      THEN CAST(POWER(2, h.plane) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+  FROM embeddings e CROSS JOIN hp h
+  WHERE e.embedding IS NOT NULL AND h.plane < (SELECT k FROM kp)
+  GROUP BY 1, 2),
+bsz AS (SELECT tbl, bkt, COUNT(*) AS n FROM cb GROUP BY 1, 2),
+pr AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM cb x
+  JOIN cb y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+  JOIN bsz ON bsz.tbl = x.tbl AND bsz.bkt = x.bkt
+  WHERE bsz.n <= 1024),
+sc AS (
+  SELECT pr.id_a, pr.id_b,
+    round(${cosD("ea.embedding", "eb.embedding")}, 4) AS cosine
+  FROM pr JOIN embeddings ea ON pr.id_a = ea.vec_id
+  JOIN embeddings eb ON pr.id_b = eb.vec_id),
+dirn AS (
+  SELECT id_a AS src, id_b AS dst, cosine FROM sc
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, cosine FROM sc),
+topm AS (
+  SELECT src, dst FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+      ORDER BY cosine DESC, dst ASC) AS rk FROM dirn)
+  WHERE rk IN (${graft.operators.GraphAnn.graphEdgeRanks(RegM).mkString(", ")})),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM topm UNION ALL SELECT dst AS src, src AS dst FROM topm)),
+fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+sd AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $RegEntry) FROM embeddings) = 0),
+b0 AS (
+  SELECT fq.query_id, sd.vec_id,
+    round(${cosD("fq.eq", "c.embedding")}, 4) AS cosine
+  FROM sd CROSS JOIN fq JOIN embeddings c ON sd.vec_id = c.vec_id
+  WHERE sd.vec_id <> fq.query_id),
+${(1 to RegRounds).map(round).mkString(",\n")},
+ap AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM b$RegRounds)
+  WHERE rank <= 5)"""
+  }
+
+  private[graft] def ss13TopkSql: String =
+    s"""WITH $ss13Ctes
+SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
+
+  private[graft] def ss13RecallSql: String =
+    s"""WITH $ss13Ctes,
+$recallTail"""
 }

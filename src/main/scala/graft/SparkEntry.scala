@@ -1290,6 +1290,32 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** SS13: graph-ANN top-5 ([[graft.operators.GraphAnn]]) — the fourth
+    * index family (HNSW paradigm, BSP form): k-NN graph from the
+    * registered LSH candidate pairs, symmetrized top-8 out-edges, three
+    * synchronized beam-search rounds (beam 16) from the four lowest-id
+    * entry points. FULL oracle: the whole chain — hyperplane literals,
+    * bucket pair expansion, per-node top-m window, symmetrize, and the
+    * three unrolled beam rounds — replays in DuckDB
+    * (OracleSqlGen.ss13TopkSql), so the graph index is hash-checked, not
+    * just recall-floored.
+    */
+  private def ss13GraphTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.operators.GraphAnn.graphTopK(emb, topkQueries(emb), 5, 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SS13 recall@5 vs the exact ss1 baseline (the family's quality row). */
+  private def ss13Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val q = topkQueries(emb)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, q, 5),
+      graft.operators.GraphAnn.graphTopK(emb, q, 5, 64))
+      .orderBy(col("query_id"))
+  }
+
   /** SS4: TF-IDF cosine near-dup pairs at 0.8 — the lexical near-dup
     * detector: sparse-vector cosine with no embedding model in the loop.
     * Every floating step is one IEEE op on 6dp-grid inputs or a decimal
@@ -4009,6 +4035,10 @@ FROM m ORDER BY doc_id, summarizer""")
     "dd13r_gate" -> (dd13rGate(_, _)),
     "ss2_lsh_topk" -> (ss2LshTopk(_, _)),
     "ss3_ivf_topk" -> (ss3IvfTopk(_, _)),
+    "ss13_graph_topk" -> (ss13GraphTopk(_, _)),
+    "ss13_recall" -> (ss13Recall(_, _)),
+    "ss13_gate" -> ((s: SparkSession, d: String) =>
+      recallGate(ss13Recall(s, d), 80)),
     "ss2_recall" -> (ss2Recall(_, _)),
     "ss3_recall" -> (ss3Recall(_, _)),
     "ss4_tfidf_pairs" -> (ss4TfidfPairs(_, _)),
@@ -6266,6 +6296,14 @@ ORDER BY token_id"""
     // their centroid), then probe + rerank (OracleSqlGen.ss3TopkSql).
     "ss3_ivf_topk" -> OracleSqlGen.ss3TopkSql,
     "ss3_recall" -> OracleSqlGen.ss3RecallSql,
+    // ss13: the graph-ANN chain — LSH-pair graph build, per-node top-m
+    // window, symmetrize, three unrolled beam rounds — replayed whole
+    // (hyperplane literals; the ss2 machinery one level up)
+    "ss13_graph_topk" -> OracleSqlGen.ss13TopkSql,
+    "ss13_recall" -> OracleSqlGen.ss13RecallSql,
+    // ss13_gate: recall floor for the graph index (floor set ~0.15 under
+    // the min measured across SFs - the recallGate convention)
+    "ss13_gate" -> "SELECT 80 AS floor_x100, 1 AS has_rows, 1 AS pass",
     "ss1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
          scored AS (

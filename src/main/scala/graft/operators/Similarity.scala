@@ -325,7 +325,7 @@ object Similarity {
     * With `probe1Bit = Some(planes)` each (tbl, key) additionally emits the
     * `planes` Hamming-1 neighbor keys (query-side multiprobe).
     */
-  private[operators] def lshBucketed(df: DataFrame, dim: Int,
+  private[graft] def lshBucketed(df: DataFrame, dim: Int,
       tables: Int, planes: Int, vecCol: String = "embedding",
       probe1Bit: Option[Int] = None): DataFrame = {
     val keysOf = lshKeysUdf(dim, tables, planes)

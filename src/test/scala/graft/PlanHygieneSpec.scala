@@ -116,6 +116,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     "ss6_hybrid_rrf") // contains ss1's broadcast-query scan
   private val allowBnlj = Set("g7_histogram", "ss1_cosine_topk",
     "ss9_hard_negatives",
+    // ss13's lazy plan: the ~entry-row seed broadcast crossJoined onto
+    // the query ids (bounded by the operating point), plus — for the
+    // recall/gate forms — the exact baseline's ss1-shape broadcast scan
+    "ss13_recall", "ss13_gate",
     // ss10 = the one-row mean-vector broadcast (centering) + ss1's
     // broadcast-query scan over the centered table
     "ss10_centered_topk",
