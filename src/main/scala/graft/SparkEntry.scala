@@ -2471,6 +2471,122 @@ object SparkEntry {
       (col("det_min") === 1).cast("int").as("det_pass"),
       (col("n") > 0).cast("int").as("has_rows"))
 
+  /** Trained-model sentence embeddings over the documents table, with the
+    * text kept alongside (the rerank stage needs both) — the trained twin
+    * of [[txDocEmb]].
+    */
+  private def txTrainedDocEmb(spark: SparkSession, dir: String): DataFrame = {
+    val embedUdf = udf((t: String) => txTrainedModel.embed(t))
+    tbl(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("vec_id"), col("text"),
+        embedUdf(col("text")).as("embedding"))
+  }
+
+  /** SS14: retrieve-then-RERANK — the two-stage ranking every production
+    * retrieval/hard-negative-mining pipeline runs (bi-encoder shortlist,
+    * cross-scoring rerank; Nogueira & Cho 2019): stage 1 retrieves a
+    * top-20 shortlist by TRAINED-model sentence-embedding cosine (the
+    * cheap, index-able score — composes with any registered ANN family);
+    * stage 2 re-scores each (query, candidate) PAIR with the trained
+    * model's contextual BERTScore F1 (token-level greedy matching over
+    * contextual vectors — strictly more expressive than one pooled
+    * cosine, and priced per shortlist pair, never per corpus row) and
+    * keeps the top-5 by (f1 desc, vec_id). Both stages run the committed
+    * trained checkpoint — the second operator the in-repo trainer powers.
+    *
+    * Scale shape: stage 1 is the family's broadcast-query scan (swap in
+    * lshTopK/ivfSearch/graphTopK at corpus scale — the shortlist contract
+    * is identical); stage 2 costs |queries| x 20 model forwards, bounded
+    * by the shortlist, never the corpus. Rows-only (model forwards have
+    * no SQL replay); ss14_gate pins containment, the rerank-optimality
+    * invariant, and bit-determinism.
+    */
+  private def ss14RerankCross(spark: SparkSession, dir: String): DataFrame =
+    ss14Ranked(spark, dir)
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "cosine", "cross_f1", "rank")
+      .orderBy(col("query_id"), col("rank"))
+
+  /** The full reranked shortlist (rank over ALL 20 candidates — the gate
+    * needs the unkept tail too).
+    */
+  private def ss14Ranked(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.operators.Materialize(txTrainedDocEmb(spark, dir))
+    // BOUNDED query set at any scale: a fixed `% 50` rule grows the query
+    // count with the corpus, and the stage-1 exact scan is
+    // O(|corpus| x |queries|) — at the 100x probe that was 10k queries x
+    // 500k docs = 5e9 scored rows (OOM). The stride scales instead:
+    // ~10-20 strided queries whatever the corpus size.
+    val qMod = math.max(50L, docs.count() / 20L)
+    val queries = docs.filter(col("vec_id") % qMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        col("text").as("q_text"))
+    val shortlist = Similarity.bruteForceTopK(
+      docs.select(col("vec_id"), col("embedding")),
+      queries.select(col("query_id"), col("embedding")), 20)
+    val crossF1 = udf { (q: String, d: String) =>
+      graft.core.BertScore.greedyMatch(
+        txTrainedModel.encode(q), txTrainedModel.encode(d))._3
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cross_f1").desc, col("vec_id").asc)
+    shortlist
+      .join(docs.select(col("vec_id"), col("text").as("d_text")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("q_text"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        col("cosine"), col("rank").as("bi_rank"),
+        r4(crossF1(col("q_text"), col("d_text"))).as("cross_f1"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** SS14 gate (literal oracle): the rerank stage's three invariants —
+    *  - contained_pass: the reranked top-5 is a subset of the stage-1
+    *    shortlist per query (exactly 5 of the 20 candidates survive);
+    *  - improve_pass: the mean cross-F1 of the RERANKED top-5 is >= the
+    *    mean cross-F1 of the bi-encoder's own top-5 (rerank picks the
+    *    argmax over the shortlist, so equality is the floor — a violation
+    *    means the window/tie plumbing is broken);
+    *  - det_pass: a second trained-model instance reproduces every
+    *    cross-F1 bit-for-bit (the tx_gate hermetic-determinism property
+    *    through the cross-scoring path).
+    */
+  private def ss14Gate(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = graft.operators.Materialize(ss14Ranked(spark, dir))
+    val perQuery = ranked.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("rank") <= 5, 1).otherwise(0)).as("n_kept"),
+      avg(when(col("rank") <= 5, col("cross_f1"))).as("f1_rerank"),
+      avg(when(col("bi_rank") <= 5, col("cross_f1"))).as("f1_bi"))
+    val trained2 = graft.llm.TinyTransformer(
+      weightsPath = Some("graft/tiny_tx_trained.safetensors"))
+    val crossF12 = udf { (q: String, d: String) =>
+      graft.core.BertScore.greedyMatch(
+        trained2.encode(q), trained2.encode(d))._3
+    }
+    // determinism re-scored on the top-5 only (25 extra pair forwards at
+    // the verify SFs) — re-derive the texts through the same joins
+    val docs = tbl(spark, dir, "documents")
+    val det = ranked.filter(col("rank") <= 5)
+      .join(docs.select(col("doc_id").as("vec_id"),
+        col("text").as("d_text")), "vec_id")
+      .join(docs.select(col("doc_id").as("query_id"),
+        col("text").as("q_text")), "query_id")
+      .select((r4(crossF12(col("q_text"), col("d_text"))) ===
+        col("cross_f1")).cast("int").as("det_ok"))
+      .agg(min(col("det_ok")).as("det_min"))
+    perQuery.agg(
+        (count(lit(1)) > 0).cast("int").as("has_rows"),
+        min((col("n_kept") === least(lit(5), col("n_cand"))).cast("int"))
+          .as("contained_pass"),
+        min((col("f1_rerank") >= col("f1_bi")).cast("int")).as("improve_pass"))
+      .crossJoin(broadcast(det))
+      .select(col("has_rows"), col("contained_pass"), col("improve_pass"),
+        (col("det_min") === 1).cast("int").as("det_pass"))
+  }
+
   /** M4 (oracle slice): the CoverageJudge rubric — pass verdict,
     * correctness (= source-vocabulary coverage) and coherence (= lexical
     * diversity) — over the same SQL-constructible token-slice pairing as
@@ -4165,7 +4281,9 @@ FROM m ORDER BY doc_id, summarizer""")
     "m3tb_gate" -> ((s: SparkSession, d: String) =>
       recallGate(m3tbRecall(s, d), 90)),
     "tx_gate" -> (txGate(_, _)),
-    "tx_trained_gate" -> (txTrainedGate(_, _)))
+    "tx_trained_gate" -> (txTrainedGate(_, _)),
+    "ss14_rerank_cross" -> (ss14RerankCross(_, _)),
+    "ss14_gate" -> (ss14Gate(_, _)))
 
   // --------------------------------------------------------------- oracles
 
@@ -5039,6 +5157,12 @@ ORDER BY token_id"""
     "tx_trained_gate" ->
       """SELECT 1 AS lift_pass, 1 AS aniso_pass, 1 AS align_pass,
            1 AS det_pass, 1 AS has_rows""",
+    // ss14_gate: retrieve-then-rerank invariants — top-5 contained in the
+    // shortlist, rerank mean cross-F1 >= the bi-encoder top-5's, and
+    // bit-determinism of the cross scores across model instances
+    "ss14_gate" ->
+      """SELECT 1 AS has_rows, 1 AS contained_pass, 1 AS improve_pass,
+           1 AS det_pass""",
     // m3tb_gate: recall floor for the LSH-routed transformer retrieval
     // (measured 1.0 at sf0.001/0.01/0.1 — ProbeTx notes the anisotropy
     // that makes sign-LSH candidate-rich on pooled transformer vectors)

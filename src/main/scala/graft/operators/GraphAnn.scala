@@ -174,6 +174,11 @@ object GraphAnn {
     require(k >= 1 && beam >= k && rounds >= 1 && entry >= 1,
       s"need beam >= k >= 1, rounds/entry >= 1: k=$k beam=$beam " +
         s"rounds=$rounds entry=$entry")
+    // the exact-scan family's fail-loud tripwire: the query side is
+    // BROADCAST into every scoring round, so an unbounded query table
+    // would blow the broadcast silently (beam search amortizes SHUFFLES
+    // over queries, not broadcast bytes)
+    Similarity.requireQueryCap(queries, maxQueries, "GraphAnn.beamSearch")
     val base = Materialize(corpus.select(col("vec_id"),
       col("embedding").as("emb_c"), vecNormF(col("embedding")).as("norm_c")))
     val q = Materialize(queries.select(col("query_id"),

@@ -28,7 +28,7 @@ object Similarity {
     * SILENTLY. `limit(cap+1).count()` short-circuits, so the check costs
     * one bounded job, never a full scan of a large query table.
     */
-  private def requireQueryCap(queries: DataFrame, maxQueries: Int,
+  private[operators] def requireQueryCap(queries: DataFrame, maxQueries: Int,
       op: String): Unit = {
     require(maxQueries >= 1, s"maxQueries must be >= 1: $maxQueries")
     // maxQueries = Int.MaxValue (cap effectively off) must not overflow

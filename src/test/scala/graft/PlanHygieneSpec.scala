@@ -120,6 +120,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the query ids (bounded by the operating point), plus — for the
     // recall/gate forms — the exact baseline's ss1-shape broadcast scan
     "ss13_recall", "ss13_gate",
+    // ss14: stage 1 is bruteForceTopK's broadcast-query scan (the ss1
+    // shape); the gate additionally crossJoins its one-row determinism
+    // aggregate onto the one-row invariant aggregate
+    "ss14_rerank_cross", "ss14_gate",
     // ss10 = the one-row mean-vector broadcast (centering) + ss1's
     // broadcast-query scan over the centered table
     "ss10_centered_topk",
