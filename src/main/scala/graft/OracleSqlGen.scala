@@ -843,4 +843,221 @@ SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
   private[graft] def ss13RecallSql: String =
     s"""WITH $ss13Ctes,
 $recallTail"""
+
+  // ----------------------------------------------------- qz4 / ss8 (PQ)
+
+  /** Squared L2 distance between two float-list SQL exprs — bit-for-bit
+    * Pq.nearestSub's accumulation: per element, both floats to double,
+    * subtract, square, left-to-right sum.
+    */
+  private def l2D(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+
+  /** Pq.trainPq + Pq.pqEncode replayed over `rel` (vec_id, embedding):
+    * slice into `m` subspaces of `dsub` dims, seed each subspace codebook
+    * from the `ksub` lowest-id training vectors (vec_id % trainMod = 0 —
+    * the literal modulus is exact at the verify SFs, where n is far under
+    * Similarity.MaxTrainVectors so the ceiling never raises it), run the
+    * registered TWO L2 Lloyd rounds with the decimal-exact means of the
+    * ss3 replay (empty cells keep their centroid), then encode every base
+    * row. Emits `${p}c2` (s, cell, cent) — the final codebooks — and
+    * `${p}codes` (vec_id, s, cell). Ties replay nearestSub's strict-<
+    * first-wins as (distance ASC, cell ASC).
+    */
+  private def pqTrainCtes(p: String, rel: String, m: Int, dsub: Int,
+      ksub: Int, trainMod: Int): String = {
+    def assign(src: String, cbRel: String, out: String): String =
+      s"""$out AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT t.vec_id, t.s, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+        ORDER BY ${l2D("t.sub", "c.cent")} ASC, c.cell ASC) AS rn
+    FROM $src t JOIN $cbRel c USING (s)) WHERE rn = 1)"""
+    def round(r: Int): String =
+      s"""${assign(s"${p}trs", s"${p}c${r - 1}", s"${p}a$r")},
+${p}m$r AS (
+  SELECT a.s, a.cell, u.k - 1 AS i,
+    CAST(CAST(SUM(CAST(CAST(t.sub[u.k] AS DOUBLE) AS DECIMAL(38, 10)))
+      AS DOUBLE) / COUNT(*) AS FLOAT) AS mv
+  FROM ${p}a$r a JOIN ${p}trs t USING (vec_id, s),
+    LATERAL UNNEST(generate_series(1, len(t.sub))) AS u(k)
+  GROUP BY 1, 2, 3),
+${p}c$r AS (
+  SELECT q.s, q.cell, COALESCE(n.cent, q.cent) AS cent
+  FROM ${p}c${r - 1} q LEFT JOIN
+    (SELECT s, cell, list(mv ORDER BY i) AS cent FROM ${p}m$r GROUP BY 1, 2) n
+    USING (s, cell))"""
+    s"""${p}base AS (
+  SELECT vec_id, embedding FROM $rel
+  WHERE embedding IS NOT NULL AND len(embedding) % $m = 0),
+${p}tr AS (SELECT vec_id, embedding FROM ${p}base WHERE vec_id % $trainMod = 0),
+${p}trs AS (
+  SELECT vec_id, u.s, list_slice(embedding, u.s * $dsub + 1, (u.s + 1) * $dsub) AS sub
+  FROM ${p}tr, LATERAL UNNEST(generate_series(0, ${m - 1})) AS u(s)),
+${p}c0 AS (
+  SELECT t.s, sd.cell, t.sub AS cent
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+        FROM ${p}tr ORDER BY vec_id LIMIT $ksub) sd
+  JOIN ${p}trs t USING (vec_id)),
+${round(1)},
+${round(2)},
+${p}alls AS (
+  SELECT vec_id, u.s, list_slice(embedding, u.s * $dsub + 1, (u.s + 1) * $dsub) AS sub
+  FROM ${p}base, LATERAL UNNEST(generate_series(0, ${m - 1})) AS u(s)),
+${assign(s"${p}alls", s"${p}c2", s"${p}codes")}"""
+  }
+
+  /** qz4: Pq.pqTopK replayed at the registered operating point (m=8,
+    * ksub=16, iterations=2, trainMod=1, shortlist=150, k=5, queries
+    * vec_id<5). Per-query subspace dot tables (`qd`) and the
+    * query-independent codebook norm table (`pnt`) are the replayed
+    * driver-side broadcast; the ADC score is dot/(|q|·√cn) with the
+    * UDF's exact accumulation order — both per-(query,vec) sums run s
+    * ascending via an order-pinned list aggregate — then shortlist 150
+    * by (adc DESC, vec_id ASC) and the exact 4dp float rerank -> `ap`.
+    */
+  private def qz4Ctes: String =
+    s"""${pqTrainCtes("p", "embeddings", 8, 8, 16, 1)},
+fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+qsub AS (
+  SELECT query_id, u.s, list_slice(eq, u.s * 8 + 1, (u.s + 1) * 8) AS sub
+  FROM fq, LATERAL UNNEST(generate_series(0, 7)) AS u(s)),
+qd AS (
+  SELECT q.query_id, c.s, c.cell,
+    list_sum(list_transform(list_zip(q.sub, c.cent),
+      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+  FROM qsub q JOIN pc2 c USING (s)),
+pnt AS (
+  SELECT s, cell,
+    list_sum(list_transform(cent, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nn
+  FROM pc2),
+qn AS (
+  SELECT query_id,
+    sqrt(list_sum(list_transform(eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM fq),
+adcrow AS (
+  SELECT f.query_id, k.vec_id, k.s, qd.d, pnt.nn
+  FROM pcodes k CROSS JOIN (SELECT query_id FROM fq) f
+  JOIN qd ON qd.query_id = f.query_id AND qd.s = k.s AND qd.cell = k.cell
+  JOIN pnt ON pnt.s = k.s AND pnt.cell = k.cell
+  WHERE k.vec_id <> f.query_id),
+adcv AS (
+  SELECT query_id, vec_id,
+    list_sum(list(d ORDER BY s)) AS dotv,
+    list_sum(list(nn ORDER BY s)) AS cn
+  FROM adcrow GROUP BY 1, 2),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT a.query_id, a.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+        (CASE WHEN q.qnorm * sqrt(a.cn) = 0 THEN 0.0
+              ELSE a.dotv / (q.qnorm * sqrt(a.cn)) END) DESC,
+        a.vec_id ASC) AS rk
+    FROM adcv a JOIN qn q USING (query_id)) WHERE rk <= 150),
+rr AS (
+  SELECT sl.query_id, sl.vec_id,
+    round(${cosD("fq.eq", "c.embedding")}, 4) AS cosine
+  FROM sl JOIN embeddings c ON sl.vec_id = c.vec_id
+  JOIN fq ON sl.query_id = fq.query_id),
+ap AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+  WHERE rank <= 5)"""
+
+  private[graft] def qz4TopkSql: String =
+    s"""WITH $qz4Ctes
+SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
+
+  private[graft] def qz4RecallSql: String =
+    s"""WITH $qz4Ctes,
+$recallTail"""
+
+  /** ss8: Pq.ivfPqTopK replayed (nCells=16, nProbe=8, m=8, ksub=64,
+    * iterations=2, trainMod=4, shortlist=250, k=5): the ss3 coarse
+    * k-means replay routes every row to a cell, residuals are the
+    * float-exact (double-subtract-then-round — identical to Float
+    * arithmetic, Figueroa's 2p+2 theorem) per-dim differences, the
+    * residual codebooks replay through the shared PQ trainer, and the
+    * IVFADC score (cdot_cell + Σ_s d_s)/(|q|·norm_c) accumulates in the
+    * UDF's exact order — the centroid dot FIRST (list_prepend), then the
+    * subspace dots s ascending. Probed cells = flat cosine top-8 with
+    * the lowest-cell tie (CentroidIndex.search at k≤64 is the flat
+    * scan). Shortlist 250, exact 4dp rerank -> `ap`.
+    */
+  private def ss8Ctes: String =
+    s"""${kmeansCtes(16, 4)},
+rsd AS (
+  SELECT cl.vec_id, cl.cell,
+    sqrt(list_sum(list_transform(cl.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm_c,
+    list_transform(list_zip(cl.embedding, c.c),
+      z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS FLOAT)) AS residual
+  FROM cells cl JOIN c2 c USING (cell)),
+${pqTrainCtes("rp", "(SELECT vec_id, residual AS embedding FROM rsd)", 8, 8, 64, 4)},
+fq AS (SELECT vec_id AS query_id, embedding AS eq FROM embeddings WHERE vec_id < 5),
+pq8 AS (
+  SELECT query_id, cell FROM (
+    SELECT fq.query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY fq.query_id
+        ORDER BY ${cosD("fq.eq", "c.c")} DESC, c.cell ASC) AS rn
+    FROM fq CROSS JOIN c2 c) WHERE rn <= 8),
+cd AS (
+  SELECT p.query_id, p.cell,
+    list_sum(list_transform(list_zip(fq.eq, c.c),
+      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS cdot
+  FROM pq8 p JOIN fq USING (query_id) JOIN c2 c USING (cell)),
+qsub AS (
+  SELECT query_id, u.s, list_slice(eq, u.s * 8 + 1, (u.s + 1) * 8) AS sub
+  FROM fq, LATERAL UNNEST(generate_series(0, 7)) AS u(s)),
+qd AS (
+  SELECT q.query_id, c.s, c.cell,
+    list_sum(list_transform(list_zip(q.sub, c.cent),
+      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+  FROM qsub q JOIN rpc2 c USING (s)),
+qn AS (
+  SELECT query_id,
+    sqrt(list_sum(list_transform(eq, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+  FROM fq),
+adcrow AS (
+  SELECT p.query_id, k.vec_id, k.s, qd.d
+  FROM rpcodes k
+  JOIN rsd ON rsd.vec_id = k.vec_id
+  JOIN pq8 p ON p.cell = rsd.cell
+  JOIN qd ON qd.query_id = p.query_id AND qd.s = k.s AND qd.cell = k.cell
+  WHERE k.vec_id <> p.query_id),
+adcg AS (
+  SELECT query_id, vec_id, list(d ORDER BY s) AS ds FROM adcrow GROUP BY 1, 2),
+adcv AS (
+  SELECT g.query_id, g.vec_id,
+    list_sum(list_prepend(cd.cdot, g.ds)) AS dotv, r.norm_c
+  FROM adcg g JOIN rsd r ON r.vec_id = g.vec_id
+  JOIN cd ON cd.query_id = g.query_id AND cd.cell = r.cell),
+sl AS (
+  SELECT query_id, vec_id FROM (
+    SELECT a.query_id, a.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+        (CASE WHEN q.qnorm * a.norm_c = 0 THEN 0.0
+              ELSE a.dotv / (q.qnorm * a.norm_c) END) DESC,
+        a.vec_id ASC) AS rk
+    FROM adcv a JOIN qn q USING (query_id)) WHERE rk <= 250),
+rr AS (
+  SELECT sl.query_id, sl.vec_id,
+    round(${cosD("fq.eq", "c.embedding")}, 4) AS cosine
+  FROM sl JOIN embeddings c ON sl.vec_id = c.vec_id
+  JOIN fq ON sl.query_id = fq.query_id),
+ap AS (
+  SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)
+  WHERE rank <= 5)"""
+
+  private[graft] def ss8TopkSql: String =
+    s"""WITH $ss8Ctes
+SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
+
+  private[graft] def ss8RecallSql: String =
+    s"""WITH $ss8Ctes,
+$recallTail"""
 }

@@ -6425,6 +6425,20 @@ ORDER BY token_id"""
     // (hyperplane literals; the ss2 machinery one level up)
     "ss13_graph_topk" -> OracleSqlGen.ss13TopkSql,
     "ss13_recall" -> OracleSqlGen.ss13RecallSql,
+    // qz4: the PQ shortlist+rerank REPLAYED end to end — per-subspace
+    // codebooks re-trained in SQL (lowest-vec_id seeds, two L2 Lloyd
+    // rounds, decimal-exact means), every row re-encoded, the ADC score
+    // accumulated in the UDF's exact order via order-pinned list sums,
+    // shortlist 150 and the 4dp rerank re-derived (OracleSqlGen.qz4*).
+    // Deterministic given the corpus, so fully oracle-able — the ss2/ss3
+    // conversion argument, extended to the compressed-scan family.
+    "qz4_pq_topk" -> OracleSqlGen.qz4TopkSql,
+    "qz4_recall" -> OracleSqlGen.qz4RecallSql,
+    // ss8: IVFADC composed — the ss3 coarse-quantizer replay + float-
+    // exact residuals + the qz4 PQ trainer on residual space + the
+    // (centroid-dot-first) ADC accumulation, shortlist 250, 4dp rerank.
+    "ss8_ivfpq_topk" -> OracleSqlGen.ss8TopkSql,
+    "ss8_recall" -> OracleSqlGen.ss8RecallSql,
     // ss13_gate: recall floor for the graph index (floor set ~0.15 under
     // the min measured across SFs - the recallGate convention)
     "ss13_gate" -> "SELECT 80 AS floor_x100, 1 AS has_rows, 1 AS pass",
