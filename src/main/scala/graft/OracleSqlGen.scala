@@ -1060,4 +1060,15 @@ SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
   private[graft] def ss8RecallSql: String =
     s"""WITH $ss8Ctes,
 $recallTail"""
+
+  // ------------------------------------------------------ cl1 (clustering)
+
+  /** cl1: Clustering.clusterSizes(embeddings, 8, 2) replayed — the ss3
+    * coarse-quantizer replay at (nCells=8, trainMod=1), then the one-line
+    * cardinality profile over the full-corpus assignment.
+    */
+  private[graft] def cl1SizesSql: String =
+    s"""WITH ${kmeansCtes(8, 1)}
+SELECT CAST(cell AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM cells GROUP BY 1 ORDER BY cluster"""
 }

@@ -1478,9 +1478,10 @@ object SparkEntry {
   /** CL1 coverage gate: k-means assignment must PARTITION the corpus —
     * cluster sizes sum to exactly the embedding count (no row dropped or
     * double-assigned) and every one of the 8 cells is non-empty on this
-    * corpus. The centroid values ride a non-SQL model (hence cl1 stays
-    * rows-only) but the partition invariant is a hard driver-checkable
-    * boolean. Oracled to the literal (8, 1).
+    * corpus. cl1 itself is now FULLY oracled (the ss3 k-means replay at
+    * nCells=8/trainMod=1 — OracleSqlGen.cl1SizesSql); this gate stays as
+    * the partition-invariant check that holds at any operating point.
+    * Oracled to the literal (8, 1).
     */
   private def cl1Gate(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
@@ -6439,6 +6440,10 @@ ORDER BY token_id"""
     // (centroid-dot-first) ADC accumulation, shortlist 250, 4dp rerank.
     "ss8_ivfpq_topk" -> OracleSqlGen.ss8TopkSql,
     "ss8_recall" -> OracleSqlGen.ss8RecallSql,
+    // cl1: the k-means cluster-size profile with the model RE-TRAINED in
+    // SQL (the ss3 replay at nCells=8, trainMod=1) — the "centroid values
+    // ride a non-SQL model" stance fell with ss3's conversion.
+    "cl1_cluster_sizes" -> OracleSqlGen.cl1SizesSql,
     // ss13_gate: recall floor for the graph index (floor set ~0.15 under
     // the min measured across SFs - the recallGate convention)
     "ss13_gate" -> "SELECT 80 AS floor_x100, 1 AS has_rows, 1 AS pass",
