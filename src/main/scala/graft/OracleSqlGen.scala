@@ -1061,6 +1061,120 @@ SELECT query_id, vec_id, cosine, rank FROM ap ORDER BY query_id, rank"""
     s"""WITH $ss8Ctes,
 $recallTail"""
 
+  // ------------------------------------- cls1 (trained linear classifier)
+
+  /** LinearModel.trainCgRidge replayed whole: the planted quality corpus,
+    * hashed binary presence features (md5 60-bit buckets), b = Xᵀy/n, and
+    * `iters` UNROLLED conjugate-gradient steps on (XᵀX/n + λI)w = b.
+    * Every distributed sum is the decimal(38,10) fixed-point grid
+    * (order-free, exact — the exactSum contract), the CG scalars replay
+    * the driver's dotDec through the same grid, and α/β guard their zero
+    * denominators with the trainer's exact CASE. No transcendentals
+    * anywhere, so the TRAINING itself — not just the served scores — is
+    * hash-checkable. Emits `w$iters` (j, v): 64 bucket weights + bias at
+    * j=64, plus `fx` (features over ALL docs) and `pl` for the downstream
+    * scoring/eval queries.
+    */
+  private def clsCtes(k: Int = 64, iters: Int = 8,
+      lambda: Double = 0.01): String = {
+    def decSum(x: String): String =
+      s"CAST(SUM(CAST($x AS DECIMAL(38, 10))) AS DOUBLE)"
+    def round(i: Int): String =
+      s"""q$i AS (
+  SELECT t.doc_id, COALESCE(fq.s, 0.0) + (SELECT v FROM p${i - 1} WHERE j = $k) AS q
+  FROM trn t LEFT JOIN (
+    SELECT f.doc_id, ${decSum("p.v")} AS s
+    FROM ft f JOIN p${i - 1} p ON p.j = f.bucket GROUP BY 1) fq USING (doc_id)),
+s$i AS (
+  SELECT jd.j, COALESCE(x.v, 0.0) + $lambda * p.v AS v
+  FROM jd LEFT JOIN (
+    SELECT f.bucket AS j, ${decSum("q.q")} / (SELECT n FROM nn) AS v
+    FROM ft f JOIN q$i q USING (doc_id) GROUP BY 1
+    UNION ALL
+    SELECT $k AS j, ${decSum("q")} / (SELECT n FROM nn) AS v FROM q$i) x USING (j)
+  JOIN p${i - 1} p USING (j)),
+ps$i AS (
+  SELECT ${decSum("p.v * s.v")} AS v FROM p${i - 1} p JOIN s$i s USING (j)),
+al$i AS (
+  SELECT CASE WHEN v = 0 THEN 0.0 ELSE (SELECT v FROM rr${i - 1}) / v END AS v
+  FROM ps$i),
+w$i AS (
+  SELECT w.j, w.v + (SELECT v FROM al$i) * p.v AS v
+  FROM w${i - 1} w JOIN p${i - 1} p USING (j)),
+r$i AS (
+  SELECT r.j, r.v - (SELECT v FROM al$i) * s.v AS v
+  FROM r${i - 1} r JOIN s$i s USING (j)),
+rr$i AS (SELECT ${decSum("v * v")} AS v FROM r$i),
+bt$i AS (
+  SELECT CASE WHEN (SELECT v FROM rr${i - 1}) = 0 THEN 0.0
+    ELSE v / (SELECT v FROM rr${i - 1}) END AS v FROM rr$i),
+p$i AS (
+  SELECT r.j, r.v + (SELECT v FROM bt$i) * p.v AS v
+  FROM r$i r JOIN p${i - 1} p USING (j))"""
+    s"""pl AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0
+      THEN ' click buy free winner cash prize now deal'
+      ELSE ' study method result analysis careful review note' END AS text,
+    CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END AS y
+  FROM documents),
+fx AS (
+  SELECT DISTINCT doc_id,
+    CAST(('0x' || substr(md5('b:' || tok), 1, 15)) AS BIGINT) % $k AS bucket
+  FROM (SELECT doc_id,
+      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM pl)),
+trn AS (SELECT doc_id, y FROM pl WHERE doc_id % 2 = 0),
+ft AS (SELECT f.doc_id, f.bucket, t.y FROM fx f JOIN trn t USING (doc_id)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM trn),
+jd AS (SELECT j FROM range(0, ${k + 1}) t(j)),
+b0 AS (
+  SELECT bucket AS j, ${decSum("y")} / (SELECT n FROM nn) AS v
+  FROM ft GROUP BY 1
+  UNION ALL
+  SELECT $k AS j, ${decSum("y")} / (SELECT n FROM nn) AS v FROM trn),
+w0 AS (SELECT j, 0.0 AS v FROM jd),
+r0 AS (SELECT jd.j, COALESCE(b0.v, 0.0) AS v FROM jd LEFT JOIN b0 USING (j)),
+p0 AS (SELECT j, v FROM r0),
+rr0 AS (SELECT ${decSum("v * v")} AS v FROM r0),
+${(1 to iters).map(round).mkString(",\n")}"""
+  }
+
+  /** Held-out scoring on the trained weights: score = Σ_{j∈doc} w_j + bias
+    * (the same decimal sum + add-after), pred from the UNROUNDED score.
+    */
+  private def clsScoreCtes(k: Int = 64, iters: Int = 8): String =
+    s"""${clsCtes(k, iters)},
+tst AS (SELECT doc_id, y FROM pl WHERE doc_id % 2 = 1),
+sc AS (
+  SELECT t.doc_id,
+    COALESCE(fs.s, 0.0) + (SELECT v FROM w$iters WHERE j = $k) AS score,
+    t.y
+  FROM tst t LEFT JOIN (
+    SELECT f.doc_id, CAST(SUM(CAST(w.v AS DECIMAL(38, 10))) AS DOUBLE) AS s
+    FROM fx f JOIN w$iters w ON w.j = f.bucket GROUP BY 1) fs USING (doc_id))"""
+
+  private[graft] def cls1WeightsSql(k: Int = 64, iters: Int = 8): String =
+    materialize(s"""WITH ${clsCtes(k, iters)}
+SELECT j AS feature, round(v, 6) AS weight FROM w$iters ORDER BY feature""")
+
+  private[graft] def cls1ScoresSql(k: Int = 64, iters: Int = 8): String =
+    materialize(s"""WITH ${clsScoreCtes(k, iters)}
+SELECT doc_id, round(score, 6) AS score,
+  CAST(score >= 0.0 AS INT) AS pred, CAST(y AS INT) AS label
+FROM sc ORDER BY doc_id""")
+
+  private[graft] def cls1EvalSql(k: Int = 64, iters: Int = 8): String =
+    materialize(s"""WITH ${clsScoreCtes(k, iters)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+  CAST(SUM(CASE WHEN (score >= 0.0) = (y > 0) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  round(SUM(CASE WHEN (score >= 0.0) = (y > 0) THEN 1 ELSE 0 END) * 1.0
+    / COUNT(*), 4) AS accuracy,
+  round(GREATEST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END),
+    SUM(CASE WHEN y < 0 THEN 1 ELSE 0 END)) * 1.0 / COUNT(*), 4)
+    AS majority_acc
+FROM sc""")
+
   // ------------------------------------------------------ cl1 (clustering)
 
   /** cl1: Clustering.clusterSizes(embeddings, 8, 2) replayed — the ss3

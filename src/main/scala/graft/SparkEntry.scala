@@ -1801,6 +1801,85 @@ object SparkEntry {
     * smoothed log-probs and the priors, and replays the micro-unit
     * integer argmax with the class-ascending tie-break.
     */
+  /** Deterministic quality-label corpus for the cls1 family: every third
+    * doc gets a spam-lexicon suffix (label −1), the rest a study-lexicon
+    * suffix (label +1) — the lexical signal the trained classifier must
+    * recover from hashed features. The plant is a pure function of
+    * (doc_id, text), so the corpus replays in SQL (the ta13/ta14/nearDup
+    * planting convention); the CLASSIFIER never sees doc_id, only the
+    * hashed token stream.
+    */
+  private def plantedQualityDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 3 === 0,
+        lit(" click buy free winner cash prize now deal"))
+        .otherwise(lit(" study method result analysis careful review note")))
+        .as("text"),
+      when(col("doc_id") % 3 === 0, -1.0).otherwise(1.0).as("y"))
+
+  private val ClsK = 64
+
+  /** CLS1: trained linear quality classifier — hashed-presence ridge
+    * regression fit by 8 conjugate-gradient steps on even-id docs (the
+    * DCLM/CCNet bootstrap-a-cheap-filter pattern). FULL oracle: the
+    * TRAINING REPLAYS IN SQL — features, b = Xᵀy/n, and all eight CG
+    * iterations on the decimal(38,10) grid — so the weights themselves
+    * are hash-checked, the first trainer in the registry whose
+    * optimization loop (not just its served output) is oracle-verified.
+    */
+  private def cls1CgWeights(spark: SparkSession, dir: String): DataFrame = {
+    val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
+    val w = graft.operators.LinearModel.trainCgRidge(
+      graft.operators.LinearModel.hashedPresence(pl, ClsK),
+      pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
+      ClsK)
+    graft.operators.LinearModel.weightsDf(spark, w)
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy(col("feature"))
+  }
+
+  /** CLS1 held-out scores: odd-id docs scored by the trained weights (one
+    * map-only pass + per-doc decimal sum — the serving shape). pred is cut
+    * from the unrounded score; FULL oracle.
+    */
+  private def cls1CgScores(spark: SparkSession, dir: String): DataFrame = {
+    val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
+    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidge(feats,
+      pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
+      ClsK)
+    val tst = pl.filter(col("doc_id") % 2 === 1)
+    graft.operators.LinearModel.score(feats, tst.select(col("doc_id")), w)
+      .join(tst.select(col("doc_id"), col("y").cast("int").as("label")),
+        Seq("doc_id"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"),
+        col("pred"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CLS1 held-out quality summary: accuracy vs the majority-class
+    * baseline on odd-id docs — the measured lift of the trained model
+    * (1.0 vs 0.67 on the planted corpus at every SF). FULL oracle.
+    */
+  private def cls1CgEval(spark: SparkSession, dir: String): DataFrame = {
+    val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
+    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidge(feats,
+      pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
+      ClsK)
+    val tst = pl.filter(col("doc_id") % 2 === 1)
+    graft.operators.LinearModel.score(feats, tst.select(col("doc_id")), w)
+      .join(tst.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(((col("score") >= 0.0) === (col("y") > 0.0)).cast("long"))
+          .as("n_correct"),
+        r4(sum(((col("score") >= 0.0) === (col("y") > 0.0)).cast("long"))
+          / count(lit(1))).as("accuracy"),
+        r4(greatest(sum((col("y") > 0.0).cast("long")),
+          sum((col("y") < 0.0).cast("long"))) / count(lit(1)))
+          .as("majority_acc"))
+  }
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4187,6 +4266,9 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta16_bigram_logprob" -> (ta16BigramLogprob(_, _)),
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
+    "cls1_cg_weights" -> (cls1CgWeights(_, _)),
+    "cls1_cg_scores" -> (cls1CgScores(_, _)),
+    "cls1_cg_eval" -> (cls1CgEval(_, _)),
     "cur2_dsir" -> (cur2Dsir(_, _)),
     "cur3_excess_loss" -> (cur3ExcessLoss(_, _)),
     "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
@@ -4923,6 +5005,14 @@ ORDER BY token_id"""
     // stream_classify (below) holds the serving-side per-row scorer to
     // this same SQL VERBATIM — train-batch/score-stream must be invisible
     "ta18_nb_classifier" -> ta18NbSql,
+    // cls1: the trained linear quality classifier with its TRAINING
+    // replayed — hashed-presence features, b = X'y/n, and eight unrolled
+    // conjugate-gradient steps on the decimal(38,10) grid (the exactSum
+    // contract makes every distributed sum order-free, and CG has no
+    // transcendentals, so the optimization loop itself hash-checks).
+    "cls1_cg_weights" -> OracleSqlGen.cls1WeightsSql(),
+    "cls1_cg_scores" -> OracleSqlGen.cls1ScoresSql(),
+    "cls1_cg_eval" -> OracleSqlGen.cls1EvalSql(),
     "stream_classify" -> ta18NbSql,
     // cur3: both self-trained LMs replayed (the ta11 unigram and ta16
     // interpolated-bigram CTEs verbatim, u/b-prefixed), exact-integer

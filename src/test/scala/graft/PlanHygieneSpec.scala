@@ -44,6 +44,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "dd13r_text_semdedup_routed", "dd13r_gate",
     "dd6c_embedding_pairs_routed", "dd6c_containment", "dd6c_recall",
     "dd6c_gate",
+    // cls1 runs the CG trainer (Materialize + 2 aggregation jobs per
+    // iteration) at construction — the dd13b shape
+    "cls1_cg_weights", "cls1_cg_scores", "cls1_cg_eval",
     "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
     "s9_sharded_export",
     "s10_partitioned_export",
