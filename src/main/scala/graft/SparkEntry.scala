@@ -1880,6 +1880,40 @@ object SparkEntry {
           .as("majority_acc"))
   }
 
+  /** TA20: per-shard distribution-drift report with a PLANTED corrupted
+    * shard — every src3 doc gets a spam-lexicon suffix (the in-query
+    * planting convention), and the JS/TV monitor must flag exactly that
+    * shard while 19 clean shards stay under threshold (measured clean-
+    * shard JS 0.0024–0.0046 vs planted 0.0222 at sf0.01; threshold 0.01
+    * sits 2× above the clean band and 2× under the planted shard). FULL
+    * oracle.
+    */
+  private def ta20ShardDrift(spark: SparkSession, dir: String): DataFrame = {
+    val planted = tbl(spark, dir, "documents").withColumn("text",
+      concat(col("text"), when(col("source") === "src3",
+        lit(" casino jackpot lotto winner bonus spins")).otherwise(lit(""))))
+    TextAnalysis.shardDrift(planted, jsThreshold = 0.01)
+      .orderBy(col("shard"))
+  }
+
+  /** S13: z-order layout decision as oracle-checkable bucket stats —
+    * lineitem z-keyed on (l_orderkey, l_partkey) over the measured key
+    * ranges (one metadata-scale min/max agg at construction), bucketed by
+    * the top 6 z-bits. Each bucket's min/max per dimension IS the parquet
+    * footer a z-ordered file would carry; the output shows both
+    * dimensions bounded near span/√64 instead of one at span/64 and the
+    * other at full span — the multi-column data-skipping trade, readable
+    * off a hash-checked table. FULL oracle (pure integer arithmetic).
+    */
+  private def s13ZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    graft.operators.ZOrder.zBucketStats(li, "l_orderkey", "l_partkey",
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      .orderBy(col("bucket"))
+  }
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4267,6 +4301,8 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
     "cls1_cg_weights" -> (cls1CgWeights(_, _)),
+    "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
+    "s13_zorder_stats" -> (s13ZorderStats(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
     "cls1_cg_eval" -> (cls1CgEval(_, _)),
     "cur2_dsir" -> (cur2Dsir(_, _)),
@@ -5010,6 +5046,72 @@ ORDER BY token_id"""
     // conjugate-gradient steps on the decimal(38,10) grid (the exactSum
     // contract makes every distributed sum order-free, and CG has no
     // transcendentals, so the optimization loop itself hash-checks).
+    // ta20: the JS/TV shard-drift monitor replayed — md5 buckets,
+    // micro-nat-snapped logs, decimal-exact sums (all established
+    // parity conventions), so the whole report hash-checks.
+    "ta20_shard_drift" -> """
+WITH pl AS (
+  SELECT doc_id, source,
+    text || CASE WHEN source = 'src3'
+      THEN ' casino jackpot lotto winner bonus spins' ELSE '' END AS text
+  FROM documents),
+fx AS (
+  SELECT source AS shard,
+    CAST(('0x' || substr(md5('b:' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM (SELECT source,
+      unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+    FROM pl)),
+sc AS (SELECT shard, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM fx GROUP BY 1, 2),
+nd AS (SELECT source AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pl GROUP BY 1),
+tt AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+cbk AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cq FROM sc GROUP BY 1),
+nt AS (SELECT CAST(SUM(cq) AS BIGINT) AS n_t FROM cbk),
+grid AS (
+  SELECT t.shard, b.bucket, t.n_s, b.cq, (SELECT n_t FROM nt) AS n_t,
+    COALESCE(s.c, 0) AS c
+  FROM tt t CROSS JOIN cbk b
+  LEFT JOIN sc s ON s.shard = t.shard AND s.bucket = b.bucket),
+term AS (
+  SELECT shard, n_s, c, cq,
+    CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+    CAST(cq AS DOUBLE) / CAST(n_t AS DOUBLE) AS q
+  FROM grid),
+ctr AS (
+  SELECT shard, n_s,
+    (p * (CASE WHEN c > 0
+        THEN CAST(round(round(ln(p / ((p + q) / 2.0)), 6) * 1e6) AS BIGINT)
+        ELSE 0 END / 1e6)) * 0.5
+      + (q * (CAST(round(round(ln(q / ((p + q) / 2.0)), 6) * 1e6) AS BIGINT)
+        / 1e6)) * 0.5 AS contrib,
+    abs(p - q) * 0.5 AS tv
+  FROM term),
+agg AS (
+  SELECT shard, MIN(n_s) AS n_tokens,
+    round(CAST(SUM(CAST(contrib AS DECIMAL(38, 10))) AS DOUBLE), 6) AS js,
+    round(CAST(SUM(CAST(tv AS DECIMAL(38, 10))) AS DOUBLE), 6) AS tv
+  FROM ctr GROUP BY 1)
+SELECT a.shard, nd.n_docs, a.n_tokens, a.js, a.tv,
+  CAST(a.js > 0.01 AS INT) AS drifted
+FROM agg a JOIN nd USING (shard) ORDER BY shard""",
+    // s13: the z-order layout key replayed — affine long-math bucket
+    // scaling (floor division, clamped) and the 16-bit Morton interleave
+    // as a flat shift/mask sum; pure integer arithmetic end to end.
+    "s13_zorder_stats" -> """
+WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi
+  FROM lineitem),
+sk AS (
+  SELECT l_orderkey AS a, l_partkey AS b,
+    GREATEST(0, LEAST(65535, ((l_orderkey - (SELECT alo FROM rg)) * 65535)
+      // ((SELECT ahi FROM rg) - (SELECT alo FROM rg)))) AS sa,
+    GREATEST(0, LEAST(65535, ((l_partkey - (SELECT blo FROM rg)) * 65535)
+      // ((SELECT bhi FROM rg) - (SELECT blo FROM rg)))) AS sb
+  FROM lineitem),
+zt AS (SELECT a, b, ((sa >> 0) & 1) * 2 + ((sb >> 0) & 1) * 1 + ((sa >> 1) & 1) * 8 + ((sb >> 1) & 1) * 4 + ((sa >> 2) & 1) * 32 + ((sb >> 2) & 1) * 16 + ((sa >> 3) & 1) * 128 + ((sb >> 3) & 1) * 64 + ((sa >> 4) & 1) * 512 + ((sb >> 4) & 1) * 256 + ((sa >> 5) & 1) * 2048 + ((sb >> 5) & 1) * 1024 + ((sa >> 6) & 1) * 8192 + ((sb >> 6) & 1) * 4096 + ((sa >> 7) & 1) * 32768 + ((sb >> 7) & 1) * 16384 + ((sa >> 8) & 1) * 131072 + ((sb >> 8) & 1) * 65536 + ((sa >> 9) & 1) * 524288 + ((sb >> 9) & 1) * 262144 + ((sa >> 10) & 1) * 2097152 + ((sb >> 10) & 1) * 1048576 + ((sa >> 11) & 1) * 8388608 + ((sb >> 11) & 1) * 4194304 + ((sa >> 12) & 1) * 33554432 + ((sb >> 12) & 1) * 16777216 + ((sa >> 13) & 1) * 134217728 + ((sb >> 13) & 1) * 67108864 + ((sa >> 14) & 1) * 536870912 + ((sb >> 14) & 1) * 268435456 + ((sa >> 15) & 1) * 2147483648 + ((sb >> 15) & 1) * 1073741824 AS z FROM sk)
+SELECT z >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+FROM zt GROUP BY 1 ORDER BY bucket""",
     "cls1_cg_weights" -> OracleSqlGen.cls1WeightsSql(),
     "cls1_cg_scores" -> OracleSqlGen.cls1ScoresSql(),
     "cls1_cg_eval" -> OracleSqlGen.cls1EvalSql(),

@@ -946,6 +946,71 @@ object TextAnalysis {
     }
   }
 
+  /** TA20: per-shard token-distribution drift against the whole corpus —
+    * the batch-ingest twin of the streamed index's centroid-drift monitor
+    * (streaming/IndexDrift): a corrupted, truncated, or quality-shifted
+    * shard shows up as a diverging unigram profile long before any
+    * downstream model does, and a 100 TB ingest wants that check as one
+    * aggregation pass, not a manual eyeball.
+    *
+    * Per shard: Jensen–Shannon divergence between the shard's hashed-
+    * unigram distribution P and the corpus-wide distribution Q (both over
+    * `buckets` md5 buckets — BOUNDED model state regardless of vocabulary,
+    * the cur2/ta16 hashing convention), plus the total-variation distance
+    * (the IndexDrift occupancy metric), plus a threshold flag. Logs snap
+    * to the 6dp micro-nat grid before any multiplication (the ta16/ta18
+    * discipline) and every distributed sum is decimal-exact, so the whole
+    * report carries a full hash oracle; the snapped JS differs from the
+    * textbook value by < 1e-6 — far under any useful drift threshold.
+    *
+    * Scale shape: one token scan → one (shard × bucket) hash-agg (≤
+    * shards·buckets rows, partial-aggregated map-side), the corpus profile
+    * derived FROM that agg (no second scan), and a broadcast of the
+    * ≤buckets-row profile onto the shards×buckets grid. Nothing grows
+    * with corpus size except the one count aggregate.
+    */
+  def shardDrift(docs: DataFrame, shardCol: String = "source",
+      textCol: String = "text", buckets: Int = 64,
+      jsThreshold: Double = 0.01): DataFrame = {
+    require(buckets >= 2 && jsThreshold > 0)
+    import graft.functions.exactSum
+    val feat = docs.select(col(shardCol).as("shard"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("tok"))
+      .select(col("shard"),
+        pmod(conv(substring(md5(concat(lit("b:"), col("tok"))), 1, 15),
+          16, 10).cast("long"), lit(buckets.toLong)).as("bucket"))
+    val sc = feat.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.groupBy(col(shardCol).as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = sc.groupBy(col("shard")).agg(sum(col("c")).as("n_s"))
+    val cb = sc.groupBy(col("bucket")).agg(sum(col("c")).as("cq"))
+    val nTot = cb.agg(sum(col("cq")).as("n_t"))
+    // shards × buckets grid: every corpus-present bucket for every shard,
+    // shard-absent cells at c = 0 (they still carry Q-side JS mass)
+    val grid = tot.crossJoin(broadcast(cb)).crossJoin(broadcast(nTot))
+      .join(sc, Seq("shard", "bucket"), "left").na.fill(0L, Seq("c"))
+    val p = col("c").cast("double") / col("n_s").cast("double")
+    val q = col("cq").cast("double") / col("n_t").cast("double")
+    val m = (p + q) / 2.0
+    def snap6(x: Column): Column = round(round(x, 6) * 1e6).cast("long")
+    val lnP = when(col("c") > 0, snap6(log(p / m))).otherwise(0L)
+    val lnQ = snap6(log(q / m)) // grid rows have cq > 0 by construction
+    val contrib =
+      (p * (lnP.cast("double") / 1e6)) * 0.5 +
+        (q * (lnQ.cast("double") / 1e6)) * 0.5
+    val tv = abs(p - q) * 0.5
+    grid.groupBy(col("shard"))
+      .agg(first(col("n_s")).as("n_tokens"),
+        round(exactSum(contrib), 6).as("js"),
+        round(exactSum(tv), 6).as("tv"))
+      .join(nDocs, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("js"), col("tv"),
+        (col("js") > jsThreshold).cast("int").as("drifted"))
+  }
+
   def nbTrainCollect(docs: DataFrame, classCol: Column,
       textCol: String = "text", vocabSize: Int = 512,
       maxModelRows: Long = 1000000L): NbModel = {

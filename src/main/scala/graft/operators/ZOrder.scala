@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout for multi-column data skipping — the
+  * storage-side scale lever the query operators can't supply themselves.
+  * At 100 TB a scan's cost is decided before the first task runs, by how
+  * many files the planner can PRUNE from parquet min/max footers: a table
+  * sorted by one key skips beautifully on that key and not at all on any
+  * other, while interleaving the bits of two keys bounds BOTH per-file
+  * ranges near span/√files — the property Delta's OPTIMIZE ZORDER and
+  * every lakehouse clusterer ship (Morton 1966; the multi-dimensional
+  * clustering trade: each dimension's skipping weakens from 1/files to
+  * ~1/√files, but every filtered dimension gets it).
+  *
+  * Everything here is INTEGER arithmetic — affine bucket scaling in long
+  * math (no floats to drift), bit interleave as shift/mask/add — so the
+  * whole layout key replays bit-identically in oracle SQL, and the layout
+  * decision itself (which z-bucket a row lands in) is hash-checkable.
+  * The physical write path (`write`) uses the z-key as a range-partition
+  * sort key; boundary SAMPLING there is Spark's (layout, not semantics —
+  * file contents vary by boundary draw, the skipping bound holds under
+  * any draw), which is why the registered oracle checks fixed-width
+  * z-BUCKET stats, not file bytes.
+  */
+object ZOrder {
+
+  /** Affine scaling of `c` into [0, 2^bits): floor((v − lo) · (2^bits − 1)
+    * / (hi − lo)), all in long arithmetic (exact; caller guarantees
+    * (hi − lo) · 2^bits fits a long — true for any key space up to ~2^46
+    * at bits=16). The division is done subtract-remainder-first so the
+    * quotient is an exact long even through Spark's double `/` (divisible
+    * by construction); trunc-vs-floor differences on negative
+    * out-of-range inputs are clamped away by the GREATEST. Degenerate
+    * range (hi = lo) maps everything to 0. Out-of-range values clamp, so
+    * a stale min/max profile degrades locality, never correctness.
+    */
+  def scaled(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits: $bits")
+    require(hi >= lo, s"empty range: [$lo, $hi]")
+    val m = (1L << bits) - 1
+    if (hi == lo) lit(0L)
+    else {
+      val x = (c.cast("long") - lit(lo)) * lit(m)
+      val raw = ((x - (x % lit(hi - lo))) / lit(hi - lo)).cast("long")
+      greatest(lit(0L), least(lit(m), raw))
+    }
+  }
+
+  /** Morton interleave of two `bits`-bit scaled keys: bit i of `a` lands
+    * at position 2i+1, bit i of `b` at 2i. A flat shift/mask/add sum —
+    * one codegen'd expression, no UDF, and the same arithmetic replays
+    * in SQL.
+    */
+  def interleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits: $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+  }
+
+  /** The composed z-key for two long columns over known ranges. Ranges
+    * come from the caller (one metadata-scale min/max aggregate, or the
+    * catalog's column stats at a real lakehouse) so the key expression
+    * itself stays a pure projection — usable inside any scan, stream, or
+    * write without a hidden extra pass.
+    */
+  def zKey(a: Column, aLo: Long, aHi: Long, b: Column, bLo: Long, bHi: Long,
+      bits: Int = 16): Column =
+    interleave(scaled(a, aLo, aHi, bits), scaled(b, bLo, bHi, bits), bits)
+
+  /** Fixed-width z-bucket stats — the ORACLE-CHECKABLE form of the layout
+    * decision: bucket = top `log2(nBuckets)` bits of the z-key, and per
+    * bucket the row count and each dimension's min/max (exactly the
+    * parquet footer ranges a z-ordered file would carry). The skipping
+    * claim is readable off the output: every bucket's (max − min) spans
+    * ~1/√nBuckets of each dimension, not 1/nBuckets of one and all of the
+    * other.
+    */
+  def zBucketStats(df: DataFrame, aCol: String, bCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      bits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two: $nBuckets")
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(nBuckets)
+    df.select(col(aCol).as("a"), col(bCol).as("b"),
+      zKey(col(aCol), aLo, aHi, col(bCol), bLo, bHi, bits).as("z"))
+      .groupBy(shiftright(col("z"), shift).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
+  /** Physical z-ordered write: range-partition by the z-key into
+    * `numFiles` sorted parquet files. Each file's min/max footer then
+    * carries the √-bounded ranges of BOTH dimensions, which is what the
+    * scan planner prunes on. Range boundaries are Spark's sampled ones —
+    * layout, not semantics (see class doc).
+    */
+  def write(df: DataFrame, aCol: String, bCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long, dir: String,
+      numFiles: Int = 16, bits: Int = 16): Unit =
+    df.withColumn("__z",
+      zKey(col(aCol), aLo, aHi, col(bCol), bLo, bHi, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+}

@@ -1422,4 +1422,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L)) // same token stream -> same hash
     assert(got(1L) != got(3L)) // different content -> different hash
   }
+
+  test("TA20 shardDrift: corrupted shard flags, clean shards under it, layout-free") {
+    // ten shards drawing from one vocabulary, ONE with an injected
+    // off-distribution suffix. Many shards matter: with very few, the
+    // corrupted shard drags the CORPUS profile toward itself and the
+    // clean shards inherit the divergence (measured: at 3 shards the
+    // clean ones scored higher) — exactly why the monitor is a per-shard
+    // vs-whole comparison, fleet-sized like a real ingest.
+    val rnd = new java.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 300L).map { i =>
+      val base = Array.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val shard = s"s${i % 10}"
+      val text = if (i % 10 == 9) s"$base spamspam casino casino casino" else base
+      (i, shard, text)
+    }.toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.shardDrift(docs, jsThreshold = 0.01)
+      .select(col("shard"), col("js"), col("tv"), col("drifted"))
+      .as[(String, Double, Double, Int)].collect().sortBy(_._1)
+    val byShard = got.map(r => r._1 -> r).toMap
+    assert(byShard("s9")._4 == 1, s"corrupted shard not flagged: ${got.toSeq}")
+    (0 to 8).foreach(k => assert(byShard(s"s$k")._4 == 0, got.toSeq))
+    assert(byShard("s9")._2 >
+      4 * (0 to 8).map(k => byShard(s"s$k")._2).max)
+    got.foreach(r => assert(r._2 >= 0 && r._2 <= math.log(2.0) + 1e-6 &&
+      r._3 >= 0 && r._3 <= 1.0))
+    // partition-order determinism (the exactSum contract)
+    val again = graft.operators.TextAnalysis
+      .shardDrift(docs.repartition(13), jsThreshold = 0.01)
+      .select(col("shard"), col("js"), col("tv"), col("drifted"))
+      .as[(String, Double, Double, Int)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -47,6 +47,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // cls1 runs the CG trainer (Materialize + 2 aggregation jobs per
     // iteration) at construction — the dd13b shape
     "cls1_cg_weights", "cls1_cg_scores", "cls1_cg_eval",
+    // s13 collects the key-range profile (one min/max agg) at construction
+    "s13_zorder_stats",
     "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
     "s9_sharded_export",
     "s10_partitioned_export",
@@ -152,7 +154,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     // the tx retrieval family is ss1's broadcast-query scan over
     // transformer embeddings (m3tb_recall/gate contain the same scan)
     "dc5_semantic_decontam", "ta18_nb_classifier", "cur2_dsir",
-    "m3t_semantic_tx", "m3tb_recall", "m3tb_gate")
+    "m3t_semantic_tx", "m3tb_recall", "m3tb_gate",
+    // ta20 crossJoins the ≤buckets-row corpus profile and the one-row
+    // token total onto the |shards|-row table (metadata-scale grid)
+    "ta20_shard_drift")
 
   /** Bounded unpartitioned windows: sp3 ranks AFTER `limit(n)` — the
     * window input is the n-row sample; mx3's waterfall window runs on the
