@@ -1139,12 +1139,15 @@ rr0 AS (SELECT ${decSum("v * v")} AS v FROM r0),
 ${(1 to iters).map(round).mkString(",\n")}"""
   }
 
-  /** Held-out scoring on the trained weights: score = Σ_{j∈doc} w_j + bias
+  /** Scoring on the trained weights: score = Σ_{j∈doc} w_j + bias
     * (the same decimal sum + add-after), pred from the UNROUNDED score.
+    * `pred` filters the scored population (held-out by default; TRUE for
+    * the streamed serve-everything form).
     */
-  private def clsScoreCtes(k: Int = 64, iters: Int = 8): String =
+  private def clsScoreCtes(k: Int = 64, iters: Int = 8,
+      pred: String = "doc_id % 2 = 1"): String =
     s"""${clsCtes(k, iters)},
-tst AS (SELECT doc_id, y FROM pl WHERE doc_id % 2 = 1),
+tst AS (SELECT doc_id, y FROM pl WHERE $pred),
 sc AS (
   SELECT t.doc_id,
     COALESCE(fs.s, 0.0) + (SELECT v FROM w$iters WHERE j = $k) AS score,
@@ -1159,6 +1162,16 @@ SELECT j AS feature, round(v, 6) AS weight FROM w$iters ORDER BY feature""")
 
   private[graft] def cls1ScoresSql(k: Int = 64, iters: Int = 8): String =
     materialize(s"""WITH ${clsScoreCtes(k, iters)}
+SELECT doc_id, round(score, 6) AS score,
+  CAST(score >= 0.0 AS INT) AS pred, CAST(y AS INT) AS label
+FROM sc ORDER BY doc_id""")
+
+  /** The streamed serve-everything form: every doc scored by the frozen
+    * trained weights — stream_classify_lr's sink rows are held to this
+    * VERBATIM (the stream_classify invisibility contract).
+    */
+  private[graft] def cls1ScoresStreamSql(k: Int = 64, iters: Int = 8): String =
+    materialize(s"""WITH ${clsScoreCtes(k, iters, "TRUE")}
 SELECT doc_id, round(score, 6) AS score,
   CAST(score >= 0.0 AS INT) AS pred, CAST(y AS INT) AS label
 FROM sc ORDER BY doc_id""")

@@ -3520,6 +3520,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CLS1s: train-batch / score-STREAM with the TRAINED linear classifier
+    * — the stream_classify production shape on the CG-trained model: the
+    * ridge weights train once on the static corpus (even-id docs), freeze
+    * into a stateless per-row scorer (k+1 doubles in the closure, no
+    * state store, no watermark), and serve the full document stream. Sink
+    * rows are held to the batch oracle VERBATIM — the local scorer's
+    * tokenization, hashing, distinct and decimal-grid sum replicate the
+    * batch column expressions term for term, so streamed scores
+    * hash-match the all-docs batch replay.
+    */
+  private def streamClassifyLr(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
+    val w = graft.operators.LinearModel.trainCgRidge(
+      graft.operators.LinearModel.hashedPresence(pl, ClsK),
+      pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
+      ClsK)
+    val scorer = graft.operators.LinearModel.localScorer(w)
+    val scoreUdf = udf { (t: String) => scorer(t) }
+    val plantedStream = docs.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 3 === 0,
+        lit(" click buy free winner cash prize now deal"))
+        .otherwise(lit(" study method result analysis careful review note")))
+        .as("text"),
+      when(col("doc_id") % 3 === 0, -1).otherwise(1).as("label"))
+    val scored = plantedStream
+      .withColumn("__s", scoreUdf(col("text")))
+      .select(col("doc_id"), round(col("__s"), 6).as("score"),
+        (col("__s") >= 0.0).cast("int").as("pred"), col("label"))
+    val out = java.nio.file.Files.createTempDirectory("graft_clr_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clrc_").toString
+    val q = scored.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    spark.read.schema(scored.schema).parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** EV6: stream-STREAM attribution join, driver-checked end to end — the
     * purchase and click slices of the events table replayed as two
     * independent file-source streams, joined live on user + 30-minute
@@ -4373,6 +4418,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
+    "stream_classify_lr" -> (streamClassifyLr(_, _)),
     "pipe_truncated" -> (Pipelines.truncated(_, _)),
     "q6_textrank" -> (q6TextRank(_, _)),
     "q7_summarizer_compare" -> (q7SummarizerCompare(_, _)),
@@ -5113,6 +5159,9 @@ SELECT z >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
   MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
 FROM zt GROUP BY 1 ORDER BY bucket""",
     "cls1_cg_weights" -> OracleSqlGen.cls1WeightsSql(),
+    // stream_classify_lr: sink rows held VERBATIM to the all-docs batch
+    // replay of the trained scorer (train-batch/score-stream invisibility)
+    "stream_classify_lr" -> OracleSqlGen.cls1ScoresStreamSql(),
     "cls1_cg_scores" -> OracleSqlGen.cls1ScoresSql(),
     "cls1_cg_eval" -> OracleSqlGen.cls1EvalSql(),
     "stream_classify" -> ta18NbSql,

@@ -162,6 +162,37 @@ object LinearModel {
       .toDF("feature", "weight")
   }
 
+  /** Executor-local per-doc scorer — the stateless-projection serving
+    * form for STREAMS: tokenization (trim/lowercase/whitespace split),
+    * the md5-60-bit bucket hash, per-bucket DISTINCT, and the
+    * decimal(38,10)-grid weight sum with the bias added after all
+    * replicate the batch pipeline's column expressions term for term, so
+    * a stream scored row-by-row is hash-identical to the batch aggregate
+    * (the stream_classify train-batch/score-stream invisibility
+    * contract). Weights ride the closure — metadata-scale (k+1 doubles).
+    */
+  def localScorer(w: Array[Double]): String => Double = {
+    val k = w.length - 1
+    val weights = w.clone()
+    (text: String) => {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buckets = scala.collection.mutable.SortedSet.empty[Int]
+      toks.foreach { t =>
+        md.reset()
+        val hex = md.digest(("b:" + t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        buckets += (java.lang.Long.parseLong(hex.take(15), 16) % k).toInt
+      }
+      var acc = java.math.BigDecimal.ZERO
+      buckets.foreach { b =>
+        acc = acc.add(new java.math.BigDecimal(weights(b))
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+      }
+      acc.doubleValue + weights(k)
+    }
+  }
+
   /** Score docs with a trained weight vector: (doc_id, score, pred) where
     * score = Σ_{j∈d} w_j + bias (the training pass' exact decimal sum) and
     * pred = 1 iff score ≥ 0. Map-only + one per-doc aggregate: the serving

@@ -116,6 +116,20 @@ class LinearModelSpec extends AnyFunSuite {
     assert(w.forall(_ == 0.0))
   }
 
+  test("localScorer reproduces the batch score bit for bit") {
+    val docs = corpus
+    val labels = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("y"))
+    val feats = LinearModel.hashedPresence(docs, K)
+    val w = LinearModel.trainCgRidge(feats, labels, K, iterations = 4)
+    val batch = LinearModel.score(feats, docs.select(col("doc_id")), w)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    val scorer = LinearModel.localScorer(w)
+    planted.foreach { case (id, text, _) =>
+      assert(scorer(text) == batch(id), s"doc $id") // ==, not approx
+    }
+  }
+
   test("dotDec quantizes to the decimal(38,10) grid") {
     val a = Array(1.0, 2.0)
     val b = Array(1e-11, 1.0) // first product rounds to 0 on the grid

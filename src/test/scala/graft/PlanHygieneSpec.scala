@@ -25,6 +25,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "stream_ccingest", "stream_state_gate", "stream_index_append",
     // trains + collects the NB model and runs the stream at construction
     "stream_classify",
+    // trains the CG ridge model and runs the stream at construction
+    "stream_classify_lr",
     // Materializes the tx embedding table at construction (both recall
     // branches consume it)
     "m3tb_recall", "m3tb_gate",
