@@ -1176,6 +1176,25 @@ SELECT doc_id, round(score, 6) AS score,
   CAST(score >= 0.0 AS INT) AS pred, CAST(y AS INT) AS label
 FROM sc ORDER BY doc_id""")
 
+  /** pipe_curation_trained: the trained gate composed — score everything
+    * with the replayed weights, keep score ≥ 0, exact-dedup keepers
+    * (min-doc_id per md5(text), the dd8 replay), per-source report.
+    */
+  private[graft] def pipeCurationTrainedSql(k: Int = 64, iters: Int = 8): String =
+    materialize(s"""WITH ${clsScoreCtes(k, iters, "TRUE")},
+kp AS (
+  SELECT p.doc_id, p.text FROM sc JOIN pl p USING (doc_id)
+  WHERE sc.score >= 0.0),
+ddp AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kp) WHERE rn = 1)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(length(ddp.text)) AS BIGINT) AS n_chars
+FROM ddp JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY source""")
+
   private[graft] def cls1EvalSql(k: Int = 64, iters: Int = 8): String =
     materialize(s"""WITH ${clsScoreCtes(k, iters)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_test,

@@ -1880,6 +1880,42 @@ object SparkEntry {
           .as("majority_acc"))
   }
 
+  /** PIPEt: curation with the TRAINED model in the loop — the composite a
+    * real corpus build runs: plant labels → train the cls1 ridge
+    * classifier on the even-id half → score EVERY doc with the frozen
+    * weights → keep predicted-good → exact-dedup the keepers (min-doc_id
+    * per text hash) → per-source report. Every stage is an
+    * already-oracled operator; the composition is hash-checked end to
+    * end, trained weights included.
+    */
+  private def pipeCurationTrained(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val pl = plantedQualityDocs(docs)
+    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidge(feats,
+      pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
+      ClsK)
+    val kept = graft.operators.LinearModel
+      .score(feats, pl.select(col("doc_id")), w)
+      .filter(col("pred") === 1)
+      .join(pl.select(col("doc_id"), col("text")), Seq("doc_id"))
+    Dedup.dedupedCorpus(kept)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** TA15b: count-min-sketch heavy hitters — bounded sketch state (4×256
+    * counters) instead of per-token shuffle, est ≥ exact visible per row.
+    * FULL oracle (md5-salted hashing + integer mins replay in SQL).
+    */
+  private def ta15bHeavyHittersCms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHittersCms(tbl(spark, dir, "documents"))
+      .orderBy(col("exact").desc, col("token"))
+
   /** TA20: per-shard distribution-drift report with a PLANTED corrupted
     * shard — every src3 doc gets a spam-lexicon suffix (the in-query
     * planting convention), and the JS/TV monitor must flag exactly that
@@ -4346,10 +4382,12 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta17_ppl_buckets" -> (ta17PplBuckets(_, _)),
     "ta18_nb_classifier" -> (ta18NbClassifier(_, _)),
     "cls1_cg_weights" -> (cls1CgWeights(_, _)),
+    "ta15b_heavy_hitters_cms" -> (ta15bHeavyHittersCms(_, _)),
     "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
     "cls1_cg_eval" -> (cls1CgEval(_, _)),
+    "pipe_curation_trained" -> (pipeCurationTrained(_, _)),
     "cur2_dsir" -> (cur2Dsir(_, _)),
     "cur3_excess_loss" -> (cur3ExcessLoss(_, _)),
     "ta17b_ppl_buckets_sampled" -> (ta17bPplBucketsSampled(_, _)),
@@ -5092,6 +5130,31 @@ ORDER BY token_id"""
     // conjugate-gradient steps on the decimal(38,10) grid (the exactSum
     // contract makes every distributed sum order-free, and CG has no
     // transcendentals, so the optimization loop itself hash-checks).
+    // ta15b: sketch build + probe replayed — salted md5 cells, integer
+    // counters, min over depth rows; est >= exact is visible per row.
+    "ta15b_heavy_hitters_cms" -> """
+WITH tk AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+  FROM documents),
+pairs AS (
+  SELECT u.r,
+    CAST(('0x' || substr(md5('cms' || u.r || ':' || tok), 1, 15)) AS BIGINT)
+      % 256 AS cell
+  FROM tk, LATERAL UNNEST(generate_series(0, 3)) AS u(r)),
+sk AS (SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+ex AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact FROM tk GROUP BY 1
+  HAVING COUNT(*) >= 100),
+pr AS (
+  SELECT ex.tok, ex.exact, u.r,
+    CAST(('0x' || substr(md5('cms' || u.r || ':' || ex.tok), 1, 15)) AS BIGINT)
+      % 256 AS cell
+  FROM ex, LATERAL UNNEST(generate_series(0, 3)) AS u(r)),
+est AS (
+  SELECT pr.tok, pr.exact, MIN(sk.c) AS est
+  FROM pr JOIN sk USING (r, cell) GROUP BY 1, 2)
+SELECT tok AS token, est, exact, est - exact AS overcount
+FROM est ORDER BY exact DESC, token""",
     // ta20: the JS/TV shard-drift monitor replayed — md5 buckets,
     // micro-nat-snapped logs, decimal-exact sums (all established
     // parity conventions), so the whole report hash-checks.
@@ -5162,6 +5225,7 @@ FROM zt GROUP BY 1 ORDER BY bucket""",
     // stream_classify_lr: sink rows held VERBATIM to the all-docs batch
     // replay of the trained scorer (train-batch/score-stream invisibility)
     "stream_classify_lr" -> OracleSqlGen.cls1ScoresStreamSql(),
+    "pipe_curation_trained" -> OracleSqlGen.pipeCurationTrainedSql(),
     "cls1_cg_scores" -> OracleSqlGen.cls1ScoresSql(),
     "cls1_cg_eval" -> OracleSqlGen.cls1EvalSql(),
     "stream_classify" -> ta18NbSql,

@@ -946,6 +946,53 @@ object TextAnalysis {
     }
   }
 
+  /** TA15b — count-min-sketch heavy hitters, the BOUNDED-STATE form of
+    * [[heavyHitters]] (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` counters is the ENTIRE aggregation state (depth·width cells,
+    * partial-aggregated map-side), regardless of vocabulary — the
+    * difference between a frequency pass that fits executor memory at
+    * 100 TB and one that shuffles every distinct token. Estimates carry
+    * the classic one-sided guarantee: est ≥ exact always (counters only
+    * ever over-count on collisions), est ≤ exact + e·N/width w.h.p. — and
+    * the report emits BOTH next to each other, so the guarantee is
+    * hash-checked, not asserted.
+    *
+    * Hashes are the md5-60-bit convention with per-row salts ("cms0:" …),
+    * so sketch build AND probe replay in SQL. The probe set here is the
+    * corpus's candidate tokens with exact count ≥ `minExact` (a report
+    * over the heavy tail); a production monitor probes its fixed keyword
+    * list the same way — the sketch answers any key without having kept
+    * per-key state.
+    */
+  def heavyHittersCms(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      minExact: Long = 100, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16, s"cms $depth x $width")
+    val toks = docs.select(
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit("[\\p{L}\\p{N}]+"), lit(0))).as("tok"))
+    def cell(r: Int, c: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cms$r:"), c)), 1, 15), 16, 10)
+        .cast("long"), lit(width.toLong))
+    // sketch: depth × width counters — one explode to (row, cell) pairs,
+    // one hash-agg; THE state bound is this table's size
+    val sketch = toks.select(posexplode(array(
+        (0 until depth).map(r => cell(r, col("tok"))): _*))
+        .as(Seq("r", "cell")))
+      .groupBy(col("r"), col("cell")).agg(count(lit(1)).as("c"))
+    // probe: exact counts define the report's candidate set; each token
+    // joins its depth counters and takes the min
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .filter(col("exact") >= minExact)
+    val probes = exact.select(col("tok"), col("exact"),
+      posexplode(array((0 until depth).map(r => cell(r, col("tok"))): _*))
+        .as(Seq("r", "cell")))
+    probes.join(sketch, Seq("r", "cell"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("tok").as("token"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   /** TA20: per-shard token-distribution drift against the whole corpus —
     * the batch-ingest twin of the streamed index's centroid-drift monitor
     * (streaming/IndexDrift): a corrupted, truncated, or quality-shifted

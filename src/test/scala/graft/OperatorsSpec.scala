@@ -1423,6 +1423,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) != got(3L)) // different content -> different hash
   }
 
+  test("TA15b CMS: est >= exact always, collisions overcount, narrow sketch still ranks") {
+    // 40 distinct tokens into a WIDTH-8 sketch forces collisions
+    val rnd = new java.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tk$i")
+    val docs = (0L until 50L).map { i =>
+      (i, Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .heavyHittersCms(docs, depth = 4, width = 16, minExact = 1)
+      .select(col("token"), col("est"), col("exact"), col("overcount"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    got.foreach { case (t, est, exact, over) =>
+      assert(est >= exact && over == est - exact, s"$t: $est vs $exact")
+    }
+    // 40 keys over 16 cells (x4 rows) MUST collide somewhere
+    assert(got.exists(_._4 > 0), "width-16 sketch with 40 keys never collided?")
+    // determinism under repartitioning (hash-agg + min are order-free)
+    val again = graft.operators.TextAnalysis
+      .heavyHittersCms(docs.repartition(9), depth = 4, width = 16, minExact = 1)
+      .select(col("token"), col("est"), col("exact"), col("overcount"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("TA20 shardDrift: corrupted shard flags, clean shards under it, layout-free") {
     // ten shards drawing from one vocabulary, ONE with an injected
     // off-distribution suffix. Many shards matter: with very few, the

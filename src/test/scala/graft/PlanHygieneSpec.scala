@@ -49,6 +49,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // cls1 runs the CG trainer (Materialize + 2 aggregation jobs per
     // iteration) at construction — the dd13b shape
     "cls1_cg_weights", "cls1_cg_scores", "cls1_cg_eval",
+    "pipe_curation_trained",
     // s13 collects the key-range profile (one min/max agg) at construction
     "s13_zorder_stats",
     "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
