@@ -5212,10 +5212,12 @@ WITH rg AS (
   FROM lineitem),
 sk AS (
   SELECT l_orderkey AS a, l_partkey AS b,
-    GREATEST(0, LEAST(65535, ((l_orderkey - (SELECT alo FROM rg)) * 65535)
-      // ((SELECT ahi FROM rg) - (SELECT alo FROM rg)))) AS sa,
-    GREATEST(0, LEAST(65535, ((l_partkey - (SELECT blo FROM rg)) * 65535)
-      // ((SELECT bhi FROM rg) - (SELECT blo FROM rg)))) AS sb
+    ((GREATEST((SELECT alo FROM rg), LEAST((SELECT ahi FROM rg), l_orderkey))
+      - (SELECT alo FROM rg)) * 65535)
+      // ((SELECT ahi FROM rg) - (SELECT alo FROM rg)) AS sa,
+    ((GREATEST((SELECT blo FROM rg), LEAST((SELECT bhi FROM rg), l_partkey))
+      - (SELECT blo FROM rg)) * 65535)
+      // ((SELECT bhi FROM rg) - (SELECT blo FROM rg)) AS sb
   FROM lineitem),
 zt AS (SELECT a, b, ((sa >> 0) & 1) * 2 + ((sb >> 0) & 1) * 1 + ((sa >> 1) & 1) * 8 + ((sb >> 1) & 1) * 4 + ((sa >> 2) & 1) * 32 + ((sb >> 2) & 1) * 16 + ((sa >> 3) & 1) * 128 + ((sb >> 3) & 1) * 64 + ((sa >> 4) & 1) * 512 + ((sb >> 4) & 1) * 256 + ((sa >> 5) & 1) * 2048 + ((sb >> 5) & 1) * 1024 + ((sa >> 6) & 1) * 8192 + ((sb >> 6) & 1) * 4096 + ((sa >> 7) & 1) * 32768 + ((sb >> 7) & 1) * 16384 + ((sa >> 8) & 1) * 131072 + ((sb >> 8) & 1) * 65536 + ((sa >> 9) & 1) * 524288 + ((sb >> 9) & 1) * 262144 + ((sa >> 10) & 1) * 2097152 + ((sb >> 10) & 1) * 1048576 + ((sa >> 11) & 1) * 8388608 + ((sb >> 11) & 1) * 4194304 + ((sa >> 12) & 1) * 33554432 + ((sb >> 12) & 1) * 16777216 + ((sa >> 13) & 1) * 134217728 + ((sb >> 13) & 1) * 67108864 + ((sa >> 14) & 1) * 536870912 + ((sb >> 14) & 1) * 268435456 + ((sa >> 15) & 1) * 2147483648 + ((sb >> 15) & 1) * 1073741824 AS z FROM sk)
 SELECT z >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -31,10 +31,12 @@ object ZOrder {
     * (hi − lo) · 2^bits fits a long — true for any key space up to ~2^46
     * at bits=16). The division is done subtract-remainder-first so the
     * quotient is an exact long even through Spark's double `/` (divisible
-    * by construction); trunc-vs-floor differences on negative
-    * out-of-range inputs are clamped away by the GREATEST. Degenerate
-    * range (hi = lo) maps everything to 0. Out-of-range values clamp, so
-    * a stale min/max profile degrades locality, never correctness.
+    * by construction). The INPUT clamps to [lo, hi] before the multiply —
+    * not the output after — because an extreme out-of-range value times
+    * 2^bits overflows a long under ANSI mode (found by the hostile
+    * sweep); a stale min/max profile therefore degrades locality, never
+    * correctness, and never throws. Degenerate range (hi = lo) maps
+    * everything to 0.
     */
   def scaled(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"bits: $bits")
@@ -42,9 +44,9 @@ object ZOrder {
     val m = (1L << bits) - 1
     if (hi == lo) lit(0L)
     else {
-      val x = (c.cast("long") - lit(lo)) * lit(m)
-      val raw = ((x - (x % lit(hi - lo))) / lit(hi - lo)).cast("long")
-      greatest(lit(0L), least(lit(m), raw))
+      val cc = greatest(lit(lo), least(lit(hi), c.cast("long")))
+      val x = (cc - lit(lo)) * lit(m)
+      ((x - (x % lit(hi - lo))) / lit(hi - lo)).cast("long")
     }
   }
 

@@ -491,4 +491,48 @@ class HostileCorpusSpec extends AnyFunSuite {
     // chrF: giant/emoji/null rows score without error
     assert(graft.core.ChrF.chrF2("x" * 10000, "x").toString.nonEmpty)
   }
+
+  test("round-11 session-2 family survives hostile rows") {
+    import graft.operators.{LinearModel, TextAnalysis, ZOrder}
+    val safe = hostile.filter(col("text").isNotNull) // labeled corpora are
+    // post-ingest; null text is an ingest-layer drop everywhere here
+    // shard drift: one shard of hostile rows vs a clean one — report
+    // covers both shards, metrics finite, nothing crashes on the giant /
+    // emoji / whitespace rows (regexp tokenizer yields zero tokens for
+    // some rows; the shard still aggregates)
+    val sharded = safe.withColumn("source",
+      when(col("doc_id") % 2 === 0, "hostile").otherwise("clean"))
+    val drift = TextAnalysis.shardDrift(sharded)
+      .select("shard", "js", "tv").as[(String, Double, Double)].collect()
+    assert(drift.length == 2 && drift.forall(r =>
+      !r._2.isNaN && !r._3.isNaN && r._2 >= 0 && r._3 >= 0))
+    // CMS: hostile tokens sketch + probe without error; guarantee holds
+    val cms = TextAnalysis.heavyHittersCms(safe, width = 16, minExact = 1)
+      .select("est", "exact").as[(Long, Long)].collect()
+    assert(cms.nonEmpty && cms.forall(r => r._1 >= r._2))
+    // linear classifier: trains and scores over hostile text (empty/blank
+    // rows hash their empty-split token; giant token hashes fine); scores
+    // finite, every labeled doc scored
+    val labeled = safe.withColumn("y",
+      when(col("doc_id") % 2 === 0, -1.0).otherwise(1.0))
+    val feats = LinearModel.hashedPresence(labeled, 64)
+    val w = LinearModel.trainCgRidge(feats,
+      labeled.select(col("doc_id"), col("y")), 64, iterations = 4)
+    assert(w.forall(v => !v.isNaN && !v.isInfinite))
+    val scored = LinearModel.score(feats, labeled.select(col("doc_id")), w)
+      .select("score").as[Double].collect()
+    assert(scored.length == 7 && scored.forall(s => !s.isNaN))
+    // local scorer agrees on hostile text too (unicode, giant token)
+    val scorer = LinearModel.localScorer(w)
+    val batch = LinearModel.score(feats, labeled.select(col("doc_id")), w)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    safe.select("doc_id", "text").as[(Long, String)].collect()
+      .foreach { case (id, t) => assert(scorer(t) == batch(id), s"doc $id") }
+    // z-order: extreme / identical keys scale-clamp, never crash
+    val keys = Seq((Long.MinValue / 4, 0L), (0L, 0L), (Long.MaxValue / 4, 5L))
+      .toDF("a", "b")
+    val z = keys.select(ZOrder.zKey(col("a"), 0L, 100L, col("b"), 0L, 0L).as("z"))
+      .as[Long].collect()
+    assert(z.forall(v => v >= 0 && v < (1L << 32)))
+  }
 }
