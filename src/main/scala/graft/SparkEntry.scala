@@ -3087,6 +3087,40 @@ object SparkEntry {
       .withColumn("manifest_ok", lit(1))
   }
 
+  /** S14: multi-table snapshot commit end to end — publish v0 (the even-id
+    * docs + all embeddings), publish v1 (all docs, same embeddings),
+    * SIMULATE A TORN v2 (a table directory renamed into place with no
+    * commit or pointer — the crash window), then read latest and
+    * time-travel to v0 through the validating reader. The emitted counts
+    * and fingerprints are pure functions of the source tables, so the
+    * whole transactional lifecycle carries a FULL oracle; `v_latest = 1`
+    * IS the torn-publish invariant (the orphaned v2 dir moved the pointer
+    * nowhere).
+    */
+  private def s14SnapshotPublish(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s14_")
+      .resolve("snap").toString
+    val docs = tbl(spark, dir, "documents")
+    val emb = tbl(spark, dir, "embeddings").select(col("vec_id"))
+    val docsV0 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+    val docsV1 = docs.select(col("doc_id"), col("n_chars"))
+    operators.Sinks.publishSnapshot(
+      Map("docs" -> (docsV0, "doc_id"), "emb" -> (emb, "vec_id")), root)
+    operators.Sinks.publishSnapshot(
+      Map("docs" -> (docsV1, "doc_id"), "emb" -> (emb, "vec_id")), root)
+    // torn v2: one table's rename landed, then the publisher died —
+    // no commit file, no pointer swap
+    docsV0.limit(1).write.parquet(s"$root/docs/v=2")
+    val latest = operators.Sinks.readSnapshot(spark, root)
+    val v0 = operators.Sinks.readSnapshot(spark, root, Some(0L))
+    import spark.implicits._
+    Seq((operators.Sinks.currentVersion(root).getOrElse(-1L),
+      latest("docs").count(), v0("docs").count(), latest("emb").count()))
+      .toDF("v_latest", "docs_latest", "docs_v0", "emb_latest")
+  }
+
   private def s4SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_s4_").toString
     val summaries = tbl(spark, dir, "documents")
@@ -4385,6 +4419,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta15b_heavy_hitters_cms" -> (ta15bHeavyHittersCms(_, _)),
     "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
+    "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
     "cls1_cg_eval" -> (cls1CgEval(_, _)),
     "pipe_curation_trained" -> (pipeCurationTrained(_, _)),
@@ -5202,6 +5237,13 @@ agg AS (
 SELECT a.shard, nd.n_docs, a.n_tokens, a.js, a.tv,
   CAST(a.js > 0.01 AS INT) AS drifted
 FROM agg a JOIN nd USING (shard) ORDER BY shard""",
+    // s14: the snapshot lifecycle's emitted counts are pure functions of
+    // the source tables; v_latest = 1 is the torn-publish invariant
+    "s14_snapshot_publish" -> """
+SELECT CAST(1 AS BIGINT) AS v_latest,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs_latest,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 2 = 0) AS docs_v0,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS emb_latest""",
     // s13: the z-order layout key replayed — affine long-math bucket
     // scaling (floor division, clamped) and the 16-bit Morton interleave
     // as a flat shift/mask sum; pure integer arithmetic end to end.

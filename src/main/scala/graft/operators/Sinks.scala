@@ -206,4 +206,109 @@ object Sinks {
     */
   private[graft] def keyFingerprintSql(keyCol: String): String =
     s"cast(conv(substring(md5(cast($keyCol as string)), 1, 15), 16, 10) as bigint)"
+
+  // ------------------------------------------------- S14: snapshot commit
+
+  /** S14: MULTI-TABLE snapshot commit — [[publishWithManifest]] lifted to
+    * a transaction across tables, the pointer-swap commit every lakehouse
+    * format (Delta/Iceberg/Hudi) builds on. A training-corpus release is
+    * never one table: documents + embeddings + splits must be read at ONE
+    * consistent version or a dedup/retrieval join silently mixes releases.
+    *
+    * Layout under `root`:
+    *   `<table>/v=<n>/`       per-table data, written staged-then-renamed;
+    *   `_commits/<n>.json`    the commit: every table's row count + key
+    *                          fingerprint + path (validated FROM the
+    *                          staged files before the rename, the s12
+    *                          discipline);
+    *   `_latest`              the pointer file, swapped ATOMICALLY as the
+    *                          LAST step.
+    * Crash anywhere before the pointer swap — after one table's rename,
+    * after the commit file — leaves `_latest` on the previous version, so
+    * [[readSnapshot]] can never observe a torn release; orphaned
+    * `v=<n>` dirs of an uncommitted publish are invisible garbage, not
+    * corruption. Old versions stay readable (`version = Some(n)`) — the
+    * time-travel pin a reproducible training run records. Local-FS scope
+    * as s12 (object stores swap a pointer object; HDFS renames are
+    * atomic too).
+    */
+  def publishSnapshot(tables: Map[String, (DataFrame, String)],
+      root: String): Long = {
+    require(tables.nonEmpty, "publishSnapshot: no tables")
+    val rootP = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(rootP.resolve("_commits"))
+    val v = currentVersion(root).map(_ + 1L).getOrElse(0L)
+    val entries = tables.toSeq.sortBy(_._1).map { case (name, (df, keyCol)) =>
+      require(name.matches("[A-Za-z0-9_]+"), s"table name: $name")
+      val spark = df.sparkSession
+      val staging = rootP.resolve(s"$name/v=$v.staging")
+      val finalDir = rootP.resolve(s"$name/v=$v")
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val m = spark.read.parquet(staging.toString)
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
+        .head()
+      java.nio.file.Files.move(staging, finalDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      s""""$name":{"n_rows":${m.getLong(0)},"key_xor":${m.getLong(1)},""" +
+        s""""key_col":"$keyCol","path":"$name/v=$v"}"""
+    }
+    val commit = s"""{"version":$v,"tables":{${entries.mkString(",")}}}"""
+    val cTmp = rootP.resolve(s"_commits/$v.json.tmp")
+    java.nio.file.Files.write(cTmp,
+      commit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(cTmp, rootP.resolve(s"_commits/$v.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val pTmp = rootP.resolve("_latest.tmp")
+    java.nio.file.Files.write(pTmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(pTmp, rootP.resolve("_latest"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Latest committed version per the pointer file, None before the first
+    * commit.
+    */
+  def currentVersion(root: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(root, "_latest")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  /** Validating snapshot reader: resolves `version` (default = the
+    * pointer), parses the commit, reads every table at ITS committed path
+    * and fails loudly if any table's recomputed count/fingerprint
+    * disagrees with the commit — a tampered or short table can never
+    * silently join a release. Returns the consistent table map.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Option[Long] = None): Map[String, DataFrame] = {
+    val v = version.orElse(currentVersion(root))
+      .getOrElse(sys.error(s"no committed snapshot under $root"))
+    val cPath = java.nio.file.Paths.get(root, "_commits", s"$v.json")
+    require(java.nio.file.Files.exists(cPath), s"no commit $v under $root")
+    val txt = new String(java.nio.file.Files.readAllBytes(cPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val entryRe =
+      ("\"([A-Za-z0-9_]+)\":\\{\"n_rows\":(\\d+),\"key_xor\":(-?\\d+)," +
+        "\"key_col\":\"([^\"]+)\",\"path\":\"([^\"]+)\"\\}").r
+    val entries = entryRe.findAllMatchIn(txt).toSeq
+    require(entries.nonEmpty, s"commit $v parsed to no tables: $txt")
+    entries.map { m =>
+      val (name, n, x, keyCol, path) =
+        (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4),
+          m.group(5))
+      val df = spark.read.parquet(s"$root/$path")
+      val got = df.agg(count(lit(1)).cast("long").as("n"),
+        expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
+        .head()
+      require(got.getLong(0) == n && got.getLong(1) == x,
+        s"snapshot $v table $name does not match its commit: " +
+          s"rows ${got.getLong(0)} vs $n, xor ${got.getLong(1)} vs $x")
+      name -> df
+    }.toMap
+  }
 }

@@ -1423,6 +1423,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) != got(3L)) // different content -> different hash
   }
 
+  test("S14 snapshot commit: versions, time travel, torn publish, tamper detection") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("s14spec_")
+      .resolve("snap").toString
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val e0 = Seq(10L, 11L).toDF("vec_id")
+    assert(Sinks.publishSnapshot(
+      Map("docs" -> (t0, "doc_id"), "emb" -> (e0, "vec_id")), root) == 0L)
+    assert(Sinks.publishSnapshot(
+      Map("docs" -> (t1, "doc_id"), "emb" -> (e0, "vec_id")), root) == 1L)
+    // latest reads the v1 state; v0 stays readable (time travel)
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
+    assert(Sinks.readSnapshot(spark, root, Some(0L))("docs").count() == 2)
+    // torn publish: a table dir landed, commit/pointer never written —
+    // the reader stays on v1 as if nothing happened
+    t0.write.parquet(s"$root/docs/v=2")
+    assert(Sinks.currentVersion(root).contains(1L))
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
+    // tamper: swap v1's docs data for a short file — the validating
+    // reader must fail loudly, not return short data
+    val v1dir = java.nio.file.Paths.get(s"$root/docs/v=1")
+    val s = java.nio.file.Files.walk(v1dir)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+    t0.write.parquet(v1dir.toString)
+    val ex = intercept[Exception](Sinks.readSnapshot(spark, root))
+    assert(ex.getMessage.contains("does not match its commit"))
+    // time travel to v0 still validates (untouched)
+    assert(Sinks.readSnapshot(spark, root, Some(0L))("emb").count() == 2)
+  }
+
   test("TA15b CMS: est >= exact always, collisions overcount, narrow sketch still ranks") {
     // 40 distinct tokens into a WIDTH-8 sketch forces collisions
     val rnd = new java.util.Random(11)

@@ -53,6 +53,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // s13 collects the key-range profile (one min/max agg) at construction
     "s13_zorder_stats",
     "s4_sink_roundtrip", "s5_report_sink", "s12_manifest_publish",
+    "s14_snapshot_publish",
     "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
