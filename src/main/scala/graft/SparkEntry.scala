@@ -3121,6 +3121,32 @@ object SparkEntry {
       .toDF("v_latest", "docs_latest", "docs_v0", "emb_latest")
   }
 
+  /** S15: CDC changelog apply (MERGE INTO) — base = the even-id docs; the
+    * planted changelog updates every %10 key, deletes every %14 key, and
+    * inserts a shifted copy of every odd key. Keys divisible by 70 carry
+    * BOTH an update (seq 1) and a delete (seq 2), so last-write-wins is
+    * exercised, not just asserted. FULL oracle: the window resolve,
+    * anti-join and union replay in SQL.
+    */
+  private def s15CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val upd = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(lit("updated "), col("doc_id")).as("text"),
+        lit("update").as("op"), lit(1L).as("seq"))
+    val del = docs.filter(col("doc_id") % 14 === 0)
+      .select(col("doc_id"), lit("").as("text"),
+        lit("delete").as("op"), lit(2L).as("seq"))
+    val ins = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("inserted "), col("doc_id")).as("text"),
+        lit("insert").as("op"), lit(1L).as("seq"))
+    operators.Sinks.applyChangelog(base, upd.unionByName(del).unionByName(ins))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def s4SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_s4_").toString
     val summaries = tbl(spark, dir, "documents")
@@ -4420,6 +4446,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
+    "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
     "cls1_cg_eval" -> (cls1CgEval(_, _)),
     "pipe_curation_trained" -> (pipeCurationTrained(_, _)),
@@ -5237,6 +5264,32 @@ agg AS (
 SELECT a.shard, nd.n_docs, a.n_tokens, a.js, a.tv,
   CAST(a.js > 0.01 AS INT) AS drifted
 FROM agg a JOIN nd USING (shard) ORDER BY shard""",
+    // s15: MERGE INTO replayed — the changelog's last-write-wins window
+    // (seq DESC, op DESC), the anti-join of base against changed keys,
+    // and the upsert union
+    "s15_cdc_apply" -> """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+ch AS (
+  SELECT doc_id, 'updated ' || doc_id AS text, 'update' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, '' AS text, 'delete' AS op, 2 AS seq
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'inserted ' || doc_id AS text,
+    'insert' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 2 = 1),
+lt AS (
+  SELECT doc_id, text, op FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY seq DESC, op DESC) AS rn FROM ch) WHERE rn = 1),
+res AS (
+  SELECT b.doc_id, b.text FROM base b
+  LEFT JOIN lt ON b.doc_id = lt.doc_id WHERE lt.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, text FROM lt WHERE op <> 'delete')
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM res ORDER BY doc_id""",
     // s14: the snapshot lifecycle's emitted counts are pure functions of
     // the source tables; v_latest = 1 is the torn-publish invariant
     "s14_snapshot_publish" -> """

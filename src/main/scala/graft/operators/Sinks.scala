@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Output sinks (SURVEY.md §2.1 S4/S5).
@@ -266,6 +267,43 @@ object Sinks {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** S15: CDC changelog apply — MERGE INTO semantics over a snapshot
+    * table: `changes` carries (key, op ∈ insert|update|delete, payload…,
+    * seq), multiple ops per key resolve LAST-WRITE-WINS by (seq, op) —
+    * the deterministic total order a replayed changelog needs (same-seq
+    * ties resolve lexicographically by op, so a malformed duplicate seq
+    * still applies identically everywhere) — and the result is the next
+    * version: base rows whose key saw no final change, plus the final
+    * insert/update payloads, minus deleted keys. insert vs update are
+    * deliberately the same apply (upsert): a changelog replayed from an
+    * arbitrary snapshot cannot know which one is "correct", and
+    * idempotent replay is the property that matters at 100 TB.
+    *
+    * Scale shape: one window over the CHANGELOG (keyed by the changed
+    * keys only — changelogs are deltas, orders of magnitude smaller than
+    * the base), one anti-join of base against changed keys (broadcast
+    * when the delta is small, shuffle-join otherwise — Catalyst/AQE
+    * decide from sizes), one union. The base table is never shuffled on
+    * anything but the join key it is already bucketed by in a real
+    * deployment. Pairs with [[publishSnapshot]]: apply → publish is the
+    * lakehouse write path.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    val ops = Seq("insert", "update", "delete")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("seq").desc, col("op").desc)
+    val latest = changes
+      .filter(col("op").isInCollection(ops))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val untouched = base.join(latest.select(col(keyCol)), Seq(keyCol),
+      "left_anti")
+    untouched.unionByName(
+      latest.filter(col("op") =!= "delete").drop("op", "seq"))
   }
 
   /** Latest committed version per the pointer file, None before the first

@@ -1456,6 +1456,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, root, Some(0L))("emb").count() == 2)
   }
 
+  test("S15 CDC apply: last-write-wins, idempotent replay, missing-key delete") {
+    import graft.operators.Sinks
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val ch = Seq(
+      (2L, "two-v2", "update", 1L), (2L, "", "delete", 2L), // delete wins
+      (3L, "three-v2", "update", 5L), (3L, "three-v1", "update", 1L),
+      (4L, "four", "insert", 1L), // new key
+      (9L, "", "delete", 1L) // delete of a key base never had: no-op
+    ).toDF("doc_id", "text", "op", "seq")
+    val got = Sinks.applyChangelog(base, ch)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "one", 3L -> "three-v2", 4L -> "four"))
+    // idempotent replay: applying the same changelog to the result is a
+    // fixed point (inserts become updates of the same payload)
+    val again = Sinks.applyChangelog(
+      Sinks.applyChangelog(base, ch), ch)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(again == got)
+    // same-seq tie resolves by op DESC (update > insert > delete) —
+    // deterministic everywhere even on a malformed duplicate seq
+    val tie = Seq((7L, "up", "update", 1L), (7L, "", "delete", 1L))
+      .toDF("doc_id", "text", "op", "seq")
+    val t = Sinks.applyChangelog(base.limit(0), tie)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(t == Map(7L -> "up"))
+  }
+
   test("TA15b CMS: est >= exact always, collisions overcount, narrow sketch still ranks") {
     // 40 distinct tokens into a WIDTH-8 sketch forces collisions
     val rnd = new java.util.Random(11)
