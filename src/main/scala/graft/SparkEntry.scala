@@ -28,6 +28,24 @@ object SparkEntry {
 
   // ------------------------------------------------------------ relational
 
+  /** G11: hierarchical ROLLUP report — the (flag, status) summary plus
+    * per-flag subtotals plus the grand total in ONE pass (Catalyst
+    * expands the grouping sets into a single Expand + hash-agg — one
+    * scan, not three). Rollup nulls render as 'ALL' (the grouping
+    * columns are non-null in this schema, so the sentinel is
+    * unambiguous); sums decimal-exact like q1. FULL oracle via DuckDB's
+    * GROUP BY ROLLUP.
+    */
+  private def g11Rollup(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(exactSum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
   /** G2/G5/G9: grouped pricing summary over lineitem (sums/avgs/counts).
     * Decimal-exact sums: double summation is order-dependent, oracle is not.
     */
@@ -4304,6 +4322,7 @@ FROM m ORDER BY doc_id, summarizer""")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "g11_rollup" -> (g11Rollup(_, _)),
     "j1_join_revenue" -> (j1Revenue(_, _)),
     "j2_semi_join" -> (j2Semi(_, _)),
     "j3_anti_join" -> (j3Anti(_, _)),
@@ -5264,6 +5283,15 @@ agg AS (
 SELECT a.shard, nd.n_docs, a.n_tokens, a.js, a.tv,
   CAST(a.js > 0.01 AS INT) AS drifted
 FROM agg a JOIN nd USING (shard) ORDER BY shard""",
+    // g11: one-pass grouping-sets rollup; sentinel 'ALL' for the
+    // subtotal/grand-total rows (grouping columns non-null here)
+    "g11_rollup" -> """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 10))) AS DOUBLE), 4) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY flag, status""",
     // s15: MERGE INTO replayed — the changelog's last-write-wins window
     // (seq DESC, op DESC), the anti-join of base against changed keys,
     // and the upsert union
