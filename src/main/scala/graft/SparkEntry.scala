@@ -5280,9 +5280,9 @@ agg AS (
     round(CAST(SUM(CAST(contrib AS DECIMAL(38, 10))) AS DOUBLE), 6) AS js,
     round(CAST(SUM(CAST(tv AS DECIMAL(38, 10))) AS DOUBLE), 6) AS tv
   FROM ctr GROUP BY 1)
-SELECT a.shard, nd.n_docs, a.n_tokens, a.js, a.tv,
-  CAST(a.js > 0.01 AS INT) AS drifted
-FROM agg a JOIN nd USING (shard) ORDER BY shard""",
+SELECT nd.shard, nd.n_docs, COALESCE(a.n_tokens, 0) AS n_tokens, a.js, a.tv,
+  CAST(COALESCE(a.n_tokens, 0) = 0 OR a.js > 0.01 AS INT) AS drifted
+FROM nd LEFT JOIN agg a USING (shard) ORDER BY shard""",
     // g11: one-pass grouping-sets rollup; sentinel 'ALL' for the
     // subtotal/grand-total rows (grouping columns non-null here)
     "g11_rollup" -> """

@@ -231,7 +231,11 @@ object Sinks {
     * corruption. Old versions stay readable (`version = Some(n)`) — the
     * time-travel pin a reproducible training run records. Local-FS scope
     * as s12 (object stores swap a pointer object; HDFS renames are
-    * atomic too).
+    * atomic too). SINGLE-WRITER: two concurrent publishers both reading
+    * version v race to v+1; the loser's commit-file ATOMIC_MOVE throws
+    * (target exists) AFTER its table renames — a loud error and some
+    * orphaned uncommitted dirs, never an inconsistent pointer (the
+    * optimistic-concurrency failure mode lakehouse formats accept).
     */
   def publishSnapshot(tables: Map[String, (DataFrame, String)],
       root: String): Long = {
@@ -279,7 +283,11 @@ object Sinks {
     * insert/update payloads, minus deleted keys. insert vs update are
     * deliberately the same apply (upsert): a changelog replayed from an
     * arbitrary snapshot cannot know which one is "correct", and
-    * idempotent replay is the property that matters at 100 TB.
+    * idempotent replay is the property that matters at 100 TB. Rows
+    * whose op is NOT one of the three are DROPPED (changelog formats
+    * carry control/heartbeat rows); validate upstream when strictness
+    * is required — an apply pass cannot fail per-row without an extra
+    * corpus action.
     *
     * Scale shape: one window over the CHANGELOG (keyed by the changed
     * keys only — changelogs are deltas, orders of magnitude smaller than

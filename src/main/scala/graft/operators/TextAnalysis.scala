@@ -1048,14 +1048,21 @@ object TextAnalysis {
       (p * (lnP.cast("double") / 1e6)) * 0.5 +
         (q * (lnQ.cast("double") / 1e6)) * 0.5
     val tv = abs(p - q) * 0.5
-    grid.groupBy(col("shard"))
+    val metrics = grid.groupBy(col("shard"))
       .agg(first(col("n_s")).as("n_tokens"),
         round(exactSum(contrib), 6).as("js"),
         round(exactSum(tv), 6).as("tv"))
-      .join(nDocs, Seq("shard"))
+    // base the report on nDocs, not the token counts: a shard whose docs
+    // are ALL token-less has no distribution rows at all, and an inner
+    // join would silently drop it from the report — the most-degraded
+    // ingest state (an empty/corrupt shard) must surface, not vanish.
+    // Such a shard reports null js/tv, zero tokens, and drifted = 1.
+    nDocs.join(metrics, Seq("shard"), "left")
+      .na.fill(0L, Seq("n_tokens"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("js"), col("tv"),
-        (col("js") > jsThreshold).cast("int").as("drifted"))
+        (col("n_tokens") === 0L || col("js") > jsThreshold)
+          .cast("int").as("drifted"))
   }
 
   def nbTrainCollect(docs: DataFrame, classCol: Column,

@@ -1534,6 +1534,16 @@ class OperatorsSpec extends AnyFunSuite {
       4 * (0 to 8).map(k => byShard(s"s$k")._2).max)
     got.foreach(r => assert(r._2 >= 0 && r._2 <= math.log(2.0) + 1e-6 &&
       r._3 >= 0 && r._3 <= 1.0))
+    // a shard whose docs are ALL token-less must SURFACE as drifted,
+    // not vanish from the report (the empty/corrupt-shard alarm)
+    val er = graft.operators.TextAnalysis.shardDrift(
+      Seq((1L, "ok", "alpha beta gamma"), (2L, "sE", "   "), (3L, "sE", ""))
+        .toDF("doc_id", "source", "text"), jsThreshold = 0.01)
+      .select(col("shard"), col("n_tokens"), col("drifted"))
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(er("sE") == ((0L, 1)), s"empty shard: $er")
+    assert(er.contains("ok"))
     // partition-order determinism (the exactSum contract)
     val again = graft.operators.TextAnalysis
       .shardDrift(docs.repartition(13), jsThreshold = 0.01)
