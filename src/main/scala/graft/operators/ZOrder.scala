@@ -27,14 +27,19 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Affine scaling of `c` into [0, 2^bits): floor((v − lo) · (2^bits − 1)
-    * / (hi − lo)), all in long arithmetic (exact; caller guarantees
-    * (hi − lo) · 2^bits fits a long — true for any key space up to ~2^46
-    * at bits=16). The division is done subtract-remainder-first so the
-    * quotient is an exact long even through Spark's double `/` (divisible
-    * by construction). The INPUT clamps to [lo, hi] before the multiply —
-    * not the output after — because an extreme out-of-range value times
-    * 2^bits overflows a long under ANSI mode (found by the hostile
-    * sweep); a stale min/max profile therefore degrades locality, never
+    * / (hi − lo)), EXACT over the whole enforced domain
+    * ((hi − lo) · 2^bits ≤ Long.MaxValue, required below). Spark has no
+    * integral-divide Column op and its `/` on longs routes through
+    * double, which is only faithful while the dividend stays under 2^53
+    * — past that the correctly-rounded double quotient can land one ulp
+    * off and the cast-to-long truncation goes to q±1 (r11 advice). So
+    * the double quotient is used only as a FIRST GUESS, clamped into
+    * [0, 2^bits−1], then corrected by exact long comparisons
+    * (q·d ≤ x < (q+1)·d) — the returned bucket never touches floating
+    * point. The INPUT clamps to [lo, hi] before the multiply — not the
+    * output after — because an extreme out-of-range value times 2^bits
+    * overflows a long under ANSI mode (found by the hostile sweep); a
+    * stale min/max profile therefore degrades locality, never
     * correctness, and never throws. Degenerate range (hi = lo) maps
     * everything to 0.
     */
@@ -44,9 +49,20 @@ object ZOrder {
     val m = (1L << bits) - 1
     if (hi == lo) lit(0L)
     else {
+      val d = hi - lo
+      // keeps every intermediate — (v−lo)·m and the correction's
+      // (q+1)·d — inside a long under ANSI mode
+      require(d <= Long.MaxValue / (m + 1),
+        s"key span $d too large for bits=$bits: need (hi-lo) <= " +
+          s"${Long.MaxValue / (m + 1)} (= Long.MaxValue / 2^bits)")
       val cc = greatest(lit(lo), least(lit(hi), c.cast("long")))
       val x = (cc - lit(lo)) * lit(m)
-      ((x - (x % lit(hi - lo))) / lit(hi - lo)).cast("long")
+      // |double quotient − exact| < 1 over the domain (relative error
+      // ~2^-52 on a quotient ≤ 2^20), so one ±1 correction is exhaustive
+      val q0 = least(lit(m), greatest(lit(0L), (x / lit(d)).cast("long")))
+      when(q0 * lit(d) > x, q0 - lit(1L))
+        .when((q0 + lit(1L)) * lit(d) <= x, q0 + lit(1L))
+        .otherwise(q0)
     }
   }
 
@@ -86,6 +102,9 @@ object ZOrder {
       bits: Int = 16, nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two: $nBuckets")
+    require(Integer.numberOfTrailingZeros(nBuckets) <= 2 * bits,
+      s"nBuckets=$nBuckets exceeds the z-key space 4^bits=${1L << (2 * bits)}" +
+        s" at bits=$bits (a negative shift would bucket silently wrong)")
     val shift = 2 * bits - Integer.numberOfTrailingZeros(nBuckets)
     df.select(col(aCol).as("a"), col(bCol).as("b"),
       zKey(col(aCol), aLo, aHi, col(bCol), bLo, bHi, bits).as("z"))

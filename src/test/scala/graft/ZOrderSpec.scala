@@ -43,6 +43,41 @@ class ZOrderSpec extends AnyFunSuite {
     assert(deg == 0L)
   }
 
+  test("scaled: exact floor past the 2^53 double-precision wall") {
+    // bits=16 over a 2^40 span: the dividend (v-lo)*65535 reaches ~2^56,
+    // where a double-routed quotient can truncate to q-1 (r11 advice).
+    // Probe every bucket boundary's both sides around a spread of buckets
+    // plus the endpoints, and demand equality with BigInt floor division.
+    val bits = 16
+    val m = (1L << bits) - 1
+    val lo = 0L
+    val hi = 1L << 40
+    val d = hi - lo
+    val probes = (Seq(0L, 1L, hi - 1, hi) ++
+      Seq(1L, 7L, 255L, 4096L, 32767L, 65534L, 65535L).flatMap { q =>
+        // smallest v with scaled(v) == q, and its predecessor
+        val v = (BigInt(q) * d + m - 1) / m
+        Seq(v.toLong - 1, v.toLong, v.toLong + 1)
+      }).filter(v => v >= lo && v <= hi).distinct
+    val got = probes.toDF("v")
+      .select(col("v"), ZOrder.scaled(col("v"), lo, hi, bits).as("s"))
+      .as[(Long, Long)].collect().toMap
+    probes.foreach { v =>
+      val want = (BigInt(v - lo) * m / d).toLong
+      assert(got(v) == want, s"v=$v: got ${got(v)}, want $want")
+    }
+  }
+
+  test("guards: oversized span and oversized nBuckets fail loudly") {
+    intercept[IllegalArgumentException] {
+      ZOrder.scaled(col("v"), 0L, Long.MaxValue / 4, 16)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zBucketStats(Seq((1L, 1L)).toDF("a", "b"), "a", "b",
+        0L, 1L, 0L, 1L, bits = 1, nBuckets = 64)
+    }
+  }
+
   test("z-bucket stats bound BOTH dimensions near span/sqrt(buckets)") {
     // dense 128x128 grid: every (a, b) combination once
     val grid = (for (a <- 0 until 128; b <- 0 until 128)
