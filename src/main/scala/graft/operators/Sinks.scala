@@ -217,37 +217,82 @@ object Sinks {
     * consistent version or a dedup/retrieval join silently mixes releases.
     *
     * Layout under `root`:
-    *   `<table>/v=<n>/`       per-table data, written staged-then-renamed;
+    *   `<table>/v=<n>-<nonce>/` per-table data, written staged-then-
+    *                          renamed into a PER-ATTEMPT dir (the nonce
+    *                          is what makes crashes and races inert —
+    *                          see below); readers never glob these, they
+    *                          follow the path recorded in the commit;
     *   `_commits/<n>.json`    the commit: every table's row count + key
     *                          fingerprint + path (validated FROM the
     *                          staged files before the rename, the s12
-    *                          discipline);
+    *                          discipline). Its CREATE-EXCLUSIVE hard-link
+    *                          publish is the ONE arbiter of who owns
+    *                          version n (rename(2) would silently
+    *                          replace — see the inline note);
     *   `_latest`              the pointer file, swapped ATOMICALLY as the
     *                          LAST step.
     * Crash anywhere before the pointer swap — after one table's rename,
     * after the commit file — leaves `_latest` on the previous version, so
-    * [[readSnapshot]] can never observe a torn release; orphaned
-    * `v=<n>` dirs of an uncommitted publish are invisible garbage, not
-    * corruption. Old versions stay readable (`version = Some(n)`) — the
-    * time-travel pin a reproducible training run records. Local-FS scope
-    * as s12 (object stores swap a pointer object; HDFS renames are
-    * atomic too). SINGLE-WRITER: two concurrent publishers both reading
-    * version v race to v+1; the loser's commit-file ATOMIC_MOVE throws
-    * (target exists) AFTER its table renames — a loud error and some
-    * orphaned uncommitted dirs, never an inconsistent pointer (the
-    * optimistic-concurrency failure mode lakehouse formats accept).
+    * [[readSnapshot]] can never observe a torn release; orphaned attempt
+    * dirs of an uncommitted publish are invisible garbage, not
+    * corruption, and can never wedge a later publish (r11 advice: with
+    * version-deterministic dir names, one crashed publish made every
+    * retry's ATOMIC_MOVE fail on the leftover dir — per-attempt names
+    * remove the collision by construction; [[vacuumUncommitted]] sweeps
+    * the garbage when no publish is in flight). The version chosen is
+    * past every existing commit FILE as well as the pointer, so a crash
+    * between commit write and pointer swap never reuses the committed,
+    * pointer-less version — the next publish lands past it and the
+    * orphan commit stays readable via time travel. Old versions stay
+    * readable (`version = Some(n)`) — the time-travel pin a reproducible
+    * training run records. Local-FS scope as s12 (object stores swap a
+    * pointer object; HDFS renames are atomic too). SINGLE-WRITER
+    * optimistic concurrency: two publishers racing from the same base
+    * version both stage and rename their own attempt dirs (no data-dir
+    * collision possible), then race the create-exclusive commit link;
+    * the loser throws FileAlreadyExists there — a loud error and an
+    * orphaned attempt dir — and the winner's commit references only its
+    * OWN intact files, so `_latest` and every committed version stay
+    * consistent whichever order the publishes land (pinned by the
+    * OperatorsSpec race case).
     */
   def publishSnapshot(tables: Map[String, (DataFrame, String)],
       root: String): Long = {
     require(tables.nonEmpty, "publishSnapshot: no tables")
     val rootP = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(rootP.resolve("_commits"))
-    val v = currentVersion(root).map(_ + 1L).getOrElse(0L)
+    // next version = past the pointer AND past every commit file: a crash
+    // after the commit move but before the pointer swap must not lead a
+    // later publish to overwrite the committed (pointer-less) version
+    val committed = {
+      val s = java.nio.file.Files.list(rootP.resolve("_commits"))
+      try {
+        val it = s.iterator()
+        var mx = Option.empty[Long]
+        while (it.hasNext) {
+          "^(\\d+)\\.json$".r
+            .findFirstMatchIn(it.next().getFileName.toString)
+            .foreach { m =>
+              val n = m.group(1).toLong
+              if (mx.forall(_ < n)) mx = Some(n)
+            }
+        }
+        mx
+      } finally s.close()
+    }
+    val v = (currentVersion(root) ++ committed)
+      .maxOption.map(_ + 1L).getOrElse(0L)
+    // per-ATTEMPT nonce: concurrent or retried publishes of the same
+    // version can never collide on a data dir — the commit-file move
+    // below is the only arbiter, and a loser/crash leaves only an inert
+    // uniquely-named orphan
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val entries = tables.toSeq.sortBy(_._1).map { case (name, (df, keyCol)) =>
       require(name.matches("[A-Za-z0-9_]+"), s"table name: $name")
       val spark = df.sparkSession
-      val staging = rootP.resolve(s"$name/v=$v.staging")
-      val finalDir = rootP.resolve(s"$name/v=$v")
+      val attempt = s"$name/v=$v-$nonce"
+      val staging = rootP.resolve(s"$attempt.staging")
+      val finalDir = rootP.resolve(attempt)
       df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val m = spark.read.parquet(staging.toString)
         .agg(count(lit(1)).cast("long").as("n"),
@@ -256,14 +301,20 @@ object Sinks {
       java.nio.file.Files.move(staging, finalDir,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       s""""$name":{"n_rows":${m.getLong(0)},"key_xor":${m.getLong(1)},""" +
-        s""""key_col":"$keyCol","path":"$name/v=$v"}"""
+        s""""key_col":"$keyCol","path":"$attempt"}"""
     }
     val commit = s"""{"version":$v,"tables":{${entries.mkString(",")}}}"""
-    val cTmp = rootP.resolve(s"_commits/$v.json.tmp")
+    // the arbiter must be CREATE-EXCLUSIVE: POSIX rename(2) — what
+    // ATOMIC_MOVE compiles to for files — silently REPLACES an existing
+    // target, so a racing loser would have overwritten the winner's
+    // commit (found by the r12 race spec). link(2) is the atomic
+    // fails-if-exists publish: full content appears atomically and the
+    // second publisher of the same version gets FileAlreadyExists.
+    val cTmp = rootP.resolve(s"_commits/$v.json.tmp-$nonce")
     java.nio.file.Files.write(cTmp,
       commit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(cTmp, rootP.resolve(s"_commits/$v.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try java.nio.file.Files.createLink(rootP.resolve(s"_commits/$v.json"), cTmp)
+    finally java.nio.file.Files.deleteIfExists(cTmp)
     val pTmp = rootP.resolve("_latest.tmp")
     java.nio.file.Files.write(pTmp,
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -275,10 +326,15 @@ object Sinks {
 
   /** S15: CDC changelog apply — MERGE INTO semantics over a snapshot
     * table: `changes` carries (key, op ∈ insert|update|delete, payload…,
-    * seq), multiple ops per key resolve LAST-WRITE-WINS by (seq, op) —
-    * the deterministic total order a replayed changelog needs (same-seq
-    * ties resolve lexicographically by op, so a malformed duplicate seq
-    * still applies identically everywhere) — and the result is the next
+    * seq), multiple ops per key resolve LAST-WRITE-WINS by (seq, op,
+    * payload hash) — the deterministic TOTAL order a replayed changelog
+    * needs: same-seq ties resolve lexicographically by op, and rows
+    * identical in (key, seq, op) but differing in payload resolve by the
+    * higher xxhash64 of the payload columns (r11 advice — without the
+    * final term, row_number picked whichever duplicate arrived first
+    * and "applies identically everywhere" broke exactly on the
+    * malformed-duplicate rows it claimed to cover) — and the result is
+    * the next
     * version: base rows whose key saw no final change, plus the final
     * insert/update payloads, minus deleted keys. insert vs update are
     * deliberately the same apply (upsert): a changelog replayed from an
@@ -301,8 +357,18 @@ object Sinks {
   def applyChangelog(base: DataFrame, changes: DataFrame,
       keyCol: String = "doc_id"): DataFrame = {
     val ops = Seq("insert", "update", "delete")
+    // final tiebreak: a deterministic hash of the payload columns, so
+    // duplicate (key, seq, op) rows with different payloads pick the same
+    // winner on every cluster/partitioning (xxhash64 is seeded 42 and
+    // cluster-invariant; this term never reaches an oracle — a
+    // well-formed changelog has no such duplicates)
+    val payloadCols = changes.columns
+      .filter(c => c != keyCol && c != "op" && c != "seq")
+    val tiebreak =
+      if (payloadCols.isEmpty) lit(0L)
+      else xxhash64(payloadCols.map(col): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("seq").desc, col("op").desc)
+      .orderBy(col("seq").desc, col("op").desc, tiebreak.desc)
     val latest = changes
       .filter(col("op").isInCollection(ops))
       .withColumn("__rn", row_number().over(w))
@@ -312,6 +378,65 @@ object Sinks {
       "left_anti")
     untouched.unionByName(
       latest.filter(col("op") =!= "delete").drop("op", "seq"))
+  }
+
+  /** Garbage-collect orphaned snapshot attempt dirs: any `<table>/v=*`
+    * data dir (or leftover `.staging`) NOT referenced by a commit file is
+    * the residue of a crashed or racing-loser publish — inert by the
+    * commit-arbiter design, reclaimed here. Returns the deleted paths.
+    * Run only while no publish is in flight (an in-flight attempt is by
+    * definition not yet committed and would be swept; the same
+    * stop-the-writers rule every lakehouse vacuum carries).
+    */
+  def vacuumUncommitted(root: String): Seq[String] = {
+    val rootP = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(rootP)) return Seq.empty
+    val referenced: Set[String] = {
+      val cDir = rootP.resolve("_commits")
+      if (!java.nio.file.Files.isDirectory(cDir)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(cDir)
+        try {
+          val b = Set.newBuilder[String]
+          s.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString.endsWith(".json")) {
+              val txt = new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8)
+              "\"path\":\"([^\"]+)\"".r.findAllMatchIn(txt)
+                .foreach(m => b += m.group(1))
+            }
+          }
+          b.result()
+        } finally s.close()
+      }
+    }
+    val deleted = Seq.newBuilder[String]
+    val tops = java.nio.file.Files.list(rootP)
+    try tops.iterator().forEachRemaining { t =>
+      val tn = t.getFileName.toString
+      if (java.nio.file.Files.isDirectory(t) && tn != "_commits") {
+        val kids = java.nio.file.Files.list(t)
+        try kids.iterator().forEachRemaining { k =>
+          val rel = s"$tn/${k.getFileName}"
+          if (k.getFileName.toString.startsWith("v=") &&
+              !referenced.contains(rel)) {
+            deleteTree(k)
+            deleted += rel
+          }
+        } finally kids.close()
+      }
+    } finally tops.close()
+    deleted.result()
+  }
+
+  /** Recursive delete for orphaned uncommitted snapshot dirs (deepest
+    * first; missing entries tolerated).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
   }
 
   /** Latest committed version per the pointer file, None before the first

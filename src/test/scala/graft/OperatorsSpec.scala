@@ -1443,8 +1443,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sinks.currentVersion(root).contains(1L))
     assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
     // tamper: swap v1's docs data for a short file — the validating
-    // reader must fail loudly, not return short data
-    val v1dir = java.nio.file.Paths.get(s"$root/docs/v=1")
+    // reader must fail loudly, not return short data (the committed
+    // attempt dir is nonce-named; resolve it from the commit file)
+    val commit1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_commits/1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val docsPath = "\"path\":\"(docs/v=[^\"]+)\"".r
+      .findFirstMatchIn(commit1).get.group(1)
+    val v1dir = java.nio.file.Paths.get(s"$root/$docsPath")
     val s = java.nio.file.Files.walk(v1dir)
     try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -1454,6 +1460,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("does not match its commit"))
     // time travel to v0 still validates (untouched)
     assert(Sinks.readSnapshot(spark, root, Some(0L))("emb").count() == 2)
+  }
+
+  test("S14 publish race: commit move is the arbiter; loser loud, winner intact") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("s14race_")
+      .resolve("snap").toString
+    val t0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    Sinks.publishSnapshot(Map("docs" -> (t0, "doc_id")), root) // v0
+    // publisher A wins version 1 outright
+    val tA = Seq((1L, "a"), (2L, "b"), (3L, "A")).toDF("doc_id", "text")
+    assert(Sinks.publishSnapshot(Map("docs" -> (tA, "doc_id")), root) == 1L)
+    // publisher B raced A from base v0: replay B's steps AFTER its stale
+    // version computation (the exact tail of publishSnapshot) — stage and
+    // rename its OWN attempt dir (no collision with A's by nonce
+    // construction), then lose the create-exclusive commit link. (An
+    // ATOMIC_MOVE here would SILENTLY REPLACE A's commit — rename(2)
+    // overwrites existing files — which is exactly why the arbiter is
+    // link(2); this spec found that.)
+    val tB = Seq((9L, "B")).toDF("doc_id", "text")
+    val bAttempt = java.nio.file.Paths.get(s"$root/docs/v=1-b0b0b0b0")
+    tB.write.parquet(s"$bAttempt.staging")
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$bAttempt.staging"),
+      bAttempt, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val cTmp = java.nio.file.Paths.get(s"$root/_commits/1.json.tmp-b0b0")
+    java.nio.file.Files.write(cTmp,
+      """{"version":1,"tables":{"docs":{"n_rows":1,"key_xor":0,"key_col":"doc_id","path":"docs/v=1-b0b0b0b0"}}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(s"$root/_commits/1.json"), cTmp)
+      finally java.nio.file.Files.deleteIfExists(cTmp)
+    }
+    // pointer and committed state untouched by the loser; winner validates
+    assert(Sinks.currentVersion(root).contains(1L))
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
+    // the loser's orphan is inert garbage, and vacuum reclaims exactly it
+    val swept = Sinks.vacuumUncommitted(root)
+    assert(swept == Seq("docs/v=1-b0b0b0b0"), s"swept: $swept")
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
+    assert(Sinks.readSnapshot(spark, root, Some(0L))("docs").count() == 2)
+  }
+
+  test("S14 crash recovery: orphan dirs never wedge, committed-no-pointer never reused") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("s14crash_")
+      .resolve("snap").toString
+    val t0 = Seq((1L, "a")).toDF("doc_id", "text")
+    Sinks.publishSnapshot(Map("docs" -> (t0, "doc_id")), root) // v0
+    // crash A: an attempt dir for v1 landed, no commit, no pointer —
+    // the r11-advice wedge scenario
+    t0.write.parquet(s"$root/docs/v=1-deadcafe")
+    // retry publishes v1 cleanly (unique attempt dir, no ATOMIC_MOVE
+    // collision possible)
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Sinks.publishSnapshot(Map("docs" -> (t1, "doc_id")), root) == 1L)
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 2)
+    // crash B: commit file landed but the pointer swap never ran —
+    // the next publish must go PAST the committed pointer-less version
+    val c2 = java.nio.file.Paths.get(s"$root/_commits/2.json")
+    val commit1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_commits/1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(c2, commit1.replace("\"version\":1",
+      "\"version\":2").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Sinks.currentVersion(root).contains(1L))
+    val t3 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    assert(Sinks.publishSnapshot(Map("docs" -> (t3, "doc_id")), root) == 3L)
+    assert(Sinks.currentVersion(root).contains(3L))
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
+    // the orphaned commit 2 stays readable via time travel (it shares
+    // v1's intact data dir here)
+    assert(Sinks.readSnapshot(spark, root, Some(2L))("docs").count() == 2)
+    // vacuum sweeps only the crashed attempt dir, never committed data
+    val swept = Sinks.vacuumUncommitted(root)
+    assert(swept == Seq("docs/v=1-deadcafe"), s"swept: $swept")
+    assert(Sinks.readSnapshot(spark, root)("docs").count() == 3)
   }
 
   test("S15 CDC apply: last-write-wins, idempotent replay, missing-key delete") {
@@ -1482,6 +1564,20 @@ class OperatorsSpec extends AnyFunSuite {
     val t = Sinks.applyChangelog(base.limit(0), tie)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(t == Map(7L -> "up"))
+    // FULL duplicate (key, seq, op) with differing payloads: the payload-
+    // hash tiebreak makes the winner a pure function of the rows — same
+    // result under any partitioning / input order (r11 advice: before it,
+    // row_number picked whichever duplicate the shuffle delivered first)
+    val dup = Seq((8L, "pay-a", "update", 3L), (8L, "pay-b", "update", 3L),
+      (8L, "pay-c", "update", 3L)).toDF("doc_id", "text", "op", "seq")
+    val winners = (0 until 4).map { i =>
+      Sinks.applyChangelog(base.limit(0),
+          dup.orderBy(if (i % 2 == 0) col("text").asc else col("text").desc)
+            .repartition(i + 1))
+        .select("text").as[String].collect().toSeq
+    }
+    assert(winners.forall(_ == winners.head), s"winners: $winners")
+    assert(winners.head.length == 1)
   }
 
   test("TA15b CMS: est >= exact always, collisions overcount, narrow sketch still ranks") {
