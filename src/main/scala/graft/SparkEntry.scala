@@ -3423,12 +3423,25 @@ object SparkEntry {
     * spec-asserted.
     */
   private def streamStateGate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val (base, glob) = graft.streaming.CorpusStreams
       .tableStreamPath(spark, dir, "documents.parquet")
+    streamStateGateCore(spark, base, glob,
+      tbl(spark, dir, "documents"), maxFilesPerTrigger = 4096)
+  }
+
+  /** The gate's body, parameterized on the streamed path and trigger
+    * granularity so StreamingSpec can drive it past 100 triggers
+    * (maxFilesPerTrigger = 1 over a many-file corpus) and prove the
+    * accounting does not depend on the recentProgress ring-buffer default
+    * (r11 verdict wrong #2 — pinned via numRecentProgressUpdates below).
+    * `corpus` is the batch ground truth the accounting is held to.
+    */
+  private[graft] def streamStateGateCore(spark: SparkSession, base: String,
+      glob: String, corpus: DataFrame, maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    val schema = corpus.schema
     val docs = graft.streaming.CorpusStreams
-      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+      .readDocStream(spark, base, schema, maxFilesPerTrigger, glob)
       .withColumn("ts",
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val deduped = docs
@@ -3463,7 +3476,6 @@ object SparkEntry {
       deleteRecursively(ckptDir)
       prevProg.fold(spark.conf.unset(progKey))(spark.conf.set(progKey, _))
     }
-    val corpus = tbl(spark, dir, "documents")
     val nRows = corpus.count()
     val nDistinct = corpus
       .select(md5(substring(col("text"), 1, 100))).distinct().count()

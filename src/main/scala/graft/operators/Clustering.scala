@@ -242,42 +242,8 @@ object Clustering {
     val base = Materialize(emb.select(col("vec_id"), col("embedding"),
       vecNormF(col("embedding")).as("norm")))
     val n = math.max(0L, base.count())
-    val estPairsPerDoc = knownPairsPerDoc.getOrElse {
-      if (n < 2) 0.0
-      else {
-        val mod = math.max(1L, n / sampleTarget)
-        // sample by a HASH of vec_id, not the raw id: a sparse or
-        // structured id space (ids all sharing a factor with mod) would
-        // make `vec_id % mod` select far more than sampleTarget rows.
-        // The orderBy+limit is the hard driver-memory bound on top
-        // (TakeOrdered — per-partition top-k, no full shuffle): whatever
-        // the id distribution, at most 2·sampleTarget vectors reach the
-        // driver, and deterministically so (the lowest vec_ids among the
-        // hash-selected — layout- and retry-independent).
-        val sample = base
-          .filter(col("embedding").isNotNull)
-          .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-          .orderBy(col("vec_id"))
-          .limit(2 * sampleTarget)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).toArray)
-        val s = sample.length
-        var hits = 0L
-        var i = 0
-        while (i < s) {
-          var j = i + 1
-          while (j < s) {
-            if (Similarity.cosLocal(sample(i), sample(j)) >= minCosine)
-              hits += 1
-            j += 1
-          }
-          i += 1
-        }
-        val tot = s.toLong * (s - 1) / 2
-        if (tot == 0L) 0.0
-        else hits.toDouble / tot * (n - 1).toDouble / 2.0
-      }
-    }
+    val estPairsPerDoc = knownPairsPerDoc.getOrElse(
+      probePairMass(base, n, minCosine, sampleTarget)._2)
     val normed = base.select(col("vec_id").as("id"), col("embedding"),
       col("norm"))
     if (estPairsPerDoc <= pairBudgetPerDoc)
@@ -287,5 +253,44 @@ object Clustering {
       semDedupPairsNormed(normed, minCosine,
         targetClusterSize = targetClusterSize, assignGroups = assignGroups,
         knownCount = Some(n))
+  }
+
+  /** The router's pair-mass probe, exposed for its driver-bound spec:
+    * (rows collected, estimated ≥minCosine pairs per doc). The sample is
+    * keyed on a HASH of vec_id, not the raw id — a sparse or structured
+    * id space (ids all sharing a factor with the modulus) would make
+    * `vec_id % mod` select far more than sampleTarget rows — and the
+    * orderBy+limit is the hard driver-memory bound on top (TakeOrdered —
+    * per-partition top-k, no full shuffle): whatever the id
+    * distribution, at most 2·sampleTarget vectors reach the driver, and
+    * deterministically so (the lowest vec_ids among the hash-selected —
+    * layout- and retry-independent). All-pairs cosine on ≤ 2·sampleTarget
+    * vectors is metadata-scale driver work (2048 vectors ≈ 2M cosines).
+    */
+  private[graft] def probePairMass(base: DataFrame, n: Long,
+      minCosine: Double, sampleTarget: Int): (Int, Double) = {
+    if (n < 2) return (0, 0.0)
+    val mod = math.max(1L, n / sampleTarget)
+    val sample = base
+      .filter(col("embedding").isNotNull)
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(2 * sampleTarget)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val s = sample.length
+    var hits = 0L
+    var i = 0
+    while (i < s) {
+      var j = i + 1
+      while (j < s) {
+        if (Similarity.cosLocal(sample(i), sample(j)) >= minCosine)
+          hits += 1
+        j += 1
+      }
+      i += 1
+    }
+    val tot = s.toLong * (s - 1) / 2
+    (s, if (tot == 0L) 0.0 else hits.toDouble / tot * (n - 1).toDouble / 2.0)
   }
 }

@@ -220,6 +220,28 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("router probe: structured id space stays driver-bounded, routing unchanged") {
+    // ids all multiples of 1024 with n/sampleTarget = 4 and 4 | 1024 —
+    // the adversarial case for raw `vec_id % mod` sampling, which would
+    // select EVERY row (r11 verdict wrong #1). The hash-keyed sample plus
+    // TakeOrdered cap must keep driver rows <= 2*sampleTarget whatever
+    // the id structure.
+    val structured = rows.take(64).zipWithIndex
+      .map { case ((_, e), i) => (i.toLong * 1024L, e) }
+      .toDF("vec_id", "embedding")
+    val (sampled, est) = Clustering.probePairMass(structured, 64L, 0.95, 16)
+    assert(sampled > 0 && sampled <= 32, s"driver sample: $sampled")
+    assert(est >= 0.0)
+    // the routed entry's rows are unchanged by the id structure: still
+    // identical to the LSH branch it picks on this pair-sparse corpus
+    val routed = Clustering.semDedupPairsRouted(structured, 0.95, dim,
+        sampleTarget = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(structured, 0.95, dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(routed == lsh)
+  }
+
   test("kmeansAssign auto-k (nClusters <= 0) resolves like semDedupPairs") {
     val emb = rows.toDF("vec_id", "embedding")
     // 82 rows at targetClusterSize 16 -> ceil(82/16) = 6 cells, floor 8
