@@ -143,6 +143,28 @@ final class TxTrainSpec extends AnyFunSuite {
     assert(pos1 > 0.8, f"alignment collapsed: pos=$pos1%.4f")
   }
 
+  test("loadCorpus: collect is capped, deterministic, layout-independent") {
+    val spark = graft.SparkSuite.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txcorpus_").toString
+    (0L until 40L).map(i => (i, s"doc number $i words here"))
+      .toDF("doc_id", "text")
+      .repartition(7).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val a = TxTrain.loadCorpus(spark, dir, maxDocs = 5)
+    assert(a.length == 5)
+    // lowest doc_ids, in order — layout-independent
+    assert(a.map(_.mkString(" ")).toSeq ==
+      (0 until 5).map(i => s"doc number $i words here"))
+    // cap above corpus size is a no-op; out-of-range caps fail loudly
+    assert(TxTrain.loadCorpus(spark, dir, 1000).length == 40)
+    val ex = intercept[IllegalArgumentException] {
+      TxTrain.loadCorpus(spark, dir, TxTrain.MaxTrainDocs + 1)
+    }
+    assert(ex.getMessage.contains("maxDocs"), ex.getMessage)
+    intercept[IllegalArgumentException](TxTrain.loadCorpus(spark, dir, 0))
+  }
+
   test("saved checkpoint round-trips through the model weightsPath") {
     val cfg = tinyCfg.copy(steps = 4, batch = 4)
     val docs = synthDocs(12, 10)
