@@ -3601,6 +3601,122 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** STREAM-INDEX-REBUILD gate (literal oracle): the drift→rebuild→swap
+    * lifecycle ([[graft.streaming.IndexRebuild]]) driver-verified end to
+    * end — the closure of the loop the drift monitor opened. Setup: v0 =
+    * the batch IVF build over the embeddings table, published as a
+    * snapshot and seeded into the raw-vector store. Stream: one CLEAN
+    * delta file (a same-distribution ¼ sample, ids +20M) and one PLANTED
+    * out-of-distribution file (⅛-sample count, every embedding the
+    * uncovered direction, ids +10M), one file per micro-batch. The gate
+    * pins, whatever order the files arrive:
+    *  - exact flag parity (clean batches unflagged, planted flagged);
+    *  - exactly one rebuild → the pointer reads v1;
+    *  - REBUILD FIDELITY: v1's cells + centroids are row/bit-identical
+    *    to a from-scratch [[graft.operators.Similarity.buildIvfIndex]]
+    *    over the store rows it claims to cover (multiset exceptAll both
+    *    ways — the build is deterministic, so streamed-rebuild
+    *    divergence is a defect);
+    *  - PRE-SWAP SERVING: v0 stays readable through the validating
+    *    reader and row-identical to the original batch build (a search
+    *    pinned to v0 mid-rebuild is unaffected);
+    *  - POST-SWAP SERVING: the base+delta served index is COMPLETE
+    *    (every store row served exactly once) and answers a query in
+    *    the planted direction with top-1 cosine ≈ 1 — content the v0
+    *    model maximally did not cover, retrievable only because the
+    *    rebuild actually happened.
+    */
+  private def streamIndexRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.{IndexDrift, IndexRebuild}
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (cells0raw, cs0) = Similarity.buildIvfIndex(emb, 16, 2)
+    val cells0 = graft.operators.Materialize(cells0raw)
+    val prof0 = IndexDrift.profile(cells0, cs0)
+    val root = java.nio.file.Files.createTempDirectory("graft_sir_")
+    try {
+      val snapRoot = s"$root/snap"
+      val store = s"$root/store"
+      val driftDir = s"$root/drift"
+      IndexRebuild.publishIndex(cells0, cs0, prof0, -1L, snapRoot) // v0
+      cells0.write.mode("overwrite").parquet(s"$store/batch_id=-1")
+      val inDir = s"$root/in"
+      emb.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      val ood = IndexDrift.uncoveredDirection(cs0)
+      emb.filter(col("vec_id") % 8 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          typedLit(ood.toSeq).as("embedding"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val stream = graft.streaming.CorpusStreams
+        .readDocStream(spark, inDir, schema, maxFilesPerTrigger = 1,
+          glob = "*.parquet")
+      val appender = new IndexRebuild.RebuildingIvfAppender(
+        snapRoot, store, driftDir, nCells = 16, iterations = 2)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => appender(b, id) }
+        .start()
+      q.awaitTermination()
+      val storeAll = spark.read.option("basePath", store).parquet(store)
+      val vLatest = graft.operators.Sinks.currentVersion(snapRoot)
+        .getOrElse(-99L)
+      val latest = IndexRebuild.loadIndex(spark, snapRoot)
+      // rebuild fidelity vs a from-scratch build over the covered rows
+      val coveredCorpus = storeAll
+        .filter(col("batch_id") <= latest.coveredMaxBatch)
+        .select(col("vec_id"), col("emb_c").as("embedding"))
+      val (cellsF, csF) = Similarity.buildIvfIndex(coveredCorpus, 16, 2)
+      val csSame = csF.length == latest.centroids.length &&
+        csF.zip(latest.centroids).forall { case (a, b) => a.sameElements(b) }
+      val lc = graft.operators.Materialize(
+        latest.cells.select(col("vec_id"), col("cell")))
+      val fc = graft.operators.Materialize(
+        cellsF.select(col("vec_id"), col("cell")))
+      val nDiff = lc.exceptAll(fc).count() + fc.exceptAll(lc).count()
+      // pre-swap: v0 readable, row-identical to the original batch build
+      val v0c = graft.operators.Materialize(IndexRebuild
+        .loadIndex(spark, snapRoot, Some(0L)).cells
+        .select(col("vec_id"), col("cell")))
+      val b0 = graft.operators.Materialize(
+        cells0.select(col("vec_id"), col("cell")))
+      val nDiff0 = v0c.exceptAll(b0).count() + b0.exceptAll(v0c).count()
+      // post-swap serving: complete base+delta, and the planted direction
+      // is retrievable at cosine ~1
+      val (served, csServe) = IndexRebuild.servedIndex(spark, snapRoot, store)
+      val servedM = graft.operators.Materialize(served)
+      val top1 = Similarity.ivfSearch(servedM, csServe,
+          Seq((1L, ood)).toDF("query_id", "embedding"), 1, 4)
+        .select(col("cosine")).as[Double].collect()
+        .headOption.getOrElse(-1.0)
+      // flag parity via the store's own partitions (planted ids in
+      // [10M, 20M); clean delta ids >= 20M)
+      val planted = storeAll.filter(col("batch_id") >= 0)
+        .groupBy(col("batch_id"))
+        .agg(max(col("vec_id")).between(10000000L, 19999999L)
+          .cast("int").as("planted"))
+      val rows = IndexRebuild.readDrift(spark, driftDir)
+        .join(planted, Seq("batch_id")).collect()
+      val flagMatch = rows.nonEmpty && rows.forall(r =>
+        r.getAs[Int]("drifted") == r.getAs[Int]("planted"))
+      Seq((
+        if (rows.length >= 2) 1 else 0,
+        if (rows.map(_.getAs[Int]("planted")).sum == 1) 1 else 0,
+        if (flagMatch) 1 else 0,
+        if (vLatest == 1L) 1 else 0,
+        if (csSame && nDiff == 0L) 1 else 0,
+        if (nDiff0 == 0L) 1 else 0,
+        if (servedM.count() == storeAll.count()) 1 else 0,
+        if (top1 >= 0.99) 1 else 0))
+        .toDF("has_batches", "planted_ok", "flag_match", "rebuilt_once",
+          "rebuilt_identical", "preswap_ok", "served_complete", "served_ok")
+    } finally deleteRecursively(root)
+  }
+
   /** Recursive temp-scratch delete (walk stream closed; deepest-first). */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     val s = java.nio.file.Files.walk(root)
@@ -4546,6 +4662,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "stream_state_gate" -> (streamStateGate(_, _)),
     "stream_index_append" -> (streamIndexAppend(_, _)),
     "stream_drift_gate" -> (streamDriftGate(_, _)),
+    "stream_index_rebuild" -> (streamIndexRebuild(_, _)),
     "stream_neardup" -> (streamNeardup(_, _)),
     "stream_decontam" -> (streamDecontam(_, _)),
     "stream_classify" -> (streamClassify(_, _)),
@@ -5588,6 +5705,15 @@ FROM zt GROUP BY 1 ORDER BY bucket""",
     // drifted batch and nothing else (exact per-batch flag parity)
     "stream_drift_gate" ->
       "SELECT 1 AS has_batches, 1 AS planted_ok, 1 AS flag_match",
+    // stream_index_rebuild: the drift-triggered rebuild + atomic swap —
+    // exactly one rebuild fired by the planted batch, the rebuilt index
+    // row/bit-identical to a from-scratch build over the covered
+    // corpus, v0 still served intact, and the post-swap base+delta
+    // index complete and able to retrieve the planted direction
+    "stream_index_rebuild" ->
+      """SELECT 1 AS has_batches, 1 AS planted_ok, 1 AS flag_match,
+           1 AS rebuilt_once, 1 AS rebuilt_identical, 1 AS preswap_ok,
+           1 AS served_complete, 1 AS served_ok""",
     // tx_gate: the transformer-contract literal — self-BERTScore exact 1,
     // order sensitivity, near-dup beats unrelated, bit-exact determinism
     "tx_gate" ->

@@ -557,6 +557,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(plainO.contains((4L, None))) // the outer row survives binning
   }
 
+  test("IndexRebuild appender: rebuild on flag only, replay never re-rebuilds, " +
+      "cache follows the pointer") {
+    import spark.implicits._
+    import graft.operators.{Similarity, Sinks}
+    import graft.streaming.{IndexDrift, IndexRebuild}
+    val rnd = new java.util.Random(5)
+    val base = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = base.toDF("vec_id", "embedding")
+    val (cells0, cs0) = Similarity.buildIvfIndex(emb, 4, 2)
+    val prof0 = IndexDrift.profile(cells0, cs0)
+    val root = java.nio.file.Files.createTempDirectory("idxreb_").toString
+    val (snap, store, driftDir) = (s"$root/snap", s"$root/store", s"$root/drift")
+    assert(IndexRebuild.publishIndex(cells0, cs0, prof0, -1L, snap) == 0L)
+    cells0.write.mode("overwrite").parquet(s"$store/batch_id=-1")
+    val app = new IndexRebuild.RebuildingIvfAppender(snap, store, driftDir,
+      nCells = 4, iterations = 2)
+    // batch 0: same-distribution copies — logged, unflagged, no rebuild
+    val clean = base.take(20).map { case (i, e) => (i + 100L, e) }
+      .toDF("vec_id", "embedding")
+    app(clean, 0L)
+    assert(Sinks.currentVersion(snap).contains(0L))
+    // batch 1: the uncovered direction — flags and rebuilds to v1
+    val ood = IndexDrift.uncoveredDirection(cs0)
+    val planted = (0 until 10).map(i => (200L + i, ood))
+      .toDF("vec_id", "embedding")
+    app(planted, 1L)
+    assert(Sinks.currentVersion(snap).contains(1L))
+    val v1 = IndexRebuild.loadIndex(spark, snap)
+    assert(v1.coveredMaxBatch == 1L)
+    assert(v1.cells.count() == 70L) // 40 seed + 20 clean + 10 planted
+    // REPLAY batch 1 (crash between publish and offset commit): the
+    // batch re-lands against v1 — it may re-flag in the drift log (a
+    // single-cell batch skews occupancy TV against any profile) but the
+    // rebuild must NOT repeat: v1 already covers it
+    app(planted, 1L)
+    assert(Sinks.currentVersion(snap).contains(1L))
+    val replayRow = IndexRebuild.readDrift(spark, driftDir)
+      .filter(col("batch_id") === 1L)
+      .select("model_version").as[Long].collect()
+    assert(replayRow.toSeq == Seq(1L)) // overwritten, measured against v1
+    // a FRESH appender (cold cache) follows the pointer to v1
+    val app2 = new IndexRebuild.RebuildingIvfAppender(snap, store, driftDir,
+      nCells = 4, iterations = 2)
+    val clean2 = base.slice(20, 35).map { case (i, e) => (i + 300L, e) }
+      .toDF("vec_id", "embedding")
+    app2(clean2, 2L)
+    assert(Sinks.currentVersion(snap).contains(1L)) // clean: no rebuild
+    val d2 = IndexRebuild.readDrift(spark, driftDir)
+      .filter(col("batch_id") === 2L)
+      .select("model_version", "drifted").as[(Long, Int)].head()
+    assert(d2 == ((1L, 0)))
+    // served = v1 cells + the post-rebuild delta, complete and disjoint
+    val (served, _) = IndexRebuild.servedIndex(spark, snap, store)
+    assert(served.count() == 85L) // 70 covered + 15 delta
+    assert(served.select("vec_id").distinct().count() == 85L)
+    // pre-swap version stays intact and validating
+    assert(IndexRebuild.loadIndex(spark, snap, Some(0L)).cells.count() == 40L)
+  }
+
   test("streamStateGate accounting survives far more than 100 triggers") {
     import spark.implicits._
     // 110 single-file batches (maxFilesPerTrigger = 1): past the
