@@ -1968,6 +1968,23 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** S13b: THREE-column z-order bucket stats (order/part/supplier) — the
+    * 3-predicate layout lever: every filtered dimension's per-bucket
+    * span tightens to ~1/∛buckets. Pure integer math end to end, full
+    * oracle (the interleave sum is generated, not hand-spelled).
+    */
+  private def s13bZorder3Stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    graft.operators.ZOrder.zBucketStats3(li,
+        "l_orderkey", "l_partkey", "l_suppkey",
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      .orderBy(col("bucket"))
+  }
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4592,6 +4609,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta15b_heavy_hitters_cms" -> (ta15bHeavyHittersCms(_, _)),
     "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
+    "s13b_zorder3_stats" -> (s13bZorder3Stats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5475,6 +5493,36 @@ zt AS (SELECT a, b, ((sa >> 0) & 1) * 2 + ((sb >> 0) & 1) * 1 + ((sa >> 1) & 1) 
 SELECT z >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
   MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
 FROM zt GROUP BY 1 ORDER BY bucket""",
+    // s13b: the 3-way Morton key — the interleave sum is GENERATED (48
+    // terms at bits=16), exactly mirroring ZOrder.interleave3's bit
+    // placement (a->3i+2, b->3i+1, c->3i); 64 buckets = top 6 bits of
+    // the 48-bit key
+    "s13b_zorder3_stats" -> {
+      def sk(key: String, lo: String, hi: String, out: String) =
+        s"((GREATEST((SELECT $lo FROM rg), LEAST((SELECT $hi FROM rg), " +
+          s"$key)) - (SELECT $lo FROM rg)) * 65535) " +
+          s"// ((SELECT $hi FROM rg) - (SELECT $lo FROM rg)) AS $out"
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((sa >> $i) & 1) * ${1L << (3 * i + 2)}",
+        s"((sb >> $i) & 1) * ${1L << (3 * i + 1)}",
+        s"((sc >> $i) & 1) * ${1L << (3 * i)}")).mkString(" + ")
+      s"""WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi,
+    MIN(l_suppkey) AS clo, MAX(l_suppkey) AS chi
+  FROM lineitem),
+sk AS (
+  SELECT l_orderkey AS a, l_partkey AS b, l_suppkey AS c,
+    ${sk("l_orderkey", "alo", "ahi", "sa")},
+    ${sk("l_partkey", "blo", "bhi", "sb")},
+    ${sk("l_suppkey", "clo", "chi", "sc")}
+  FROM lineitem),
+zt AS (SELECT a, b, c, $terms AS z FROM sk)
+SELECT z >> 42 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+  MIN(c) AS min_c, MAX(c) AS max_c
+FROM zt GROUP BY 1 ORDER BY bucket"""
+    },
     "cls1_cg_weights" -> OracleSqlGen.cls1WeightsSql(),
     // stream_classify_lr: sink rows held VERBATIM to the all-docs batch
     // replay of the trained scorer (train-batch/score-stream invisibility)

@@ -79,6 +79,51 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
+  /** Morton interleave of THREE `bits`-bit scaled keys: bit i of `a`
+    * lands at 3i+2, of `b` at 3i+1, of `c` at 3i — the z-key for a
+    * three-predicate layout (e.g. order/part/supplier), where each
+    * filtered dimension's per-bucket span tightens to ~1/∛buckets. Same
+    * flat shift/mask/add discipline as [[interleave]]; at bits=20 the
+    * top term is 2^61, still a long.
+    */
+  def interleave3(a: Column, b: Column, c: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits: $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 2)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i + 1)) +
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (3 * i))
+    }.reduce(_ + _)
+  }
+
+  /** The composed three-column z-key over known ranges (see [[zKey]]). */
+  def zKey3(a: Column, aLo: Long, aHi: Long, b: Column, bLo: Long, bHi: Long,
+      c: Column, cLo: Long, cHi: Long, bits: Int = 16): Column =
+    interleave3(scaled(a, aLo, aHi, bits), scaled(b, bLo, bHi, bits),
+      scaled(c, cLo, cHi, bits), bits)
+
+  /** Fixed-width z-bucket stats over the three-column key — the
+    * oracle-checkable form of the 3-way layout (see [[zBucketStats]]):
+    * per bucket, each dimension's min/max spans ~1/∛nBuckets of its
+    * range instead of one dimension at 1/nBuckets and the others whole.
+    */
+  def zBucketStats3(df: DataFrame, aCol: String, bCol: String, cCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long, cLo: Long, cHi: Long,
+      bits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two: $nBuckets")
+    require(Integer.numberOfTrailingZeros(nBuckets) <= 3 * bits,
+      s"nBuckets=$nBuckets exceeds the z-key space 8^bits at bits=$bits")
+    val shift = 3 * bits - Integer.numberOfTrailingZeros(nBuckets)
+    df.select(col(aCol).as("a"), col(bCol).as("b"), col(cCol).as("c"),
+      zKey3(col(aCol), aLo, aHi, col(bCol), bLo, bHi, col(cCol), cLo, cHi,
+        bits).as("z"))
+      .groupBy(shiftright(col("z"), shift).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+        min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+  }
+
   /** The composed z-key for two long columns over known ranges. Ranges
     * come from the caller (one metadata-scale min/max aggregate, or the
     * catalog's column stats at a real lakehouse) so the key expression

@@ -99,6 +99,28 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sortedByA == 127L)
   }
 
+  test("interleave3: known bit patterns and 3-way bucket bounds") {
+    val got = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (3L, 2L, 1L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.interleave3(col("a"), col("b"), col("c"), 2).as("z"))
+      .as[Long].collect().toSeq
+    // a bit0 -> z2, b bit0 -> z1, c bit0 -> z0
+    assert(got(0) == 4L && got(1) == 2L && got(2) == 1L)
+    // a=11 -> z2,z5; b=10 -> z4; c=01 -> z0: 110101 = 53
+    assert(got(3) == 53L)
+    // dense 16^3 grid, 64 buckets -> ideal 4x4x4 tile; allow 2x slack
+    val grid = (for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val stats = ZOrder.zBucketStats3(grid, "a", "b", "c",
+      0L, 15L, 0L, 15L, 0L, 15L, bits = 16, nBuckets = 64)
+      .select(col("max_a") - col("min_a"), col("max_b") - col("min_b"),
+        col("max_c") - col("min_c"))
+      .as[(Long, Long, Long)].collect()
+    assert(stats.length == 64)
+    assert(stats.forall { case (ra, rb, rc) =>
+      ra <= 8 && rb <= 8 && rc <= 8 }, s"ranges: ${stats.take(8).toSeq}")
+  }
+
   test("physical write: every file's footer range is sub-span on both keys") {
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
       yield (a.toLong, b.toLong)).toDF("a", "b")
