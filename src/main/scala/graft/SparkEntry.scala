@@ -1985,6 +1985,20 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** S13c: Hilbert-curve bucket stats — the locality-optimal layout key
+    * next to Morton (no quadrant jumps; what liquid clustering rides).
+    * Pure integer column math, full oracle via 16 generated rotation-step
+    * CTEs.
+    */
+  private def s13cHilbertStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    graft.operators.ZOrder.hilbertBucketStats(li, "l_orderkey", "l_partkey",
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      .orderBy(col("bucket"))
+  }
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4610,6 +4624,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "ta20_shard_drift" -> (ta20ShardDrift(_, _)),
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
     "s13b_zorder3_stats" -> (s13bZorder3Stats(_, _)),
+    "s13c_hilbert_stats" -> (s13cHilbertStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5522,6 +5537,45 @@ SELECT z >> 42 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
   MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
   MIN(c) AS min_c, MAX(c) AS max_c
 FROM zt GROUP BY 1 ORDER BY bucket"""
+    },
+    // s13c: the Hilbert key's 16 rotation steps replay as GENERATED
+    // chained CTEs — each step's (x, y, d) computed from the previous
+    // step's row exactly as the Spark per-step projections do; the
+    // quadrant digit (3*rx)^ry is the shared when-chain 0/1/3/2
+    "s13c_hilbert_stats" -> {
+      def sk(key: String, lo: String, hi: String, out: String) =
+        s"((GREATEST((SELECT $lo FROM rg), LEAST((SELECT $hi FROM rg), " +
+          s"$key)) - (SELECT $lo FROM rg)) * 65535) " +
+          s"// ((SELECT $hi FROM rg) - (SELECT $lo FROM rg)) AS $out"
+      val nm1 = (1L << 16) - 1
+      val steps = (15 to 0 by -1).map { i =>
+        val s = 1L << i
+        val ss = s * s
+        val rx = s"((x & $s) > 0)"
+        val ry = s"((y & $s) > 0)"
+        s"""h$i AS (SELECT a, b,
+  CASE WHEN NOT $ry THEN (CASE WHEN $rx THEN $nm1 - y ELSE y END)
+       ELSE x END AS x,
+  CASE WHEN NOT $ry THEN (CASE WHEN $rx THEN $nm1 - x ELSE x END)
+       ELSE y END AS y,
+  d + CAST($ss AS BIGINT) * (CASE WHEN $rx AND $ry THEN 2 WHEN $rx THEN 3
+                  WHEN $ry THEN 1 ELSE 0 END) AS d
+ FROM h${i + 1})"""
+      }.mkString(",\n")
+      s"""WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi
+  FROM lineitem),
+sk AS (
+  SELECT l_orderkey AS a, l_partkey AS b,
+    ${sk("l_orderkey", "alo", "ahi", "sa")},
+    ${sk("l_partkey", "blo", "bhi", "sb")}
+  FROM lineitem),
+h16 AS (SELECT a, b, sa AS x, sb AS y, CAST(0 AS BIGINT) AS d FROM sk),
+$steps
+SELECT d >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b
+FROM h0 GROUP BY 1 ORDER BY bucket"""
     },
     "cls1_cg_weights" -> OracleSqlGen.cls1WeightsSql(),
     // stream_classify_lr: sink rows held VERBATIM to the all-docs batch

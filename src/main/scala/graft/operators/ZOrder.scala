@@ -159,6 +159,79 @@ object ZOrder {
         min(col("b")).as("min_b"), max(col("b")).as("max_b"))
   }
 
+  /** Hilbert-curve key for two columns — the locality-optimal cousin of
+    * the Morton key: consecutive curve positions are always GRID
+    * NEIGHBORS (no Morton quadrant jumps), which tightens every bucket's
+    * worst-case dimension span and is why Databricks ships liquid
+    * clustering on Hilbert. The classic bit-at-a-time xy2d transform
+    * (quadrant digit + conditional reflect/swap per bit, high→low) in
+    * pure integer column math.
+    *
+    * SHAPE: one chained projection per bit (withColumn layers), NOT one
+    * nested expression — each step's (x, y) are CaseWhens referenced
+    * several times by the next step, so Catalyst's CollapseProject
+    * correctly keeps the layers (non-cheap, multi-referenced) and
+    * whole-stage codegen evaluates each step once; a single composed
+    * Column would inline into a ~4^bits-node tree. The same 16 steps
+    * replay as chained CTEs in the oracle (generated, like the
+    * interleave sums). The quadrant digit (3·rx)⊕ry is spelled as a
+    * when-chain (0/1/3/2) so both engines share one arithmetic form.
+    *
+    * Appends `outCol` (the curve position, < 4^bits) and preserves all
+    * input columns; inputs scale through [[scaled]] (exact floor).
+    */
+  def withHilbertKey(df: DataFrame, aCol: String, bCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      bits: Int = 16, outCol: String = "h"): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits: $bits")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__hx", scaled(col(aCol), aLo, aHi, bits))
+      .withColumn("__hy", scaled(col(bCol), bLo, bHi, bits))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = col("__hx").bitwiseAND(lit(s)) > 0
+      val ry = col("__hy").bitwiseAND(lit(s)) > 0
+      val quad = when(rx && ry, 2L).when(rx, 3L).when(ry, 1L).otherwise(0L)
+      cur = cur
+        .withColumn(outCol, col(outCol) + lit(s * s) * quad)
+        .withColumn("__hx2",
+          when(!ry, when(rx, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__hy2",
+          when(!ry, when(rx, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__hx2"))
+        .withColumn("__hy", col("__hy2"))
+        .drop("__hx2", "__hy2")
+    }
+    cur.drop("__hx", "__hy")
+  }
+
+  /** Fixed-width HILBERT-bucket stats — the oracle-checkable form of the
+    * Hilbert layout, shaped like [[zBucketStats]]: bucket = top bits of
+    * the curve position; per bucket, row count and both dimensions'
+    * min/max. Same √-tile bound as Morton on aligned tiles, with the
+    * no-jump adjacency pinned separately by the spec.
+    */
+  def hilbertBucketStats(df: DataFrame, aCol: String, bCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      bits: Int = 16, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two: $nBuckets")
+    require(Integer.numberOfTrailingZeros(nBuckets) <= 2 * bits,
+      s"nBuckets=$nBuckets exceeds the key space 4^bits at bits=$bits")
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(nBuckets)
+    withHilbertKey(
+      df.select(col(aCol).as("a"), col(bCol).as("b")),
+      "a", "b", aLo, aHi, bLo, bHi, bits)
+      .groupBy(shiftright(col("h"), shift).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+  }
+
   /** Physical z-ordered write: range-partition by the z-key into
     * `numFiles` sorted parquet files. Each file's min/max footer then
     * carries the √-bounded ranges of BOTH dimensions, which is what the

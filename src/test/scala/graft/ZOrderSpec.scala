@@ -121,6 +121,72 @@ class ZOrderSpec extends AnyFunSuite {
       ra <= 8 && rb <= 8 && rc <= 8 }, s"ranges: ${stats.take(8).toSeq}")
   }
 
+  /** Independent scalar reference for the Hilbert transform (the classic
+    * xy2d loop), evaluated on driver ints — a different execution path
+    * from the column expressions it checks.
+    */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbert: matches the scalar reference and walks the grid with no jumps") {
+    // full 32x32 grid at bits=5: every curve position once, and every
+    // consecutive pair of positions is a GRID NEIGHBOR (|dx|+|dy| = 1) —
+    // the locality property Morton lacks (quadrant jumps) and the reason
+    // this key exists; also pins equality with the independent scalar
+    // reference at every point
+    val bits = 5
+    val grid = (for (a <- 0 until 32; b <- 0 until 32)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got = ZOrder.withHilbertKey(grid, "a", "b", 0L, 31L, 0L, 31L, bits)
+      .select(col("a"), col("b"), col("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1024)
+    got.foreach { case (a, b, h) =>
+      assert(h == hilbertRef(bits, a, b), s"($a,$b): $h") }
+    val walk = got.sortBy(_._3)
+    assert(walk.map(_._3).toSeq == (0L until 1024L)) // a bijection
+    walk.sliding(2).foreach { case Array((a1, b1, _), (a2, b2, _)) =>
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) == 1,
+        s"jump between ($a1,$b1) and ($a2,$b2)")
+    }
+    // contrast: the Morton walk DOES jump (this is what Hilbert buys)
+    val mortonWalk = grid
+      .select(col("a"), col("b"),
+        ZOrder.interleave(col("a"), col("b"), bits).as("z"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val mortonJumps = mortonWalk.sliding(2).count {
+      case Array((a1, b1, _), (a2, b2, _)) =>
+        math.abs(a1 - a2) + math.abs(b1 - b2) > 1
+    }
+    assert(mortonJumps > 0)
+  }
+
+  test("hilbert bucket stats bound BOTH dimensions like the z-key") {
+    val grid = (for (a <- 0 until 128; b <- 0 until 128)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val stats = ZOrder.hilbertBucketStats(grid, "a", "b", 0L, 127L, 0L, 127L,
+      bits = 16, nBuckets = 64)
+      .select(col("max_a") - col("min_a"), col("max_b") - col("min_b"))
+      .as[(Long, Long)].collect()
+    assert(stats.length == 64)
+    assert(stats.forall { case (ra, rb) => ra <= 32 && rb <= 32 },
+      s"ranges: ${stats.take(8).toSeq}")
+  }
+
   test("physical write: every file's footer range is sub-span on both keys") {
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
       yield (a.toLong, b.toLong)).toDF("a", "b")
