@@ -17,8 +17,9 @@ import graft.operators.Similarity
   *    the grown index is ROW-IDENTICAL to a batch rebuild over the same
   *    corpus with the same model (the ss7b append contract; pinned by
   *    `stream_index_append`'s gate and StreamingSpec). Centroid drift
-  *    from skewed arrivals is a REBUILD decision, made offline — the
-  *    FAISS add-vs-train split.
+  *    from skewed arrivals is a REBUILD decision — the FAISS
+  *    add-vs-train split — measured by [[IndexDrift]] and ACTED ON by
+  *    [[IndexRebuild]] (retrain + atomic snapshot-version swap).
   *  - each batch lands under `batch_id=<id>` with OVERWRITE semantics
   *    (the writeSummaryBatch / nearDupDeduper discipline): a replay
   *    after a crash between parquet write and offset commit rewrites
@@ -59,7 +60,9 @@ object IndexStreams {
   * measured input the rebuild decision was missing (r10 verdict: the
   * add-vs-train split correctly freezes the model, but "rebuild offline
   * when the data drifts" had no number attached; a production stream
-  * would serve a degrading index silently).
+  * would serve a degrading index silently). [[IndexRebuild]] closes the
+  * loop: it consumes this signal and performs the retrain + atomic
+  * version swap.
   *
   * Two signals per micro-batch, both against a TRAIN-TIME profile:
   *  - assignment distance (1 − cosine of each vector to its assigned

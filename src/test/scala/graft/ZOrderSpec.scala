@@ -180,11 +180,33 @@ class ZOrderSpec extends AnyFunSuite {
       yield (a.toLong, b.toLong)).toDF("a", "b")
     val stats = ZOrder.hilbertBucketStats(grid, "a", "b", 0L, 127L, 0L, 127L,
       bits = 16, nBuckets = 64)
+    val rows = stats
       .select(col("max_a") - col("min_a"), col("max_b") - col("min_b"))
       .as[(Long, Long)].collect()
-    assert(stats.length == 64)
-    assert(stats.forall { case (ra, rb) => ra <= 32 && rb <= 32 },
-      s"ranges: ${stats.take(8).toSeq}")
+    assert(rows.length == 64)
+    assert(rows.forall { case (ra, rb) => ra <= 32 && rb <= 32 },
+      s"ranges: ${rows.take(8).toSeq}")
+    // plan shape over a REAL scan (a local Seq constant-folds into the
+    // LocalTableScan and proves nothing): the 16 per-bit projection
+    // layers must FUSE into whole-stage codegen (no UDFs, no codegen
+    // fallback) and the whole query needs exactly the aggregation's one
+    // exchange — the per-step layering is a logical-plan discipline
+    // (CollapseProject would otherwise inline a ~4^bits expression
+    // tree), not a physical cost
+    val dir = java.nio.file.Files.createTempDirectory("hilbert_").toString
+    grid.write.mode("overwrite").parquet(dir)
+    val scanned = ZOrder.hilbertBucketStats(spark.read.parquet(dir),
+      "a", "b", 0L, 127L, 0L, 127L, bits = 16, nBuckets = 64)
+    scanned.collect()
+    // AQE's toString prints the final AND initial plans — audit the final
+    val plan = scanned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // codegen'd spans render as "*(n) Op" in the AQE final plan
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, plan.take(800))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Scala UDF"),
+      plan.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(1200)}")
   }
 
   test("physical write: every file's footer range is sub-span on both keys") {
