@@ -225,5 +225,16 @@ class ZOrderSpec extends AnyFunSuite {
     // dimension, which is what makes min/max pruning bite on both keys
     assert(perFile.forall { case (ra, rb) => ra <= 32 && rb <= 32 },
       s"file ranges: ${perFile.toSeq}")
+    // Hilbert write: same bound holds on the locality-optimal key
+    val hdir = java.nio.file.Files.createTempDirectory("hilbertw").toString
+    ZOrder.writeHilbert(grid, "a", "b", 0L, 63L, 0L, 63L, hdir, numFiles = 16)
+    val perFileH = spark.read.parquet(hdir)
+      .groupBy(input_file_name())
+      .agg((max(col("a")) - min(col("a"))).as("ra"),
+        (max(col("b")) - min(col("b"))).as("rb"))
+      .select(col("ra"), col("rb")).as[(Long, Long)].collect()
+    assert(perFileH.length == 16)
+    assert(perFileH.forall { case (ra, rb) => ra <= 32 && rb <= 32 },
+      s"hilbert file ranges: ${perFileH.toSeq}")
   }
 }
