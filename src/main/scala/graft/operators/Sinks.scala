@@ -160,7 +160,12 @@ object Sinks {
     val dest = java.nio.file.Paths.get(destDir)
     require(!java.nio.file.Files.exists(dest),
       s"publish target already exists: $destDir (publish is write-once)")
-    val staging = java.nio.file.Paths.get(destDir + ".staging")
+    // per-attempt staging (the s14 discipline): two publishers racing the
+    // write-once target each stage their OWN files — the loser fails
+    // loudly at the directory rename (non-empty target), never having
+    // scribbled over the winner's staged data mid-validate
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = java.nio.file.Paths.get(s"$destDir.staging-$nonce")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     // bit_xor over ZERO rows is NULL — coalesce so an empty publish gets
     // a valid {n_rows:0, key_xor:0} manifest instead of an opaque NPE

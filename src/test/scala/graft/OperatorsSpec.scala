@@ -530,8 +530,12 @@ class OperatorsSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("s12_spec_")
     val out = base.resolve("pub").toString
     Sinks.publishWithManifest(docs, out)
-    // staging gone, manifest present, data validates and round-trips
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".staging")))
+    // no staging residue (per-attempt nonce dirs), manifest present,
+    // data validates and round-trips
+    val stagings = java.nio.file.Files.list(base)
+      .filter(_.getFileName.toString.startsWith("pub.staging"))
+      .count()
+    assert(stagings == 0L)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_manifest.json")))
     val back = Sinks.readPublished(spark, out)
     assert(back.as[Long].collect().sorted.toSeq == (1L to 100L))
@@ -539,6 +543,17 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Sinks.publishWithManifest(docs, out)
     }
+    // a RACING publisher that passed the write-once check before the
+    // winner landed: it staged its own nonce dir (never touching the
+    // winner's files) and must fail loudly at the directory rename
+    val loserStaging = base.resolve("pub.staging-b0b0b0b0")
+    (200L to 205L).toDF("doc_id").write.parquet(loserStaging.toString)
+    intercept[java.nio.file.FileSystemException] {
+      java.nio.file.Files.move(loserStaging, java.nio.file.Paths.get(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // winner unharmed
+    assert(Sinks.readPublished(spark, out).count() == 100L)
     // tampering (drop a data file) fails the validating read loudly
     val victim = java.nio.file.Files.list(java.nio.file.Paths.get(out))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
