@@ -459,6 +459,12 @@ object Sinks {
     * and fails loudly if any table's recomputed count/fingerprint
     * disagrees with the commit — a tampered or short table can never
     * silently join a release. Returns the consistent table map.
+    *
+    * Cost note for warehouse scale: validation is one count+fingerprint
+    * aggregate scan per table. Hot serving paths should resolve the
+    * version once, validate once, and reuse the returned frames (the
+    * [[graft.streaming.IndexRebuild]] appender's cache discipline) —
+    * not re-validate per query.
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
       version: Option[Long] = None): Map[String, DataFrame] = {

@@ -126,15 +126,24 @@ object IndexRebuild {
     * batch that landed after its rebuild (assigned against the same
     * centroids). Returns (cells, centroids) in the
     * [[graft.operators.Similarity.ivfSearch]] shape.
+    *
+    * A PINNED `version` other than the current pointer serves that
+    * snapshot's cells ONLY — store batches past an old version's
+    * coverage were assigned under newer models, so unioning them in
+    * would mix cell spaces; the historical pin is a consistent
+    * time-travel read, not a live base+delta view.
     */
   def servedIndex(spark: SparkSession, root: String, storeDir: String,
       version: Option[Long] = None): (DataFrame, Array[Array[Float]]) = {
     val idx = loadIndex(spark, root, version)
+    val isCurrent = Sinks.currentVersion(root).contains(idx.version)
+    val cells = idx.cells
+      .select(col("vec_id"), col("emb_c"), col("norm_c"), col("cell"))
+    if (!isCurrent) return (cells, idx.centroids)
     val delta = spark.read.option("basePath", storeDir).parquet(storeDir)
       .filter(col("batch_id") > idx.coveredMaxBatch)
       .select(col("vec_id"), col("emb_c"), col("norm_c"), col("cell"))
-    (idx.cells.select(col("vec_id"), col("emb_c"), col("norm_c"),
-      col("cell")).unionByName(delta), idx.centroids)
+    (cells.unionByName(delta), idx.centroids)
   }
 
   /** The foreachBatch body: append + measure + rebuild-on-flag (see the

@@ -615,6 +615,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.select("vec_id").distinct().count() == 85L)
     // pre-swap version stays intact and validating
     assert(IndexRebuild.loadIndex(spark, snap, Some(0L)).cells.count() == 40L)
+    // a reader PINNED to v0 serves v0's cells ONLY (a consistent
+    // historical read — later store batches were assigned under newer
+    // models, so a pinned serve must not mix cell spaces) and returns
+    // identical results across re-reads after the swap
+    val q0 = base.take(3).map { case (i, e) => (i + 900L, e) }
+      .toDF("query_id", "embedding")
+    def searchV0() = {
+      val (c0, cs0pin) = IndexRebuild.servedIndex(spark, snap, store,
+        version = Some(0L))
+      assert(c0.count() == 40L) // v0 cells only, no mixed-model delta
+      Similarity.ivfSearch(c0, cs0pin, q0, 3, 2)
+        .select("query_id", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val duringV1 = searchV0() // pointer is at v1; the pin overrides it
+    assert(duringV1.nonEmpty)
+    // and a re-read is stable (v0's files untouched by the publish)
+    assert(searchV0() == duringV1)
   }
 
   test("streamStateGate accounting survives far more than 100 triggers") {
