@@ -1999,6 +1999,41 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** DQ1: ingestion expectations — the dbt-test/Deequ rulebook as one
+    * report: four row rules FUSED into a single aggregate pass over
+    * lineitem, a referential check against orders (one anti-join), and
+    * a key-uniqueness check (one hash agg) that FAILS loudly on this
+    * corpus (the known duplicate (l_orderkey, l_linenumber) pairs —
+    * TESTDATA.md) — the report proves violations are counted, not just
+    * that green rules stay green. FULL oracle.
+    */
+  private def dq1Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TableQuality
+    val li = tbl(spark, dir, "lineitem")
+    val rowRules = TableQuality.expectations(li, Seq(
+      TableQuality.Rule("li_quantity_range",
+        col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+      TableQuality.Rule("li_price_positive", col("l_extendedprice") > 0.0),
+      TableQuality.Rule("li_discount_range",
+        col("l_discount") >= 0.0 && col("l_discount") <= 1.0),
+      TableQuality.Rule("li_shipdate_not_null", col("l_shipdate").isNotNull)))
+    val ref = TableQuality.referential(li, "l_orderkey",
+      tbl(spark, dir, "orders"), "o_orderkey", "li_orderkey_ref")
+    val uniq = TableQuality.unique(li, Seq("l_orderkey", "l_linenumber"),
+      "li_unique_line")
+    rowRules.unionByName(ref).unionByName(uniq).orderBy(col("rule"))
+  }
+
+  /** S16: per-column table statistics in one aggregate pass — the
+    * ANALYZE primitive (null count, exact NDV, min/max) a cost-based
+    * optimizer sizes joins with. String-rendered min/max so
+    * heterogeneous columns share a schema; FULL oracle.
+    */
+  private def s16TableStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TableQuality.tableStats(tbl(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_shipdate"))
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4625,6 +4660,8 @@ FROM m ORDER BY doc_id, summarizer""")
     "s13_zorder_stats" -> (s13ZorderStats(_, _)),
     "s13b_zorder3_stats" -> (s13bZorder3Stats(_, _)),
     "s13c_hilbert_stats" -> (s13cHilbertStats(_, _)),
+    "s16_table_stats" -> (s16TableStats(_, _)),
+    "dq1_expectations" -> (dq1Expectations(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5538,6 +5575,49 @@ SELECT z >> 42 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
   MIN(c) AS min_c, MAX(c) AS max_c
 FROM zt GROUP BY 1 ORDER BY bucket"""
     },
+    // dq1: each rule's violation count recomputed independently; the
+    // Spark side treats a NULL predicate as a violation (coalesce false)
+    // and the SQL mirrors it with NOT COALESCE(pred, FALSE)
+    "dq1_expectations" -> """
+WITH li AS (SELECT * FROM lineitem),
+rules AS (
+  SELECT 'li_quantity_range' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1.0 AND l_quantity <= 50.0,
+      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM li
+  UNION ALL
+  SELECT 'li_price_positive', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0.0, FALSE)
+      THEN 1 ELSE 0 END) AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'li_discount_range', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0.0 AND l_discount <= 1.0,
+      FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'li_shipdate_not_null', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM li
+  UNION ALL
+  SELECT 'li_orderkey_ref', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      WHERE o.o_orderkey = li.l_orderkey) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM li
+  UNION ALL
+  SELECT 'li_unique_line', CAST(SUM(c) AS BIGINT),
+    CAST(SUM(c - 1) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM li GROUP BY l_orderkey, l_linenumber))
+SELECT rule, n_checked, n_violations,
+  CAST(n_violations = 0 AS INT) AS pass
+FROM rules ORDER BY rule""",
+    // s16: per-column stats recomputed independently per column; SUM
+    // cast (HUGEINT), min/max rendered as VARCHAR in both engines
+    "s16_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_shipdate").map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+    CAST(MIN($c) AS VARCHAR) AS min_value,
+    CAST(MAX($c) AS VARCHAR) AS max_value
+  FROM lineitem""").mkString("", "\n  UNION ALL\n", "\n  ORDER BY column_name"),
     // s13c: the Hilbert key's 16 rotation steps replay as GENERATED
     // chained CTEs — each step's (x, y, d) computed from the previous
     // step's row exactly as the Spark per-step projections do; the

@@ -564,6 +564,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("DQ1 expectations: nulls violate, fused pass counts exactly, unique/referential math") {
+    import graft.operators.TableQuality
+    val t = Seq(
+      (1L, Some(10.0)), (2L, Some(200.0)), (3L, None), (3L, Some(5.0))
+    ).toDF("id", "v")
+    // null predicate = violation (three-valued-logic trap): id 3's null v
+    // violates the range rule alongside the out-of-range 200
+    val got = TableQuality.expectations(t, Seq(
+      TableQuality.Rule("v_range", col("v") >= 0.0 && col("v") <= 100.0),
+      TableQuality.Rule("id_positive", col("id") > 0L)))
+      .as[(String, Long, Long, Int)].collect()
+      .map { case (k, n, v2, p) => k -> ((n, v2, p)) }.toMap
+    assert(got("v_range") == ((4L, 2L, 0)))
+    assert(got("id_positive") == ((4L, 0L, 1)))
+    // unique: key 3 has 2 rows -> 1 extra
+    val u = TableQuality.unique(t, Seq("id"), "id_unique")
+      .as[(String, Long, Long, Int)].head()
+    assert(u == (("id_unique", 4L, 1L, 0)))
+    // referential: parent {1,2} -> both id-3 rows orphaned
+    val parent = Seq(1L, 2L).toDF("pid")
+    val r = TableQuality.referential(t, "id", parent, "pid", "id_ref")
+      .as[(String, Long, Long, Int)].head()
+    assert(r == (("id_ref", 4L, 2L, 0)))
+    // clean slice -> all-pass report
+    val clean = TableQuality.expectations(t.filter(col("id") < 3),
+      Seq(TableQuality.Rule("v_range", col("v") >= 0.0)))
+      .as[(String, Long, Long, Int)].head()
+    assert(clean == (("v_range", 2L, 0L, 1)))
+    intercept[IllegalArgumentException] {
+      TableQuality.expectations(t, Seq(
+        TableQuality.Rule("a", lit(true)), TableQuality.Rule("a", lit(true))))
+    }
+  }
+
+  test("S16 tableStats: nulls, exact ndv, portable min/max strings, one row per column") {
+    import graft.operators.TableQuality
+    val t = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")),
+      (Some(3L), Some("a"))).toDF("k", "s")
+    val got = TableQuality.tableStats(t, Seq("k", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("k") == (("k", 4L, 1L, 2L, "1", "3")))
+    assert(got("s") == (("s", 4L, 1L, 2L, "a", "b")))
+  }
+
   test("TA12 lengthStats: exact quantile interpolation on a known fixture") {
     // token counts 1..5: p50 = 3, p90 = rank 3.6 -> 4.6, p99 -> 4.96
     val docs = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
