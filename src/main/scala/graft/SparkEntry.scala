@@ -2024,6 +2024,33 @@ object SparkEntry {
     rowRules.unionByName(ref).unionByName(uniq).orderBy(col("rule"))
   }
 
+  /** DQ2: quarantine routing — the dead-letter half of dq1: every
+    * violating row tagged with WHY (comma-joined failed rule names), the
+    * clean/quarantined split summarized per tag plus a completeness row
+    * proving the two sides partition the table. Rules chosen so both
+    * fire on this corpus (quantity ≤ 25 splits it; discount > 0.05
+    * overlaps), exercising multi-rule tags. FULL oracle.
+    */
+  private def dq2Quarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TableQuality
+    val li = tbl(spark, dir, "lineitem")
+    val rules = Seq(
+      TableQuality.Rule("q25", col("l_quantity") <= 25.0),
+      TableQuality.Rule("disc5", col("l_discount") <= 0.05))
+    val (clean, bad) = TableQuality.quarantine(li, rules)
+    val perTag = bad.groupBy(col("failed_rules"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+    val total = clean.agg(count(lit(1))).head().getLong(0) +
+      bad.agg(count(lit(1))).head().getLong(0)
+    import spark.implicits._
+    perTag.unionByName(
+        Seq(("__partition_total", total, -1L, -1L))
+          .toDF("failed_rules", "n_rows", "min_key", "max_key"))
+      .orderBy(col("failed_rules"))
+  }
+
   /** S16: per-column table statistics in one aggregate pass — the
     * ANALYZE primitive (null count, exact NDV, min/max) a cost-based
     * optimizer sizes joins with. String-rendered min/max so
@@ -4662,6 +4689,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s13c_hilbert_stats" -> (s13cHilbertStats(_, _)),
     "s16_table_stats" -> (s16TableStats(_, _)),
     "dq1_expectations" -> (dq1Expectations(_, _)),
+    "dq2_quarantine" -> (dq2Quarantine(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5608,6 +5636,25 @@ rules AS (
 SELECT rule, n_checked, n_violations,
   CAST(n_violations = 0 AS INT) AS pass
 FROM rules ORDER BY rule""",
+    // dq2: the tag replays as the same filtered-array join; the
+    // __partition_total row pins clean + quarantined = table
+    "dq2_quarantine" -> """
+WITH tagged AS (
+  SELECT l_orderkey,
+    array_to_string(list_filter(
+      [CASE WHEN COALESCE(l_quantity <= 25.0, FALSE) THEN ''
+            ELSE 'q25' END,
+       CASE WHEN COALESCE(l_discount <= 0.05, FALSE) THEN ''
+            ELSE 'disc5' END], x -> x <> ''), ',') AS failed_rules
+  FROM lineitem),
+bad AS (
+  SELECT failed_rules, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+  FROM tagged WHERE failed_rules <> '' GROUP BY 1)
+SELECT * FROM bad
+UNION ALL
+SELECT '__partition_total', CAST(COUNT(*) AS BIGINT), -1, -1 FROM tagged
+ORDER BY failed_rules""",
     // s16: per-column stats recomputed independently per column; SUM
     // cast (HUGEINT), min/max rendered as VARCHAR in both engines
     "s16_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",

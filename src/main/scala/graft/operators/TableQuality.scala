@@ -76,6 +76,32 @@ object TableQuality {
       .toDF("rule", "n_checked", "n_violations", "pass")
   }
 
+  /** Quarantine routing — the production shape of [[expectations]]: a
+    * single projection tags every row with the comma-joined names of the
+    * rules it fails (empty string = clean), then one filter each side
+    * splits the flow. Violating rows carry WHY they were quarantined (the
+    * dead-letter contract: a re-ingest after a rule fix replays exactly
+    * the affected rows), clean rows proceed untouched. Scale shape: one
+    * map-only pass, no shuffle — the tag column is a when-chain over the
+    * same predicates the report aggregates, so report and routing can
+    * never disagree.
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantine: no rules")
+    require(rules.map(_.name).distinct.length == rules.length,
+      s"duplicate rule names: ${rules.map(_.name).mkString(",")}")
+    // build the tag from the non-empty parts via array+filter (a plain
+    // concat_ws would leave stray separators around passing rules)
+    val failedArr = filter(array(rules.map(r =>
+      when(coalesce(r.predicate, lit(false)), lit(""))
+        .otherwise(lit(r.name))): _*), x => x =!= "")
+    val tagged = df.withColumn("failed_rules",
+      array_join(failedArr, ","))
+    (tagged.filter(col("failed_rules") === "").drop("failed_rules"),
+      tagged.filter(col("failed_rules") =!= ""))
+  }
+
   /** Per-column table statistics in ONE aggregate pass: row count, null
     * count, exact distinct count, min and max (rendered as strings so
     * heterogeneous columns share a schema; restrict to types whose

@@ -598,6 +598,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("DQ2 quarantine: tags name every failed rule, sides partition the table") {
+    import graft.operators.TableQuality
+    val t = Seq((1L, 10.0, 0.01), (2L, 30.0, 0.01), (3L, 30.0, 0.09),
+      (4L, 10.0, 0.09)).toDF("id", "q", "d")
+    val (clean, bad) = TableQuality.quarantine(t, Seq(
+      TableQuality.Rule("q25", col("q") <= 25.0),
+      TableQuality.Rule("disc5", col("d") <= 0.05)))
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L))
+    val tags = bad.select("id", "failed_rules").as[(Long, String)]
+      .collect().toMap
+    assert(tags == Map(2L -> "q25", 3L -> "q25,disc5", 4L -> "disc5"))
+    // partition: no row lost, no row doubled, clean has no tag column
+    assert(clean.count() + bad.count() == 4L)
+    assert(!clean.columns.contains("failed_rules"))
+    // null predicate quarantines with the rule named
+    val tn = Seq((9L, Option.empty[java.lang.Double], 0.01))
+      .toDF("id", "q", "d")
+    val (_, badN) = TableQuality.quarantine(tn, Seq(
+      TableQuality.Rule("q25", col("q") <= 25.0)))
+    assert(badN.select("failed_rules").as[String].collect().toSeq ==
+      Seq("q25"))
+  }
+
   test("S16 tableStats: nulls, exact ndv, portable min/max strings, one row per column") {
     import graft.operators.TableQuality
     val t = Seq(
