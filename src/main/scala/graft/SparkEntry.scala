@@ -2061,6 +2061,32 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
         "l_shipdate"))
 
+  /** S16b GATE: the HLL-NDV form holds |approx − exact| ≤ 3·rsd·exact on
+    * every column while sharing the exact form's nulls/min/max verbatim
+    * — the corpus-scale ANALYZE path (one map-side-combinable pass, no
+    * Expand) certified against the oracle-anchored exact twin.
+    */
+  private def s16bTableStatsApprox(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.TableQuality
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_shipdate")
+    val li = tbl(spark, dir, "lineitem")
+    val exact = TableQuality.tableStats(li, cols)
+      .select(col("column_name"), col("n_nulls").as("e_nulls"),
+        col("ndv").as("e_ndv"), col("min_value").as("e_min"),
+        col("max_value").as("e_max"))
+    TableQuality.tableStatsApprox(li, cols, rsd = 0.02)
+      .join(exact, Seq("column_name"))
+      .select(col("column_name"),
+        (col("n_nulls") === col("e_nulls")).cast("int").as("nulls_ok"),
+        (abs(col("ndv") - col("e_ndv")) <=
+          lit(3 * 0.02) * col("e_ndv")).cast("int").as("ndv_ok"),
+        (col("min_value") === col("e_min") &&
+          col("max_value") === col("e_max")).cast("int").as("minmax_ok"))
+      .orderBy(col("column_name"))
+  }
+
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.nbDomainClassifier(tbl(spark, dir, "documents"),
         col("source"))
@@ -4690,6 +4716,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s16_table_stats" -> (s16TableStats(_, _)),
     "dq1_expectations" -> (dq1Expectations(_, _)),
     "dq2_quarantine" -> (dq2Quarantine(_, _)),
+    "s16b_stats_gate" -> (s16bTableStatsApprox(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5655,6 +5682,12 @@ SELECT * FROM bad
 UNION ALL
 SELECT '__partition_total', CAST(COUNT(*) AS BIGINT), -1, -1 FROM tagged
 ORDER BY failed_rules""",
+    // s16b: the HLL-NDV ANALYZE path certified against the exact twin —
+    // per column: nulls/min/max verbatim-equal, ndv within 3*rsd
+    "s16b_stats_gate" -> ("SELECT column_name, 1 AS nulls_ok, 1 AS ndv_ok," +
+      " 1 AS minmax_ok FROM (VALUES ('l_orderkey'), ('l_partkey')," +
+      " ('l_returnflag'), ('l_shipdate'), ('l_suppkey')) t(column_name)" +
+      " ORDER BY column_name"),
     // s16: per-column stats recomputed independently per column; SUM
     // cast (HUGEINT), min/max rendered as VARCHAR in both engines
     "s16_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
