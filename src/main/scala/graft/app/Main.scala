@@ -34,6 +34,8 @@ object Main {
     case "index" :: "build" :: rest => runIndexBuild(parseOpts(rest))
     case "index" :: "search" :: rest => runIndexSearch(parseOpts(rest))
     case "publish" :: rest => runPublish(parseOpts(rest))
+    case "dq" :: rest => runDq(parseOpts(rest))
+    case "analyze" :: rest => runAnalyze(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
@@ -57,7 +59,10 @@ object Main {
           "       graft index search --index DIR --queries PATH --out DIR " +
           "[--k K] [--probe P] [--shortlist S] [--embeddings PATH]\n" +
           "       graft publish --in PARQUET --out DIR [--key COL] | " +
-          "--check DIR")
+          "--check DIR\n" +
+          "       graft dq --in PARQUET --rules 'name:EXPR;...' " +
+          "[--unique COL,COL] [--quarantine DIR]\n" +
+          "       graft analyze --in PARQUET [--columns a,b,..] [--approx]")
       sys.exit(2)
   }
 
@@ -78,6 +83,64 @@ object Main {
           graft.operators.Sinks.publishWithManifest(df, opts("out"), key)
           println(s"[graft] published ${opts("out")} (manifest keyed on $key)")
       }
+    } finally if (owned) spark.stop()
+  }
+
+  /** `dq`: run a rulebook over a parquet table — rules given as
+    * `name:SQL_EXPR` pairs split on ';' (each expr a boolean over the
+    * table's columns), plus an optional key-uniqueness check; prints the
+    * expectations report and, with --quarantine, writes the dead-letter
+    * split (clean/ under one dir, quarantined/ with failed_rules).
+    */
+  private def runDq(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      import graft.operators.TableQuality
+      val df = spark.read.parquet(opts("in"))
+      val rules = opts.getOrElse("rules", "")
+        .split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { s =>
+          val i = s.indexOf(':')
+          require(i > 0, s"rule needs name:EXPR form: $s")
+          TableQuality.Rule(s.take(i).trim,
+            org.apache.spark.sql.functions.expr(s.drop(i + 1).trim))
+        }
+      require(rules.nonEmpty || opts.contains("unique"),
+        "dq: need --rules and/or --unique")
+      var report = Option.empty[org.apache.spark.sql.DataFrame]
+      if (rules.nonEmpty)
+        report = Some(TableQuality.expectations(df, rules))
+      opts.get("unique").foreach { cols =>
+        val u = TableQuality.unique(df, cols.split(",").toSeq.map(_.trim),
+          s"unique_$cols")
+        report = Some(report.fold(u)(_.unionByName(u)))
+      }
+      report.get.orderBy("rule").show(100, truncate = false)
+      opts.get("quarantine").foreach { dir =>
+        require(rules.nonEmpty, "--quarantine needs --rules")
+        val (clean, bad) = TableQuality.quarantine(df, rules)
+        clean.write.mode("overwrite").parquet(s"$dir/clean")
+        bad.write.mode("overwrite").parquet(s"$dir/quarantined")
+        println(s"[graft] quarantine split written under $dir")
+      }
+    } finally if (owned) spark.stop()
+  }
+
+  /** `analyze`: per-column table statistics (the ANALYZE primitive);
+    * --approx switches NDV to the HLL sketch (the corpus-scale path).
+    */
+  private def runAnalyze(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      import graft.operators.TableQuality
+      val df = spark.read.parquet(opts("in"))
+      val cols = opts.get("columns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(df.columns.toSeq)
+      val stats =
+        if (opts.contains("approx")) TableQuality.tableStatsApprox(df, cols)
+        else TableQuality.tableStats(df, cols)
+      stats.show(cols.length + 1, truncate = false)
     } finally if (owned) spark.stop()
   }
 

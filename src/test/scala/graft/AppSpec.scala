@@ -22,6 +22,25 @@ class AppSpec extends AnyFunSuite {
     s"$dir/docs"
   }
 
+  test("CLI dq + analyze: rulebook report, quarantine split, table stats") {
+    val dir = tmpDir("graft_dq")
+    Seq((1L, 10.0), (2L, 200.0), (2L, 5.0), (3L, 7.0))
+      .toDF("id", "v").write.mode("overwrite").parquet(s"$dir/t")
+    val q = tmpDir("graft_dqq")
+    graft.app.Main.main(Array(
+      "dq", "--in", s"$dir/t",
+      "--rules", "v_range: v >= 0 and v <= 100; id_pos: id > 0",
+      "--unique", "id", "--quarantine", q))
+    val clean = spark.read.parquet(s"$q/clean")
+    val bad = spark.read.parquet(s"$q/quarantined")
+    assert(clean.count() == 3L && bad.count() == 1L)
+    assert(bad.select("failed_rules").as[String].head() == "v_range")
+    // analyze runs on both ndv paths without error
+    graft.app.Main.main(Array("analyze", "--in", s"$dir/t"))
+    graft.app.Main.main(Array(
+      "analyze", "--in", s"$dir/t", "--columns", "id", "--approx"))
+  }
+
   test("CLI pipeline: parquet docs in, summary table + text files out") {
     val docs = writeDocsParquet()
     val out = tmpDir("graft_out")
