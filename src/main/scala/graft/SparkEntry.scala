@@ -2051,6 +2051,43 @@ object SparkEntry {
       .orderBy(col("failed_rules"))
   }
 
+  /** STREAM-DQ: quarantine routing on the document STREAM — the dq2
+    * production shape: the rulebook tags every micro-batch as a
+    * STATELESS projection (no state store, no watermark — the
+    * stream_classify pattern) and the quarantined rows land under
+    * batch_id partitions with replay-idempotent overwrite. Sink rows are
+    * held VERBATIM to the batch rulebook's SQL replay: streaming a
+    * corpus through the rules must quarantine exactly the rows a batch
+    * pass does. FULL oracle.
+    */
+  private def streamDq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TableQuality
+    val rules = Seq(
+      TableQuality.Rule("len200", col("n_chars") >= 200L),
+      TableQuality.Rule("west", col("lang").isin("en", "de", "es", "fr")))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val out = java.nio.file.Files.createTempDirectory("graft_sdq_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdqc_").toString
+    val q = docs.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (_, bad) = TableQuality.quarantine(batch, rules)
+        bad.select(col("doc_id"), col("failed_rules"))
+          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.option("basePath", out).parquet(out)
+      .select(col("doc_id"), col("failed_rules"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S16: per-column table statistics in one aggregate pass — the
     * ANALYZE primitive (null count, exact NDV, min/max) a cost-based
     * optimizer sizes joins with. String-rendered min/max so
@@ -4717,6 +4754,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "dq1_expectations" -> (dq1Expectations(_, _)),
     "dq2_quarantine" -> (dq2Quarantine(_, _)),
     "s16b_stats_gate" -> (s16bTableStatsApprox(_, _)),
+    "stream_dq" -> (streamDq(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -5682,6 +5720,19 @@ SELECT * FROM bad
 UNION ALL
 SELECT '__partition_total', CAST(COUNT(*) AS BIGINT), -1, -1 FROM tagged
 ORDER BY failed_rules""",
+    // stream_dq: streamed quarantine rows held VERBATIM to the batch
+    // rulebook replay (train-nothing, stateless — the strongest
+    // batch/stream parity: same rows, same tags, any batching)
+    "stream_dq" -> """
+SELECT doc_id,
+  array_to_string(list_filter(
+    [CASE WHEN COALESCE(n_chars >= 200, FALSE) THEN '' ELSE 'len200' END,
+     CASE WHEN COALESCE(lang IN ('en','de','es','fr'), FALSE) THEN ''
+          ELSE 'west' END], x -> x <> ''), ',') AS failed_rules
+FROM documents
+WHERE NOT COALESCE(n_chars >= 200, FALSE)
+   OR NOT COALESCE(lang IN ('en','de','es','fr'), FALSE)
+ORDER BY doc_id""",
     // s16b: the HLL-NDV ANALYZE path certified against the exact twin —
     // per column: nulls/min/max verbatim-equal, ndv within 3*rsd
     "s16b_stats_gate" -> ("SELECT column_name, 1 AS nulls_ok, 1 AS ndv_ok," +
