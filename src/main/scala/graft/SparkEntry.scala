@@ -2070,22 +2070,35 @@ object SparkEntry {
       .tableStreamPath(spark, dir, "documents.parquet")
     val docs = graft.streaming.CorpusStreams
       .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
-    val out = java.nio.file.Files.createTempDirectory("graft_sdq_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdqc_").toString
-    val q = docs.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (_, bad) = TableQuality.quarantine(batch, rules)
-        bad.select(col("doc_id"), col("failed_rules"))
-          .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-        ()
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.option("basePath", out).parquet(out)
-      .select(col("doc_id"), col("failed_rules"))
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sdq_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdqc_")
+    // sink + checkpoint are per-invocation scratch: materialize the sink
+    // rows (aggregate-scale — quarantined ids + tags) and delete both
+    // trees even on failure (the streamStateGate discipline; bench/verify
+    // loops were leaking a scratch pair per run)
+    try {
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (_, bad) = TableQuality.quarantine(batch, rules)
+          bad.select(col("doc_id"), col("failed_rules"))
+            .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      import spark.implicits._
+      spark.read.option("basePath", out.toString).parquet(out.toString)
+        .select(col("doc_id").cast("long"), col("failed_rules"))
+        .orderBy(col("doc_id"))
+        .as[(Long, String)].collect().toSeq
+        .toDF("doc_id", "failed_rules")
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(out)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** S16: per-column table statistics in one aggregate pass — the
@@ -2122,6 +2135,199 @@ object SparkEntry {
         (col("min_value") === col("e_min") &&
           col("max_value") === col("e_max")).cast("int").as("minmax_ok"))
       .orderBy(col("column_name"))
+  }
+
+  /** S16c: INCREMENTAL ANALYZE — the maintenance form of s16: the table
+    * is statted as per-partition mergeable sketch rows
+    * ([[graft.operators.TableQuality.partitionStats]]: count, nulls,
+    * typed min/max, HLL sketch — ONE scan builds every partition's row),
+    * then the report comes from MERGING the rows
+    * ([[graft.operators.TableQuality.mergeSketches]] — metadata-scale,
+    * no data rescan). The oracle holds the merged count/nulls/min/max to
+    * a DuckDB from-scratch recompute (merge ≡ recompute, exact), and
+    * `ndv_ok` bounds the union-sketch NDV against the exact twin (the
+    * s16b discipline). At 100 TB this is the difference between a stats
+    * refresh that scans only the appended partitions and one that
+    * rescans the table (183 s exact / 3.9 s approx at the 60M-row
+    * decade — per refresh): the snapshot-integrated append flow is
+    * spec-pinned (OperatorsSpec s16c), this entry pins the algebra.
+    */
+  private def s16cStatsIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.TableQuality
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+      "l_shipdate")
+    val li = tbl(spark, dir, "lineitem")
+    val parts = TableQuality.partitionStats(
+      li.withColumn("__part", pmod(col("l_orderkey"), lit(3L))),
+      "__part", cols)
+    val exact = TableQuality.tableStats(li, cols)
+      .select(col("column_name"), col("ndv").as("__e_ndv"))
+    TableQuality.mergeSketches(parts, cols)
+      .join(exact, Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("min_value"), col("max_value"),
+        (abs(col("ndv") - col("__e_ndv")) <=
+          lit(0.06) * col("__e_ndv")).cast("int").as("ndv_ok"))
+      .orderBy(col("column_name"))
+  }
+
+  /** DQ3: schema-drift contract over the lineitem drop — the ingest gate
+    * that fires BEFORE any row rule: the registered contract deliberately
+    * drifts on all three axes against the real schema (l_commitdate
+    * expected but absent → missing; l_tax present but uncontracted →
+    * extra; l_quantity contracted decimal(12,2) vs observed double →
+    * retyped), so the report proves violations are counted per axis, not
+    * just that a matching contract passes. Pure metadata — no scan;
+    * FULL (literal) oracle.
+    */
+  private def dq3SchemaDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TableQuality.schemaContract(tbl(spark, dir, "lineitem"),
+      Seq(
+        "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "decimal(12,2)", // observed double -> retyped
+        "l_extendedprice" -> "double", "l_discount" -> "double",
+        // l_tax deliberately NOT contracted -> counts as an extra column
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        // pyarrow writes non-UTC-adjusted timestamps; Spark 4 infers NTZ
+        "l_shipdate" -> "timestamp_ntz",
+        "l_commitdate" -> "timestamp_ntz")) // absent from the drop -> missing
+
+  /** S13d: MEASURED data-skipping gate for the layout family — the read
+    * side of s13/s13c (their bucket stats prove the write produces tight
+    * footer ranges; this proves a range scan actually READS FEWER FILES
+    * because of them). The same lineitem rows are written twice —
+    * Hilbert-clustered on (l_orderkey, l_partkey) and round-robin
+    * unclustered, 16 files each — and one identical two-key range
+    * predicate (the middle quarter of each key's span, pure long
+    * arithmetic so the oracle replays it) is planned against both
+    * layouts' PER-FILE min/max ranges: a file is "read" iff its footer
+    * box intersects the predicate box — exactly the min/max pruning rule
+    * a parquet planner applies, recomputed from the real files rather
+    * than trusted from a metric. Gates: the clustered scan's row count +
+    * key fingerprint match the logical table (DuckDB oracle anchors
+    * them), both layouts return identical rows, and the clustered layout
+    * reads strictly fewer files — at most HALF (the quarter-span box
+    * covers 1/16 of the key plane, so a locality-preserving curve
+    * confines it to ~1-3 of 16 files while every round-robin file spans
+    * the whole plane). The keys are independent in this corpus, so the
+    * diagonal degeneration the decade replicas show (SCALEPROBE_r12)
+    * does not mask the measurement; the decorrelated decade probe
+    * re-measures it at 60M rows.
+    */
+  private def s13dLayoutSkipping(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a1, a2) = (aLo + (aHi - aLo) / 4, aLo + (aHi - aLo) / 2)
+    val (b1, b2) = (bLo + (bHi - bLo) / 4, bLo + (bHi - bLo) / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_s13d_")
+    try {
+      graft.operators.ZOrder.writeHilbert(li, "l_orderkey", "l_partkey",
+        aLo, aHi, bLo, bHi, s"$root/clustered", numFiles = 16)
+      li.repartition(16).write.mode("overwrite").parquet(s"$root/plain")
+      // files a min/max-pruning scan must read = files whose footer box
+      // intersects the predicate box (recomputed from the files)
+      def filesRead(path: String): Long =
+        spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col("l_orderkey")).as("mina"),
+            max(col("l_orderkey")).as("maxa"),
+            min(col("l_partkey")).as("minb"),
+            max(col("l_partkey")).as("maxb"))
+          .filter(col("maxa") >= a1 && col("mina") <= a2 &&
+            col("maxb") >= b1 && col("minb") <= b2)
+          .count()
+      def scanFp(path: String): (Long, Long) = {
+        val m = spark.read.parquet(path)
+          .filter(col("l_orderkey").between(a1, a2) &&
+            col("l_partkey").between(b1, b2))
+          .agg(count(lit(1)).as("n"),
+            expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+              "cast(l_orderkey as string), cast(l_linenumber as string), " +
+              "cast(l_partkey as string), cast(l_suppkey as string))), " +
+              "1, 15), 16, 10) as bigint)), 0)").as("x"))
+          .head()
+        (m.getLong(0), m.getLong(1))
+      }
+      val fClustered = filesRead(s"$root/clustered")
+      val fPlain = filesRead(s"$root/plain")
+      val (nC, xC) = scanFp(s"$root/clustered")
+      val (nP, xP) = scanFp(s"$root/plain")
+      Seq((nC, xC,
+        if (nC == nP && xC == xP) 1 else 0,
+        if (fClustered < fPlain) 1 else 0,
+        if (fClustered * 2 <= fPlain) 1 else 0))
+        .toDF("n_rows", "key_xor", "rows_identical",
+          "clustered_reads_fewer", "clustered_le_half")
+    } finally deleteRecursively(root)
+  }
+
+  /** S17: STATS-DRIVEN compaction — the first consumer of the s16c
+    * per-partition stats rows: the small-file maintenance decision comes
+    * from the STATS TABLE (one row per partition, `__n` below a
+    * row-count threshold), never from a file listing. Documents land in
+    * a deliberately skewed batch layout (batch = least(doc_id % 32, 7):
+    * seven ~n/32-row slivers plus one ~25n/32 bulk), the stats pass
+    * builds every batch's mergeable row in ONE scan, batches under
+    * total/10 rows are compacted into a single file, and the gate proves
+    * (a) the compacted table is row-identical to the original (count +
+    * key fingerprint, DuckDB-anchored), (b) the decision found exactly
+    * the sliver batches (n_small_batches is data-derived and replayed by
+    * the oracle), (c) the file count strictly dropped. At 100 TB this is
+    * the nightly OPTIMIZE pass: the decision reads metadata-scale stats
+    * rows, and only the slivers' bytes are rewritten.
+    */
+  private def s17StatsCompaction(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.TableQuality
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val tagged = docs.withColumn("batch",
+      least(pmod(col("doc_id"), lit(32L)), lit(7L)))
+    val root = java.nio.file.Files.createTempDirectory("graft_s17_")
+    try {
+      tagged.repartition(col("batch"))
+        .write.partitionBy("batch").mode("overwrite")
+        .parquet(s"$root/batches")
+      val before = spark.read.parquet(s"$root/batches")
+      // the per-partition stats table: one mergeable row per batch,
+      // built in one scan — the s16c maintenance unit
+      val stats = graft.operators.Materialize(
+        TableQuality.partitionStats(before, "batch", Seq("doc_id")))
+      val total = stats.agg(sum(col("__n"))).head().getLong(0)
+      // the compaction DECISION: stats rows only, no listing
+      val smalls = stats.filter(col("__n") < lit(total / 10))
+        .select(col("batch").cast("long")).as[Long].collect().sorted.toSeq
+      spark.read
+        .parquet(smalls.map(b => s"$root/batches/batch=$b"): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/compacted")
+      val keepPaths = (0L to 7L).filterNot(smalls.contains)
+        .map(b => s"$root/batches/batch=$b") :+ s"$root/compacted"
+      val after = spark.read.parquet(keepPaths: _*)
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(" +
+            graft.operators.Sinks.keyFingerprintSql("doc_id") + "), 0)")
+            .as("x")).head()
+        (m.getLong(0), m.getLong(1))
+      }
+      val (nB, xB) = fp(before)
+      val (nA, xA) = fp(after)
+      val filesBefore = before.inputFiles.length
+      val filesAfter = after.inputFiles.length
+      Seq((nA, xA, smalls.length.toLong,
+        if (nA == nB && xA == xB) 1 else 0,
+        if (filesAfter < filesBefore) 1 else 0))
+        .toDF("n_rows", "key_xor", "n_small_batches", "rows_identical",
+          "files_reduced")
+    } finally deleteRecursively(root)
   }
 
   private def ta18NbClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -4753,7 +4959,11 @@ FROM m ORDER BY doc_id, summarizer""")
     "s16_table_stats" -> (s16TableStats(_, _)),
     "dq1_expectations" -> (dq1Expectations(_, _)),
     "dq2_quarantine" -> (dq2Quarantine(_, _)),
+    "dq3_schema_drift" -> (dq3SchemaDrift(_, _)),
     "s16b_stats_gate" -> (s16bTableStatsApprox(_, _)),
+    "s16c_stats_incremental" -> (s16cStatsIncremental(_, _)),
+    "s13d_layout_skipping" -> (s13dLayoutSkipping(_, _)),
+    "s17_stats_compaction" -> (s17StatsCompaction(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
@@ -5739,6 +5949,67 @@ ORDER BY doc_id""",
       " 1 AS minmax_ok FROM (VALUES ('l_orderkey'), ('l_partkey')," +
       " ('l_returnflag'), ('l_shipdate'), ('l_suppkey')) t(column_name)" +
       " ORDER BY column_name"),
+    // s16c: merge == recompute for the mergeable half of ANALYZE — the
+    // MERGED per-partition counts/nulls/min/max are held to a DuckDB
+    // from-scratch recompute (any merge drift hash-fails); the unioned
+    // HLL ndv is gated against the exact twin (literal 1)
+    "s16c_stats_incremental" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_shipdate").map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(MIN($c) AS VARCHAR) AS min_value,
+    CAST(MAX($c) AS VARCHAR) AS max_value,
+    1 AS ndv_ok
+  FROM lineitem""").mkString("", "\n  UNION ALL\n", "\n  ORDER BY column_name"),
+    // dq3: schema drift is pure metadata over a fixed testdata schema —
+    // the planted three-axis drift (missing l_commitdate, uncontracted
+    // l_tax, retyped l_quantity) replays as literals
+    "dq3_schema_drift" -> """
+SELECT * FROM (VALUES
+  ('schema_extra_cols',   CAST(11 AS BIGINT), CAST(1 AS BIGINT), 0),
+  ('schema_missing_cols', CAST(11 AS BIGINT), CAST(1 AS BIGINT), 0),
+  ('schema_retyped_cols', CAST(10 AS BIGINT), CAST(1 AS BIGINT), 0))
+  t(rule, n_checked, n_violations, pass)
+ORDER BY rule""",
+    // s13d: the predicate bounds replay in pure long floor-arithmetic
+    // from the key ranges; the clustered scan's count + key fingerprint
+    // are anchored to the logical table, the cross-layout identity and
+    // the strictly-fewer-files (<= half) pruning wins are gate literals
+    "s13d_layout_skipping" -> """
+WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi
+  FROM lineitem),
+bounds AS (
+  SELECT alo + (ahi - alo) // 4 AS a1, alo + (ahi - alo) // 2 AS a2,
+    blo + (bhi - blo) // 4 AS b1, blo + (bhi - blo) // 2 AS b2
+  FROM rg),
+hit AS (
+  SELECT l.* FROM lineitem l, bounds
+  WHERE l.l_orderkey BETWEEN a1 AND a2 AND l.l_partkey BETWEEN b1 AND b2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+    || ':' || CAST(l_partkey AS VARCHAR) || ':'
+    || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS key_xor,
+  1 AS rows_identical, 1 AS clustered_reads_fewer, 1 AS clustered_le_half
+FROM hit""",
+    // s17: the compaction decision replays — batch sizes are a pure
+    // function of doc_id, small = under total//10; count + doc_id
+    // fingerprint anchor the rewritten table to the source
+    "s17_stats_compaction" -> """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+b AS (SELECT LEAST(doc_id % 32, 7) AS batch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_rows,
+  (SELECT CAST(COALESCE(bit_xor(CAST(('0x' ||
+      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+    AS BIGINT) FROM documents) AS key_xor,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM b, t WHERE c < total // 10)
+    AS n_small_batches,
+  1 AS rows_identical, 1 AS files_reduced""",
     // s16: per-column stats recomputed independently per column; SUM
     // cast (HUGEINT), min/max rendered as VARCHAR in both engines
     "s16_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",

@@ -179,6 +179,21 @@ object Sinks {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(staging, dest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // reclaim stale per-attempt staging siblings (crashed or racing-loser
+    // publishes): the old fixed `.staging` name was implicitly reclaimed
+    // by each retry's overwrite, but nonce-named attempts would otherwise
+    // accumulate forever (r12 advice). Safe to sweep only NOW — the
+    // write-once target exists, so any still-racing writer was already
+    // doomed to fail loudly (its entry `require` or this rename); its
+    // staged bytes are residue either way.
+    val parent = dest.toAbsolutePath.getParent
+    if (parent != null) {
+      val prefix = dest.getFileName.toString + ".staging-"
+      val s = java.nio.file.Files.list(parent)
+      try s.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith(prefix)) deleteTree(p)
+      } finally s.close()
+    }
   }
 
   /** Validating reader for [[publishWithManifest]]: recomputes the row

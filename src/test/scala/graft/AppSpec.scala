@@ -38,7 +38,31 @@ class AppSpec extends AnyFunSuite {
     // analyze runs on both ndv paths without error
     graft.app.Main.main(Array("analyze", "--in", s"$dir/t"))
     graft.app.Main.main(Array(
-      "analyze", "--in", s"$dir/t", "--columns", "id", "--approx"))
+      "analyze", "--in", s"$dir/t", "--columns", "id", "--exact"))
+  }
+
+  test("CLI dq --contract: drift report unions in; a drifted drop routes WHOLE to quarantined") {
+    val dir = tmpDir("graft_dqc")
+    Seq((1L, 10.0), (2L, 5.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    // matching contract + rules -> normal split path still works
+    val q1 = tmpDir("graft_dqcq1")
+    graft.app.Main.main(Array(
+      "dq", "--in", s"$dir/t",
+      "--contract", "id:bigint,v:double",
+      "--rules", "v_small: v <= 100",
+      "--quarantine", q1))
+    assert(spark.read.parquet(s"$q1/clean").count() == 2L)
+    // drifted contract (v retyped, w missing) -> the ENTIRE drop lands in
+    // quarantined/, no clean side is produced
+    val q2 = tmpDir("graft_dqcq2")
+    graft.app.Main.main(Array(
+      "dq", "--in", s"$dir/t",
+      "--contract", "id:bigint,v:int,w:string",
+      "--rules", "v_small: v <= 100",
+      "--quarantine", q2))
+    assert(spark.read.parquet(s"$q2/quarantined").count() == 2L)
+    assert(!new java.io.File(s"$q2/clean").exists())
   }
 
   test("CLI pipeline: parquet docs in, summary table + text files out") {

@@ -621,6 +621,133 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("q25"))
   }
 
+  test("DQ referential/unique: lazy single-pass — one scan per source in the plan, values unchanged") {
+    import graft.operators.TableQuality
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = java.nio.file.Files.createTempDirectory("graft_dqlazy_").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "d")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/child")
+    Seq(1L, 2L).toDF("pid").write.mode("overwrite").parquet(s"$dir/parent")
+    val child = spark.read.parquet(s"$dir/child")
+    val parent = spark.read.parquet(s"$dir/parent")
+    val r = TableQuality.referential(child, "id", parent, "pid", "id_ref")
+    // the r12 form ran two actions at call time and returned a
+    // precomputed LocalRelation; the report must now be a LAZY plan over
+    // the sources with the child scanned ONCE (join+aggregate fused),
+    // halving the child I/O
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l
+      }.length
+    assert(scans(r) == 2, "referential: child once + parent once")
+    val u = TableQuality.unique(child, Seq("id"), "id_unique")
+    assert(scans(u) == 1, "unique: one child scan")
+    assert(r.as[(String, Long, Long, Int)].head() == (("id_ref", 4L, 2L, 0)))
+    assert(u.as[(String, Long, Long, Int)].head() == (("id_unique", 4L, 1L, 0)))
+    // empty child still yields one well-formed passing row
+    val e = TableQuality.referential(child.filter(col("id") > 100L), "id",
+      parent, "pid", "e_ref")
+    assert(e.as[(String, Long, Long, Int)].head() == (("e_ref", 0L, 0L, 1)))
+    assert(TableQuality.unique(child.filter(col("id") > 100L), Seq("id"), "e_u")
+      .as[(String, Long, Long, Int)].head() == (("e_u", 0L, 0L, 1)))
+    // hostile rule/column names die loudly before reaching a generated expr
+    intercept[IllegalArgumentException] {
+      TableQuality.expectations(child, Seq(
+        TableQuality.Rule("bad`name", lit(true))))
+    }
+    intercept[IllegalArgumentException] {
+      TableQuality.unique(child, Seq("id"), "x'); drop")
+    }
+    intercept[IllegalArgumentException] {
+      TableQuality.tableStats(Seq(1L).toDF("a`b"), Seq("a`b"))
+    }
+  }
+
+  test("DQ3 schemaContract: added/missing/retyped counted per axis; verdict routes the drop") {
+    import graft.operators.TableQuality
+    val t = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val good = Seq("id" -> "bigint", "name" -> "string", "score" -> "double")
+    val ok = TableQuality.schemaContract(t, good)
+      .as[(String, Long, Long, Int)].collect()
+    assert(ok.map(_._1).toSeq == Seq("schema_extra_cols",
+      "schema_missing_cols", "schema_retyped_cols"))
+    assert(ok.forall(_._4 == 1))
+    assert(TableQuality.schemaContractPass(t, good))
+    // type match is case-insensitive on the catalog string
+    assert(TableQuality.schemaContractPass(t,
+      Seq("id" -> "BIGINT", "name" -> "String", "score" -> "Double")))
+    // drift on all three axes at once: name retyped, `added` expected but
+    // absent, observed `score` uncontracted
+    val drift = Seq("id" -> "bigint", "name" -> "int", "added" -> "string")
+    val got = TableQuality.schemaContract(t, drift)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("schema_extra_cols") == ((3L, 1L, 0)))
+    assert(got("schema_missing_cols") == ((3L, 1L, 0)))
+    assert(got("schema_retyped_cols") == ((2L, 1L, 0)))
+    assert(!TableQuality.schemaContractPass(t, drift))
+    intercept[IllegalArgumentException] {
+      TableQuality.schemaContract(t, Seq("id" -> "bigint", "id" -> "int"))
+    }
+  }
+
+  test("S16c incremental ANALYZE under snapshots: append reuses v0 sketches verbatim, merge == recompute") {
+    import graft.operators.{Sinks, TableQuality}
+    val root = java.nio.file.Files.createTempDirectory("graft_incstats_").toString
+    val cols = Seq("k", "s")
+    val batch0 = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("k", "s")
+    val batch1 = Seq((4L, Some("c")), (5L, Some("b")), (2L, Some("d")))
+      .toDF("k", "s")
+    val stats0 = TableQuality.columnSketches(batch0, cols)
+      .withColumn("part_id", lit("b0"))
+    Sinks.publishSnapshot(Map(
+      "data" -> ((batch0, "k")), "stats" -> ((stats0, "part_id"))), root)
+    // APPEND: the refresh sketches ONLY the new batch and unions it with
+    // v0's stored stats rows — the old data is never rescanned
+    val prior = Sinks.readSnapshot(spark, root)("stats")
+    val stats1 = prior.unionByName(
+      TableQuality.columnSketches(batch1, cols)
+        .withColumn("part_id", lit("b1")))
+    Sinks.publishSnapshot(Map(
+      "data" -> ((batch0.unionByName(batch1), "k")),
+      "stats" -> ((stats1, "part_id"))), root)
+    val snap = Sinks.readSnapshot(spark, root)
+    // v0's sketch row survives the append BYTE-identical (reused, not
+    // recomputed) — binary sketch compared as bytes
+    def flat(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      })
+    assert(flat(snap("stats").filter(col("part_id") === "b0")
+        .drop("part_id")) ==
+      flat(stats0.drop("part_id")))
+    // the merged report equals a from-scratch tableStats — exactly on the
+    // mergeable fields, and (at this cardinality the HLL coupon list is
+    // exact) on ndv too
+    val merged = TableQuality.mergeSketches(snap("stats").drop("part_id"), cols)
+      .collect().toSeq
+    val scratch = TableQuality
+      .tableStats(snap("data"), cols).collect().toSeq
+    assert(merged == scratch)
+  }
+
+  test("publishWithManifest sweeps stale staging siblings on successful publish") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_pubsweep_")
+    val out = s"$root/pub"
+    // plant the residue of a crashed earlier attempt
+    val stale = java.nio.file.Paths.get(s"$out.staging-dead0001")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    Sinks.publishWithManifest((1L to 10L).toDF("doc_id"), out)
+    assert(!java.nio.file.Files.exists(stale),
+      "crashed-attempt staging residue must be reclaimed by the publish")
+    assert(Sinks.readPublished(spark, out).count() == 10L)
+  }
+
   test("S16 tableStats: nulls, exact ndv, portable min/max strings, one row per column") {
     import graft.operators.TableQuality
     val t = Seq(
