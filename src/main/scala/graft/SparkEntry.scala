@@ -4200,16 +4200,28 @@ object SparkEntry {
       sideStream("click", "click_id", "c_user", "c_ts"))
       .select(col("purchase_id"), col("click_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-    val out = java.nio.file.Files.createTempDirectory("graft_ssj_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjc_").toString
-    val q = joined.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet").option("path", out)
-      .start()
-    q.awaitTermination()
-    spark.read.schema(joined.schema).parquet(out)
-      .orderBy(col("purchase_id"), col("click_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_ssj_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjc_")
+    // sink + state-store checkpoint are per-invocation scratch — the
+    // stream_dq discipline: materialize the (aggregate-scale) joined
+    // rows, reclaim both trees even on failure
+    try {
+      val q = joined.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out.toString)
+        .start()
+      q.awaitTermination()
+      import spark.implicits._
+      spark.read.schema(joined.schema).parquet(out.toString)
+        .orderBy(col("purchase_id"), col("click_id"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .toDF("purchase_id", "click_id", "user_id", "gap_us")
+        .orderBy(col("purchase_id"), col("click_id"))
+    } finally {
+      deleteRecursively(out)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** EV8: left-outer attribution (batch form — the stream form's
