@@ -2101,6 +2101,76 @@ object SparkEntry {
     }
   }
 
+  /** STREAM-STATS: incremental ANALYZE on the document STREAM — the s16c
+    * maintenance discipline in its streaming form: each micro-batch
+    * sketches ONLY its own rows ([[graft.operators.TableQuality
+    * .columnSketches]], one mergeable row per batch) into a batch_id
+    * partition (replay-idempotent overwrite — the stream_dq sink shape),
+    * and the report is [[graft.operators.TableQuality.mergeSketches]]
+    * over the accumulated metadata-scale rows. Held VERBATIM to the
+    * batch tableStats over the whole corpus on the mergeable fields
+    * (FULL oracle — streaming the corpus through the sketcher must
+    * produce exactly the from-scratch ANALYZE, any batching), with the
+    * union-sketch NDV gated against the exact twin. At 100 TB this is
+    * how a continuously-ingesting table keeps ANALYZE current without
+    * ever rescanning: per-batch sketch cost, metadata-scale refresh.
+    */
+  private def streamStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TableQuality
+    val cols = Seq("n_chars", "lang")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val (base, glob) = graft.streaming.CorpusStreams
+      .tableStreamPath(spark, dir, "documents.parquet")
+    val docs = graft.streaming.CorpusStreams
+      .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
+    val out = java.nio.file.Files.createTempDirectory("graft_sst_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sstc_")
+    try {
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          TableQuality.columnSketches(batch, cols)
+            .write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val parts = spark.read.option("basePath", out.toString)
+        .parquet(out.toString).drop("batch_id")
+      val exact = TableQuality
+        .tableStats(tbl(spark, dir, "documents"), cols)
+        .select(col("column_name"), col("ndv").as("__e_ndv"))
+      val report = TableQuality.mergeSketches(parts, cols)
+        .join(exact, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("min_value"), col("max_value"),
+          (abs(col("ndv") - col("__e_ndv")) <=
+            lit(0.06) * col("__e_ndv")).cast("int").as("ndv_ok"))
+        .orderBy(col("column_name"))
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(report, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("column_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_nulls",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("max_value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ndv_ok",
+            org.apache.spark.sql.types.IntegerType))))
+        .orderBy(col("column_name"))
+    } finally {
+      deleteRecursively(out)
+      deleteRecursively(ckpt)
+    }
+  }
+
   /** S16: per-column table statistics in one aggregate pass — the
     * ANALYZE primitive (null count, exact NDV, min/max) a cost-based
     * optimizer sizes joins with. String-rendered min/max so
@@ -2265,6 +2335,167 @@ object SparkEntry {
         if (fClustered * 2 <= fPlain) 1 else 0))
         .toDF("n_rows", "key_xor", "rows_identical",
           "clustered_reads_fewer", "clustered_le_half")
+    } finally deleteRecursively(root)
+  }
+
+  /** S13e: stats-table-driven PRUNED SCAN — the manifest-based skipping
+    * read (what Delta/Iceberg do with log-level file stats): the same
+    * Hilbert-clustered write as s13d, but the planner decides from a
+    * per-file STATS TABLE ([[graft.operators.FileSkipping.fileStats]],
+    * one scan builds it; at 100 TB it is maintained incrementally like
+    * s16c, never rebuilt) and the reader OPENS only the chosen files —
+    * a footer-pruning scan still opens every file for its footer, and on
+    * an object store those round-trips dominate a selective scan. Gates:
+    * the pruned scan's rows are IDENTICAL to the full scan's under the
+    * same predicate (count + key fingerprint, both DuckDB-anchored),
+    * strictly fewer files are opened, and the stats decision equals the
+    * footer-box intersection (stats-planned ≡ footer-planned, the s13d
+    * rule) — so the stats table can stand in for footers exactly.
+    */
+  private def s13eStatsPrunedScan(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.FileSkipping
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a1, a2) = (aLo + (aHi - aLo) / 4, aLo + (aHi - aLo) / 2)
+    val (b1, b2) = (bLo + (bHi - bLo) / 4, bLo + (bHi - bLo) / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_s13e_")
+    try {
+      graft.operators.ZOrder.writeHilbert(li, "l_orderkey", "l_partkey",
+        aLo, aHi, bLo, bHi, s"$root/clustered", numFiles = 16)
+      val table = spark.read.parquet(s"$root/clustered")
+      val stats = graft.operators.Materialize(
+        FileSkipping.fileStats(table, Seq("l_orderkey", "l_partkey")))
+      val pred = col("l_orderkey").between(a1, a2) &&
+        col("l_partkey").between(b1, b2)
+      val pruned = FileSkipping.prunedParquet(spark, stats,
+        Seq(("l_orderkey", a1, a2), ("l_partkey", b1, b2)), table.schema)
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.filter(pred)
+          .agg(count(lit(1)).as("n"),
+            expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+              "cast(l_orderkey as string), cast(l_linenumber as string), " +
+              "cast(l_partkey as string), cast(l_suppkey as string))), " +
+              "1, 15), 16, 10) as bigint)), 0)").as("x"))
+          .head()
+        (m.getLong(0), m.getLong(1))
+      }
+      val (nP, xP) = fp(pruned)
+      val (nF, xF) = fp(table)
+      val opened = pruned.inputFiles.length.toLong
+      val total = table.inputFiles.length.toLong
+      // the footer-planner's decision, recomputed INDEPENDENTLY of the
+      // stats table — a fresh per-file min/max scan (the s13d rule), so
+      // a stats-maintenance bug (stale/truncated rows) fails this gate
+      // rather than silently agreeing with itself
+      val footerChosen = table
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_orderkey")).as("mina"),
+          max(col("l_orderkey")).as("maxa"),
+          min(col("l_partkey")).as("minb"),
+          max(col("l_partkey")).as("maxb"))
+        .filter(col("maxa") >= a1 && col("mina") <= a2 &&
+          col("maxb") >= b1 && col("minb") <= b2)
+        .count()
+      Seq((nP, xP,
+        if (nP == nF && xP == xF) 1 else 0,
+        if (opened < total) 1 else 0,
+        if (opened == footerChosen) 1 else 0))
+        .toDF("n_rows", "key_xor", "rows_identical", "opened_fewer",
+          "stats_match_footers")
+    } finally deleteRecursively(root)
+  }
+
+  /** S13f: incremental RE-CLUSTER (OPTIMIZE) — the layout maintenance
+    * loop closed: a Hilbert-clustered base takes an UNSORTED append
+    * (round-robin files spanning the whole key plane — every streaming /
+    * per-batch ingest looks like this), the degradation is DETECTED from
+    * the per-file stats table (a file whose min/max box covers > 1/4 of
+    * the key plane is unclustered — clustered tiles cover ~1/files), and
+    * the maintenance pass re-clusters ONLY the detected files, leaving
+    * base bytes untouched (the Delta OPTIMIZE ZORDER shape: incremental,
+    * not a table rewrite). Gates: (a) the optimized table is
+    * row-identical to the logical table (count + key fingerprint,
+    * DuckDB-anchored); (b) the stats detection found EXACTLY the
+    * appended files — no base tile false-positives, no missed append;
+    * (c) the quarter-box footer-intersection count strictly DROPS from
+    * the degraded table to the optimized one (skipping restored,
+    * measured by the s13d rule).
+    */
+  private def s13fOptimizeRecluster(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.FileSkipping
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a1, a2) = (aLo + (aHi - aLo) / 4, aLo + (aHi - aLo) / 2)
+    val (b1, b2) = (bLo + (bHi - bLo) / 4, bLo + (bHi - bLo) / 2)
+    val planeArea = (aHi - aLo + 1).toDouble * (bHi - bLo + 1).toDouble
+    val root = java.nio.file.Files.createTempDirectory("graft_s13f_")
+    try {
+      val base = li.filter(pmod(col("l_orderkey"), lit(4L)) =!= 0L)
+      val appendRows = li.filter(pmod(col("l_orderkey"), lit(4L)) === 0L)
+      graft.operators.ZOrder.writeHilbert(base, "l_orderkey", "l_partkey",
+        aLo, aHi, bLo, bHi, s"$root/table", numFiles = 12)
+      val baseFiles = spark.read.parquet(s"$root/table")
+        .inputFiles.map(pathOf).toSet
+      appendRows.repartition(4).write.mode("append").parquet(s"$root/table")
+      val degraded = spark.read.parquet(s"$root/table")
+      val appendFiles = degraded.inputFiles.map(pathOf).toSet -- baseFiles
+      // detect from the STATS TABLE (one scan — the s16c maintenance
+      // unit), never a listing: wide-box files are the unclustered ones
+      val stats = graft.operators.Materialize(
+        FileSkipping.fileStats(degraded, Seq("l_orderkey", "l_partkey")))
+      val detected = stats
+        .withColumn("__cov",
+          (col("__max_l_orderkey") - col("__min_l_orderkey") + 1)
+            .cast("double") *
+          (col("__max_l_partkey") - col("__min_l_partkey") + 1)
+            .cast("double") / lit(planeArea))
+        .filter(col("__cov") > 0.25)
+        .select(col("__file").cast("string"))
+        .collect().map(u => pathOf(u.getString(0))).toSet
+      // OPTIMIZE: re-cluster ONLY the detected files; base bytes untouched
+      graft.operators.ZOrder.writeHilbert(
+        spark.read.schema(degraded.schema)
+          .parquet(detected.toSeq.sorted: _*),
+        "l_orderkey", "l_partkey", aLo, aHi, bLo, bHi,
+        s"$root/opt", numFiles = 4)
+      val optimized = spark.read.schema(degraded.schema)
+        .parquet(((baseFiles -- detected).toSeq.sorted :+ s"$root/opt"): _*)
+      def footerHits(df: DataFrame): Long = df
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_orderkey")).as("mina"),
+          max(col("l_orderkey")).as("maxa"),
+          min(col("l_partkey")).as("minb"),
+          max(col("l_partkey")).as("maxb"))
+        .filter(col("maxa") >= a1 && col("mina") <= a2 &&
+          col("maxb") >= b1 && col("minb") <= b2)
+        .count()
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(l_orderkey as string), cast(l_linenumber as string), " +
+            "cast(l_partkey as string), cast(l_suppkey as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (m.getLong(0), m.getLong(1))
+      }
+      val (nO, xO) = fp(optimized)
+      val hitsDegraded = footerHits(degraded)
+      val hitsOptimized = footerHits(optimized)
+      Seq((nO, xO,
+        if (detected == appendFiles) 1 else 0,
+        if (hitsOptimized < hitsDegraded) 1 else 0))
+        .toDF("n_rows", "key_xor", "detected_only_appends",
+          "skipping_restored")
     } finally deleteRecursively(root)
   }
 
@@ -4975,8 +5206,11 @@ FROM m ORDER BY doc_id, summarizer""")
     "s16b_stats_gate" -> (s16bTableStatsApprox(_, _)),
     "s16c_stats_incremental" -> (s16cStatsIncremental(_, _)),
     "s13d_layout_skipping" -> (s13dLayoutSkipping(_, _)),
+    "s13e_stats_pruned_scan" -> (s13eStatsPrunedScan(_, _)),
+    "s13f_optimize_recluster" -> (s13fOptimizeRecluster(_, _)),
     "s17_stats_compaction" -> (s17StatsCompaction(_, _)),
     "stream_dq" -> (streamDq(_, _)),
+    "stream_stats" -> (streamStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -6007,6 +6241,51 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS key_xor,
   1 AS rows_identical, 1 AS clustered_reads_fewer, 1 AS clustered_le_half
 FROM hit""",
+    // s13e: the stats-planned pruned scan returns exactly the logical
+    // predicate result (count + fingerprint anchored to the table); the
+    // opened-fewer and stats≡footers wins are gate literals
+    "s13e_stats_pruned_scan" -> """
+WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi
+  FROM lineitem),
+bounds AS (
+  SELECT alo + (ahi - alo) // 4 AS a1, alo + (ahi - alo) // 2 AS a2,
+    blo + (bhi - blo) // 4 AS b1, blo + (bhi - blo) // 2 AS b2
+  FROM rg),
+hit AS (
+  SELECT l.* FROM lineitem l, bounds
+  WHERE l.l_orderkey BETWEEN a1 AND a2 AND l.l_partkey BETWEEN b1 AND b2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+    || ':' || CAST(l_partkey AS VARCHAR) || ':'
+    || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS key_xor,
+  1 AS rows_identical, 1 AS opened_fewer, 1 AS stats_match_footers
+FROM hit""",
+    // s13f: the optimized table is the whole logical table (count +
+    // fingerprint anchored); detection-exactness and skipping-restored
+    // are gate literals
+    "s13f_optimize_recluster" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+    || ':' || CAST(l_partkey AS VARCHAR) || ':'
+    || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS key_xor,
+  1 AS detected_only_appends, 1 AS skipping_restored
+FROM lineitem""",
+    // stream_stats: the streamed sketch rows' MERGE held verbatim to the
+    // batch ANALYZE recompute on the mergeable fields (any batching);
+    // union-sketch ndv gated against the exact twin (literal 1)
+    "stream_stats" -> Seq("lang", "n_chars").map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+    CAST(MIN($c) AS VARCHAR) AS min_value,
+    CAST(MAX($c) AS VARCHAR) AS max_value,
+    1 AS ndv_ok
+  FROM documents""").mkString("", "\n  UNION ALL\n", "\n  ORDER BY column_name"),
     // s17: the compaction decision replays — batch sizes are a pure
     // function of doc_id, small = under total//10; count + doc_id
     // fingerprint anchor the rewritten table to the source

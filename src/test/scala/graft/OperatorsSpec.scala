@@ -733,6 +733,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged == scratch)
   }
 
+  test("FileSkipping prunedParquet: conjunctive box rule, superset guarantee, fully-pruned scan is empty not an error") {
+    import graft.operators.FileSkipping
+    val dir = java.nio.file.Files.createTempDirectory("graft_fskip_").toString
+    // three files with known disjoint key boxes: a in [0,9]/[10,19]/[20,29]
+    Seq.tabulate(10)(i => (i.toLong, (i % 3).toLong)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f0")
+    Seq.tabulate(10)(i => (10L + i, (i % 3).toLong)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f1")
+    Seq.tabulate(10)(i => (20L + i, 100L + i)).toDF("a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f2")
+    val table = spark.read.parquet(s"$dir/f0", s"$dir/f1", s"$dir/f2")
+    val stats = FileSkipping.fileStats(table, Seq("a", "b"))
+    // box a in [12,25], b in [0,2]: f1 intersects both ranges; f2 fails
+    // the CONJUNCTIVE rule (a intersects, b=[100,109] does not); f0 fails a
+    val pruned = FileSkipping.prunedParquet(spark, stats,
+      Seq(("a", 12L, 25L), ("b", 0L, 2L)), table.schema)
+    assert(pruned.inputFiles.length == 1)
+    // superset guarantee: the chosen file still holds non-matching rows —
+    // the caller's row predicate lands the exact result
+    assert(pruned.count() == 10L)
+    assert(pruned.filter(col("a").between(12L, 25L) &&
+      col("b").between(0L, 2L)).count() ==
+      table.filter(col("a").between(12L, 25L) &&
+        col("b").between(0L, 2L)).count())
+    // fully-pruned: empty frame with the right schema, not a failure
+    val none = FileSkipping.prunedParquet(spark, stats,
+      Seq(("a", 500L, 600L)), table.schema)
+    assert(none.count() == 0L && none.schema == table.schema)
+  }
+
   test("publishWithManifest sweeps stale staging siblings on successful publish") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_pubsweep_")

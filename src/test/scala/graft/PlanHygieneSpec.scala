@@ -109,11 +109,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // ev7c's router measures the hottest key's share at construction
     "mm6_codec_roundtrip", "mm8_media_neardup",
     "ev7c_session_window_routed",
-    // s13d/s17 write+measure physical layouts at construction and return
-    // a driver-local gate row — there is no lazy plan to audit (their
-    // scan shapes are one footer-ranges hash-agg and one filtered scan
-    // per layout, driver-verified by their oracles at both SFs)
-    "s13d_layout_skipping", "s17_stats_compaction")
+    // s13d/s13e/s13f/s17 write+measure physical layouts at construction
+    // and return a driver-local gate row — there is no lazy plan to
+    // audit (their scan shapes are footer-ranges hash-aggs and filtered
+    // scans per layout, driver-verified by their oracles at both SFs)
+    "s13d_layout_skipping", "s13e_stats_pruned_scan",
+    "s13f_optimize_recluster", "s17_stats_compaction")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
