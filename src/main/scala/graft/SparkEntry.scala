@@ -2499,6 +2499,93 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S18: snapshot-committed PRUNED READ — the full lakehouse loop in
+    * one gate: a Hilbert-clustered table and the per-file stats PINNED
+    * TO THOSE EXACT FILES are committed ATOMICALLY at one version
+    * ([[graft.operators.Sinks.publishSnapshotStaged]] — the physical
+    * layout survives because the commit moves the staged dir instead of
+    * rewriting it), and a reader at that version plans its scan from the
+    * COMMITTED stats table (validated by the snapshot manifest before
+    * the planner trusts it — a tampered stats table fails the read, it
+    * cannot silently mis-prune) and opens only the chosen files. No
+    * data-file footer is read at plan time: this is the Delta/Iceberg
+    * read path end to end — write once, stat once, commit once, prune
+    * from metadata forever. Gates: pruned result row-identical to the
+    * logical predicate result (count + fingerprint, DuckDB-anchored),
+    * strictly fewer files opened, committed-stats decision equals an
+    * independent footer recompute over the committed files, and the
+    * commit landed at version 0 (fresh root).
+    */
+  private def s18SnapshotPrunedRead(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FileSkipping, Sinks}
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a1, a2) = (aLo + (aHi - aLo) / 4, aLo + (aHi - aLo) / 2)
+    val (b1, b2) = (bLo + (bHi - bLo) / 4, bLo + (bHi - bLo) / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_s18_")
+    try {
+      graft.operators.ZOrder.writeHilbert(li, "l_orderkey", "l_partkey",
+        aLo, aHi, bLo, bHi, s"$root/stage_data", numFiles = 16)
+      // per-file stats keyed by FILENAME (stable across the commit move;
+      // the committed dir path is only known after the commit)
+      val staged = spark.read.parquet(s"$root/stage_data")
+      FileSkipping.fileStats(staged, Seq("l_orderkey", "l_partkey"))
+        .withColumn("__file",
+          regexp_extract(col("__file"), "[^/]+$", 0))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/stage_stats")
+      val snapRoot = s"$root/snap"
+      val v = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage_data", "l_orderkey")),
+        "file_stats" -> ((s"$root/stage_stats", "__file"))), snapRoot, spark)
+      // version-pinned read: manifest-validated stats drive the pruning
+      val snap = Sinks.readSnapshot(spark, snapRoot, Some(v))
+      val dataDir = new java.net.URI(snap("data").inputFiles.head).getPath
+        .replaceAll("/[^/]+$", "")
+      val stats = snap("file_stats")
+        .withColumn("__file", concat(lit(s"$dataDir/"), col("__file")))
+      val pruned = FileSkipping.prunedParquet(spark, stats,
+        Seq(("l_orderkey", a1, a2), ("l_partkey", b1, b2)),
+        snap("data").schema)
+      val pred = col("l_orderkey").between(a1, a2) &&
+        col("l_partkey").between(b1, b2)
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.filter(pred)
+          .agg(count(lit(1)).as("n"),
+            expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+              "cast(l_orderkey as string), cast(l_linenumber as string), " +
+              "cast(l_partkey as string), cast(l_suppkey as string))), " +
+              "1, 15), 16, 10) as bigint)), 0)").as("x"))
+          .head()
+        (m.getLong(0), m.getLong(1))
+      }
+      val (nP, xP) = fp(pruned)
+      val (nF, xF) = fp(snap("data"))
+      val opened = pruned.inputFiles.length.toLong
+      val total = snap("data").inputFiles.length.toLong
+      val footerChosen = snap("data")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_orderkey")).as("mina"),
+          max(col("l_orderkey")).as("maxa"),
+          min(col("l_partkey")).as("minb"),
+          max(col("l_partkey")).as("maxb"))
+        .filter(col("maxa") >= a1 && col("mina") <= a2 &&
+          col("maxb") >= b1 && col("minb") <= b2)
+        .count()
+      Seq((nP, xP, v,
+        if (nP == nF && xP == xF) 1 else 0,
+        if (opened < total) 1 else 0,
+        if (opened == footerChosen) 1 else 0))
+        .toDF("n_rows", "key_xor", "version", "rows_identical",
+          "opened_fewer", "stats_match_footers")
+    } finally deleteRecursively(root)
+  }
+
   /** S17: STATS-DRIVEN compaction — the first consumer of the s16c
     * per-partition stats rows: the small-file maintenance decision comes
     * from the STATS TABLE (one row per partition, `__n` below a
@@ -5209,6 +5296,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s13e_stats_pruned_scan" -> (s13eStatsPrunedScan(_, _)),
     "s13f_optimize_recluster" -> (s13fOptimizeRecluster(_, _)),
     "s17_stats_compaction" -> (s17StatsCompaction(_, _)),
+    "s18_snapshot_pruned_read" -> (s18SnapshotPrunedRead(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
@@ -6276,6 +6364,30 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS key_xor,
   1 AS detected_only_appends, 1 AS skipping_restored
 FROM lineitem""",
+    // s18: the snapshot-committed pruned read returns exactly the
+    // logical predicate result at version 0; the structural wins
+    // (opened-fewer, committed-stats ≡ footers) are gate literals
+    "s18_snapshot_pruned_read" -> """
+WITH rg AS (
+  SELECT MIN(l_orderkey) AS alo, MAX(l_orderkey) AS ahi,
+    MIN(l_partkey) AS blo, MAX(l_partkey) AS bhi
+  FROM lineitem),
+bounds AS (
+  SELECT alo + (ahi - alo) // 4 AS a1, alo + (ahi - alo) // 2 AS a2,
+    blo + (bhi - blo) // 4 AS b1, blo + (bhi - blo) // 2 AS b2
+  FROM rg),
+hit AS (
+  SELECT l.* FROM lineitem l, bounds
+  WHERE l.l_orderkey BETWEEN a1 AND a2 AND l.l_partkey BETWEEN b1 AND b2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+    || ':' || CAST(l_partkey AS VARCHAR) || ':'
+    || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS key_xor,
+  CAST(0 AS BIGINT) AS version,
+  1 AS rows_identical, 1 AS opened_fewer, 1 AS stats_match_footers
+FROM hit""",
     // stream_stats: the streamed sketch rows' MERGE held verbatim to the
     // batch ANALYZE recompute on the mergeable fields (any batching);
     // union-sketch ndv gated against the exact twin (literal 1)

@@ -36,6 +36,7 @@ object Main {
     case "publish" :: rest => runPublish(parseOpts(rest))
     case "dq" :: rest => runDq(parseOpts(rest))
     case "analyze" :: rest => runAnalyze(parseOpts(rest))
+    case "optimize" :: rest => runOptimize(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
@@ -65,7 +66,12 @@ object Main {
           "[--quarantine DIR]\n" +
           "       graft analyze --in PARQUET [--columns a,b,..] [--exact]\n" +
           "         (NDV defaults to the HLL sketch; --exact COUNT(DISTINCT)" +
-          " costs an Expand x(cols+1) shuffle at corpus scale)")
+          " costs an Expand x(cols+1) shuffle at corpus scale)\n" +
+          "       graft optimize --in DIR --out DIR " +
+          "(--compact-small ROWS | --cluster a,b [--files K])\n" +
+          "         (--compact-small rewrites only files under ROWS rows," +
+          " big files are byte-copied untouched;" +
+          " --cluster = full Hilbert re-cluster on two long columns)")
       sys.exit(2)
   }
 
@@ -168,6 +174,65 @@ object Main {
         if (opts.contains("exact")) TableQuality.tableStats(df, cols)
         else TableQuality.tableStatsApprox(df, cols)
       stats.show(cols.length + 1, truncate = false)
+    } finally if (owned) spark.stop()
+  }
+
+  /** `optimize`: table maintenance. `--compact-small ROWS` is the
+    * INCREMENTAL pass (the s17 shape): the decision comes from one
+    * per-file row-count scan, files under the threshold are rewritten
+    * coalesced, and every other file's BYTES are copied untouched —
+    * at corpus scale only sliver bytes rewrite. `--cluster a,b` is the
+    * full Hilbert re-cluster (OPTIMIZE FULL) on two long-keyed columns;
+    * the incremental re-cluster (only degraded files, detected from
+    * per-file stats) is the s13f library composition
+    * (FileSkipping.fileStats + ZOrder.writeHilbert over detected paths).
+    */
+  private def runOptimize(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      val in = opts("in")
+      val out = opts("out")
+      require(in != out, "optimize: --out must differ from --in")
+      opts.get("cluster") match {
+        case Some(spec) =>
+          val cols = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          require(cols.length == 2, s"--cluster needs exactly two columns: $spec")
+          val df = spark.read.parquet(in)
+          val r = df.agg(min(col(cols(0))).cast("long"),
+            max(col(cols(0))).cast("long"),
+            min(col(cols(1))).cast("long"),
+            max(col(cols(1))).cast("long")).head()
+          val k = opts.get("files").map(_.toInt).getOrElse(16)
+          graft.operators.ZOrder.writeHilbert(df, cols(0), cols(1),
+            r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), out, k)
+          println(s"[graft] re-clustered $in on (${cols(0)}, ${cols(1)}) " +
+            s"-> $out ($k files)")
+        case None =>
+          val threshold = opts.get("compact-small").map(_.toLong).getOrElse(
+            sys.error("optimize: need --cluster a,b or --compact-small ROWS"))
+          val df = spark.read.parquet(in)
+          val smalls = df
+            .groupBy(org.apache.spark.sql.functions.input_file_name()
+              .as("__file"))
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") < threshold)
+            .select("__file").collect()
+            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val bigs = df.inputFiles
+            .map(u => new java.net.URI(u).getPath).toSet -- smalls
+          val outP = java.nio.file.Paths.get(out)
+          java.nio.file.Files.createDirectories(outP)
+          bigs.toSeq.sorted.foreach { f =>
+            val p = java.nio.file.Paths.get(f)
+            java.nio.file.Files.copy(p, outP.resolve(p.getFileName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          if (smalls.nonEmpty)
+            spark.read.schema(df.schema).parquet(smalls.toSeq.sorted: _*)
+              .coalesce(1).write.mode("append").parquet(out)
+          println(s"[graft] compacted ${smalls.size} small files " +
+            s"(${bigs.size} copied untouched) -> $out")
+      }
     } finally if (owned) spark.stop()
   }
 

@@ -279,6 +279,48 @@ object Sinks {
   def publishSnapshot(tables: Map[String, (DataFrame, String)],
       root: String): Long = {
     require(tables.nonEmpty, "publishSnapshot: no tables")
+    val spark = tables.head._2._1.sparkSession
+    publishSnapshotCore(spark, root,
+      tables.map { case (name, (df, keyCol)) =>
+        name -> ((keyCol, (staging: java.nio.file.Path) =>
+          df.write.mode(SaveMode.Overwrite).parquet(staging.toString)))
+      })
+  }
+
+  /** [[publishSnapshot]] for PRE-STAGED table directories — the commit
+    * path a PHYSICAL-LAYOUT write needs: a Hilbert-clustered table's
+    * file boundaries (and the per-file stats rows that reference those
+    * exact files) would not survive a DataFrame rewrite, so the caller
+    * writes the directory first (ZOrder.writeHilbert, a compactor, a
+    * stats table pinned to those files) and the publish atomically MOVES
+    * it into the per-attempt slot, validates the manifest FROM the moved
+    * files, and commits under the same version/arbiter/pointer
+    * discipline as [[publishSnapshot]] (the two can be mixed across
+    * versions of one root). Source dirs must live on `root`'s
+    * filesystem (the move is rename(2)); they are CONSUMED by a
+    * successful publish.
+    */
+  def publishSnapshotStaged(tables: Map[String, (String, String)],
+      root: String, spark: org.apache.spark.sql.SparkSession): Long = {
+    require(tables.nonEmpty, "publishSnapshotStaged: no tables")
+    publishSnapshotCore(spark, root,
+      tables.map { case (name, (srcDir, keyCol)) =>
+        name -> ((keyCol, (staging: java.nio.file.Path) =>
+          java.nio.file.Files.move(java.nio.file.Paths.get(srcDir), staging,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)))
+      })
+  }
+
+  /** Shared commit machinery for [[publishSnapshot]] /
+    * [[publishSnapshotStaged]]: per-table `stage` lands the bytes in the
+    * attempt's `.staging` path (Spark write or atomic dir move); then —
+    * identically for both — validate from the staged files, rename into
+    * the nonce-named attempt dir, race the create-exclusive commit link,
+    * swap the pointer.
+    */
+  private def publishSnapshotCore(spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      tables: Map[String, (String, java.nio.file.Path => Unit)]): Long = {
     val rootP = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(rootP.resolve("_commits"))
     // next version = past the pointer AND past every commit file: a crash
@@ -307,13 +349,13 @@ object Sinks {
     // below is the only arbiter, and a loser/crash leaves only an inert
     // uniquely-named orphan
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val entries = tables.toSeq.sortBy(_._1).map { case (name, (df, keyCol)) =>
+    val entries = tables.toSeq.sortBy(_._1).map { case (name, (keyCol, stage)) =>
       require(name.matches("[A-Za-z0-9_]+"), s"table name: $name")
-      val spark = df.sparkSession
       val attempt = s"$name/v=$v-$nonce"
       val staging = rootP.resolve(s"$attempt.staging")
       val finalDir = rootP.resolve(attempt)
-      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      java.nio.file.Files.createDirectories(staging.getParent)
+      stage(staging)
       val m = spark.read.parquet(staging.toString)
         .agg(count(lit(1)).cast("long").as("n"),
           expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))

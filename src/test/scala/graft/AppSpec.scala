@@ -65,6 +65,40 @@ class AppSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$q2/clean").exists())
   }
 
+  test("CLI optimize: --compact-small rewrites only slivers (big bytes copied), --cluster re-clusters") {
+    val dir = tmpDir("graft_opt")
+    // 1 big file (900 rows) + 3 sliver files (10 rows each)
+    (1L to 900L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    Seq(3, 6, 9).foreach { k =>
+      (1000L * k to 1000L * k + 9).toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val before = spark.read.parquet(s"$dir/in")
+    assert(before.inputFiles.length == 4)
+    graft.app.Main.main(Array("optimize", "--in", s"$dir/in",
+      "--out", s"$dir/out", "--compact-small", "100"))
+    val after = spark.read.parquet(s"$dir/out")
+    assert(after.inputFiles.length == 2, "1 copied big + 1 compacted")
+    assert(after.count() == 930L)
+    assert(after.select(sum(col("doc_id"))).head().getLong(0) ==
+      before.select(sum(col("doc_id"))).head().getLong(0))
+    // the big file's BYTES were copied, not rewritten (same file name)
+    val bigName = before.inputFiles.map(u =>
+      new java.net.URI(u).getPath.replaceAll(".*/", ""))
+      .toSet.intersect(after.inputFiles.map(u =>
+        new java.net.URI(u).getPath.replaceAll(".*/", "")).toSet)
+    assert(bigName.size == 1)
+    // full re-cluster path runs and preserves rows
+    val dir2 = tmpDir("graft_opt2")
+    Seq.tabulate(200)(i => (i.toLong, (i * 7 % 200).toLong))
+      .toDF("a", "b").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir2/in")
+    graft.app.Main.main(Array("optimize", "--in", s"$dir2/in",
+      "--out", s"$dir2/out", "--cluster", "a,b", "--files", "4"))
+    assert(spark.read.parquet(s"$dir2/out").count() == 200L)
+  }
+
   test("CLI pipeline: parquet docs in, summary table + text files out") {
     val docs = writeDocsParquet()
     val out = tmpDir("graft_out")

@@ -763,6 +763,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.count() == 0L && none.schema == table.schema)
   }
 
+  test("publishSnapshotStaged: physical layout survives the commit; mixes with rewrite publishes; source consumed") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_staged_").toString
+    val src = s"$root/staged_src"
+    // a deliberately-shaped 3-file layout that a DataFrame rewrite would
+    // not reproduce (repartitionByRange on id)
+    (1L to 300L).toDF("doc_id")
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(src)
+    val srcFiles = spark.read.parquet(src).inputFiles
+      .map(u => new java.net.URI(u).getPath.replaceAll(".*/", "")).sorted
+    assert(srcFiles.length == 3)
+    val snapRoot = s"$root/snap"
+    val v0 = Sinks.publishSnapshotStaged(
+      Map("t" -> ((src, "doc_id"))), snapRoot, spark)
+    assert(v0 == 0L)
+    // source dir is CONSUMED by the move
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+    val committed = Sinks.readSnapshot(spark, snapRoot)("t")
+    assert(committed.count() == 300L)
+    // the exact file set (names and count) survived — no rewrite happened
+    val gotFiles = committed.inputFiles
+      .map(u => new java.net.URI(u).getPath.replaceAll(".*/", "")).sorted
+    assert(gotFiles.toSeq == srcFiles.toSeq)
+    // a later REWRITE publish coexists on the same root (shared version
+    // chain, arbiter, pointer)
+    val v1 = Sinks.publishSnapshot(
+      Map("t" -> (((1L to 50L).toDF("doc_id"), "doc_id"))), snapRoot)
+    assert(v1 == 1L)
+    assert(Sinks.readSnapshot(spark, snapRoot)("t").count() == 50L)
+    // time travel back to the staged version still validates
+    assert(Sinks.readSnapshot(spark, snapRoot, Some(0L))("t").count() == 300L)
+  }
+
   test("publishWithManifest sweeps stale staging siblings on successful publish") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_pubsweep_")

@@ -114,7 +114,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     // audit (their scan shapes are footer-ranges hash-aggs and filtered
     // scans per layout, driver-verified by their oracles at both SFs)
     "s13d_layout_skipping", "s13e_stats_pruned_scan",
-    "s13f_optimize_recluster", "s17_stats_compaction")
+    "s13f_optimize_recluster", "s17_stats_compaction",
+    "s18_snapshot_pruned_read")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
