@@ -763,6 +763,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.count() == 0L && none.schema == table.schema)
   }
 
+  test("S16c sketch algebra hostile edges: all-null column, empty slice row — merge still == recompute") {
+    import graft.operators.TableQuality
+    val t = Seq((1L, Option.empty[String]), (2L, None), (3L, None))
+      .toDF("k", "s") // s is ALL NULL: ndv 0, null min/max
+    val cols = Seq("k", "s")
+    val parts = TableQuality.columnSketches(t.filter(col("k") <= 1L), cols)
+      .unionByName(TableQuality.columnSketches(t.filter(col("k") > 1L), cols))
+      // an EMPTY slice contributes a zero/null sketch row — the merge
+      // must absorb it (an empty append is a legal append)
+      .unionByName(TableQuality.columnSketches(t.filter(col("k") > 99L), cols))
+    val merged = TableQuality.mergeSketches(parts, cols).collect().toSeq
+    val scratch = TableQuality.tableStats(t, cols).collect().toSeq
+    assert(merged == scratch)
+  }
+
   test("publishSnapshotStaged: physical layout survives the commit; mixes with rewrite publishes; source consumed") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_staged_").toString
