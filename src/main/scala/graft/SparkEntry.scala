@@ -2088,12 +2088,12 @@ object SparkEntry {
         }
         .start()
       q.awaitTermination()
-      import spark.implicits._
-      spark.read.option("basePath", out.toString).parquet(out.toString)
-        .select(col("doc_id").cast("long"), col("failed_rules"))
-        .orderBy(col("doc_id"))
-        .as[(Long, String)].collect().toSeq
-        .toDF("doc_id", "failed_rules")
+      // materialize DISTRIBUTED (executor blocks, lineage truncated) so
+      // the scratch dirs can be reclaimed without collecting a
+      // quarantine-scale set to the driver
+      graft.operators.Materialize(
+        spark.read.option("basePath", out.toString).parquet(out.toString)
+          .select(col("doc_id").cast("long"), col("failed_rules")))
         .orderBy(col("doc_id"))
     } finally {
       deleteRecursively(out)
@@ -4530,11 +4530,11 @@ object SparkEntry {
         .format("parquet").option("path", out.toString)
         .start()
       q.awaitTermination()
-      import spark.implicits._
-      spark.read.schema(joined.schema).parquet(out.toString)
-        .orderBy(col("purchase_id"), col("click_id"))
-        .as[(Long, Long, Long, Long)].collect().toSeq
-        .toDF("purchase_id", "click_id", "user_id", "gap_us")
+      // materialize DISTRIBUTED before reclaiming the scratch dirs: the
+      // joined set is corpus-scale on dense corpora (116M rows on the
+      // replicated 100x events), so a driver collect is not an option
+      graft.operators.Materialize(
+        spark.read.schema(joined.schema).parquet(out.toString))
         .orderBy(col("purchase_id"), col("click_id"))
     } finally {
       deleteRecursively(out)
