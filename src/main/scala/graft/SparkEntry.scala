@@ -400,16 +400,19 @@ object SparkEntry {
     * fidelity.
     */
   private def s1TextdirScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s1_").toString
-    operators.Sinks.writeSummaryFiles(
-      tbl(spark, dir, "documents").filter(col("doc_id") < 200),
-      out, idCol = "doc_id", textCol = "text")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(out, "decoy.json"),
-      "{\"not\":\"a doc\"}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    CorpusOps.docsFromTextDir(spark, out)
-      .select(col("doc_name").cast("long").as("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s1_")
+    try {
+      operators.Sinks.writeSummaryFiles(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 200),
+        out.toString, idCol = "doc_id", textCol = "text")
+      java.nio.file.Files.write(out.resolve("decoy.json"),
+        "{\"not\":\"a doc\"}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // materialize distributedly so the scratch dir can be reclaimed
+      graft.operators.Materialize(
+        CorpusOps.docsFromTextDir(spark, out.toString)
+          .select(col("doc_name").cast("long").as("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    } finally deleteRecursively(out)
   }
 
   /** S1 (JSONL variant): the dominant training-data interchange format,
@@ -421,12 +424,15 @@ object SparkEntry {
     * lost rows, type drift) breaks the hash.
     */
   private def s1bJsonlScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s1b_").toString
-    tbl(spark, dir, "documents").filter(col("doc_id") < 200)
-      .select(col("doc_id"), col("text"))
-      .write.mode("overwrite").json(s"$out/corpus")
-    CorpusOps.docsFromJsonl(spark, s"$out/corpus")
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s1b_")
+    try {
+      tbl(spark, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").json(s"$out/corpus")
+      graft.operators.Materialize(
+        CorpusOps.docsFromJsonl(spark, s"$out/corpus"))
+        .orderBy(col("doc_id"))
+    } finally deleteRecursively(out)
   }
 
   // ----------------------------------------------------------------- dedup
@@ -858,21 +864,23 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val (cells, cs) = Similarity.buildIvfIndex(emb, 16, 2, trainSampleMod = 4)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-    Similarity.saveIvfIndex(cells, cs, idxDir)
-    val (cells2, cs2) = Similarity.loadIvfIndex(spark, idxDir)
-    val fresh = Similarity.ivfSearch(cells, cs, queries, 5, 6)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
-    val served = Similarity.ivfSearch(cells2, cs2, queries, 5, 6)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
-    val diff = served.exceptAll(fresh).count() + fresh.exceptAll(served).count()
-    val n = served.count()
-    import spark.implicits._
-    Seq(((n > 0), diff, (diff == 0L)))
-      .toDF("has_rows", "n_diff", "pass")
-      .select(col("has_rows").cast("int").as("has_rows"),
-        col("n_diff").cast("long").as("n_diff"),
-        col("pass").cast("int").as("pass"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+    try {
+      Similarity.saveIvfIndex(cells, cs, idxDir.toString)
+      val (cells2, cs2) = Similarity.loadIvfIndex(spark, idxDir.toString)
+      val fresh = Similarity.ivfSearch(cells, cs, queries, 5, 6)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      val served = Similarity.ivfSearch(cells2, cs2, queries, 5, 6)
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      val diff = served.exceptAll(fresh).count() + fresh.exceptAll(served).count()
+      val n = served.count()
+      import spark.implicits._
+      Seq(((n > 0), diff, (diff == 0L)))
+        .toDF("has_rows", "n_diff", "pass")
+        .select(col("has_rows").cast("int").as("has_rows"),
+          col("n_diff").cast("long").as("n_diff"),
+          col("pass").cast("int").as("pass"))
+    } finally deleteRecursively(idxDir)
   }
 
   /** SS8: IVF-PQ (IVFADC) approximate top-5 — the two quantizers composed
@@ -2762,13 +2770,17 @@ object SparkEntry {
     * partition layout → read-back roundtrip is hash-verified.
     */
   private def s9ShardedExport(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s9_").toString
-    val back = operators.Sinks.exportShards(
-      tbl(spark, dir, "documents").select(col("doc_id")), s"$out/shards", 64L)
-    // partition-column read-back infers int; cast to long for the oracle
-    back.groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
-      .orderBy(col("shard"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s9_")
+    try {
+      val back = operators.Sinks.exportShards(
+        tbl(spark, dir, "documents").select(col("doc_id")),
+        s"$out/shards", 64L)
+      // partition-column read-back infers int; cast to long for the oracle
+      graft.operators.Materialize(
+        back.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum")))
+        .orderBy(col("shard"))
+    } finally deleteRecursively(out)
   }
 
   /** S10: Hive-partitioned export gate — write documents partitioned by
@@ -2778,16 +2790,19 @@ object SparkEntry {
     * partitioned layout).
     */
   private def s10PartitionedExport(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s10_").toString
-    val docs = graft.operators.Sampling.assignSplits(
-      tbl(spark, dir, "documents").select(col("doc_id"))
-        .withColumn("domain", syntheticDomain),
-      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
-    val back = operators.Sinks.exportPartitioned(docs, s"$out/byDomain",
-      Seq("domain", "split"))
-    back.groupBy(col("domain"), col("split"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
-      .orderBy(col("domain"), col("split"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s10_")
+    try {
+      val docs = graft.operators.Sampling.assignSplits(
+        tbl(spark, dir, "documents").select(col("doc_id"))
+          .withColumn("domain", syntheticDomain),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      val back = operators.Sinks.exportPartitioned(docs, s"$out/byDomain",
+        Seq("domain", "split"))
+      graft.operators.Materialize(
+        back.groupBy(col("domain"), col("split"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum")))
+        .orderBy(col("domain"), col("split"))
+    } finally deleteRecursively(out)
   }
 
   /** Planted boilerplate banner (shared by dd10 and pipe_training_mix):
@@ -3774,15 +3789,18 @@ object SparkEntry {
     * the fingerprint is bit_xor of the md5-prefix long, replayed exactly.
     */
   private def s12ManifestPublish(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s12_")
-      .resolve("published").toString
-    operators.Sinks.publishWithManifest(
-      tbl(spark, dir, "documents").select(col("doc_id")), out)
-    operators.Sinks.readPublished(spark, out)
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        expr(s"bit_xor(${operators.Sinks.keyFingerprintSql("doc_id")})")
-          .as("key_xor"))
-      .withColumn("manifest_ok", lit(1))
+    val root = java.nio.file.Files.createTempDirectory("graft_s12_")
+    try {
+      val out = root.resolve("published").toString
+      operators.Sinks.publishWithManifest(
+        tbl(spark, dir, "documents").select(col("doc_id")), out)
+      graft.operators.Materialize(
+        operators.Sinks.readPublished(spark, out)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            expr(s"bit_xor(${operators.Sinks.keyFingerprintSql("doc_id")})")
+              .as("key_xor"))
+          .withColumn("manifest_ok", lit(1)))
+    } finally deleteRecursively(root)
   }
 
   /** S14: multi-table snapshot commit end to end — publish v0 (the even-id
@@ -3797,8 +3815,13 @@ object SparkEntry {
     */
   private def s14SnapshotPublish(spark: SparkSession, dir: String)
       : DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_s14_")
-      .resolve("snap").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s14_")
+    try s14SnapshotPublishCore(spark, dir, tmp.resolve("snap").toString)
+    finally deleteRecursively(tmp)
+  }
+
+  private def s14SnapshotPublishCore(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val emb = tbl(spark, dir, "embeddings").select(col("vec_id"))
     val docsV0 = docs.filter(col("doc_id") % 2 === 0)
@@ -3846,25 +3869,28 @@ object SparkEntry {
   }
 
   private def s4SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s4_").toString
-    val summaries = tbl(spark, dir, "documents")
-      .select(col("doc_id"),
-        truncateTokens(col("text"), 15).as("summary"),
-        tokenCount(col("text")).as("n_tokens"))
-    operators.Sinks.writeSummaryTable(summaries, s"$out/table")
-    operators.Sinks.writeSummaryFiles(
-      summaries.filter(col("doc_id") < 200), s"$out/files",
-      idCol = "doc_id", textCol = "summary")
-    val table = spark.read.parquet(s"$out/table")
-    val files = spark.read.text(s"$out/files")
-      .select(
-        regexp_extract(input_file_name(), "([0-9]+)\\.txt$", 1).cast("long")
-          .as("file_doc_id"),
-        col("value").as("file_summary"))
-    table
-      .join(files, col("doc_id") === col("file_doc_id"), "left")
-      .select(col("doc_id"), col("summary"), col("n_tokens"), col("file_summary"))
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s4_")
+    try {
+      val summaries = tbl(spark, dir, "documents")
+        .select(col("doc_id"),
+          truncateTokens(col("text"), 15).as("summary"),
+          tokenCount(col("text")).as("n_tokens"))
+      operators.Sinks.writeSummaryTable(summaries, s"$out/table")
+      operators.Sinks.writeSummaryFiles(
+        summaries.filter(col("doc_id") < 200), s"$out/files",
+        idCol = "doc_id", textCol = "summary")
+      val table = spark.read.parquet(s"$out/table")
+      val files = spark.read.text(s"$out/files")
+        .select(
+          regexp_extract(input_file_name(), "([0-9]+)\\.txt$", 1).cast("long")
+            .as("file_doc_id"),
+          col("value").as("file_summary"))
+      graft.operators.Materialize(
+        table.join(files, col("doc_id") === col("file_doc_id"), "left")
+          .select(col("doc_id"), col("summary"), col("n_tokens"),
+            col("file_summary")))
+        .orderBy(col("doc_id"))
+    } finally deleteRecursively(out)
   }
 
   /** S5: nested JSON evaluation report sink, round-tripped — stats +
@@ -3875,7 +3901,13 @@ object SparkEntry {
     * independently by the oracle from `documents`.
     */
   private def s5ReportSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s5_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_s5_")
+    try s5ReportSinkCore(spark, dir, out.toString)
+    finally deleteRecursively(out)
+  }
+
+  private def s5ReportSinkCore(spark: SparkSession, dir: String,
+      out: String): DataFrame = {
     val report = s"$out/report.json"
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
@@ -3894,13 +3926,14 @@ object SparkEntry {
     val details = docs.select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id")).limit(100)
     operators.Sinks.writeJsonReport(stats, hist, details, report, maxDetails = 100)
-    spark.read.option("multiLine", "true").json(report)
-      .select(explode(col("summary_statistics")).as("s"),
-        size(col("similarity_distribution")).as("hist_buckets"),
-        size(col("detailed_results")).as("details_n"))
-      .select(col("s.metric").as("metric"), col("s.mean_v").as("mean_v"),
-        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
-        col("s.n").as("n"), col("hist_buckets"), col("details_n"))
+    graft.operators.Materialize(
+      spark.read.option("multiLine", "true").json(report)
+        .select(explode(col("summary_statistics")).as("s"),
+          size(col("similarity_distribution")).as("hist_buckets"),
+          size(col("detailed_results")).as("details_n"))
+        .select(col("s.metric").as("metric"), col("s.mean_v").as("mean_v"),
+          col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
+          col("s.n").as("n"), col("hist_buckets"), col("details_n")))
       .orderBy(col("metric"))
   }
 
@@ -3931,14 +3964,16 @@ object SparkEntry {
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val curated = graft.streaming.CorpusStreams.curateStream(docs)
     val acc = spark.sparkContext.longAccumulator("graft.streamCuration")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_").toString
-    val q = curated.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
-      .start()
-    q.awaitTermination()
-    Seq(acc.value).toDF("n_curated")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sc_")
+    try {
+      val q = curated.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+        .start()
+      q.awaitTermination()
+      Seq(acc.value).toDF("n_curated")
+    } finally deleteRecursively(ckpt)
   }
 
   /** Streaming CommonCrawl-shaped ingest, driver-checked end to end: the
@@ -3956,8 +3991,20 @@ object SparkEntry {
     */
   private def streamCcIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shardsDir =
-      java.nio.file.Files.createTempDirectory("graft_cci_shards_").toString
+    val shardsRoot =
+      java.nio.file.Files.createTempDirectory("graft_cci_shards_")
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft_cci_ck_")
+    try streamCcIngestCore(spark, dir, s"$shardsRoot/shards",
+      ckptRoot.toString)
+    finally {
+      deleteRecursively(shardsRoot)
+      deleteRecursively(ckptRoot)
+    }
+  }
+
+  private def streamCcIngestCore(spark: SparkSession, dir: String,
+      shardsDir: String, ckpt: String): DataFrame = {
+    import spark.implicits._
     graft.operators.Warc.buildShards(ta19HtmlCorpus(spark, dir), 8)
       .write.mode("overwrite").parquet(shardsDir)
     val schema = spark.read.parquet(shardsDir).schema
@@ -3982,7 +4029,6 @@ object SparkEntry {
         timestamp_micros(lit(1700000000000000L) + col("doc_id").cast("long")))
     val curated = graft.streaming.CorpusStreams.curateStream(docs)
     val acc = spark.sparkContext.longAccumulator("graft.streamCcIngest")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cci_ck_").toString
     val q = curated.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4013,14 +4059,16 @@ object SparkEntry {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")
     val acc = spark.sparkContext.longAccumulator("graft.streamDedup")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_").toString
-    val q = deduped.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
-      .start()
-    q.awaitTermination()
-    Seq(acc.value).toDF("n_unique")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sd_")
+    try {
+      val q = deduped.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch.count()) }
+        .start()
+      q.awaitTermination()
+      Seq(acc.value).toDF("n_unique")
+    } finally deleteRecursively(ckpt)
   }
 
   /** Streaming near-dup ingest dedup, driver-checked: documents replay as
@@ -4040,20 +4088,28 @@ object SparkEntry {
       .tableStreamPath(spark, dir, "documents.parquet")
     val docs = graft.streaming.CorpusStreams
       .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
-    val store = java.nio.file.Files.createTempDirectory("graft_snd_store_").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_snd_out_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ck_").toString
-    val dedup = graft.streaming.CorpusStreams.nearDupDeduper(store)
-    val q = docs.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.streaming.CorpusStreams
-          .writeSummaryBatch(dedup(batch, batchId), outDir, batchId)
-      }
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir).select(col("doc_id")).orderBy(col("doc_id"))
+    val store = java.nio.file.Files.createTempDirectory("graft_snd_store_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_snd_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ck_")
+    try {
+      val dedup = graft.streaming.CorpusStreams.nearDupDeduper(store.toString)
+      val q = docs.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.CorpusStreams
+            .writeSummaryBatch(dedup(batch, batchId), outDir.toString, batchId)
+        }
+        .start()
+      q.awaitTermination()
+      graft.operators.Materialize(
+        spark.read.parquet(outDir.toString).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(store)
+      deleteRecursively(outDir)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** Streaming benchmark decontamination, driver-checked: the corpus side
@@ -4077,16 +4133,18 @@ object SparkEntry {
     val decontam = graft.streaming.CorpusStreams.decontaminator(
       bench, "text", ngramSize = 5)
     val acc = spark.sparkContext.longAccumulator("graft.streamDecontam")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sx_").toString
-    val q = docs.filter(col("doc_id") % 10 =!= 0).writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        acc.add(decontam(batch).count()) }
-      .start()
-    q.awaitTermination()
-    decontam.close()
-    Seq(acc.value).toDF("n_clean")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sx_")
+    try {
+      val q = docs.filter(col("doc_id") % 10 =!= 0).writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          acc.add(decontam(batch).count()) }
+        .start()
+      q.awaitTermination()
+      decontam.close()
+      Seq(acc.value).toDF("n_clean")
+    } finally deleteRecursively(ckpt)
   }
 
   /** STREAM-STATE gate (literal oracle): the
@@ -4430,16 +4488,22 @@ object SparkEntry {
         scoreUdf(col("text")).as("s"))
       .select(col("doc_id"), col("source"),
         col("s._1").as("pred_source"), col("s._2").as("score"))
-    val out = java.nio.file.Files.createTempDirectory("graft_cls_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_clsc_").toString
-    val q = scored.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet").option("path", out)
-      .start()
-    q.awaitTermination()
-    spark.read.schema(scored.schema).parquet(out)
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_cls_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clsc_")
+    try {
+      val q = scored.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out.toString)
+        .start()
+      q.awaitTermination()
+      graft.operators.Materialize(
+        spark.read.schema(scored.schema).parquet(out.toString))
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(out)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** CLS1s: train-batch / score-STREAM with the TRAINED linear classifier
@@ -4475,16 +4539,22 @@ object SparkEntry {
       .withColumn("__s", scoreUdf(col("text")))
       .select(col("doc_id"), round(col("__s"), 6).as("score"),
         (col("__s") >= 0.0).cast("int").as("pred"), col("label"))
-    val out = java.nio.file.Files.createTempDirectory("graft_clr_").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_clrc_").toString
-    val q = scored.writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .format("parquet").option("path", out)
-      .start()
-    q.awaitTermination()
-    spark.read.schema(scored.schema).parquet(out)
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_clr_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_clrc_")
+    try {
+      val q = scored.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out.toString)
+        .start()
+      q.awaitTermination()
+      graft.operators.Materialize(
+        spark.read.schema(scored.schema).parquet(out.toString))
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(out)
+      deleteRecursively(ckpt)
+    }
   }
 
   /** EV6: stream-STREAM attribution join, driver-checked end to end — the
@@ -4717,15 +4787,17 @@ object SparkEntry {
     * the oracle pins it to the size-derived expectation (1 at test SF).
     */
   private def s8CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_s8_").toString
-    tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
-      .repartition(20)
-      .write.mode("overwrite").parquet(s"$out/frag")
-    operators.CorpusOps.compactParquet(spark, s"$out/frag", s"$out/compact")
-    val compacted = spark.read.parquet(s"$out/compact")
-    compacted
-      .withColumn("n_files_after", lit(compacted.inputFiles.length))
-      .orderBy(col("doc_id"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s8_")
+    try {
+      tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(20)
+        .write.mode("overwrite").parquet(s"$out/frag")
+      operators.CorpusOps.compactParquet(spark, s"$out/frag", s"$out/compact")
+      val compacted = spark.read.parquet(s"$out/compact")
+      graft.operators.Materialize(
+        compacted.withColumn("n_files_after", lit(compacted.inputFiles.length)))
+        .orderBy(col("doc_id"))
+    } finally deleteRecursively(out)
   }
 
   /** CL4: the SemDeDup-deduplicated corpus itself (pairs → components →
