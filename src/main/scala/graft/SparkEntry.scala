@@ -2459,16 +2459,14 @@ object SparkEntry {
       val degraded = spark.read.parquet(s"$root/table")
       val appendFiles = degraded.inputFiles.map(pathOf).toSet -- baseFiles
       // detect from the STATS TABLE (one scan — the s16c maintenance
-      // unit), never a listing: wide-box files are the unclustered ones
+      // unit), never a listing: wide-box files are the unclustered ones.
+      // The cutoff is file-count-adaptive (min(0.5, 6×median coverage) —
+      // r13 advice: the old fixed 0.25 false-positives a legit Hilbert
+      // tile whose segment box blows up ~4× at numFiles ≤ 16)
       val stats = graft.operators.Materialize(
         FileSkipping.fileStats(degraded, Seq("l_orderkey", "l_partkey")))
-      val detected = stats
-        .withColumn("__cov",
-          (col("__max_l_orderkey") - col("__min_l_orderkey") + 1)
-            .cast("double") *
-          (col("__max_l_partkey") - col("__min_l_partkey") + 1)
-            .cast("double") / lit(planeArea))
-        .filter(col("__cov") > 0.25)
+      val detected = FileSkipping.detectUnclustered(stats,
+          "l_orderkey", "l_partkey", planeArea)
         .select(col("__file").cast("string"))
         .collect().map(u => pathOf(u.getString(0))).toSet
       // OPTIMIZE: re-cluster ONLY the detected files; base bytes untouched
@@ -2594,6 +2592,366 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S19: MAINTENANCE UNDER VERSIONING — the production OPTIMIZE loop
+    * the r13 verdict called the highest-leverage gap: every maintenance
+    * step is a SNAPSHOT COMMIT, never a raw-directory rewrite (s13f/s17
+    * proved the mechanics against raw dirs; this runs them through
+    * [[graft.operators.Sinks.publishSnapshotStaged]] so readers are
+    * versioned the whole way).
+    *
+    *   v0  Hilbert-clustered base + its per-file stats, one atomic
+    *       commit (the s18 shape).
+    *   v1  an UNSORTED APPEND committed as a new version: the base
+    *       files are HARD-LINKED into the staged dir (an append commit
+    *       references old bytes, it never rewrites them — the
+    *       local-FS analog of a lakehouse log entry), four round-robin
+    *       files land next to them, and the stats table is v0's rows
+    *       UNIONED with sketch rows computed over ONLY the new files
+    *       (the s16c discipline: new bytes sketch once, old rows carry).
+    *   v2  OPTIMIZE as a commit: degradation is detected from v1's
+    *       COMMITTED stats ([[graft.operators.FileSkipping.detectUnclustered]],
+    *       file-count-adaptive cutoff), only the detected files are
+    *       re-clustered, untouched files hard-link forward, and the
+    *       stats rows for rewritten files are REPLACED (fresh sketches
+    *       over the new files only) while untouched rows carry.
+    *
+    * Gates: (a) v2 is row-identical to v1 — count + 4-column key
+    * fingerprint, and v1 is the whole logical lineitem, so the DuckDB
+    * oracle anchors both; (b) the v2 stats table's filenames are exactly
+    * v2's data filenames (rewritten files' rows replaced, none stale)
+    * and [[graft.operators.TableQuality.mergeSketches]] over it equals a
+    * from-scratch ANALYZE of v2 (exact fields verbatim, HLL ndv within
+    * 10%); (c) a reader pinned at v1 AFTER the maintenance commit sees
+    * v1 exactly (same rows, same file set — time-travel isolation);
+    * (d) a publisher racing the maintenance commit at the same version
+    * loses LOUDLY at the create-exclusive commit arbiter and the
+    * pointer still serves the winner; (e) the quarter-box footer-hit
+    * count strictly drops v1 → v2 (skipping restored, the s13d rule).
+    */
+  private def s19OptimizeVersioned(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FileSkipping, Sinks, TableQuality}
+    val li = tbl(spark, dir, "lineitem")
+    val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (a1, a2) = (aLo + (aHi - aLo) / 4, aLo + (aHi - aLo) / 2)
+    val (b1, b2) = (bLo + (bHi - bLo) / 4, bLo + (bHi - bLo) / 2)
+    val planeArea = (aHi - aLo + 1).toDouble * (bHi - bLo + 1).toDouble
+    val statCols = Seq("l_orderkey", "l_partkey")
+    val root = java.nio.file.Files.createTempDirectory("graft_s19_")
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    def nameOf(u: String): String = pathOf(u).replaceAll(".*/", "")
+    try {
+      val snapRoot = s"$root/snap"
+      // per-file mergeable stats rows keyed by FILENAME (stable across
+      // the commit moves), computed over exactly the given files
+      def statsFor(paths: Seq[String]): DataFrame =
+        FileSkipping.fileStats(
+          spark.read.schema(li.schema).parquet(paths.sorted: _*), statCols)
+          .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+      def linkInto(stage: String, paths: Seq[String]): Unit = {
+        val st = java.nio.file.Paths.get(stage)
+        java.nio.file.Files.createDirectories(st)
+        paths.foreach { f =>
+          java.nio.file.Files.createLink(
+            st.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f))
+        }
+      }
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(l_orderkey as string), cast(l_linenumber as string), " +
+            "cast(l_partkey as string), cast(l_suppkey as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (m.getLong(0), m.getLong(1))
+      }
+      def footerHits(df: DataFrame): Long = df
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_orderkey")).as("mina"),
+          max(col("l_orderkey")).as("maxa"),
+          min(col("l_partkey")).as("minb"),
+          max(col("l_partkey")).as("maxb"))
+        .filter(col("maxa") >= a1 && col("mina") <= a2 &&
+          col("maxb") >= b1 && col("minb") <= b2)
+        .count()
+      // ---- v0: clustered base + pinned stats, one atomic commit
+      val base = li.filter(pmod(col("l_orderkey"), lit(4L)) =!= 0L)
+      val appendRows = li.filter(pmod(col("l_orderkey"), lit(4L)) === 0L)
+      graft.operators.ZOrder.writeHilbert(base, "l_orderkey", "l_partkey",
+        aLo, aHi, bLo, bHi, s"$root/stage0_data", numFiles = 12)
+      statsFor(spark.read.parquet(s"$root/stage0_data")
+          .inputFiles.map(pathOf).toSeq)
+        .coalesce(1).write.parquet(s"$root/stage0_stats")
+      val v0 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage0_data", "l_orderkey")),
+        "file_stats" -> ((s"$root/stage0_stats", "__file"))), snapRoot, spark)
+      // ---- v1: append COMMITTED — old files link forward, new files
+      // sketch once, stats rows union
+      val snap0 = Sinks.readSnapshot(spark, snapRoot, Some(v0))
+      val v0paths = snap0("data").inputFiles.map(pathOf).toSeq
+      linkInto(s"$root/stage1_data", v0paths)
+      appendRows.repartition(4).write.mode("append")
+        .parquet(s"$root/stage1_data")
+      val v0names = v0paths.map(_.replaceAll(".*/", "")).toSet
+      val newPaths1 = spark.read.parquet(s"$root/stage1_data")
+        .inputFiles.map(pathOf).filterNot(p => v0names(nameOf(p))).toSeq
+      snap0("file_stats").unionByName(statsFor(newPaths1))
+        .coalesce(1).write.parquet(s"$root/stage1_stats")
+      val v1 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage1_data", "l_orderkey")),
+        "file_stats" -> ((s"$root/stage1_stats", "__file"))), snapRoot, spark)
+      val snap1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))
+      val (n1, x1) = fp(snap1("data"))
+      val v1paths = snap1("data").inputFiles.map(pathOf).toSeq
+      val v1names = v1paths.map(_.replaceAll(".*/", "")).toSet
+      val hitsV1 = footerHits(snap1("data"))
+      // ---- OPTIMIZE -> v2: decide from v1's COMMITTED stats, rewrite
+      // only the detected files, replace only their stats rows
+      val detectedNames = FileSkipping.detectUnclustered(snap1("file_stats"),
+          "l_orderkey", "l_partkey", planeArea)
+        .select(col("__file").cast("string")).collect()
+        .map(_.getString(0)).toSet
+      val detectedPaths = v1paths.filter(p => detectedNames(nameOf(p)))
+      graft.operators.ZOrder.writeHilbert(
+        spark.read.schema(li.schema).parquet(detectedPaths.sorted: _*),
+        "l_orderkey", "l_partkey", aLo, aHi, bLo, bHi,
+        s"$root/opt", numFiles = 4)
+      val optPaths = spark.read.parquet(s"$root/opt")
+        .inputFiles.map(pathOf).toSeq
+      val carryPaths = v1paths.filterNot(p => detectedNames(nameOf(p)))
+      linkInto(s"$root/stage2_data", carryPaths ++ optPaths)
+      snap1("file_stats")
+        .filter(!col("__file").isin(detectedNames.toSeq: _*))
+        .unionByName(statsFor(optPaths))
+        .coalesce(1).write.parquet(s"$root/stage2_stats")
+      val v2 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage2_data", "l_orderkey")),
+        "file_stats" -> ((s"$root/stage2_stats", "__file"))), snapRoot, spark)
+      // ---- race: a publisher that computed version v2 concurrently
+      // must lose LOUDLY at the create-exclusive commit link (the
+      // OperatorsSpec race replay), leaving the winner's pointer intact
+      val rootP = java.nio.file.Paths.get(snapRoot)
+      val cTmp = rootP.resolve(s"_commits/$v2.json.tmp-loser")
+      java.nio.file.Files.write(cTmp,
+        s"""{"version":$v2,"tables":{}}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val raceLoud =
+        try {
+          try {
+            java.nio.file.Files.createLink(
+              rootP.resolve(s"_commits/$v2.json"), cTmp)
+            false
+          } finally java.nio.file.Files.deleteIfExists(cTmp)
+        } catch { case _: java.nio.file.FileAlreadyExistsException => true }
+      // ---- gates
+      val snap2 = Sinks.readSnapshot(spark, snapRoot, Some(v2))
+      val (n2, x2) = fp(snap2("data"))
+      val v2names = snap2("data").inputFiles.map(nameOf).toSet
+      val stats2names = snap2("file_stats")
+        .select(col("__file").cast("string")).collect()
+        .map(_.getString(0)).toSet
+      val merged = TableQuality.mergeSketches(snap2("file_stats"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val recomputed = TableQuality.tableStats(snap2("data"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val mergeOk = statCols.forall { c =>
+        val (mn, mnn, mndv, mmin, mmax) = merged(c)
+        val (rn, rnn, rndv, rmin, rmax) = recomputed(c)
+        mn == rn && mnn == rnn && mmin == rmin && mmax == rmax &&
+          math.abs(mndv - rndv).toDouble <= 0.1 * rndv
+      }
+      // pinned v1 read AFTER the v2 commit: exact rows AND exact files
+      val snap1again = Sinks.readSnapshot(spark, snapRoot, Some(v1))
+      val (n1b, x1b) = fp(snap1again("data"))
+      val pinnedOk = n1b == n1 && x1b == x1 &&
+        snap1again("data").inputFiles.map(nameOf).toSet == v1names
+      val hitsV2 = footerHits(snap2("data"))
+      Seq((n2, x2, v0, v1, v2,
+        if (n2 == n1 && x2 == x1) 1 else 0,
+        if (stats2names == v2names) 1 else 0,
+        if (mergeOk) 1 else 0,
+        if (pinnedOk) 1 else 0,
+        if (raceLoud && Sinks.currentVersion(snapRoot).contains(v2)) 1 else 0,
+        if (hitsV2 < hitsV1) 1 else 0))
+        .toDF("n_rows", "key_xor", "v0", "v1", "v2", "rows_identical",
+          "stats_files_match", "merge_matches_recompute",
+          "pinned_v1_isolated", "race_loser_loud", "skipping_restored")
+    } finally deleteRecursively(root)
+  }
+
+  /** S20: CDC-APPLY UNDER VERSIONED STATS — row-level mutation flowing
+    * into the snapshot/stats loop (r13 missing #3: s15's changelog apply
+    * was oracled standalone; committed as a version it must also
+    * re-sketch the touched files' stats rows, because a stale `__n`/NDV
+    * silently mis-drives the s17/s19 maintenance decisions that consume
+    * them — stale min/max would merely be pruning-safe).
+    *
+    * v0 commits documents range-clustered on doc_id with per-file stats.
+    * A deterministic changelog hits ONLY the low-doc_id band (deletes
+    * `doc_id%7=0`, updates `doc_id%7=3` — both `doc_id*4 ≤ max` — plus
+    * 25 inserts past the max): the TOUCHED files are decided from v0's
+    * COMMITTED stats (a broadcast range join of the changed keys against
+    * the per-file min/max — metadata-scale, no data read), only those
+    * files' rows pass through [[graft.operators.Sinks.applyChangelog]]
+    * and rewrite, untouched files hard-link forward, and the stats table
+    * carries untouched rows VERBATIM while the rewritten files' rows are
+    * replaced by fresh sketches over the new bytes only.
+    *
+    * Output = the MERGED per-column stats report over v1's stats table
+    * (the s16c shape — a FULL DuckDB oracle recomputes the post-CDC
+    * table from scratch and its per-column stats), plus a whole-table
+    * content fingerprint and four gate literals: merged ndv within 10%
+    * of exact; v1 ≡ an independent whole-table changelog apply (count +
+    * triple fingerprint); untouched stats rows BYTE-identical v0 → v1
+    * (sketch bytes compared by md5); and the rewrite touched a strict
+    * subset of files.
+    */
+  private def s20CdcVersionedStats(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FileSkipping, Sinks, TableQuality}
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val statCols = Seq("doc_id", "n_chars")
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s20_")
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    def nameOf(u: String): String = pathOf(u).replaceAll(".*/", "")
+    try {
+      val snapRoot = s"$root/snap"
+      def statsFor(paths: Seq[String]): DataFrame =
+        FileSkipping.fileStats(
+          spark.read.schema(docs.schema).parquet(paths.sorted: _*), statCols)
+          .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+      def linkInto(stage: String, paths: Seq[String]): Unit = {
+        val st = java.nio.file.Paths.get(stage)
+        java.nio.file.Files.createDirectories(st)
+        paths.foreach { f =>
+          java.nio.file.Files.createLink(
+            st.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f))
+        }
+      }
+      // whole-row content fingerprint (doc_id:lang:n_chars) — the CDC
+      // result anchor, replayed verbatim by the oracle
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      // ---- v0: clustered base + per-file stats, one commit
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/stage0_data")
+      statsFor(spark.read.parquet(s"$root/stage0_data")
+          .inputFiles.map(pathOf).toSeq)
+        .coalesce(1).write.parquet(s"$root/stage0_stats")
+      val v0 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage0_data", "doc_id")),
+        "file_stats" -> ((s"$root/stage0_stats", "__file"))), snapRoot, spark)
+      val snap0 = Sinks.readSnapshot(spark, snapRoot, Some(v0))
+      // ---- the changelog: band-local deletes/updates + tail inserts
+      val dels = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L && col("doc_id") * 4 <= m)
+        .select(col("doc_id"), lit("delete").as("op"),
+          col("lang"), col("n_chars"))
+      val upds = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 3L && col("doc_id") * 4 <= m)
+        .select(col("doc_id"), lit("update").as("op"),
+          lit("xx").as("lang"), (col("n_chars") + 1000L).as("n_chars"))
+      val ins = spark.range(1, 26)
+        .select((lit(m) + col("id")).as("doc_id"), lit("insert").as("op"),
+          lit("zz").as("lang"), (lit(m) + col("id")).as("n_chars"))
+      val changes = dels.unionByName(upds).unionByName(ins)
+        .withColumn("seq", lit(1L))
+      // ---- touched files from the COMMITTED stats: one broadcast range
+      // join of changed keys × per-file min/max — no data file opened
+      val touchedNames = snap0("file_stats")
+        .join(broadcast(changes.select(col("doc_id").as("__k")).distinct()),
+          col("__k") >= col("__min_doc_id") &&
+            col("__k") <= col("__max_doc_id"), "left_semi")
+        .select(col("__file").cast("string")).collect()
+        .map(_.getString(0)).toSet
+      val v0paths = snap0("data").inputFiles.map(pathOf).toSeq
+      val touchedPaths = v0paths.filter(p => touchedNames(nameOf(p)))
+      val carryPaths = v0paths.filterNot(p => touchedNames(nameOf(p)))
+      // ---- rewrite ONLY the touched files' rows through the changelog
+      // (inserts beyond every file's range surface here too), then
+      // commit data + replaced stats rows as version v1
+      Sinks.applyChangelog(
+          spark.read.schema(docs.schema).parquet(touchedPaths.sorted: _*),
+          changes, "doc_id")
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/rw")
+      val rwPaths = spark.read.parquet(s"$root/rw")
+        .inputFiles.map(pathOf).toSeq
+      linkInto(s"$root/stage1_data", carryPaths ++ rwPaths)
+      snap0("file_stats")
+        .filter(!col("__file").isin(touchedNames.toSeq: _*))
+        .unionByName(statsFor(rwPaths))
+        .coalesce(1).write.parquet(s"$root/stage1_stats")
+      val v1 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage1_data", "doc_id")),
+        "file_stats" -> ((s"$root/stage1_stats", "__file"))), snapRoot, spark)
+      // ---- gates
+      val snap1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))
+      val (nGot, xGot) = fp(snap1("data"))
+      val (nExp, xExp) = fp(Sinks.applyChangelog(snap0("data"), changes,
+        "doc_id"))
+      // untouched stats rows byte-identical (sketch bytes via md5)
+      val carryNames = carryPaths.map(nameOf)
+      def statsProj(df: DataFrame): DataFrame = df
+        .filter(col("__file").isin(carryNames: _*))
+        .select((col("__file").cast("string").as("f") :: col("__n") ::
+          statCols.toList.flatMap(c => List(col(s"__nulls_$c"),
+            md5(col(s"__sk_$c")).as(s"h_$c"), col(s"__min_$c"),
+            col(s"__max_$c")))): _*)
+      val a = statsProj(snap1("file_stats"))
+      val b = statsProj(snap0("file_stats"))
+      val untouchedIdentical =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // merged report over v1's stats vs a from-scratch ANALYZE of v1
+      val mergedDf = TableQuality.mergeSketches(snap1("file_stats"), statCols)
+      val merged = mergedDf.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+      val recomputed = TableQuality.tableStats(snap1("data"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val mergeOk = statCols.forall { c =>
+        val (mn, mnn, mndv, mmin, mmax) = merged(c)
+        val (rn, rnn, rndv, rmin, rmax) = recomputed(c)
+        mn == rn && mnn == rnn && mmin == rmin && mmax == rmax &&
+          math.abs(mndv - rndv).toDouble <= 0.1 * rndv
+      }
+      // the report is 2 driver-local rows already collected above —
+      // return them as literals so the frame holds no reference to the
+      // scratch root the finally reclaims (the r13 stream_dq lesson)
+      statCols.sorted.map { c =>
+        val (n, nn, _, mn, mx) = merged(c)
+        (c, n, nn, mn, mx, xGot,
+          if (mergeOk) 1 else 0,
+          if (nGot == nExp && xGot == xExp) 1 else 0,
+          if (untouchedIdentical) 1 else 0,
+          if (touchedNames.nonEmpty &&
+            touchedNames.size < v0paths.size) 1 else 0)
+      }.toDF("column_name", "n_rows", "n_nulls", "min_value", "max_value",
+        "table_xor", "ndv_ok", "rows_match_apply",
+        "untouched_stats_identical", "files_rewritten_subset")
+        .orderBy(col("column_name"))
+    } finally deleteRecursively(root)
+  }
+
   /** S17: STATS-DRIVEN compaction — the first consumer of the s16c
     * per-partition stats rows: the small-file maintenance decision comes
     * from the STATS TABLE (one row per partition, `__n` below a
@@ -2653,6 +3011,83 @@ object SparkEntry {
         if (filesAfter < filesBefore) 1 else 0))
         .toDF("n_rows", "key_xor", "n_small_batches", "rows_identical",
           "files_reduced")
+    } finally deleteRecursively(root)
+  }
+
+  /** S13g: TYPED pruning — string equality and null-aware file skipping
+    * (r13 missing #2: the long-range rule alone gives a user's first
+    * selective string query — `lang = 'de'`, `domain IN (...)` — no
+    * skipping at all). Documents are written range-clustered on
+    * (lang, doc_id) so string footer min/max are tight, plus a `tag`
+    * column that is NULL exactly on the target language's rows (the
+    * IS NULL pruning target). Two pruned reads run against the per-file
+    * stats table: `lang IN (target)` via the lexicographic
+    * min ≤ v ≤ max rule (the same ordering parquet string footers use,
+    * so the bound is sound for equality), and `tag IS NULL` via the
+    * `__nulls_` column. Gates: each pruned read's rows are IDENTICAL to
+    * the full scan's under the same predicate (count + doc_id
+    * fingerprint, DuckDB-anchored), strictly fewer files open, and each
+    * stats decision equals an INDEPENDENT footer-rule recompute (string
+    * min/max intersection; any-null-present) — so a stale stats table
+    * fails rather than agreeing with itself. The target language is
+    * data-derived (MIN(lang)) so the oracle replays it.
+    */
+  private def s13gTypedPruning(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.FileSkipping
+    import graft.operators.FileSkipping.{NullOnly, StringIn}
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val target = docs.agg(min(col("lang"))).head().getString(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s13g_")
+    try {
+      docs.withColumn("tag",
+          when(col("lang") === target, lit(null).cast("string"))
+            .otherwise(col("lang")))
+        .repartitionByRange(8, col("lang"), col("doc_id"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/t")
+      val table = spark.read.parquet(s"$root/t")
+      val stats = graft.operators.Materialize(
+        FileSkipping.fileStats(table, Seq("doc_id", "lang", "tag")))
+      def fp(df: DataFrame): (Long, Long) = {
+        val m = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(" +
+            graft.operators.Sinks.keyFingerprintSql("doc_id") + "), 0)")
+            .as("x")).head()
+        (m.getLong(0), m.getLong(1))
+      }
+      // --- string-IN path
+      val prunedS = FileSkipping.prunedParquetTyped(spark, stats,
+        Seq(StringIn("lang", Seq(target))), table.schema)
+      val (nS, xS) = fp(prunedS.filter(col("lang") === target))
+      val (nFull, xFull) = fp(table.filter(col("lang") === target))
+      val openedS = prunedS.inputFiles.length.toLong
+      val total = table.inputFiles.length.toLong
+      // independent footer-rule recompute: the string min/max bracket
+      val footerS = table.groupBy(input_file_name().as("f"))
+        .agg(min(col("lang")).as("mn"), max(col("lang")).as("mx"))
+        .filter(col("mn") <= target && col("mx") >= target)
+        .count()
+      // --- IS NULL path
+      val prunedN = FileSkipping.prunedParquetTyped(spark, stats,
+        Seq(NullOnly("tag")), table.schema)
+      val (nN, xN) = fp(prunedN.filter(col("tag").isNull))
+      val openedN = prunedN.inputFiles.length.toLong
+      val footerN = table.groupBy(input_file_name().as("f"))
+        .agg(sum(when(col("tag").isNull, 1L).otherwise(0L)).as("nn"))
+        .filter(col("nn") > 0L).count()
+      Seq((nS, xS,
+        if (nS == nFull && xS == xFull) 1 else 0,
+        if (openedS < total) 1 else 0,
+        if (openedS == footerS) 1 else 0,
+        if (nN == nFull && xN == xFull) 1 else 0,
+        if (openedN < total) 1 else 0,
+        if (openedN == footerN) 1 else 0))
+        .toDF("n_rows", "key_xor", "rows_identical", "opened_fewer",
+          "stats_match_footers", "null_rows_identical", "null_opened_fewer",
+          "null_stats_match_footers")
     } finally deleteRecursively(root)
   }
 
@@ -5367,8 +5802,11 @@ FROM m ORDER BY doc_id, summarizer""")
     "s13d_layout_skipping" -> (s13dLayoutSkipping(_, _)),
     "s13e_stats_pruned_scan" -> (s13eStatsPrunedScan(_, _)),
     "s13f_optimize_recluster" -> (s13fOptimizeRecluster(_, _)),
+    "s13g_typed_pruning" -> (s13gTypedPruning(_, _)),
     "s17_stats_compaction" -> (s17StatsCompaction(_, _)),
     "s18_snapshot_pruned_read" -> (s18SnapshotPrunedRead(_, _)),
+    "s19_optimize_versioned" -> (s19OptimizeVersioned(_, _)),
+    "s20_cdc_versioned_stats" -> (s20CdcVersionedStats(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
@@ -6436,6 +6874,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS key_xor,
   1 AS detected_only_appends, 1 AS skipping_restored
 FROM lineitem""",
+    // s13g: the string-equality and null-aware pruned reads both return
+    // exactly the logical predicate result (count + doc_id fingerprint
+    // anchored; target language data-derived as MIN(lang)); the
+    // opened-fewer and stats ≡ footer-rule wins are gate literals
+    "s13g_typed_pruning" -> """
+WITH t AS (SELECT MIN(lang) AS tgt FROM documents),
+hit AS (SELECT d.* FROM documents d, t WHERE d.lang = tgt)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+    AS BIGINT) AS key_xor,
+  1 AS rows_identical, 1 AS opened_fewer, 1 AS stats_match_footers,
+  1 AS null_rows_identical, 1 AS null_opened_fewer,
+  1 AS null_stats_match_footers
+FROM hit""",
     // s18: the snapshot-committed pruned read returns exactly the
     // logical predicate result at version 0; the structural wins
     // (opened-fewer, committed-stats ≡ footers) are gate literals
@@ -6460,6 +6913,63 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(0 AS BIGINT) AS version,
   1 AS rows_identical, 1 AS opened_fewer, 1 AS stats_match_footers
 FROM hit""",
+    // s19: the optimized v2 table is the whole logical lineitem (count +
+    // 4-column fingerprint anchored — v1 = base ∪ append = lineitem and
+    // the gate pins v2 ≡ v1); version numbers are deterministic (fresh
+    // root); the structural wins (stats replaced, merge ≡ recompute,
+    // pinned-reader isolation, race-loser loud, skipping restored) are
+    // gate literals
+    "s19_optimize_versioned" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+    || ':' || CAST(l_partkey AS VARCHAR) || ':'
+    || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS key_xor,
+  CAST(0 AS BIGINT) AS v0, CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+  1 AS rows_identical, 1 AS stats_files_match, 1 AS merge_matches_recompute,
+  1 AS pinned_v1_isolated, 1 AS race_loser_loud, 1 AS skipping_restored
+FROM lineitem""",
+    // s20: FULL oracle — DuckDB recomputes the post-CDC table from
+    // scratch (base minus band deletes, band updates applied, 25 tail
+    // inserts) and its per-column stats; the Spark side must land there
+    // via the file-granular path (touched files only, stats rows
+    // replaced). table_xor anchors whole-row content; structural wins
+    // are gate literals
+    "s20_cdc_versioned_stats" -> """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+final AS (
+  SELECT doc_id, lang, n_chars FROM documents, mx
+  WHERE NOT (doc_id % 7 = 0 AND doc_id * 4 <= m)
+    AND NOT (doc_id % 7 = 3 AND doc_id * 4 <= m)
+  UNION ALL
+  SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+  FROM documents, mx WHERE doc_id % 7 = 3 AND doc_id * 4 <= m
+  UNION ALL
+  SELECT m + g.i AS doc_id, 'zz' AS lang, m + g.i AS n_chars
+  FROM mx, generate_series(1, 25) g(i)),
+xor_all AS (
+  SELECT CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT) AS x
+  FROM final)
+SELECT s.column_name, s.n_rows, s.n_nulls, s.min_value, s.max_value,
+  (SELECT x FROM xor_all) AS table_xor,
+  1 AS ndv_ok, 1 AS rows_match_apply, 1 AS untouched_stats_identical,
+  1 AS files_rewritten_subset
+FROM (
+  SELECT 'doc_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_nulls,
+    CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+    CAST(MAX(doc_id) AS VARCHAR) AS max_value
+  FROM final
+  UNION ALL
+  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+  FROM final) s
+ORDER BY s.column_name""",
     // stream_stats: the streamed sketch rows' MERGE held verbatim to the
     // batch ANALYZE recompute on the mergeable fields (any batching);
     // union-sketch ndv gated against the exact twin (literal 1)

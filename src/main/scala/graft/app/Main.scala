@@ -142,9 +142,13 @@ object Main {
       opts.get("quarantine").foreach { dir =>
         val drifted = contract.exists(!TableQuality.schemaContractPass(df, _))
         if (drifted) {
+          // a PREVIOUS run's clean/ into the same dir must not survive a
+          // drifted drop — downstream consumers of $dir/clean would
+          // silently read the old release (r13 advice)
+          deleteTreeIfExists(java.nio.file.Paths.get(dir, "clean"))
           df.write.mode("overwrite").parquet(s"$dir/quarantined")
           println(s"[graft] SCHEMA DRIFT: whole drop routed to " +
-            s"$dir/quarantined (no clean side)")
+            s"$dir/quarantined (no clean side; stale clean/ removed)")
         } else {
           require(rules.nonEmpty, "--quarantine needs --rules")
           val (clean, bad) = TableQuality.quarantine(df, rules)
@@ -202,6 +206,11 @@ object Main {
             max(col(cols(0))).cast("long"),
             min(col(cols(1))).cast("long"),
             max(col(cols(1))).cast("long")).head()
+          // an empty table yields null min/max — fail with a real message
+          // instead of getLong's opaque NPE (r13 advice)
+          require(!r.isNullAt(0) && !r.isNullAt(2),
+            s"optimize --cluster: $in is empty (or ${cols.mkString("/")} " +
+              "all-null) — nothing to cluster")
           val k = opts.get("files").map(_.toInt).getOrElse(16)
           graft.operators.ZOrder.writeHilbert(df, cols(0), cols(1),
             r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), out, k)
@@ -210,6 +219,23 @@ object Main {
         case None =>
           val threshold = opts.get("compact-small").map(_.toLong).getOrElse(
             sys.error("optimize: need --cluster a,b or --compact-small ROWS"))
+          // the flat-copy below drops directory structure (p.getFileName),
+          // so a Hive-partitioned input would lose its partition columns
+          // and can collide on part-file names — reject it loudly
+          // (r13 advice); compact each partition dir separately instead
+          locally {
+            val s = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+            try {
+              val sub = s.iterator()
+              while (sub.hasNext) {
+                val p = sub.next()
+                require(!java.nio.file.Files.isDirectory(p),
+                  s"optimize --compact-small: $in contains subdirectory " +
+                    s"${p.getFileName} (partitioned layout) — run per " +
+                    "partition directory to preserve partition columns")
+              }
+            } finally s.close()
+          }
           val df = spark.read.parquet(in)
           val smalls = df
             .groupBy(org.apache.spark.sql.functions.input_file_name()
@@ -235,6 +261,17 @@ object Main {
       }
     } finally if (owned) spark.stop()
   }
+
+  /** Recursive delete, no-op when absent — the stale-clean/ sweep the
+    * drifted-quarantine route needs (deepest first, like Sinks').
+    */
+  private def deleteTreeIfExists(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
 
   private def parseOpts(args: List[String]): Map[String, String] = {
     def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Manifest-based file skipping — the OPERATIONAL consumer of the
   * per-partition ANALYZE stats ([[TableQuality.partitionStats]]): what
@@ -29,31 +30,144 @@ object FileSkipping {
     TableQuality.partitionStats(
       df.withColumn("__file", input_file_name()), "__file", cols)
 
-  /** Stats-driven pruned read over long-keyed range predicates: keep the
-    * files whose typed [min, max] intersects [lo, hi] on EVERY listed
-    * column (a file missing any range cannot hold a matching row — the
-    * conjunctive pruning rule), then read ONLY those paths. The stats
-    * scan and the file-list collect are metadata-scale; no unchosen
+  /** A pruning predicate over one column, decided from the per-file stats
+    * row alone. Pruning is a SUPERSET guarantee: a kept file may still
+    * hold non-matching rows (the caller applies the row predicate on
+    * top); a dropped file provably holds none.
+    */
+  sealed trait PrunePredicate { def column: String }
+
+  /** `column BETWEEN lo AND hi` on a long-castable column: keep the file
+    * iff its typed [min, max] intersects [lo, hi]. A file whose column is
+    * all-null has null min/max and is dropped — correct, because a null
+    * never satisfies a range predicate.
+    */
+  final case class LongRange(column: String, lo: Long, hi: Long)
+      extends PrunePredicate
+
+  /** `column IN (values)` on a STRING column: keep the file iff some
+    * value falls inside the file's lexicographic [min, max] — the same
+    * ordering parquet/Spark string min/max use, so the bound is sound
+    * for equality. (The per-file HLL sketch deliberately does NOT
+    * short-circuit membership here: HLL answers cardinality, not
+    * membership, and a probabilistic "absent" would break the superset
+    * guarantee. A Bloom filter column would be the sound upgrade.)
+    */
+  final case class StringIn(column: String, values: Seq[String])
+      extends PrunePredicate {
+    require(values.nonEmpty, s"StringIn($column): no values")
+  }
+
+  /** `column IS NULL`: keep the file iff its null count is non-zero —
+    * the `__nulls_` column the stats rows already carry.
+    */
+  final case class NullOnly(column: String) extends PrunePredicate
+
+  /** The keep-file condition for a conjunction of predicates over one
+    * stats row (null-safe: an undecidable comparison keeps nothing only
+    * when that is provably sound, see each predicate's rule).
+    */
+  private def keepExpr(preds: Seq[PrunePredicate]): Column = {
+    require(preds.nonEmpty, "FileSkipping: no predicates")
+    preds.map {
+      case LongRange(c, lo, hi) =>
+        coalesce(col(s"__max_$c").cast("long") >= lo &&
+          col(s"__min_$c").cast("long") <= hi, lit(false))
+      case StringIn(c, vs) =>
+        vs.map(v => coalesce(col(s"__min_$c").cast("string") <= lit(v) &&
+          col(s"__max_$c").cast("string") >= lit(v), lit(false)))
+          .reduce(_ || _)
+      case NullOnly(c) =>
+        coalesce(col(s"__nulls_$c") > 0L, lit(false))
+    }.reduce(_ && _)
+  }
+
+  /** The chosen-file set as a LAZY frame (one `__file` column) — the
+    * form every consumer that must stay driver-safe composes on.
+    */
+  def chosenFiles(stats: DataFrame, preds: Seq[PrunePredicate]): DataFrame =
+    stats.filter(keepExpr(preds)).select(col("__file").cast("string"))
+
+  /** Stats-driven pruned read over typed predicates (conjunction): the
+    * stats scan and the file-list collect are metadata-scale; no unchosen
     * file is opened. Returns the unfiltered union of the chosen files —
-    * the caller applies its row predicate on top (pruning is a superset
-    * guarantee, files still hold non-matching rows). Empty selection
-    * returns an empty frame with the schema read from the stats table's
-    * column list being impossible — so the caller passes `schema` for
-    * that edge (a fully-pruned scan must not fail).
+    * the caller applies its row predicate on top. A fully-pruned scan
+    * returns an empty frame with the caller's `schema` (reading zero
+    * paths cannot infer one).
+    *
+    * DRIVER BOUND: at 10⁵-10⁶ files a low-selectivity predicate makes
+    * the chosen-path array itself the scale problem (r13 advice), so the
+    * collect is capped at `maxListedFiles`. When the predicate chooses
+    * more than the cap — pruning is not profitable there anyway — the
+    * read falls back to the WHOLE table at `tableDir` (still a superset,
+    * same contract), collecting nothing but one count. Callers that
+    * need the exact chosen set (the gates' double-entry bookkeeping)
+    * pass a cap above their known file count.
+    */
+  def prunedParquetTyped(spark: SparkSession, stats: DataFrame,
+      preds: Seq[PrunePredicate], schema: StructType,
+      tableDir: Option[String] = None,
+      maxListedFiles: Int = 4096): DataFrame = {
+    val keep = keepExpr(preds)
+    val m = stats.agg(count(lit(1)).as("total"),
+      sum(when(keep, 1L).otherwise(0L)).as("chosen")).head()
+    val (total, chosen) =
+      (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+    if (chosen == 0L)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (tableDir.nonEmpty && (chosen > maxListedFiles || chosen == total))
+      spark.read.schema(schema).parquet(tableDir.get)
+    else {
+      require(chosen <= maxListedFiles,
+        s"prunedParquetTyped: predicate chooses $chosen of $total files " +
+          s"(> maxListedFiles=$maxListedFiles) and no tableDir fallback " +
+          "was given — refusing to materialize the path array on the driver")
+      val paths = stats.filter(keep).select(col("__file").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+      spark.read.schema(schema).parquet(paths: _*)
+    }
+  }
+
+  /** Long-range form kept for the established call sites: conjunctive
+    * [lo, hi] ranges, exact chosen-set semantics (no fallback — gates
+    * recompute footer decisions against exactly these files).
     */
   def prunedParquet(spark: SparkSession, stats: DataFrame,
-      ranges: Seq[(String, Long, Long)],
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    require(ranges.nonEmpty, "prunedParquet: no ranges")
-    val keep = ranges.map { case (c, lo, hi) =>
-      col(s"__max_$c").cast("long") >= lo &&
-        col(s"__min_$c").cast("long") <= hi
-    }.reduce(_ && _)
-    val files = stats.filter(keep)
-      .select(col("__file").cast("string"))
-      .collect().map(_.getString(0))
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.toSeq: _*)
+      ranges: Seq[(String, Long, Long)], schema: StructType): DataFrame =
+    prunedParquetTyped(spark, stats,
+      ranges.map { case (c, lo, hi) => LongRange(c, lo, hi) }, schema,
+      tableDir = None, maxListedFiles = Int.MaxValue)
+
+  /** Layout-degradation detector for the OPTIMIZE loop (the s13f
+    * decision, graduated to an API with a FILE-COUNT-ADAPTIVE cutoff —
+    * r13 advice: the old fixed `coverage > 0.25` false-positives a
+    * legitimate Hilbert tile once numFiles ≤ 16, because a contiguous
+    * curve segment's bounding box can blow up ~4× over its area share).
+    *
+    * Coverage = the file's min/max box area over the key plane. The
+    * distribution a degraded table shows is BIMODAL: clustered tiles
+    * cover ~1/n (≤ ~4/n worst case), unsorted appends cover ~1. So the
+    * cutoff is `min(0.5, marginFactor × median coverage)`: the median
+    * rides the clustered mode while tiles dominate (margin 6 clears the
+    * 4× worst case with room), and the 0.5 ceiling keeps full-plane
+    * appends detectable even when appends are the majority or the table
+    * has ≤ 4 files (a 4-file Hilbert layout is exact quadrants at
+    * coverage 0.25 — below the ceiling, so a legit small table is never
+    * flagged wholesale; spec-pinned). Metadata-scale: one aggregate over
+    * the stats rows for the median, one filter.
+    *
+    * Returns the stats rows of the flagged files, `__cov` attached.
+    */
+  def detectUnclustered(stats: DataFrame, aCol: String, bCol: String,
+      planeArea: Double, marginFactor: Double = 6.0): DataFrame = {
+    require(planeArea > 0, s"planeArea must be positive: $planeArea")
+    val covd = stats.withColumn("__cov",
+      (col(s"__max_$aCol") - col(s"__min_$aCol") + 1).cast("double") *
+        (col(s"__max_$bCol") - col(s"__min_$bCol") + 1).cast("double") /
+        lit(planeArea))
+    val med = covd.agg(expr("percentile(__cov, 0.5)")).head().getDouble(0)
+    val cutoff = math.min(0.5, marginFactor * med)
+    covd.filter(col("__cov") > cutoff)
   }
 }

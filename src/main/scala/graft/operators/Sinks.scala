@@ -186,12 +186,19 @@ object Sinks {
     // write-once target exists, so any still-racing writer was already
     // doomed to fail loudly (its entry `require` or this rename); its
     // staged bytes are residue either way.
+    // BEST-EFFORT: a sibling attempt can still be mid-write (a racing
+    // publisher that has not yet hit the rename and lost) — deleteTree
+    // snapshots the walk, so files created between walk and delete would
+    // throw AFTER this publish already committed (r13 advice). The
+    // residue is inert and reclaimable by the next publish; never fail a
+    // committed publish over it.
     val parent = dest.toAbsolutePath.getParent
     if (parent != null) {
       val prefix = dest.getFileName.toString + ".staging-"
       val s = java.nio.file.Files.list(parent)
       try s.iterator().forEachRemaining { p =>
-        if (p.getFileName.toString.startsWith(prefix)) deleteTree(p)
+        if (p.getFileName.toString.startsWith(prefix))
+          try deleteTree(p) catch { case _: java.io.IOException => () }
       } finally s.close()
     }
   }
@@ -298,17 +305,42 @@ object Sinks {
     * discipline as [[publishSnapshot]] (the two can be mixed across
     * versions of one root). Source dirs must live on `root`'s
     * filesystem (the move is rename(2)); they are CONSUMED by a
-    * successful publish.
+    * successful publish. A FAILED publish (commit-arbiter race loser,
+    * manifest validation error, a later table's stage throwing) moves
+    * every already-staged source BACK to its srcDir before rethrowing —
+    * best-effort, so the racer can retry from its sources instead of
+    * losing them to an uncommitted orphan that vacuum would sweep
+    * (r13 advice).
     */
   def publishSnapshotStaged(tables: Map[String, (String, String)],
       root: String, spark: org.apache.spark.sql.SparkSession): Long = {
     require(tables.nonEmpty, "publishSnapshotStaged: no tables")
-    publishSnapshotCore(spark, root,
+    // srcDir -> the attempt's .staging path its bytes were moved into;
+    // the core later renames .staging -> the attempt dir (strip suffix),
+    // so restore from whichever of the two exists
+    val moved = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+    try publishSnapshotCore(spark, root,
       tables.map { case (name, (srcDir, keyCol)) =>
-        name -> ((keyCol, (staging: java.nio.file.Path) =>
+        name -> ((keyCol, (staging: java.nio.file.Path) => {
           java.nio.file.Files.move(java.nio.file.Paths.get(srcDir), staging,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)))
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          moved.synchronized { moved(srcDir) = staging }
+        }))
       })
+    catch {
+      case e: Throwable =>
+        moved.foreach { case (srcDir, staging) =>
+          val attempt = java.nio.file.Paths.get(
+            staging.toString.stripSuffix(".staging"))
+          val from = Seq(staging, attempt)
+            .find(java.nio.file.Files.exists(_))
+          try from.foreach(f => java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(srcDir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE))
+          catch { case _: java.io.IOException => () } // residue stays vacuumable
+        }
+        throw e
+    }
   }
 
   /** Shared commit machinery for [[publishSnapshot]] /

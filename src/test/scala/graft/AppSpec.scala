@@ -63,6 +63,40 @@ class AppSpec extends AnyFunSuite {
       "--quarantine", q2))
     assert(spark.read.parquet(s"$q2/quarantined").count() == 2L)
     assert(!new java.io.File(s"$q2/clean").exists())
+    // a STALE clean/ from a previous run into the same dir must not
+    // survive a drifted drop (downstream readers of $dir/clean would
+    // silently get old data — r13 advice)
+    val q3 = tmpDir("graft_dqcq3")
+    graft.app.Main.main(Array(
+      "dq", "--in", s"$dir/t", "--contract", "id:bigint,v:double",
+      "--rules", "v_small: v <= 100", "--quarantine", q3))
+    assert(spark.read.parquet(s"$q3/clean").count() == 2L)
+    graft.app.Main.main(Array(
+      "dq", "--in", s"$dir/t", "--contract", "id:bigint,v:int,w:string",
+      "--rules", "v_small: v <= 100", "--quarantine", q3))
+    assert(!new java.io.File(s"$q3/clean").exists(),
+      "stale clean/ must be removed when the drop drifts")
+    assert(spark.read.parquet(s"$q3/quarantined").count() == 2L)
+  }
+
+  test("CLI optimize guards: empty --cluster input fails loudly, partitioned --compact-small rejected") {
+    val dir = tmpDir("graft_optguard")
+    spark.range(0).selectExpr("id AS a", "id AS b")
+      .write.mode("overwrite").parquet(s"$dir/empty")
+    val ex = intercept[IllegalArgumentException] {
+      graft.app.Main.main(Array("optimize", "--in", s"$dir/empty",
+        "--out", s"$dir/out1", "--cluster", "a,b"))
+    }
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+    // Hive-partitioned input would lose partition columns in the flat
+    // copy — rejected with a real message (r13 advice)
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/hive")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.app.Main.main(Array("optimize", "--in", s"$dir/hive",
+        "--out", s"$dir/out2", "--compact-small", "10"))
+    }
+    assert(ex2.getMessage.contains("partition"), ex2.getMessage)
   }
 
   test("CLI optimize: --compact-small rewrites only slivers (big bytes copied), --cluster re-clusters") {

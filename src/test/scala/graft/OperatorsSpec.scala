@@ -1937,4 +1937,142 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(String, Double, Double, Int)].collect().sortBy(_._1)
     assert(again.toSeq == got.toSeq)
   }
+
+  test("publishSnapshotStaged: a FAILED publish restores already-staged sources") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_stgfail_").toString
+    val srcA = s"$root/src_a"
+    (1L to 20L).toDF("doc_id").write.parquet(srcA)
+    // table names stage in sorted order: a_ok moves (and renames into its
+    // attempt dir) BEFORE b_missing's stage throws — the restore must
+    // bring a_ok's bytes back to srcA from the attempt dir
+    val ex = intercept[Exception] {
+      Sinks.publishSnapshotStaged(Map(
+        "a_ok" -> ((srcA, "doc_id")),
+        "b_missing" -> ((s"$root/nope", "doc_id"))), s"$root/snap", spark)
+    }
+    assert(ex.isInstanceOf[java.io.IOException] ||
+      ex.getCause.isInstanceOf[java.io.IOException], s"got: $ex")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(srcA)),
+      "staged source must be restored after a failed publish")
+    assert(spark.read.parquet(srcA).count() == 20L)
+    // nothing committed
+    assert(Sinks.currentVersion(s"$root/snap").isEmpty)
+    // and the restored source publishes cleanly on retry
+    val v = Sinks.publishSnapshotStaged(
+      Map("a_ok" -> ((srcA, "doc_id"))), s"$root/snap", spark)
+    assert(v == 0L)
+    assert(Sinks.readSnapshot(spark, s"$root/snap")("a_ok").count() == 20L)
+  }
+
+  test("publishSnapshotStaged: manifest-read failure restores from the .staging slot") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_stgbad_").toString
+    // a staged dir Spark cannot read as parquet (garbage bytes): the
+    // manifest aggregate throws BETWEEN the stage move and the attempt
+    // rename, so the restore path runs from the .staging slot
+    val srcBad = java.nio.file.Paths.get(s"$root/src_bad")
+    java.nio.file.Files.createDirectories(srcBad)
+    java.nio.file.Files.write(srcBad.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3, 4))
+    intercept[Exception] {
+      Sinks.publishSnapshotStaged(Map(
+        "bad" -> ((srcBad.toString, "doc_id"))), s"$root/snap", spark)
+    }
+    assert(java.nio.file.Files.exists(srcBad.resolve("junk.parquet")),
+      "source bytes must be back in srcDir after the failed manifest read")
+    assert(Sinks.currentVersion(s"$root/snap").isEmpty)
+  }
+
+  test("detectUnclustered: adaptive cutoff — small Hilbert tables are never flagged wholesale") {
+    import graft.operators.{FileSkipping, ZOrder}
+    val root = java.nio.file.Files.createTempDirectory("graft_detect_").toString
+    val n = 4096
+    val rows = Seq.tabulate(n)(i =>
+      (i.toLong, (i.toLong * 2654435761L) % n)).toDF("a", "b")
+    val planeArea = n.toDouble * n.toDouble
+    // the r13-advice edge: a legit 4-file Hilbert layout is exact
+    // quadrants at coverage ~0.25 each — the old fixed 0.25 cutoff sat
+    // exactly on the boundary; the adaptive one must flag NOTHING
+    ZOrder.writeHilbert(rows, "a", "b", 0, n - 1, 0, n - 1,
+      s"$root/four", numFiles = 4)
+    val stats4 = FileSkipping.fileStats(
+      spark.read.parquet(s"$root/four"), Seq("a", "b"))
+    assert(FileSkipping.detectUnclustered(stats4, "a", "b", planeArea)
+      .count() == 0L, "a legit 4-file Hilbert table must not be flagged")
+    // append 2 round-robin (full-plane) files: EXACTLY those are flagged
+    val base4 = spark.read.parquet(s"$root/four").inputFiles
+      .map(u => new java.net.URI(u).getPath).toSet
+    rows.filter(col("a") % 7 === 0).repartition(2)
+      .write.mode("append").parquet(s"$root/four")
+    val degraded = spark.read.parquet(s"$root/four")
+    assert(degraded.inputFiles.length == 6)
+    val appended = degraded.inputFiles
+      .map(u => new java.net.URI(u).getPath).toSet -- base4
+    val statsD = FileSkipping.fileStats(degraded, Seq("a", "b"))
+    val flagged = FileSkipping.detectUnclustered(statsD, "a", "b", planeArea)
+      .select("__file").as[String].collect()
+      .map(u => new java.net.URI(u).getPath).toSet
+    assert(flagged == appended, s"flagged: $flagged vs $appended")
+    // an ALL-unclustered table (median coverage ~1 -> ceiling 0.5 holds):
+    // every file is flagged -> full rewrite, still correct
+    rows.repartition(5).write.mode("overwrite").parquet(s"$root/plain")
+    val statsP = FileSkipping.fileStats(
+      spark.read.parquet(s"$root/plain"), Seq("a", "b"))
+    assert(FileSkipping.detectUnclustered(statsP, "a", "b", planeArea)
+      .count() == 5L)
+  }
+
+  test("prunedParquetTyped: string-IN, IS NULL, empty selection, driver bound") {
+    import graft.operators.FileSkipping
+    import graft.operators.FileSkipping.{LongRange, NullOnly, StringIn}
+    val root = java.nio.file.Files.createTempDirectory("graft_typed_").toString
+    // 4 files range-clustered on lang, so string min/max are tight;
+    // lang 'cc' rows carry a NULL tag (the IS NULL pruning target)
+    val langs = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = Seq.tabulate(800)(i => (i.toLong, langs(i % 8),
+      if (i % 8 == 2) null else s"t$i")).toDF("doc_id", "lang", "tag")
+    docs.repartitionByRange(4, col("lang")).sortWithinPartitions("lang")
+      .write.mode("overwrite").parquet(s"$root/t")
+    val table = spark.read.parquet(s"$root/t")
+    val stats = FileSkipping.fileStats(table, Seq("doc_id", "lang", "tag"))
+      .cache()
+    val schema = table.schema
+    // IN on a string key: only the file(s) whose [min,max] brackets it
+    val de = FileSkipping.prunedParquetTyped(spark, stats,
+      Seq(StringIn("lang", Seq("cc"))), schema)
+    assert(de.inputFiles.length < table.inputFiles.length)
+    assert(de.filter(col("lang") === "cc").count() ==
+      table.filter(col("lang") === "cc").count())
+    // superset guarantee: chosen files equal the independent footer rule
+    val expect = table.groupBy(input_file_name().as("f"))
+      .agg(min(col("lang")).as("mn"), max(col("lang")).as("mx"))
+      .filter(col("mn") <= "cc" && col("mx") >= "cc").count()
+    assert(de.inputFiles.length.toLong == expect)
+    // IS NULL prunes to files with a non-zero null count
+    val nulls = FileSkipping.prunedParquetTyped(spark, stats,
+      Seq(NullOnly("tag")), schema)
+    assert(nulls.inputFiles.length < table.inputFiles.length)
+    assert(nulls.filter(col("tag").isNull).count() == 100L)
+    // zero-match selection returns an EMPTY frame with the right schema
+    val none = FileSkipping.prunedParquetTyped(spark, stats,
+      Seq(StringIn("lang", Seq("zz"))), schema)
+    assert(none.count() == 0L && none.schema == schema)
+    // driver bound: a low-selectivity predicate over the cap falls back
+    // to the whole-dir read (no path array), rows identical after filter
+    val wide = FileSkipping.prunedParquetTyped(spark, stats,
+      Seq(LongRange("doc_id", 0L, 9999L)), schema,
+      tableDir = Some(s"$root/t"), maxListedFiles = 1)
+    assert(wide.inputFiles.length == table.inputFiles.length)
+    assert(wide.count() == 800L)
+    // ...and without a fallback dir it refuses LOUDLY instead of
+    // materializing an unbounded path array
+    val ex = intercept[IllegalArgumentException] {
+      FileSkipping.prunedParquetTyped(spark, stats,
+        Seq(LongRange("doc_id", 0L, 9999L)), schema,
+        tableDir = None, maxListedFiles = 1)
+    }
+    assert(ex.getMessage.contains("maxListedFiles"))
+    stats.unpersist()
+  }
 }

@@ -114,8 +114,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // audit (their scan shapes are footer-ranges hash-aggs and filtered
     // scans per layout, driver-verified by their oracles at both SFs)
     "s13d_layout_skipping", "s13e_stats_pruned_scan",
-    "s13f_optimize_recluster", "s17_stats_compaction",
-    "s18_snapshot_pruned_read")
+    "s13f_optimize_recluster", "s13g_typed_pruning",
+    "s17_stats_compaction", "s18_snapshot_pruned_read",
+    "s19_optimize_versioned", "s20_cdc_versioned_stats")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
