@@ -2952,6 +2952,115 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S21: SCHEMA EVOLUTION ACCEPTED ACROSS VERSIONS — the other half of
+    * dq3 (r13 missing #4: drift was detected but a COMPATIBLE evolution
+    * — ADD COLUMN, nullable — could not be accepted). v0 commits the
+    * pre-evolution slice of documents under contract C0; the evolution
+    * adds `quality bigint` (a pure function of n_chars so the oracle
+    * replays it), is ACCEPTED by
+    * [[graft.operators.TableQuality.contractEvolves]] (adds-only, exact
+    * types — a retype or a drop is still rejected, gate-pinned), and v1
+    * commits old files HARD-LINKED forward next to the new batch's
+    * wider files. The unified read is
+    * [[graft.operators.Sinks.readSnapshotTableAs]] under the evolved
+    * schema: parquet fills the missing column with null on old files,
+    * so `quality IS NULL` counts exactly the pre-evolution rows. The
+    * stats table gains the new column's rows LAZILY — sketch rows for
+    * `quality` exist only for the new files (old rows carry null sketch
+    * columns via the allowMissingColumns union), pinned by the
+    * stats_lazy gate. DuckDB anchors the unified row count, doc_id
+    * fingerprint, null count, and the new column's sum.
+    */
+  private def s21SchemaEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FileSkipping, Sinks, TableQuality}
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val c0 = Seq("doc_id" -> "bigint", "lang" -> "string",
+      "n_chars" -> "bigint")
+    val c1 = c0 :+ ("quality" -> "bigint")
+    val root = java.nio.file.Files.createTempDirectory("graft_s21_")
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    try {
+      val snapRoot = s"$root/snap"
+      // ---- v0: the pre-evolution slice under C0
+      val oldBatch = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      oldBatch.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/stage0_data")
+      FileSkipping.fileStats(spark.read.parquet(s"$root/stage0_data"),
+          Seq("doc_id"))
+        .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+        .coalesce(1).write.parquet(s"$root/stage0_stats")
+      val v0 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage0_data", "doc_id")),
+        "file_stats" -> ((s"$root/stage0_stats", "__file"))), snapRoot, spark)
+      val snap0 = Sinks.readSnapshot(spark, snapRoot, Some(v0))
+      val contractV0Ok = TableQuality.schemaContractPass(snap0("data"), c0)
+      // ---- the evolution: accepted iff adds-only at exact types
+      val accepted = TableQuality.contractEvolves(c0, c1)
+      val badRejected =
+        !TableQuality.contractEvolves(c0, Seq("doc_id" -> "bigint",
+          "lang" -> "string", "n_chars" -> "int")) && // retype
+        !TableQuality.contractEvolves(c0, Seq("doc_id" -> "bigint",
+          "n_chars" -> "bigint")) // dropped column
+      // ---- v1: old files link forward, the new batch lands WIDER
+      val v0paths = snap0("data").inputFiles.map(pathOf).toSeq
+      val st = java.nio.file.Paths.get(s"$root/stage1_data")
+      java.nio.file.Files.createDirectories(st)
+      v0paths.foreach(f => java.nio.file.Files.createLink(
+        st.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f)))
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+        .withColumn("quality", pmod(col("n_chars"), lit(100L)))
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("append").parquet(s"$root/stage1_data")
+      val v0names = v0paths.map(_.replaceAll(".*/", "")).toSet
+      val newPaths = spark.read.parquet(s"$root/stage1_data").inputFiles
+        .map(pathOf).filterNot(p => v0names(p.replaceAll(".*/", ""))).toSeq
+      // stats gain the new column LAZILY: quality sketch rows only for
+      // the new files; old rows carry with null quality-stat columns
+      val evolvedSchema = snap0("data").schema
+        .add("quality", org.apache.spark.sql.types.LongType, nullable = true)
+      snap0("file_stats").unionByName(
+          FileSkipping.fileStats(
+            spark.read.schema(evolvedSchema).parquet(newPaths.sorted: _*),
+            Seq("doc_id", "quality"))
+            .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0)),
+          allowMissingColumns = true)
+        .coalesce(1).write.parquet(s"$root/stage1_stats")
+      val v1 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage1_data", "doc_id")),
+        "file_stats" -> ((s"$root/stage1_stats", "__file"))), snapRoot, spark)
+      // ---- the UNIFIED read under the evolved schema
+      val unified = Sinks.readSnapshotTableAs(spark, snapRoot, "data",
+        evolvedSchema, Some(v1))
+      val contractV1Ok = TableQuality.schemaContractPass(unified, c1)
+      val m = unified.agg(count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(" +
+          graft.operators.Sinks.keyFingerprintSql("doc_id") + "), 0)")
+          .as("x"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(col("quality")).as("qsum")).head()
+      // lazy-stats gate: every file has a doc_id row; ONLY new files
+      // have a quality sketch
+      val stats1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))("file_stats")
+      val totalStatsRows = stats1.count()
+      val qualityRows = stats1.filter(col("__sk_quality").isNotNull).count()
+      val statsLazyOk = totalStatsRows == v0paths.size + newPaths.size &&
+        qualityRows == newPaths.size
+      Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), v1,
+        if (contractV0Ok && contractV1Ok) 1 else 0,
+        if (accepted) 1 else 0,
+        if (badRejected) 1 else 0,
+        if (statsLazyOk) 1 else 0))
+        .toDF("n_rows", "key_xor", "n_quality_nulls", "quality_sum",
+          "version", "contract_pass", "evolution_accepted",
+          "bad_evolution_rejected", "stats_lazy_ok")
+    } finally deleteRecursively(root)
+  }
+
   /** S17: STATS-DRIVEN compaction — the first consumer of the s16c
     * per-partition stats rows: the small-file maintenance decision comes
     * from the STATS TABLE (one row per partition, `__n` below a
@@ -5807,6 +5916,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s18_snapshot_pruned_read" -> (s18SnapshotPrunedRead(_, _)),
     "s19_optimize_versioned" -> (s19OptimizeVersioned(_, _)),
     "s20_cdc_versioned_stats" -> (s20CdcVersionedStats(_, _)),
+    "s21_schema_evolution" -> (s21SchemaEvolution(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
@@ -6970,6 +7080,24 @@ FROM (
     CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
   FROM final) s
 ORDER BY s.column_name""",
+    // s21: the unified post-evolution read replays exactly — row count
+    // and doc_id fingerprint over ALL documents, the added column null
+    // exactly on the pre-evolution slice, its sum the replayed pure
+    // function over the new slice; acceptance/rejection and lazy-stats
+    // wins are gate literals
+    "s21_schema_evolution" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+    AS BIGINT) AS key_xor,
+  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT)
+    AS n_quality_nulls,
+  CAST((SELECT SUM(n_chars % 100) FROM documents WHERE doc_id % 5 = 0)
+    AS BIGINT) AS quality_sum,
+  CAST(1 AS BIGINT) AS version,
+  1 AS contract_pass, 1 AS evolution_accepted,
+  1 AS bad_evolution_rejected, 1 AS stats_lazy_ok
+FROM documents""",
     // stream_stats: the streamed sketch rows' MERGE held verbatim to the
     // batch ANALYZE recompute on the mergeable fields (any batching);
     // union-sketch ndv gated against the exact twin (literal 1)

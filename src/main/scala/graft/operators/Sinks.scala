@@ -557,6 +557,36 @@ object Sinks {
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
       version: Option[Long] = None): Map[String, DataFrame] = {
+    val (v, entries) = commitEntries(root, version)
+    entries.map { case (name, n, x, keyCol, path) =>
+      name -> validatedRead(spark, root, v, name, n, x, keyCol, path, None)
+    }.toMap
+  }
+
+  /** ONE table of a snapshot read under an EXPLICIT schema — the
+    * schema-evolution read path: files written before an ADD COLUMN
+    * evolution lack the new column, and parquet fills absent columns
+    * with null when the reader supplies the schema, so one frame
+    * unifies every file of a version whose lifetime crossed the
+    * evolution. Same commit parse and count+fingerprint validation as
+    * [[readSnapshot]] (the key column must exist pre-evolution — an
+    * added column can never be the manifest key of old data).
+    */
+  def readSnapshotTableAs(spark: org.apache.spark.sql.SparkSession,
+      root: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      version: Option[Long] = None): DataFrame = {
+    val (v, entries) = commitEntries(root, version)
+    val e = entries.find(_._1 == table).getOrElse(
+      sys.error(s"snapshot $v has no table '$table' under $root"))
+    validatedRead(spark, root, v, e._1, e._2, e._3, e._4, e._5, Some(schema))
+  }
+
+  /** Parse a commit file into its (name, n_rows, key_xor, key_col, path)
+    * entries — shared by the validating readers.
+    */
+  private def commitEntries(root: String, version: Option[Long])
+      : (Long, Seq[(String, Long, Long, String, String)]) = {
     val v = version.orElse(currentVersion(root))
       .getOrElse(sys.error(s"no committed snapshot under $root"))
     val cPath = java.nio.file.Paths.get(root, "_commits", s"$v.json")
@@ -566,20 +596,25 @@ object Sinks {
     val entryRe =
       ("\"([A-Za-z0-9_]+)\":\\{\"n_rows\":(\\d+),\"key_xor\":(-?\\d+)," +
         "\"key_col\":\"([^\"]+)\",\"path\":\"([^\"]+)\"\\}").r
-    val entries = entryRe.findAllMatchIn(txt).toSeq
+    val entries = entryRe.findAllMatchIn(txt).toSeq.map(m =>
+      (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4),
+        m.group(5)))
     require(entries.nonEmpty, s"commit $v parsed to no tables: $txt")
-    entries.map { m =>
-      val (name, n, x, keyCol, path) =
-        (m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4),
-          m.group(5))
-      val df = spark.read.parquet(s"$root/$path")
-      val got = df.agg(count(lit(1)).cast("long").as("n"),
-        expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
-        .head()
-      require(got.getLong(0) == n && got.getLong(1) == x,
-        s"snapshot $v table $name does not match its commit: " +
-          s"rows ${got.getLong(0)} vs $n, xor ${got.getLong(1)} vs $x")
-      name -> df
-    }.toMap
+    (v, entries)
+  }
+
+  private def validatedRead(spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long, name: String, n: Long, x: Long,
+      keyCol: String, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val reader = spark.read
+    val df = schema.fold(reader)(reader.schema).parquet(s"$root/$path")
+    val got = df.agg(count(lit(1)).cast("long").as("n"),
+      expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
+      .head()
+    require(got.getLong(0) == n && got.getLong(1) == x,
+      s"snapshot $v table $name does not match its commit: " +
+        s"rows ${got.getLong(0)} vs $n, xor ${got.getLong(1)} vs $x")
+    df
   }
 }

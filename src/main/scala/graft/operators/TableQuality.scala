@@ -147,6 +147,24 @@ object TableQuality {
       .orderBy(col("rule"))
   }
 
+  /** ACCEPTANCE rule for contract evolution — the ALTER TABLE ADD COLUMN
+    * discipline: an evolved contract is compatible iff it keeps every
+    * existing column at its EXACT type and only ADDS columns (new
+    * columns read as null on pre-evolution data, so old snapshot
+    * versions stay readable under the evolved schema). Anything else —
+    * a dropped column, a retype — stays a drift that quarantines the
+    * drop. Pure metadata, same case-insensitive catalog-string match as
+    * [[schemaContract]].
+    */
+  def contractEvolves(old: Seq[(String, String)],
+      evolved: Seq[(String, String)]): Boolean = {
+    val o = old.map { case (n, t) => n -> t.trim.toLowerCase }
+    val e = evolved.map { case (n, t) => n -> t.trim.toLowerCase }
+    val eM = e.toMap
+    e.map(_._1).distinct.length == e.length &&
+      o.forall { case (n, t) => eM.get(n).contains(t) }
+  }
+
   /** Table-level contract verdict — metadata-only (no job), the gate a
     * caller routes a whole drifted drop on.
     */

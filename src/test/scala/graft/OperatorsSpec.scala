@@ -2023,6 +2023,43 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 5L)
   }
 
+  test("contractEvolves + readSnapshotTableAs: ADD COLUMN accepted, retype/drop rejected, unified read") {
+    import graft.operators.{Sinks, TableQuality}
+    val c0 = Seq("doc_id" -> "bigint", "v" -> "double")
+    // adds-only at exact types: accepted (order-insensitive)
+    assert(TableQuality.contractEvolves(c0, c0 :+ ("w" -> "string")))
+    assert(TableQuality.contractEvolves(c0, ("w" -> "string") +: c0))
+    assert(TableQuality.contractEvolves(c0, c0))
+    // retype, drop, duplicate: rejected
+    assert(!TableQuality.contractEvolves(c0,
+      Seq("doc_id" -> "bigint", "v" -> "int", "w" -> "string")))
+    assert(!TableQuality.contractEvolves(c0, Seq("doc_id" -> "bigint")))
+    assert(!TableQuality.contractEvolves(c0, c0 ++ c0))
+    // a drop that DRIFTS under c0 (extra column) PASSES under the
+    // accepted evolution — the dq3 contract-update path
+    val widened = Seq((1L, 1.5, "a"), (2L, 2.5, "b")).toDF("doc_id", "v", "w")
+    assert(!TableQuality.schemaContractPass(widened, c0))
+    assert(TableQuality.schemaContractPass(widened, c0 :+ ("w" -> "string")))
+    // unified read: old files lack the added column; the explicit-schema
+    // snapshot read fills null and still VALIDATES the manifest
+    val root = java.nio.file.Files.createTempDirectory("graft_evo_").toString
+    val old = Seq((1L, 1.5), (2L, 2.5)).toDF("doc_id", "v")
+    old.coalesce(1).write.parquet(s"$root/stage")
+    Sinks.publishSnapshotStaged(
+      Map("t" -> ((s"$root/stage", "doc_id"))), s"$root/snap", spark)
+    val evolved = old.schema
+      .add("w", org.apache.spark.sql.types.StringType, nullable = true)
+    val got = Sinks.readSnapshotTableAs(spark, s"$root/snap", "t", evolved)
+    // parquet reads surface everything nullable — compare names + types
+    assert(got.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      evolved.fields.map(f => f.name -> f.dataType).toSeq)
+    assert(got.filter(col("w").isNull).count() == 2L)
+    // unknown table name fails loudly
+    val ex = intercept[Exception](
+      Sinks.readSnapshotTableAs(spark, s"$root/snap", "nope", evolved))
+    assert(ex.getMessage.contains("no table"))
+  }
+
   test("prunedParquetTyped: string-IN, IS NULL, empty selection, driver bound") {
     import graft.operators.FileSkipping
     import graft.operators.FileSkipping.{LongRange, NullOnly, StringIn}

@@ -116,7 +116,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s13d_layout_skipping", "s13e_stats_pruned_scan",
     "s13f_optimize_recluster", "s13g_typed_pruning",
     "s17_stats_compaction", "s18_snapshot_pruned_read",
-    "s19_optimize_versioned", "s20_cdc_versioned_stats")
+    "s19_optimize_versioned", "s20_cdc_versioned_stats",
+    "s21_schema_evolution")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
