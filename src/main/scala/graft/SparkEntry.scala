@@ -5298,6 +5298,58 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PIPE_CURATION_SNAP: a REAL workload through the lakehouse read path
+    * (r13 stretch #8 — the s18 loop proven composable, not just
+    * self-gated): documents are committed doc_id-clustered with per-file
+    * stats at one snapshot version, and the incremental curation pass
+    * (the pipe_curation_incr operator verbatim, split on the doc_id
+    * midpoint instead of parity so the split is RANGE-prunable — the
+    * "curate last night's drop" shape) sources BOTH sides from
+    * version-pinned, manifest-validated, stats-PRUNED reads
+    * ([[graft.operators.FileSkipping.prunedParquetTyped]]): the new-band
+    * read opens only the files covering the upper half. Result held to
+    * the full incremental-curation DuckDB oracle (gates, exact prefix
+    * dedup vs existing, near-dup closure with contamination routing) —
+    * any mis-prune loses or duplicates a document and hash-fails.
+    */
+  private def pipeCurationSnap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{FileSkipping, Sinks}
+    import graft.operators.FileSkipping.LongRange
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_psnap_")
+    try {
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/stage_data")
+      FileSkipping.fileStats(spark.read.parquet(s"$root/stage_data"),
+          Seq("doc_id"))
+        .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+        .coalesce(1).write.parquet(s"$root/stage_stats")
+      val v = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage_data", "doc_id")),
+        "file_stats" -> ((s"$root/stage_stats", "__file"))),
+        s"$root/snap", spark)
+      val snap = Sinks.readSnapshot(spark, s"$root/snap", Some(v))
+      val dataDir = new java.net.URI(snap("data").inputFiles.head).getPath
+        .replaceAll("/[^/]+$", "")
+      val stats = snap("file_stats")
+        .withColumn("__file", concat(lit(s"$dataDir/"), col("__file")))
+      val schema = snap("data").schema
+      def bandRead(lo: Long, hi: Long): DataFrame =
+        FileSkipping.prunedParquetTyped(spark, stats,
+            Seq(LongRange("doc_id", lo, hi)), schema,
+            tableDir = Some(dataDir))
+          .filter(col("doc_id").between(lo, hi))
+      // lazy plans reference the scratch snapshot — materialize before
+      // the finally reclaims it (the r13 stream_dq discipline)
+      graft.operators.Materialize(
+        graft.operators.Curation.curateIncremental(
+          bandRead(m / 2 + 1, m), bandRead(0L, m / 2))
+          .orderBy(col("doc_id")))
+    } finally deleteRecursively(root)
+  }
+
   /** Curation flagship: the composed training-data pass (TA2 language gate
     * -> TA1 quality gate -> DD1b exact prefix dedup -> DD4/DD7 near-dup
     * components -> DD8 keeper selection) as ONE registered query with an
@@ -5979,6 +6031,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_lsh" -> (pipeCurationLsh(_, _)),
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
+    "pipe_curation_snap" -> (pipeCurationSnap(_, _)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
     "pipe_ccnet" -> (pipeCcnet(_, _)),
@@ -9354,6 +9407,9 @@ FROM h0 GROUP BY 1 ORDER BY bucket"""
     // recall 1.0 on this corpus) — same oracle verbatim
     "pipe_curation_lsh" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
+    "pipe_curation_snap" -> curationIncrSqlWith(
+      "doc_id * 2 > (SELECT MAX(doc_id) FROM documents)",
+      "doc_id * 2 <= (SELECT MAX(doc_id) FROM documents)"),
     "pipe_curation_funnel" -> curationFunnelSql,
     // pipe_prep: normalize -> decontaminate -> split, each stage the
     // standalone oracle's form, chained (normalized text feeds the shingles)
@@ -10184,10 +10240,19 @@ FROM cgated"""
     * component). Same gate / shingle-jaccard / transitive-closure CTE
     * fragments as the batch oracle.
     */
-  private def curationIncrSql: String = {
+  private def curationIncrSql: String =
+    curationIncrSqlWith("doc_id % 2 = 1", "doc_id % 2 = 0")
+
+  /** The incremental-curation oracle parameterized on the new/existing
+    * split predicates — `pipe_curation_incr` splits on parity,
+    * `pipe_curation_snap` on the doc_id midpoint (the range-prunable
+    * form its snapshot reads skip files by).
+    */
+  private def curationIncrSqlWith(newPred: String, existPred: String)
+      : String = {
     s"""WITH RECURSIVE ${gateCtes()},
-ngated AS (SELECT * FROM cgated WHERE doc_id % 2 = 1),
-exist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+ngated AS (SELECT * FROM cgated WHERE $newPred),
+exist AS (SELECT doc_id, text FROM documents WHERE $existPred),
 nkeep AS (
   SELECT md5(substr(text, 1, 100)) AS fp, MIN(doc_id) AS doc_id
   FROM ngated GROUP BY 1),
@@ -10215,7 +10280,7 @@ ureach AS (
   UNION
   SELECT r.src, e.b FROM ureach r JOIN uedges e ON r.dst = e.a),
 ulabel AS (SELECT src AS doc_id, MIN(dst) AS component FROM ureach GROUP BY 1),
-contam AS (SELECT DISTINCT component FROM ulabel WHERE doc_id % 2 = 0),
+contam AS (SELECT DISTINCT component FROM ulabel WHERE $existPred),
 ulosers AS (
   SELECT doc_id FROM ulabel WHERE component IN (SELECT component FROM contam)
   UNION

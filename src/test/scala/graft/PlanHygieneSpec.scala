@@ -117,7 +117,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s13f_optimize_recluster", "s13g_typed_pruning",
     "s17_stats_compaction", "s18_snapshot_pruned_read",
     "s19_optimize_versioned", "s20_cdc_versioned_stats",
-    "s21_schema_evolution")
+    "s21_schema_evolution",
+    // pipe_curation_snap commits its snapshot + stats at construction
+    // and returns a Materialize-truncated frame (the scratch root is
+    // reclaimed before return) — no lazy plan to audit
+    "pipe_curation_snap")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
