@@ -2592,6 +2592,68 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S13h: BLOOM-FILTER file skipping — equality pruning where min/max
+    * provably cannot help: documents land ROUND-ROBIN (every file spans
+    * the whole key domain, so the s13g lexicographic bracket keeps all
+    * files — asserted as a gate), with a per-file Bloom bitmap over a
+    * unique string key ([[graft.operators.FileSkipping.bloomFileStats]],
+    * one grouped scan, 1024 bits / 2 md5-keyed probes — the hash family
+    * is the repo's engine-portable md5-prefix-long, so the bitmap itself
+    * is oracle-replayable if ever needed). A point lookup prunes via
+    * [[graft.operators.FileSkipping.BloomEq]]: no false negatives by
+    * construction (the target row is found — oracled count +
+    * fingerprint), false positives only cost extra opened files, gated
+    * to ≤ a quarter of the table at this fill factor. This is the sound
+    * membership upgrade the s13g scaladoc names (an HLL sketch answers
+    * cardinality, not membership).
+    */
+  private def s13hBloomPruning(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.FileSkipping
+    import graft.operators.FileSkipping.{BloomEq, StringIn}
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("tag", concat(lit("u"), col("doc_id").cast("string")))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val target = s"u${m / 2}"
+    val root = java.nio.file.Files.createTempDirectory("graft_s13h_")
+    try {
+      docs.repartition(32).write.mode("overwrite").parquet(s"$root/t")
+      val table = spark.read.parquet(s"$root/t")
+      // min/max rows and bloom words, one stats table keyed by __file
+      val stats = graft.operators.Materialize(
+        FileSkipping.fileStats(table, Seq("tag"))
+          .join(FileSkipping.bloomFileStats(table, "tag"), Seq("__file")))
+      val total = stats.count()
+      // the s13g bracket rule is USELESS here: round-robin files all
+      // span the whole domain, so string-IN keeps every file
+      val minmaxChosen = FileSkipping.chosenFiles(stats,
+        Seq(StringIn("tag", Seq(target)))).count()
+      val pruned = FileSkipping.prunedParquetTyped(spark, stats,
+        Seq(BloomEq("tag", Seq(target))), table.schema)
+      val opened = pruned.inputFiles.length.toLong
+      val hit = pruned.filter(col("tag") === target)
+        .agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(" +
+            graft.operators.Sinks.keyFingerprintSql("doc_id") + "), 0)")
+            .as("x")).head()
+      val full = table.filter(col("tag") === target)
+        .agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(" +
+            graft.operators.Sinks.keyFingerprintSql("doc_id") + "), 0)")
+            .as("x")).head()
+      Seq((hit.getLong(0), hit.getLong(1),
+        if (hit.getLong(0) == full.getLong(0) &&
+          hit.getLong(1) == full.getLong(1)) 1 else 0,
+        if (opened < total) 1 else 0,
+        if (opened * 4 <= total) 1 else 0,
+        if (minmaxChosen == total) 1 else 0))
+        .toDF("n_rows", "key_xor", "rows_identical", "opened_fewer",
+          "opened_le_quarter", "minmax_keeps_all")
+    } finally deleteRecursively(root)
+  }
+
   /** S19: MAINTENANCE UNDER VERSIONING — the production OPTIMIZE loop
     * the r13 verdict called the highest-leverage gap: every maintenance
     * step is a SNAPSHOT COMMIT, never a raw-directory rewrite (s13f/s17
@@ -2817,8 +2879,11 @@ object SparkEntry {
       : DataFrame = {
     import spark.implicits._
     import graft.operators.{FileSkipping, Sinks, TableQuality}
+    // n_chars normalized to long: the changelog widens it (+1000L), and a
+    // corpus drop carrying int32 would otherwise make the rewritten
+    // files' physical type diverge from the carried files'
     val docs = tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
     val statCols = Seq("doc_id", "n_chars")
     val m = docs.agg(max(col("doc_id"))).head().getLong(0)
     val root = java.nio.file.Files.createTempDirectory("graft_s20_")
@@ -2976,7 +3041,8 @@ object SparkEntry {
     import spark.implicits._
     import graft.operators.{FileSkipping, Sinks, TableQuality}
     val docs = tbl(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
     val c0 = Seq("doc_id" -> "bigint", "lang" -> "string",
       "n_chars" -> "bigint")
     val c1 = c0 :+ ("quality" -> "bigint")
@@ -5964,6 +6030,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s13e_stats_pruned_scan" -> (s13eStatsPrunedScan(_, _)),
     "s13f_optimize_recluster" -> (s13fOptimizeRecluster(_, _)),
     "s13g_typed_pruning" -> (s13gTypedPruning(_, _)),
+    "s13h_bloom_pruning" -> (s13hBloomPruning(_, _)),
     "s17_stats_compaction" -> (s17StatsCompaction(_, _)),
     "s18_snapshot_pruned_read" -> (s18SnapshotPrunedRead(_, _)),
     "s19_optimize_versioned" -> (s19OptimizeVersioned(_, _)),
@@ -7051,6 +7118,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   1 AS rows_identical, 1 AS opened_fewer, 1 AS stats_match_footers,
   1 AS null_rows_identical, 1 AS null_opened_fewer,
   1 AS null_stats_match_footers
+FROM hit""",
+    // s13h: the bloom-pruned point lookup returns exactly the logical
+    // equality result (count + doc_id fingerprint; the target key is
+    // data-derived as 'u' || max(doc_id)//2); the structural wins —
+    // opened-fewer/quarter-bound and min/max-keeps-all on the
+    // round-robin layout — are gate literals
+    "s13h_bloom_pruning" -> """
+WITH t AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+hit AS (SELECT d.* FROM documents d, t WHERE d.doc_id = h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+    AS BIGINT) AS key_xor,
+  1 AS rows_identical, 1 AS opened_fewer, 1 AS opened_le_quarter,
+  1 AS minmax_keeps_all
 FROM hit""",
     // s18: the snapshot-committed pruned read returns exactly the
     // logical predicate result at version 0; the structural wins

@@ -63,6 +63,67 @@ object FileSkipping {
     */
   final case class NullOnly(column: String) extends PrunePredicate
 
+  /** `column IN (values)` decided from a per-file BLOOM FILTER
+    * ([[bloomFileStats]] rows joined/selected alongside the min/max
+    * stats): the sound membership structure min/max can't give on
+    * UNCLUSTERED data — a round-robin file spans the whole domain, so
+    * the [[StringIn]] bracket keeps every file, while the bloom keeps
+    * only files whose bitmap has all `probes` bits set for some value
+    * (no false negatives by construction; false positives cost an extra
+    * opened file, never a wrong row). `bits`/`probes` must match the
+    * values the stats were built with.
+    */
+  final case class BloomEq(column: String, values: Seq[String],
+      bits: Int = 1024, probes: Int = 2) extends PrunePredicate {
+    require(values.nonEmpty, s"BloomEq($column): no values")
+  }
+
+  /** The bloom hash family, shared verbatim by the build aggregate (as
+    * SQL) and the query side (as Scala): probe p of value v is the
+    * md5-prefix-long of "bf<p>:<v>" (the repo's keyed-hash convention —
+    * engine-portable, so a DuckDB oracle can replay the whole bitmap),
+    * taken mod `bits`.
+    */
+  private def bloomPosSql(c: String, p: Int, bits: Int): String =
+    s"pmod(cast(conv(substring(md5(concat('bf$p:', cast($c as string)))," +
+      s" 1, 15), 16, 10) as bigint), $bits)"
+
+  private[graft] def bloomPos(v: String, p: Int, bits: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bf$p:$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % bits).toInt
+  }
+
+  /** Per-FILE Bloom filter over one column, built in ONE grouped scan:
+    * `bits` bitmap bits packed into `bits/64` long words
+    * (`__bf_<col>_w0..`), each word the `bit_or` of the rows' probe
+    * bits. Metadata-scale output (one row per file), mergeable by
+    * further `bit_or` (a compaction unions the inputs' blooms instead
+    * of rescanning), and the membership test is pure word/bit math on
+    * the stats row. Size it like any bloom: false-positive rate
+    * ≈ (1 - e^(-probes·rowsPerFile/bits))^probes — at the default
+    * 1024/2 keep files under ~300 rows per indexed column, or raise
+    * `bits`.
+    */
+  def bloomFileStats(df: DataFrame, c: String, bits: Int = 1024,
+      probes: Int = 2): DataFrame = {
+    require(bits % 64 == 0 && bits > 0, s"bits must be a multiple of 64: $bits")
+    require(probes >= 1, s"probes: $probes")
+    val words = bits / 64
+    val contrib = (w: Int) => (0 until probes).map { p =>
+      val pos = bloomPosSql(c, p, bits)
+      s"(case when ($pos div 64) = $w then " +
+        s"shiftleft(cast(1 as bigint), cast($pos % 64 as int)) " +
+        "else cast(0 as bigint) end)"
+    }.mkString(" | ")
+    val aggs = (0 until words).map(w =>
+      expr(s"bit_or(${contrib(w)})").as(s"__bf_${c}_w$w"))
+    df.withColumn("__file", input_file_name())
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The keep-file condition for a conjunction of predicates over one
     * stats row (null-safe: an undecidable comparison keeps nothing only
     * when that is provably sound, see each predicate's rule).
@@ -79,6 +140,14 @@ object FileSkipping {
           .reduce(_ || _)
       case NullOnly(c) =>
         coalesce(col(s"__nulls_$c") > 0L, lit(false))
+      case BloomEq(c, vs, bits, probes) =>
+        vs.map { v =>
+          (0 until probes).map { p =>
+            val pos = bloomPos(v, p, bits)
+            coalesce((col(s"__bf_${c}_w${pos / 64}")
+              .bitwiseAND(lit(1L << (pos % 64)))) =!= 0L, lit(false))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
     }.reduce(_ && _)
   }
 

@@ -2023,6 +2023,45 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 5L)
   }
 
+  test("bloomFileStats/BloomEq: no false negatives over every key, hash parity, absent-key pruning") {
+    import graft.operators.FileSkipping
+    import graft.operators.FileSkipping.BloomEq
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    val docs = Seq.tabulate(256)(i => (i.toLong, s"k$i")).toDF("id", "key")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$root/t")
+    val table = spark.read.parquet(s"$root/t")
+    val stats = FileSkipping.bloomFileStats(table, "key").cache()
+    assert(stats.count() == 8L)
+    // hash parity: the Scala query-side bloomPos and the SQL build-side
+    // position must agree — probe EVERY key and demand its true file is
+    // kept (a single mismatch loses a row: the one unforgivable bloom bug)
+    val fileOf = table.select(col("key"),
+        input_file_name().cast("string").as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (i <- 0 until 256) {
+      val k = s"k$i"
+      val kept = FileSkipping.chosenFiles(stats, Seq(BloomEq("key", Seq(k))))
+        .collect().map(_.getString(0)).toSet
+      assert(kept.contains(fileOf(k)),
+        s"false negative: $k's file not kept (kept=${kept.size})")
+    }
+    // absent keys prune: at 32 rows/file fill is tiny, so a miss should
+    // keep well under half the files (false positives allowed, bounded)
+    val missKept = FileSkipping.chosenFiles(stats,
+      Seq(BloomEq("key", Seq("absent-key")))).count()
+    assert(missKept <= 4L, s"absent key kept $missKept of 8 files")
+    // IN over two values = union of their file sets
+    val k3 = FileSkipping.chosenFiles(stats,
+      Seq(BloomEq("key", Seq("k3")))).collect().map(_.getString(0)).toSet
+    val k9 = FileSkipping.chosenFiles(stats,
+      Seq(BloomEq("key", Seq("k9")))).collect().map(_.getString(0)).toSet
+    val both = FileSkipping.chosenFiles(stats,
+      Seq(BloomEq("key", Seq("k3", "k9")))).collect()
+      .map(_.getString(0)).toSet
+    assert(both == (k3 ++ k9))
+    stats.unpersist()
+  }
+
   test("contractEvolves + readSnapshotTableAs: ADD COLUMN accepted, retype/drop rejected, unified read") {
     import graft.operators.{Sinks, TableQuality}
     val c0 = Seq("doc_id" -> "bigint", "v" -> "double")

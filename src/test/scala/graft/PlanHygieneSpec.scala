@@ -115,6 +115,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // scans per layout, driver-verified by their oracles at both SFs)
     "s13d_layout_skipping", "s13e_stats_pruned_scan",
     "s13f_optimize_recluster", "s13g_typed_pruning",
+    "s13h_bloom_pruning",
     "s17_stats_compaction", "s18_snapshot_pruned_read",
     "s19_optimize_versioned", "s20_cdc_versioned_stats",
     "s21_schema_evolution",
