@@ -37,6 +37,7 @@ object Main {
     case "dq" :: rest => runDq(parseOpts(rest))
     case "analyze" :: rest => runAnalyze(parseOpts(rest))
     case "optimize" :: rest => runOptimize(parseOpts(rest))
+    case "snapshot" :: rest => runSnapshot(parseOpts(rest))
     case _ =>
       System.err.println(
         "usage: graft pipeline --approach A --docs PATH --out DIR " +
@@ -68,10 +69,18 @@ object Main {
           "         (NDV defaults to the HLL sketch; --exact COUNT(DISTINCT)" +
           " costs an Expand x(cols+1) shuffle at corpus scale)\n" +
           "       graft optimize --in DIR --out DIR " +
-          "(--compact-small ROWS | --cluster a,b [--files K])\n" +
+          "(--compact-small ROWS | --cluster a,b [--files K] | " +
+          "--recluster a,b [--files K])\n" +
           "         (--compact-small rewrites only files under ROWS rows," +
           " big files are byte-copied untouched;" +
-          " --cluster = full Hilbert re-cluster on two long columns)")
+          " --cluster = full Hilbert re-cluster on two long columns;" +
+          " --recluster = INCREMENTAL: degraded files detected from" +
+          " per-file stats, only they rewrite, the rest byte-copy)\n" +
+          "       graft snapshot --root DIR (--publish name=dir:key,.. |" +
+          " --read name [--out DIR] [--version N] | --vacuum | --current)\n" +
+          "         (versioned multi-table commits: --publish MOVES staged" +
+          " dirs in atomically; --read validates count+fingerprint" +
+          " against the commit before serving)")
       sys.exit(2)
   }
 
@@ -197,45 +206,76 @@ object Main {
       val in = opts("in")
       val out = opts("out")
       require(in != out, "optimize: --out must differ from --in")
-      opts.get("cluster") match {
-        case Some(spec) =>
-          val cols = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          require(cols.length == 2, s"--cluster needs exactly two columns: $spec")
-          val df = spark.read.parquet(in)
-          val r = df.agg(min(col(cols(0))).cast("long"),
-            max(col(cols(0))).cast("long"),
-            min(col(cols(1))).cast("long"),
-            max(col(cols(1))).cast("long")).head()
-          // an empty table yields null min/max — fail with a real message
-          // instead of getLong's opaque NPE (r13 advice)
-          require(!r.isNullAt(0) && !r.isNullAt(2),
-            s"optimize --cluster: $in is empty (or ${cols.mkString("/")} " +
-              "all-null) — nothing to cluster")
+      def twoLongCols(spec: String, what: String)
+          : (Seq[String], DataFrame, Long, Long, Long, Long) = {
+        val cols = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.length == 2, s"$what needs exactly two columns: $spec")
+        val df = spark.read.parquet(in)
+        val r = df.agg(min(col(cols(0))).cast("long"),
+          max(col(cols(0))).cast("long"),
+          min(col(cols(1))).cast("long"),
+          max(col(cols(1))).cast("long")).head()
+        // an empty table yields null min/max — fail with a real message
+        // instead of getLong's opaque NPE (r13 advice)
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"optimize $what: $in is empty (or ${cols.mkString("/")} " +
+            "all-null) — nothing to cluster")
+        (cols, df, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      (opts.get("cluster"), opts.get("recluster")) match {
+        case (Some(spec), _) =>
+          val (cols, df, aLo, aHi, bLo, bHi) = twoLongCols(spec, "--cluster")
           val k = opts.get("files").map(_.toInt).getOrElse(16)
           graft.operators.ZOrder.writeHilbert(df, cols(0), cols(1),
-            r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), out, k)
+            aLo, aHi, bLo, bHi, out, k)
           println(s"[graft] re-clustered $in on (${cols(0)}, ${cols(1)}) " +
             s"-> $out ($k files)")
-        case None =>
-          val threshold = opts.get("compact-small").map(_.toLong).getOrElse(
-            sys.error("optimize: need --cluster a,b or --compact-small ROWS"))
-          // the flat-copy below drops directory structure (p.getFileName),
-          // so a Hive-partitioned input would lose its partition columns
-          // and can collide on part-file names — reject it loudly
-          // (r13 advice); compact each partition dir separately instead
-          locally {
-            val s = java.nio.file.Files.list(java.nio.file.Paths.get(in))
-            try {
-              val sub = s.iterator()
-              while (sub.hasNext) {
-                val p = sub.next()
-                require(!java.nio.file.Files.isDirectory(p),
-                  s"optimize --compact-small: $in contains subdirectory " +
-                    s"${p.getFileName} (partitioned layout) — run per " +
-                    "partition directory to preserve partition columns")
-              }
-            } finally s.close()
+        case (None, Some(spec)) =>
+          // INCREMENTAL re-cluster (the s13f/s19 maintenance decision as
+          // a command): degraded files detected from ONE per-file stats
+          // scan, only they rewrite, the rest byte-copy untouched
+          rejectPartitionedInput(in, "--recluster")
+          val (cols, df, aLo, aHi, bLo, bHi) =
+            twoLongCols(spec, "--recluster")
+          val planeArea =
+            (aHi - aLo + 1).toDouble * (bHi - bLo + 1).toDouble
+          val stats = graft.operators.FileSkipping.fileStats(df, cols)
+          val detected = graft.operators.FileSkipping
+            .detectUnclustered(stats, cols(0), cols(1), planeArea)
+            .select(col("__file").cast("string")).collect()
+            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          val keep = df.inputFiles
+            .map(u => new java.net.URI(u).getPath).toSet -- detected
+          val outP = java.nio.file.Paths.get(out)
+          java.nio.file.Files.createDirectories(outP)
+          keep.toSeq.sorted.foreach { f =>
+            val p = java.nio.file.Paths.get(f)
+            java.nio.file.Files.copy(p, outP.resolve(p.getFileName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           }
+          if (detected.nonEmpty) {
+            val k = opts.get("files").map(_.toInt).getOrElse(4)
+            val tmp = java.nio.file.Files.createTempDirectory(
+              outP.toAbsolutePath.getParent, ".reclust-")
+            graft.operators.ZOrder.writeHilbert(
+              spark.read.schema(df.schema)
+                .parquet(detected.toSeq.sorted: _*),
+              cols(0), cols(1), aLo, aHi, bLo, bHi, s"$tmp/d", k)
+            val s = java.nio.file.Files.list(
+              java.nio.file.Paths.get(s"$tmp/d"))
+            try s.iterator().forEachRemaining { p =>
+              if (p.getFileName.toString.endsWith(".parquet"))
+                java.nio.file.Files.move(p, outP.resolve(p.getFileName))
+            } finally s.close()
+            deleteTreeIfExists(tmp)
+          }
+          println(s"[graft] incremental re-cluster: ${detected.size} " +
+            s"degraded files rewritten (${keep.size} byte-copied) -> $out")
+        case (None, None) =>
+          val threshold = opts.get("compact-small").map(_.toLong).getOrElse(
+            sys.error("optimize: need --cluster a,b, --recluster a,b " +
+              "or --compact-small ROWS"))
+          rejectPartitionedInput(in, "--compact-small")
           val df = spark.read.parquet(in)
           val smalls = df
             .groupBy(org.apache.spark.sql.functions.input_file_name()
@@ -259,6 +299,76 @@ object Main {
           println(s"[graft] compacted ${smalls.size} small files " +
             s"(${bigs.size} copied untouched) -> $out")
       }
+    } finally if (owned) spark.stop()
+  }
+
+  /** The flat-copy optimize passes drop directory structure
+    * (`p.getFileName`), so a Hive-partitioned input would lose its
+    * partition columns and can collide on part-file names — reject it
+    * loudly (r13 advice); run per partition directory instead.
+    */
+  private def rejectPartitionedInput(in: String, what: String): Unit = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(in))
+    try {
+      val sub = s.iterator()
+      while (sub.hasNext) {
+        val p = sub.next()
+        require(!java.nio.file.Files.isDirectory(p),
+          s"optimize $what: $in contains subdirectory " +
+            s"${p.getFileName} (partitioned layout) — run per " +
+            "partition directory to preserve partition columns")
+      }
+    } finally s.close()
+  }
+
+  /** Versioned multi-table snapshots on the CLI — the s14/s19 commit
+    * discipline as commands: `--publish name=dir:key,...` MOVES each
+    * staged dir in atomically under one commit (physical layouts
+    * survive — write clustered, then publish), `--read name` serves a
+    * table only after its count+fingerprint validate against the
+    * commit, `--vacuum` reclaims crashed/racing-loser attempt dirs
+    * (run only while no publish is in flight), `--current` prints the
+    * pointer.
+    */
+  private def runSnapshot(opts: Map[String, String]): Unit = {
+    val (spark, owned) = session()
+    try {
+      import graft.operators.Sinks
+      val root = opts("root")
+      if (opts.contains("publish")) {
+        val tables = opts("publish").split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map { s =>
+            val eq = s.indexOf('=')
+            val co = s.lastIndexOf(':')
+            require(eq > 0 && co > eq,
+              s"--publish needs name=dir:key form: $s")
+            s.take(eq).trim ->
+              ((s.substring(eq + 1, co).trim, s.drop(co + 1).trim))
+          }.toMap
+        val v = Sinks.publishSnapshotStaged(tables, root, spark)
+        println(s"[graft] snapshot committed: version $v " +
+          s"(${tables.keys.toSeq.sorted.mkString(", ")})")
+      } else if (opts.contains("read")) {
+        val name = opts("read")
+        val version = opts.get("version").map(_.toLong)
+        val df = Sinks.readSnapshot(spark, root, version)
+          .getOrElse(name, sys.error(s"snapshot has no table '$name'"))
+        val n = df.count()
+        opts.get("out").foreach(o =>
+          df.write.mode("overwrite").parquet(o))
+        println(s"[graft] $name@" +
+          s"${version.orElse(Sinks.currentVersion(root)).get}: $n rows " +
+          s"validated${opts.get("out").fold("")(o => s", written -> $o")}")
+      } else if (opts.contains("vacuum")) {
+        val swept = Sinks.vacuumUncommitted(root)
+        println(s"[graft] vacuumed ${swept.size} uncommitted attempt " +
+          s"dir(s)${if (swept.nonEmpty) ": " + swept.mkString(", ") else ""}")
+      } else if (opts.contains("current")) {
+        println(Sinks.currentVersion(root)
+          .map(v => s"[graft] current version: $v")
+          .getOrElse("[graft] no committed snapshot"))
+      } else sys.error(
+        "snapshot: need --publish, --read, --vacuum or --current")
     } finally if (owned) spark.stop()
   }
 

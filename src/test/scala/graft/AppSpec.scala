@@ -79,6 +79,64 @@ class AppSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$q3/quarantined").count() == 2L)
   }
 
+  test("CLI snapshot: publish staged tables, validated read, current, vacuum") {
+    val root = tmpDir("graft_snapcli")
+    (1L to 40L).toDF("doc_id").coalesce(1).write.parquet(s"$root/stage_a")
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "t").coalesce(1)
+      .write.parquet(s"$root/stage_b")
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--publish", s"a=$root/stage_a:doc_id,b=$root/stage_b:doc_id"))
+    // staged sources consumed by the commit
+    assert(!new java.io.File(s"$root/stage_a").exists())
+    assert(Sinks.currentVersion(s"$root/snap").contains(0L))
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--current"))
+    // validated read lands where asked
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--read", "a", "--out", s"$root/out_a"))
+    assert(spark.read.parquet(s"$root/out_a").count() == 40L)
+    // a second version; time-travel read of v0 still works
+    (100L to 120L).toDF("doc_id").coalesce(1).write.parquet(s"$root/stage_a2")
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--publish", s"a=$root/stage_a2:doc_id"))
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--read", "a", "--out", s"$root/out_a0", "--version", "0"))
+    assert(spark.read.parquet(s"$root/out_a0").count() == 40L)
+    // vacuum: plant an orphan attempt dir, sweep reclaims exactly it
+    val orphan = java.nio.file.Paths.get(s"$root/snap/a/v=9-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--vacuum"))
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("CLI optimize --recluster: only stats-detected degraded files rewrite") {
+    val dir = tmpDir("graft_reclust")
+    val n = 4096
+    val rows = Seq.tabulate(n)(i =>
+      (i.toLong, (i.toLong * 2654435761L) % n)).toDF("a", "b")
+    graft.operators.ZOrder.writeHilbert(rows, "a", "b", 0, n - 1, 0, n - 1,
+      s"$dir/in", numFiles = 8)
+    val baseNames = spark.read.parquet(s"$dir/in").inputFiles
+      .map(u => new java.net.URI(u).getPath.replaceAll(".*/", "")).toSet
+    rows.filter(col("a") % 5 === 0).repartition(2)
+      .write.mode("append").parquet(s"$dir/in")
+    graft.app.Main.main(Array("optimize", "--in", s"$dir/in",
+      "--out", s"$dir/out", "--recluster", "a,b", "--files", "2"))
+    val out = spark.read.parquet(s"$dir/out")
+    // rows survive exactly (append rows duplicated the a%5 slice)
+    assert(out.count() == spark.read.parquet(s"$dir/in").count())
+    // base tiles byte-copied (same names), degraded files replaced
+    val outNames = out.inputFiles
+      .map(u => new java.net.URI(u).getPath.replaceAll(".*/", "")).toSet
+    assert(baseNames.subsetOf(outNames))
+    assert((outNames -- baseNames).nonEmpty)
+    // a clean table detects nothing and only copies
+    graft.app.Main.main(Array("optimize", "--in", s"$dir/out",
+      "--out", s"$dir/out2", "--recluster", "a,b"))
+    assert(spark.read.parquet(s"$dir/out2").count() == out.count())
+  }
+
   test("CLI optimize guards: empty --cluster input fails loudly, partitioned --compact-small rejected") {
     val dir = tmpDir("graft_optguard")
     spark.range(0).selectExpr("id AS a", "id AS b")
