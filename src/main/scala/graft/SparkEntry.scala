@@ -3127,6 +3127,218 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S22: TIME-TRAVEL CDC — the changelog BETWEEN two committed versions
+    * ([[graft.operators.Sinks.versionDiff]]), the inverse of s15/s20's
+    * apply: a downstream consumer (index, feature store, replica)
+    * catches up to a release by replaying the diff, never reprocessing
+    * the table. v0 commits documents range-clustered; v1 commits the
+    * s20 band-local mutation (deletes `doc_id%7=0`, updates `doc_id%7=3`
+    * — both in the low quarter — plus 25 tail inserts) at FILE
+    * granularity, untouched files hard-linked forward. The diff is then
+    * FILE-GRANULAR by inode: carried files are never read, so its data
+    * cost is the changed bytes.
+    *
+    * FULL oracle: per-op row counts and whole-payload fingerprints are a
+    * deterministic function of `documents` (delete rows carry the
+    * original payload, updates the new one, inserts the tail rows) —
+    * DuckDB reconstructs all three. Structural wins are gate literals:
+    * `roundtrip_ok` (applyChangelog(v0, diff) ≡ v1 by count + whole-row
+    * fingerprint — the inverse property), `delta_files_skipped` (both
+    * sides of the diff read strict subsets of their versions' files),
+    * `self_diff_empty` (diff(v, v) has no rows).
+    */
+  private def s22VersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s22_")
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    def nameOf(u: String): String = pathOf(u).replaceAll(".*/", "")
+    try {
+      val snapRoot = s"$root/snap"
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/stage0")
+      val v0 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((s"$root/stage0", "doc_id"))), snapRoot, spark)
+      val snap0 = Sinks.readSnapshot(spark, snapRoot, Some(v0))("data")
+      // the s20 deterministic band-local changelog
+      val dels = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L && col("doc_id") * 4 <= m)
+        .select(col("doc_id"), lit("delete").as("op"),
+          col("lang"), col("n_chars"))
+      val upds = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 3L && col("doc_id") * 4 <= m)
+        .select(col("doc_id"), lit("update").as("op"),
+          lit("xx").as("lang"), (col("n_chars") + 1000L).as("n_chars"))
+      val ins = spark.range(1, 26)
+        .select((lit(m) + col("id")).as("doc_id"), lit("insert").as("op"),
+          lit("zz").as("lang"), (lit(m) + col("id")).as("n_chars"))
+      val changes = dels.unionByName(upds).unionByName(ins)
+        .withColumn("seq", lit(1L))
+      // touched files from the footer ranges (one agg; the s20 decision
+      // shape, minus the stats table this gate does not need)
+      val touchedNames = snap0
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .join(broadcast(changes.select(col("doc_id").as("__k")).distinct()),
+          col("__k") >= col("lo") && col("__k") <= col("hi"), "left_semi")
+        .select(col("f")).collect().map(r => nameOf(r.getString(0))).toSet
+      val v0paths = snap0.inputFiles.map(pathOf).toSeq
+      val touchedPaths = v0paths.filter(p => touchedNames(nameOf(p)))
+      val carryPaths = v0paths.filterNot(p => touchedNames(nameOf(p)))
+      Sinks.applyChangelog(
+          spark.read.schema(docs.schema).parquet(touchedPaths.sorted: _*),
+          changes, "doc_id")
+        .repartitionByRange(2, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/rw")
+      val stage1 = java.nio.file.Paths.get(s"$root/stage1")
+      java.nio.file.Files.createDirectories(stage1)
+      (carryPaths ++ spark.read.parquet(s"$root/rw")
+          .inputFiles.map(pathOf)).foreach { f =>
+        java.nio.file.Files.createLink(
+          stage1.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f))
+      }
+      val v1 = Sinks.publishSnapshotStaged(Map(
+        "data" -> ((stage1.toString, "doc_id"))), snapRoot, spark)
+      // ---- the operator under test
+      val diff = Sinks.versionDiff(spark, snapRoot, "data", v0, v1, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val snap1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))("data")
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nGot, xGot) = fp(Sinks.applyChangelog(snap0, diff, "doc_id"))
+      val (nExp, xExp) = fp(snap1)
+      val roundtripOk = nGot == nExp && xGot == xExp
+      // file-granular skip: both deltas are strict subsets (carried
+      // inodes excluded), measured from the diff's own path logic —
+      // recomputed here independently via name sets
+      val v1names = snap1.inputFiles.map(nameOf).toSet
+      val v0names = v0paths.map(nameOf).toSet
+      val sharedNames = v0names.intersect(v1names)
+      val deltaSkips = sharedNames.nonEmpty &&
+        sharedNames.size < v0names.size && sharedNames.size < v1names.size
+      val selfEmpty =
+        Sinks.versionDiff(spark, snapRoot, "data", v0, v0, "doc_id").isEmpty
+      val perOp = diff
+        .groupBy(col("op"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("payload_xor"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      diff.unpersist()
+      perOp.sortBy(_._1).toSeq.map { case (op, n, x) =>
+        (op, n, x,
+          if (roundtripOk) 1 else 0,
+          if (deltaSkips) 1 else 0,
+          if (selfEmpty) 1 else 0)
+      }.toDF("op", "n_rows", "payload_xor", "roundtrip_ok",
+        "delta_files_skipped", "self_diff_empty")
+        .orderBy(col("op"))
+    } finally deleteRecursively(root)
+  }
+
+  /** S23: RETENTION — [[graft.operators.Sinks.expireVersions]] closes
+    * the version lifecycle: three committed versions of a documents
+    * slice (each carrying the previous version's files FORWARD as hard
+    * links next to its new band), then expire all but the last two.
+    * Gates: the expired version's read fails loudly at the commit
+    * lookup; the surviving pinned version (v1) and the current (v2)
+    * still validate and read byte-identically (their own directory
+    * entries to the shared inodes survive the expired dir's deletion —
+    * the hard-link-forward property this gate exists to pin); the
+    * expired version's data dirs are actually reclaimed; and expiry
+    * never removes the pointer's version even when asked. The final
+    * current read is the full three-band union — DuckDB anchors count +
+    * fingerprint over all of `documents`.
+    */
+  private def s23Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s23_")
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    try {
+      val snapRoot = s"$root/snap"
+      def commitBand(lo: Long, hi: Long, carryFrom: Option[Long],
+          stage: String): Long = {
+        val st = java.nio.file.Paths.get(stage)
+        java.nio.file.Files.createDirectories(st)
+        carryFrom.foreach { v =>
+          Sinks.readSnapshot(spark, snapRoot, Some(v))("data")
+            .inputFiles.map(pathOf).foreach { f =>
+              java.nio.file.Files.createLink(
+                st.resolve(f.replaceAll(".*/", "")),
+                java.nio.file.Paths.get(f))
+            }
+        }
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+          .repartition(2)
+          .write.mode("append").parquet(stage)
+        Sinks.publishSnapshotStaged(Map("data" -> ((stage, "doc_id"))),
+          snapRoot, spark)
+      }
+      val v0 = commitBand(-1L, m / 3, None, s"$root/st0")
+      val v1 = commitBand(m / 3, 2 * m / 3, Some(v0), s"$root/st1")
+      val v2 = commitBand(2 * m / 3, m, Some(v1), s"$root/st2")
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(" +
+            "cast(doc_id as string)), 1, 15), 16, 10) as bigint)), 0)")
+            .as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n1Before, x1Before) = fp(Sinks.readSnapshot(spark, snapRoot,
+        Some(v1))("data"))
+      val expired = Sinks.expireVersions(snapRoot, keepLast = 2)
+      val expiredRight = expired == Seq(v0)
+      val expiredLoud =
+        try { Sinks.readSnapshot(spark, snapRoot, Some(v0)); false }
+        catch { case _: Exception => true }
+      // v0's data dir is gone from disk (reclaimed, not just unlinked
+      // from the commit log)
+      val v0DirGone = {
+        val dataDir = java.nio.file.Paths.get(snapRoot, "data")
+        val s = java.nio.file.Files.list(dataDir)
+        try {
+          val names = scala.collection.mutable.Buffer.empty[String]
+          s.iterator().forEachRemaining(p => names += p.getFileName.toString)
+          names.count(_.startsWith("v=")) == 2
+        } finally s.close()
+      }
+      // surviving versions read + validate byte-identically
+      val snap1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))("data")
+      val (n1After, x1After) = fp(snap1)
+      val pinnedSurvives = n1After == n1Before && x1After == x1Before
+      // asking to keep fewer than remain never expires the pointer
+      val expired2 = Sinks.expireVersions(snapRoot, keepLast = 1)
+      val currentSafe = Sinks.currentVersion(snapRoot).contains(v2) &&
+        expired2 == Seq(v1)
+      val cur = Sinks.readSnapshot(spark, snapRoot)("data")
+      val (nCur, xCur) = fp(cur)
+      Seq((nCur, xCur,
+        if (expiredRight) 1 else 0,
+        if (expiredLoud) 1 else 0,
+        if (v0DirGone) 1 else 0,
+        if (pinnedSurvives) 1 else 0,
+        if (currentSafe) 1 else 0))
+        .toDF("n_rows", "key_xor", "expired_exact", "expired_read_loud",
+          "expired_dir_reclaimed", "pinned_survivor_intact",
+          "pointer_never_expired")
+    } finally deleteRecursively(root)
+  }
+
   /** S17: STATS-DRIVEN compaction — the first consumer of the s16c
     * per-partition stats rows: the small-file maintenance decision comes
     * from the STATS TABLE (one row per partition, `__n` below a
@@ -5356,11 +5568,13 @@ object SparkEntry {
     * existing content drops; purely-new near-dup groups keep their min).
     * End-to-end oracle composed from the proven gate / dd4 / closure CTEs.
     */
-  private def pipeCurationIncr(spark: SparkSession, dir: String): DataFrame = {
+  private def pipeCurationIncr(spark: SparkSession, dir: String,
+      lsh: Boolean = false): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
     graft.operators.Curation.curateIncremental(
       docs.filter(col("doc_id") % 2 === 1),
-      docs.filter(col("doc_id") % 2 === 0))
+      docs.filter(col("doc_id") % 2 === 0),
+      lshPrefilter = lsh)
       .orderBy(col("doc_id"))
   }
 
@@ -5378,7 +5592,8 @@ object SparkEntry {
     * dedup vs existing, near-dup closure with contamination routing) —
     * any mis-prune loses or duplicates a document and hash-fails.
     */
-  private def pipeCurationSnap(spark: SparkSession, dir: String): DataFrame = {
+  private def pipeCurationSnap(spark: SparkSession, dir: String,
+      lsh: Boolean = false): DataFrame = {
     import graft.operators.{FileSkipping, Sinks}
     import graft.operators.FileSkipping.LongRange
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -5411,7 +5626,7 @@ object SparkEntry {
       // the finally reclaims it (the r13 stream_dq discipline)
       graft.operators.Materialize(
         graft.operators.Curation.curateIncremental(
-          bandRead(m / 2 + 1, m), bandRead(0L, m / 2))
+          bandRead(m / 2 + 1, m), bandRead(0L, m / 2), lshPrefilter = lsh)
           .orderBy(col("doc_id")))
     } finally deleteRecursively(root)
   }
@@ -6036,6 +6251,8 @@ FROM m ORDER BY doc_id, summarizer""")
     "s19_optimize_versioned" -> (s19OptimizeVersioned(_, _)),
     "s20_cdc_versioned_stats" -> (s20CdcVersionedStats(_, _)),
     "s21_schema_evolution" -> (s21SchemaEvolution(_, _)),
+    "s22_version_diff" -> (s22VersionDiff(_, _)),
+    "s23_retention" -> (s23Retention(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
@@ -6098,7 +6315,9 @@ FROM m ORDER BY doc_id, summarizer""")
     "pipe_curation" -> (pipeCuration(_, _)),
     "pipe_curation_lsh" -> (pipeCurationLsh(_, _)),
     "pipe_curation_incr" -> (pipeCurationIncr(_, _)),
+    "pipe_curation_incr_lsh" -> (pipeCurationIncr(_, _, lsh = true)),
     "pipe_curation_snap" -> (pipeCurationSnap(_, _)),
+    "pipe_curation_snap_lsh" -> (pipeCurationSnap(_, _, lsh = true)),
     "pipe_curation_funnel" -> (pipeCurationFunnel(_, _)),
     "pipe_prep" -> (pipePrep(_, _)),
     "pipe_ccnet" -> (pipeCcnet(_, _)),
@@ -7232,6 +7451,42 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(1 AS BIGINT) AS version,
   1 AS contract_pass, 1 AS evolution_accepted,
   1 AS bad_evolution_rejected, 1 AS stats_lazy_ok
+FROM documents""",
+    // s22: FULL oracle — the version diff's per-op rows are a pure
+    // function of `documents` (deletes carry the original payload,
+    // updates the new one, inserts the deterministic tail); the inverse
+    // property (applyChangelog(v0, diff) ≡ v1), file-granular skip and
+    // self-diff emptiness are gate literals
+    "s22_version_diff" -> """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+ops AS (
+  SELECT 'delete' AS op, doc_id, lang, n_chars
+  FROM documents, mx WHERE doc_id % 7 = 0 AND doc_id * 4 <= m
+  UNION ALL
+  SELECT 'update' AS op, doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+  FROM documents, mx WHERE doc_id % 7 = 3 AND doc_id * 4 <= m
+  UNION ALL
+  SELECT 'insert' AS op, m + g.i AS doc_id, 'zz' AS lang,
+    m + g.i AS n_chars
+  FROM mx, generate_series(1, 25) g(i))
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS payload_xor,
+  1 AS roundtrip_ok, 1 AS delta_files_skipped, 1 AS self_diff_empty
+FROM ops GROUP BY op ORDER BY op""",
+    // s23: the post-expiry current read is the full three-band union =
+    // all of documents (count + doc_id fingerprint); every lifecycle
+    // win (exact expiry set, loud expired read, reclaimed dirs,
+    // surviving hard-linked pins, protected pointer) is a gate literal
+    "s23_retention" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' ||
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)), 0)
+    AS BIGINT) AS key_xor,
+  1 AS expired_exact, 1 AS expired_read_loud, 1 AS expired_dir_reclaimed,
+  1 AS pinned_survivor_intact, 1 AS pointer_never_expired
 FROM documents""",
     // stream_stats: the streamed sketch rows' MERGE held verbatim to the
     // batch ANALYZE recompute on the mergeable fields (any batching);
@@ -9489,7 +9744,13 @@ FROM h0 GROUP BY 1 ORDER BY bucket"""
     // recall 1.0 on this corpus) — same oracle verbatim
     "pipe_curation_lsh" -> curationSql,
     "pipe_curation_incr" -> curationIncrSql,
+    // the shingle-hash-LSH incremental form must curate identically
+    // (8x2 banding recall 1.0 on this corpus) — same oracles verbatim
+    "pipe_curation_incr_lsh" -> curationIncrSql,
     "pipe_curation_snap" -> curationIncrSqlWith(
+      "doc_id * 2 > (SELECT MAX(doc_id) FROM documents)",
+      "doc_id * 2 <= (SELECT MAX(doc_id) FROM documents)"),
+    "pipe_curation_snap_lsh" -> curationIncrSqlWith(
       "doc_id * 2 > (SELECT MAX(doc_id) FROM documents)",
       "doc_id * 2 <= (SELECT MAX(doc_id) FROM documents)"),
     "pipe_curation_funnel" -> curationFunnelSql,

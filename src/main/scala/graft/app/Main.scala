@@ -77,7 +77,9 @@ object Main {
           " --recluster = INCREMENTAL: degraded files detected from" +
           " per-file stats, only they rewrite, the rest byte-copy)\n" +
           "       graft snapshot --root DIR (--publish name=dir:key,.. |" +
-          " --read name [--out DIR] [--version N] | --vacuum | --current)\n" +
+          " --read name [--out DIR] [--version N] |\n" +
+          "          --diff table --from N --to M [--key K] [--out DIR] |" +
+          " --expire KEEP | --vacuum | --current)\n" +
           "         (versioned multi-table commits: --publish MOVES staged" +
           " dirs in atomically; --read validates count+fingerprint" +
           " against the commit before serving)")
@@ -359,6 +361,32 @@ object Main {
         println(s"[graft] $name@" +
           s"${version.orElse(Sinks.currentVersion(root)).get}: $n rows " +
           s"validated${opts.get("out").fold("")(o => s", written -> $o")}")
+      } else if (opts.contains("diff")) {
+        // time-travel CDC: graft snapshot --root R --diff table
+        //   --from N --to M [--key doc_id] [--out DIR]
+        val table = opts("diff")
+        val (vFrom, vTo) = (opts("from").toLong, opts("to").toLong)
+        val keyCol = opts.getOrElse("key", "doc_id")
+        val diff = Sinks.versionDiff(spark, root, table, vFrom, vTo, keyCol)
+        opts.get("out") match {
+          case Some(o) =>
+            diff.write.mode("overwrite").parquet(o)
+            val n = spark.read.parquet(o).count()
+            println(s"[graft] diff $table v$vFrom -> v$vTo: $n change " +
+              s"row(s) written -> $o")
+          case None =>
+            val byOp = diff.groupBy(col("op")).count()
+              .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+              .sorted.mkString(", ")
+            println(s"[graft] diff $table v$vFrom -> v$vTo: " +
+              (if (byOp.isEmpty) "no changes" else byOp))
+        }
+      } else if (opts.contains("expire")) {
+        val keep = opts("expire").toInt
+        val expired = Sinks.expireVersions(root, keep)
+        println(s"[graft] expired ${expired.size} version(s)" +
+          (if (expired.nonEmpty) ": " + expired.mkString(", ") else "") +
+          s"; current ${Sinks.currentVersion(root).getOrElse("-")}")
       } else if (opts.contains("vacuum")) {
         val swept = Sinks.vacuumUncommitted(root)
         println(s"[graft] vacuumed ${swept.size} uncommitted attempt " +
@@ -368,7 +396,7 @@ object Main {
           .map(v => s"[graft] current version: $v")
           .getOrElse("[graft] no committed snapshot"))
       } else sys.error(
-        "snapshot: need --publish, --read, --vacuum or --current")
+        "snapshot: need --publish, --read, --diff, --expire, --vacuum or --current")
     } finally if (owned) spark.stop()
   }
 

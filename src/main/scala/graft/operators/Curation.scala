@@ -207,7 +207,8 @@ object Curation {
       prefixLen: Int = 100,
       shingleN: Int = 3,
       jaccardThreshold: Double = 0.5,
-      existingShingles: Option[DataFrame] = None): DataFrame = {
+      existingShingles: Option[DataFrame] = None,
+      lshPrefilter: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fp = md5(substring(col("text"), 1, prefixLen))
     val gated = gate(newDocs.select(col("doc_id"), col("text")),
@@ -229,8 +230,25 @@ object Curation {
         exact.select(col("doc_id"), col("text")), "text", shingleN)
       .unionByName(existingShingles.getOrElse(Dedup.shingleTable(
         existing.select(col("doc_id"), col("text")), "text", shingleN)))
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairsFromShingles(uniShingles, jaccardThreshold))
+      // the LSH path evaluates this union three times (signature agg +
+      // both verify branches); connectedComponents is eager (driver
+      // fixed-point), so the cache is live exactly while it runs
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // near-dup pair stage: the exact inverted-index form is the oracle
+    // anchor; lshPrefilter = true swaps in the shingle-hash MinHash-LSH →
+    // verify composition (Dedup.jaccardVerifiedPairsFromShingles) — the
+    // 100 TB operating point, where the exact form's candidate volume
+    // goes quadratic on saturated shingle vocabularies (SCALE.md
+    // §scale-probe) while banding keeps candidates linear. Identical
+    // output whenever banding recall is 1.0 on the corpus's near-dup
+    // pairs (CurationSpec pins this on the fixture; 8x2 banding puts the
+    // per-pair miss probability at ≤ 3e-6 for j ≥ 0.8).
+    val pairs =
+      if (lshPrefilter)
+        Dedup.jaccardVerifiedPairsFromShingles(uniShingles,
+          minJaccard = jaccardThreshold)
+      else Dedup.ngramJaccardPairsFromShingles(uniShingles, jaccardThreshold)
+    val labels = Dedup.connectedComponents(pairs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val contaminated = labels
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -245,6 +263,7 @@ object Curation {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("n_chars"), col("stopword_ratio")))
     labels.unpersist()
+    uniShingles.unpersist()
     exact.unpersist()
     gated.unpersist()
     curated

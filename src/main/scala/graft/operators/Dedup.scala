@@ -931,6 +931,78 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** MinHash signature derived FROM a persisted [[shingleTable]] — the
+    * LSH entry point an INCREMENTAL pipeline needs: h_i = min over the
+    * doc's 64-bit shingle hashes of xxhash64(i, h). Minhashing the
+    * shingle-HASH set estimates the same Jaccard as the text-derived
+    * [[minhashSignature]] (the two sets are in bijection absent 64-bit
+    * collisions — same |∩|/|∪|); what it buys is that the existing
+    * corpus's TEXT is never re-read or re-tokenized: each increment
+    * computes signatures from the shingle rows it already persists
+    * ([[graft.operators.Curation.curateIncremental]]'s
+    * `existingShingles`). Pure Column expressions (xxhash64 is
+    * codegen'd), one hash-agg over the shingle table with map-side
+    * partial mins. Docs with an empty shingle set simply have no rows
+    * here — same absence semantics as the null-signature rows
+    * [[lshBandRows]] filters.
+    */
+  def minhashFromShingles(shingles: DataFrame, numHashes: Int): DataFrame =
+    shingles.groupBy(col("doc_id"))
+      .agg(max(col("nsh")).as("nsh"),
+        (0 until numHashes).map(i =>
+          min(xxhash64(lit(i), col("h"))).as(s"mh_$i")): _*)
+
+  /** [[lshBandRows]] over a [[minhashFromShingles]] signature. */
+  private[graft] def lshBandRowsFromShingles(shingles: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashFromShingles(shingles, bands * rowsPerBand)
+    val bandKeys = array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      md5(concat_ws("_", parts: _*))
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** [[jaccardVerifiedPairs]] computed ENTIRELY from a persisted
+    * [[shingleTable]] — candidates from the shingle-hash MinHash banding,
+    * exact-Jaccard verify against the same shingle rows. This is the
+    * near-dup stage of an incremental curation pass at the 100 TB
+    * operating point: per increment the only text-derived input is the
+    * NEW batch's shingle rows; the corpus side contributes its persisted
+    * table to both banding and verify. Default geometry is 8x2 (16
+    * hashes) — wider than the text form's 4x2 because the incremental
+    * contamination closure ([[graft.operators.Curation.curateIncremental]]
+    * step 3) must not miss a new↔existing near-dup pair across MANY
+    * increments: at the corpus's near-dup operating point (j ≥ 0.8)
+    * the per-pair band-miss probability is (1-j²)⁸ ≤ 3e-6. Verified
+    * pairs are a subset of [[ngramJaccardPairsFromShingles]] output with
+    * identical jaccard values on surviving pairs.
+    */
+  def jaccardVerifiedPairsFromShingles(shingles: DataFrame,
+      bands: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val buckets = lshBandRowsFromShingles(shingles, bands, rowsPerBand)
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxBucketSize.fold(buckets)(m =>
+      buckets.filter(size(col("ids")) <= m))
+    val cand = capped
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    val a = shingles.select(col("doc_id").as("doc_a"), col("nsh").as("n_a"), col("h"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("nsh").as("n_b"), col("h"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** The linear-scale form of [[ngramJaccardPairs]]: MinHash-LSH candidate
     * generation → exact Jaccard verify on the candidate pairs ONLY. The
     * inverted-index form above is candidate-quadratic once shingle

@@ -474,6 +474,139 @@ object Sinks {
       latest.filter(col("op") =!= "delete").drop("op", "seq"))
   }
 
+  /** TIME-TRAVEL CDC: the changelog BETWEEN two committed versions of a
+    * snapshot table — the inverse of [[applyChangelog]]:
+    * `applyChangelog(read(vFrom), versionDiff(vFrom, vTo)) == read(vTo)`
+    * row-for-row (pinned by OperatorsSpec and the s22 gate). This is how
+    * a downstream consumer (an index, a feature store, a replica)
+    * catches up to a new release WITHOUT reprocessing the table: ops are
+    * `insert` (key only in vTo), `delete` (key only in vFrom) and
+    * `update` (key in both, any payload column differing), each carrying
+    * the vTo payload (deletes carry the vFrom payload — informational,
+    * [[applyChangelog]] ignores delete payloads) and `seq = vTo`.
+    *
+    * FILE-GRANULAR: files shared between the two versions are detected
+    * by filesystem fileKey (inode) equality — the hard-link-forward
+    * commit discipline means a carried file IS the same inode, hence
+    * byte-identical — and never read; only the delta files on each side
+    * are scanned and joined. After an incremental append or a band-local
+    * CDC apply, the diff's data cost is proportional to the CHANGED
+    * bytes, not the table (a maintenance-only rewrite — recluster or
+    * compaction — rewrites files without changing rows; those rows read
+    * on both sides and cancel in the join, correct but not free, which
+    * is the honest cost of diffing across a physical rewrite).
+    *
+    * Requires `keyCol` unique within each version (the snapshot-table
+    * upsert discipline [[applyChangelog]] maintains); payload equality
+    * is null-safe (`<=>` per column).
+    */
+  def versionDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+      table: String, vFrom: Long, vTo: Long,
+      keyCol: String = "doc_id"): DataFrame = {
+    val fromPaths = tableFilePaths(root, table, Some(vFrom))
+    val toPaths = tableFilePaths(root, table, Some(vTo))
+    def keyOf(p: String): Object =
+      java.nio.file.Files.readAttributes(java.nio.file.Paths.get(p),
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    val fromKeys = fromPaths.map(p => p -> keyOf(p))
+    val toKeys = toPaths.map(p => p -> keyOf(p))
+    val shared = fromKeys.map(_._2).toSet intersect toKeys.map(_._2).toSet
+    val fromDelta = fromKeys.collect { case (p, k) if !shared(k) => p }
+    val toDelta = toKeys.collect { case (p, k) if !shared(k) => p }
+    // schema from the vTo side (the evolution-forward direction); vFrom
+    // files read under it fill absent columns with null, so an ADD
+    // COLUMN evolution diffs as updates on rows whose new column is set
+    val schema = spark.read.parquet(toPaths: _*).schema
+    def readDelta(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths.sorted: _*)
+    val payloadCols = schema.fieldNames.filter(_ != keyCol).toSeq
+    // presence markers travel WITH each side into one full-outer join —
+    // payload nulls stay distinguishable from absent rows, and the whole
+    // diff is a single shuffle over the delta rows
+    def side(paths: Seq[String], tag: String): DataFrame =
+      readDelta(paths).select((col(keyCol) +:
+        payloadCols.map(c => col(c).as(s"${tag}_$c"))) :+
+        lit(1).as(s"__in_$tag"): _*)
+    val joined = side(fromDelta, "o").join(side(toDelta, "n"),
+      Seq(keyCol), "full_outer")
+    val changed = payloadCols
+      .map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__in_o").isNull, "insert")
+      .when(col("__in_n").isNull, "delete")
+      .otherwise("update")
+    joined
+      .filter(col("__in_o").isNull || col("__in_n").isNull || changed)
+      .select(col(keyCol) +:
+        (op.as("op") +:
+          payloadCols.map(c => when(op === "delete", col(s"o_$c"))
+            .otherwise(col(s"n_$c")).as(c)) :+
+          lit(vTo).as("seq")): _*)
+  }
+
+  /** Committed file paths of one table at one version (absolute). */
+  private def tableFilePaths(root: String, table: String,
+      version: Option[Long]): Seq[String] = {
+    val (_, entries) = commitEntries(root, version)
+    val e = entries.find(_._1 == table).getOrElse(sys.error(
+      s"snapshot has no table '$table' under $root"))
+    val dir = java.nio.file.Paths.get(root, e._5)
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val b = Seq.newBuilder[String]
+      s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          b += p.toString
+      }
+      b.result()
+    } finally s.close()
+  }
+
+  /** RETENTION: expire all but the newest `keepLast` committed versions —
+    * the storage-reclaim half of time travel (a pinned training run
+    * keeps its version only as long as the retention window, the same
+    * contract as Delta's VACUUM / Iceberg's expire_snapshots). Expired
+    * versions' commit files are removed FIRST (an expired read fails
+    * loudly at the commit lookup from that point on), then data dirs no
+    * surviving commit references are reclaimed via
+    * [[vacuumUncommitted]]. Files a surviving version carried forward
+    * survive by construction: the hard-link-forward discipline gives the
+    * surviving version its OWN directory entry to the shared inode, so
+    * deleting the expired version's entry drops a link count, never
+    * bytes a live reader needs. Same stop-the-writers rule as vacuum.
+    * Returns the expired version ids.
+    */
+  def expireVersions(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val rootP = java.nio.file.Paths.get(root)
+    val cDir = rootP.resolve("_commits")
+    if (!java.nio.file.Files.isDirectory(cDir)) return Seq.empty
+    val versions = {
+      val s = java.nio.file.Files.list(cDir)
+      try {
+        val b = Seq.newBuilder[Long]
+        s.iterator().forEachRemaining { p =>
+          "^(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
+            .foreach(m => b += m.group(1).toLong)
+        }
+        b.result().sorted
+      } finally s.close()
+    }
+    // never expire the pointer's version even if keepLast would: a
+    // torn state where _latest dangles must be unreachable
+    val current = currentVersion(root)
+    val expired = versions.dropRight(keepLast).filterNot(current.contains)
+    expired.foreach { v =>
+      java.nio.file.Files.deleteIfExists(cDir.resolve(s"$v.json"))
+    }
+    vacuumUncommitted(root)
+    expired
+  }
+
   /** Garbage-collect orphaned snapshot attempt dirs: any `<table>/v=*`
     * data dir (or leftover `.staging`) NOT referenced by a commit file is
     * the residue of a crashed or racing-loser publish — inert by the

@@ -113,6 +113,56 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Set(5L, 7L))
   }
 
+  test("incremental curation: lshPrefilter=true drops and keeps identically") {
+    // same engineered corpus as the exact-path spec above: the shingle-hash
+    // MinHash banding (8x2) must surface BOTH kinds of near-dup pair — the
+    // new↔existing contamination edge (1↔100) and the purely-new component
+    // (7↔9) — or the curated set diverges from the exact inverted-index form
+    val existing = Seq(
+      100L -> en,
+      102L -> (sharedPrefix + " morning air feels crisp today"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      1L -> enNear,
+      3L -> (sharedPrefix + " evening light fades away slowly"),
+      5L -> "it is that the sun and the moon share the sky in the evening of day",
+      7L -> "the small ship sails on the wide sea and the wind is of the north",
+      9L -> "the small ship sails on the wide sea and the wind is of the south")
+      .toDF("doc_id", "text")
+    val exact = Curation.curateIncremental(newBatch, existing)
+      .select("doc_id").as[Long].collect().toSet
+    val lsh = Curation.curateIncremental(newBatch, existing,
+        lshPrefilter = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lsh == exact && lsh == Set(5L, 7L))
+    // and the persisted-shingle fast path composes with the LSH stage
+    val lshPre = Curation.curateIncremental(newBatch, existing,
+        existingShingles =
+          Some(graft.operators.Dedup.shingleTable(existing)),
+        lshPrefilter = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lshPre == exact)
+  }
+
+  test("jaccardVerifiedPairsFromShingles == exact pairs on the fixture") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      1L -> en, 2L -> enNear,
+      7L -> "the small ship sails on the wide sea and the wind is of the north",
+      9L -> "the small ship sails on the wide sea and the wind is of the south",
+      12L -> "it is that the sun and the moon share the sky in the evening of day")
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs)
+    val exact = Dedup.ngramJaccardPairsFromShingles(sh, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.jaccardVerifiedPairsFromShingles(sh, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    // subset by construction; equality == banding recall 1.0 here, with
+    // identical verified jaccard values on every surviving pair
+    assert(lsh == exact)
+  }
+
   test("incremental curation: precomputed existing shingles == recompute path") {
     import graft.operators.Dedup
     val existing = Seq(100L -> en,

@@ -812,6 +812,117 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, snapRoot, Some(0L))("t").count() == 300L)
   }
 
+  test("versionDiff: inverse of applyChangelog; shared inodes never read; self-diff empty") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_vdiff_").toString
+    val snapRoot = s"$root/snap"
+    def stage(df: org.apache.spark.sql.DataFrame, dir: String,
+        carry: Seq[String] = Nil): String = {
+      val st = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(st)
+      carry.foreach { f =>
+        java.nio.file.Files.createLink(
+          st.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f))
+      }
+      df.write.mode("append").parquet(dir)
+      dir
+    }
+    // v0: two files — ids 1-100 (file A), 101-200 (file B)
+    val lo = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1)
+    val hi = (101L to 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1)
+    // two append writes into one stage dir -> two distinct part files
+    stage(lo, s"$root/st0")
+    stage(hi, s"$root/st0")
+    val v0 = Sinks.publishSnapshotStaged(Map("t" -> ((s"$root/st0", "doc_id"))),
+      snapRoot, spark)
+    val snap0 = Sinks.readSnapshot(spark, snapRoot, Some(v0))("t")
+    val v0paths = snap0.inputFiles.map(u => new java.net.URI(u).getPath)
+    assert(v0paths.length == 2)
+    // v1: the file holding ids <= 100 is rewritten (delete 7, update 13,
+    // insert 250); the other carries forward as a hard link
+    val touched = v0paths.find { p =>
+      spark.read.parquet(p).agg(min(col("doc_id"))).head().getLong(0) <= 100L
+    }.get
+    val carryF = v0paths.filterNot(_ == touched)
+    val changes = Seq(
+      (7L, "delete", "t7"), (13L, "update", "T13-new"),
+      (250L, "insert", "t250")).toDF("doc_id", "op", "text")
+      .withColumn("seq", lit(1L))
+    val rw = Sinks.applyChangelog(spark.read.parquet(touched), changes,
+      "doc_id")
+    stage(rw.coalesce(1), s"$root/st1", carry = carryF)
+    val v1 = Sinks.publishSnapshotStaged(Map("t" -> ((s"$root/st1", "doc_id"))),
+      snapRoot, spark)
+    val diff = Sinks.versionDiff(spark, snapRoot, "t", v0, v1, "doc_id")
+    val got = diff.select("doc_id", "op", "text")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((7L, "delete", "t7"), (13L, "update", "T13-new"),
+      (250L, "insert", "t250")))
+    assert(diff.select("seq").distinct().as[Long].collect().toSeq ==
+      Seq(v1))
+    // inverse property: applying the diff to v0 reproduces v1 exactly
+    val snap1 = Sinks.readSnapshot(spark, snapRoot, Some(v1))("t")
+    val applied = Sinks.applyChangelog(snap0, diff, "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(applied ==
+      snap1.select("doc_id", "text").as[(Long, String)].collect().toSet)
+    // self-diff is empty; diffing across no change reads nothing new
+    assert(Sinks.versionDiff(spark, snapRoot, "t", v0, v0, "doc_id").isEmpty)
+    assert(Sinks.versionDiff(spark, snapRoot, "t", v1, v1, "doc_id").isEmpty)
+  }
+
+  test("expireVersions: expired reads loud, survivors' hard links intact, pointer protected") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_expire_").toString
+    val snapRoot = s"$root/snap"
+    intercept[IllegalArgumentException] {
+      Sinks.expireVersions(snapRoot, 0)
+    }
+    // three versions; v1 and v2 carry every prior file forward as links
+    def commit(ids: Range, stageDir: String, carryFrom: Option[Long]): Long = {
+      val st = java.nio.file.Paths.get(stageDir)
+      java.nio.file.Files.createDirectories(st)
+      carryFrom.foreach { v =>
+        Sinks.readSnapshot(spark, snapRoot, Some(v))("t").inputFiles
+          .map(u => new java.net.URI(u).getPath).foreach { f =>
+            java.nio.file.Files.createLink(
+              st.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f))
+          }
+      }
+      ids.map(_.toLong).toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(stageDir)
+      Sinks.publishSnapshotStaged(Map("t" -> ((stageDir, "doc_id"))),
+        snapRoot, spark)
+    }
+    val v0 = commit(1 to 10, s"$root/s0", None)
+    val v1 = commit(11 to 20, s"$root/s1", Some(v0))
+    val v2 = commit(21 to 30, s"$root/s2", Some(v1))
+    assert(Sinks.expireVersions(snapRoot, 5).isEmpty) // window wider than history
+    assert(Sinks.expireVersions(snapRoot, 2) == Seq(v0))
+    // v0 unreadable, its data dir reclaimed
+    intercept[Exception] { Sinks.readSnapshot(spark, snapRoot, Some(v0)) }
+    val dirs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(snapRoot, "t"))
+      try {
+        val b = Seq.newBuilder[String]
+        s.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b.result().filter(_.startsWith("v="))
+      } finally s.close()
+    }
+    assert(dirs.size == 2, s"expected v1+v2 dirs only, got $dirs")
+    // v1 still validates and reads ALL its rows — its own links to the
+    // inodes v0's deleted dir also referenced survive
+    assert(Sinks.readSnapshot(spark, snapRoot, Some(v1))("t")
+      .count() == 20L)
+    assert(Sinks.readSnapshot(spark, snapRoot)("t").count() == 30L)
+    // keepLast=1 expires v1 but never the pointer's version
+    assert(Sinks.expireVersions(snapRoot, 1) == Seq(v1))
+    assert(Sinks.currentVersion(snapRoot).contains(v2))
+    assert(Sinks.readSnapshot(spark, snapRoot)("t").count() == 30L)
+  }
+
   test("publishWithManifest sweeps stale staging siblings on successful publish") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_pubsweep_")

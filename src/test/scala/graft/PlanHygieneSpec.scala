@@ -57,7 +57,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s9_sharded_export",
     "s10_partitioned_export",
     "s1_textdir_scan", "s1b_jsonl_scan", "pipe_curation", "pipe_curation_incr",
-    "pipe_curation_funnel",
+    "pipe_curation_incr_lsh", "pipe_curation_funnel",
     "dd7_components", "dd8b_dedup_best", "pk1_pack", "pk1b_packed_spans",
     // sp4 runs connectedComponents' small-graph probe (edges.count +
     // driver union-find) at construction, like dd7
@@ -118,11 +118,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s13h_bloom_pruning",
     "s17_stats_compaction", "s18_snapshot_pruned_read",
     "s19_optimize_versioned", "s20_cdc_versioned_stats",
-    "s21_schema_evolution",
+    "s21_schema_evolution", "s22_version_diff", "s23_retention",
     // pipe_curation_snap commits its snapshot + stats at construction
     // and returns a Materialize-truncated frame (the scratch root is
     // reclaimed before return) — no lazy plan to audit
-    "pipe_curation_snap")
+    "pipe_curation_snap", "pipe_curation_snap_lsh")
 
   /** Deliberate, bounded cartesians: the guarded exact all-pairs baseline
     * (dd6; maxRows-required) and broadcast-scalar / broadcast-query-set
