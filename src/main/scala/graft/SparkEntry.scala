@@ -2179,6 +2179,105 @@ object SparkEntry {
     }
   }
 
+  /** STREAM_SNAPSHOT_INGEST: the streaming write path INTO the
+    * versioned lakehouse ([[graft.streaming.SnapshotIngest]]) — every
+    * micro-batch lands as one atomic snapshot version (previous files
+    * hard-linked forward + the batch's new files), per-file stats ride
+    * the same commit (sketched over the new files only, the s16c
+    * mergeable algebra), and a one-row `meta` table carrying the batch
+    * id makes replays exactly-once TRANSACTIONALLY: the dedup marker
+    * and the data share one commit, so no crash window can double- or
+    * half-ingest a batch.
+    *
+    * Documents are staged as a 4-file feed and streamed one file per
+    * micro-batch (AvailableNow). Gates: the final version is ALL of
+    * documents (count + whole-row fingerprint — the DuckDB anchor); 4
+    * versions committed (multi_batch); replaying the last committed
+    * batch id is a no-op that leaves the pointer untouched
+    * (exactly_once_replay); a reader pinned at the FIRST version still
+    * validates and holds strictly fewer rows (pinned_isolated); and the
+    * merged stats over the final version's incrementally-built stats
+    * table equal a from-scratch ANALYZE (stats_current).
+    */
+  private def streamSnapshotIngest(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Sinks, TableQuality}
+    val statCols = Seq("doc_id", "n_chars")
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ssi_")
+    try {
+      val feed = s"$root/feed"
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(feed)
+      val schema = spark.read.parquet(feed).schema
+      val stream = graft.streaming.CorpusStreams
+        .readDocStream(spark, feed, schema, maxFilesPerTrigger = 1,
+          "*.parquet")
+      val snapRoot = s"$root/snap"
+      val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.SnapshotIngest
+            .commitBatch(b, id, snapRoot, s"$root/scratch",
+              keyCol = "doc_id", statCols = statCols)
+            .foreach(v => committed.add(v))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val versions = committed.size
+      val cur = Sinks.currentVersion(snapRoot).getOrElse(
+        sys.error("stream committed no snapshot version"))
+      val snap = Sinks.readSnapshot(spark, snapRoot, Some(cur))
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n, x) = fp(snap("data"))
+      // exactly-once: replay the LAST committed batch id — no new
+      // version, pointer untouched
+      val lastId = snap("meta").agg(max(col("batch_id"))).head().getLong(0)
+      val replayNoop = graft.streaming.SnapshotIngest
+        .commitBatch(docs.limit(3), lastId, snapRoot, s"$root/scratch2",
+          keyCol = "doc_id", statCols = statCols).isEmpty &&
+        Sinks.currentVersion(snapRoot).contains(cur)
+      // pinned first version: validates, strictly fewer rows
+      val v0 = cur - (versions - 1)
+      val (n0, _) = fp(Sinks.readSnapshot(spark, snapRoot, Some(v0))("data"))
+      val pinnedOk = n0 > 0 && n0 < n
+      // incrementally-built stats ≡ from-scratch ANALYZE of the final data
+      val merged = TableQuality.mergeSketches(snap("file_stats"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val recomputed = TableQuality.tableStats(snap("data"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val statsOk = statCols.forall { c =>
+        val (mn, mnn, mndv, mmin, mmax) = merged(c)
+        val (rn, rnn, rndv, rmin, rmax) = recomputed(c)
+        mn == rn && mnn == rnn && mmin == rmin && mmax == rmax &&
+          math.abs(mndv - rndv).toDouble <= 0.1 * rndv
+      }
+      Seq((n, x,
+        if (versions == 4) 1 else 0,
+        if (replayNoop) 1 else 0,
+        if (pinnedOk) 1 else 0,
+        if (statsOk) 1 else 0))
+        .toDF("n_rows", "row_xor", "multi_batch", "exactly_once_replay",
+          "pinned_isolated", "stats_current")
+    } finally deleteRecursively(root)
+  }
+
   /** S16: per-column table statistics in one aggregate pass — the
     * ANALYZE primitive (null count, exact NDV, min/max) a cost-based
     * optimizer sizes joins with. String-rendered min/max so
@@ -6255,6 +6354,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s23_retention" -> (s23Retention(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
+    "stream_snapshot_ingest" -> (streamSnapshotIngest(_, _)),
     "s14_snapshot_publish" -> (s14SnapshotPublish(_, _)),
     "s15_cdc_apply" -> (s15CdcApply(_, _)),
     "cls1_cg_scores" -> (cls1CgScores(_, _)),
@@ -7451,6 +7551,19 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(1 AS BIGINT) AS version,
   1 AS contract_pass, 1 AS evolution_accepted,
   1 AS bad_evolution_rejected, 1 AS stats_lazy_ok
+FROM documents""",
+    // stream_snapshot_ingest: the final streamed version is ALL of
+    // documents, whole-row fingerprinted; the transactional wins
+    // (4 versions, replay no-op, pinned isolation, stats ≡ recompute)
+    // are gate literals
+    "stream_snapshot_ingest" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS row_xor,
+  1 AS multi_batch, 1 AS exactly_once_replay,
+  1 AS pinned_isolated, 1 AS stats_current
 FROM documents""",
     // s22: FULL oracle — the version diff's per-op rows are a pure
     // function of `documents` (deletes carry the original payload,

@@ -547,6 +547,32 @@ object Sinks {
           lit(vTo).as("seq")): _*)
   }
 
+  /** Committed file paths of `table` at `version` (absolute) — the
+    * metadata an appender needs to carry files forward (hard-link into
+    * its next stage) WITHOUT scanning them. The files themselves are
+    * immutable once committed (the link-forward discipline shares
+    * inodes, never rewrites); content validation belongs to the read
+    * path ([[readSnapshot]]), not to a path listing.
+    */
+  def committedFilePaths(root: String, table: String,
+      version: Option[Long] = None): Seq[String] =
+    tableFilePaths(root, table, version)
+
+  /** ONE table of a snapshot read, validated, schema inferred from its
+    * committed files — [[readSnapshotTableAs]] without the explicit
+    * schema, for callers that need a single table (an appender's meta
+    * or stats lookup) without paying [[readSnapshot]]'s
+    * every-table validation scans.
+    */
+  def readSnapshotTable(spark: org.apache.spark.sql.SparkSession,
+      root: String, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val (v, entries) = commitEntries(root, version)
+    val e = entries.find(_._1 == table).getOrElse(
+      sys.error(s"snapshot $v has no table '$table' under $root"))
+    validatedRead(spark, root, v, e._1, e._2, e._3, e._4, e._5, None)
+  }
+
   /** Committed file paths of one table at one version (absolute). */
   private def tableFilePaths(root: String, table: String,
       version: Option[Long]): Seq[String] = {

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FileSkipping, Sinks}
+
+/** EXACTLY-ONCE streaming ingest into the versioned snapshot store —
+  * the composition a production lakehouse runs all day: every
+  * micro-batch becomes ONE atomic snapshot version carrying
+  *
+  *   - `data`: the previous version's files hard-linked forward plus
+  *     the batch's new files (append is links + new bytes, never a
+  *     rewrite),
+  *   - `file_stats`: the previous stats rows verbatim plus fresh
+  *     per-file sketches over the NEW files only (the s16c mergeable
+  *     algebra — ANALYZE stays current without a rescan, and the
+  *     pruned-read/OPTIMIZE consumers see every version's stats at the
+  *     same commit as its data),
+  *   - `meta`: a one-row table holding the batch id.
+  *
+  * `meta` is what upgrades foreachBatch's native at-least-once to
+  * exactly-once: the id travels INSIDE the same atomic multi-table
+  * commit as the data, so a batch replayed after a crash between the
+  * publish and Spark's checkpoint offset commit finds its own id (or a
+  * later one) already committed and SKIPS — there is no window where
+  * data landed but the dedup marker did not. (The
+  * [[graft.streaming.CorpusStreams.writeSummaryBatch]] pattern gets
+  * this from idempotent partition overwrite; here the sink is a
+  * versioned table, so the marker rides the transaction instead.)
+  *
+  * Scale shape per batch: one validated read of the 1-row `meta` and
+  * the metadata-scale `file_stats`, hard links for every carried file,
+  * one write + one sketch pass over the BATCH's bytes. The publish
+  * itself recomputes each staged table's manifest (the s12/s14
+  * validation discipline), so the commit pays one count+fingerprint
+  * scan of the accumulated data — the price of validating what it
+  * publishes. A deployment appending to a 100 TB table swaps that for
+  * per-file manifest entries (the key fingerprint is a bit_xor — it
+  * merges file-wise exactly like the stats sketches); the read-side
+  * validation contract is unchanged.
+  *
+  * Readers pinned at any earlier version are untouched by later
+  * batches (snapshot isolation); [[graft.operators.Sinks
+  * .expireVersions]] bounds the version history a long-running stream
+  * accumulates.
+  */
+object SnapshotIngest {
+
+  /** Commit one micro-batch as a new snapshot version; None = the batch
+    * id is already committed (a replay) and nothing was written. Pass a
+    * `scratch` directory on the same filesystem as `root` (stage dirs
+    * are consumed by the publish).
+    */
+  def commitBatch(batch: DataFrame, batchId: Long, root: String,
+      scratch: String, keyCol: String = "doc_id",
+      statCols: Seq[String] = Seq("doc_id")): Option[Long] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cur = Sinks.currentVersion(root)
+    // replay guard: tolerate a root whose current version predates the
+    // ingest (no meta table yet) but NEVER swallow a validation failure
+    // — a tampered meta must stop the stream, not re-ingest
+    val last = cur.flatMap { _ =>
+      try Some(Sinks.readSnapshotTable(spark, root, "meta")
+        .agg(max(col("batch_id"))).head().getLong(0))
+      catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("has no table 'meta'") => None
+      }
+    }
+    if (last.exists(_ >= batchId)) return None
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    def nameOf(p: String): String = p.replaceAll(".*/", "")
+    val stage = java.nio.file.Paths.get(s"$scratch/b$batchId/data")
+    java.nio.file.Files.createDirectories(stage)
+    val carried = cur.toSeq.flatMap(v =>
+      Sinks.committedFilePaths(root, "data", Some(v)))
+    carried.foreach(f => java.nio.file.Files.createLink(
+      stage.resolve(nameOf(f)), java.nio.file.Paths.get(f)))
+    batch.write.mode("append").parquet(stage.toString)
+    val carriedNames = carried.map(nameOf).toSet
+    val newPaths = spark.read.parquet(stage.toString)
+      .inputFiles.map(pathOf).filterNot(p => carriedNames(nameOf(p))).toSeq
+    val newStats = FileSkipping.fileStats(
+        spark.read.schema(batch.schema).parquet(newPaths.sorted: _*),
+        statCols)
+      .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+    val stats = cur
+      .map(v => Sinks.readSnapshotTable(spark, root, "file_stats", Some(v))
+        .unionByName(newStats))
+      .getOrElse(newStats)
+    stats.coalesce(1).write.parquet(s"$scratch/b$batchId/stats")
+    Seq(batchId).toDF("batch_id").coalesce(1)
+      .write.parquet(s"$scratch/b$batchId/meta")
+    Some(Sinks.publishSnapshotStaged(Map(
+      "data" -> ((stage.toString, keyCol)),
+      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file")),
+      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id"))), root, spark))
+  }
+}

@@ -23,6 +23,7 @@ class PlanHygieneSpec extends AnyFunSuite {
   private val eager = Set(
     "stream_curation", "stream_dedup", "stream_decontam", "stream_neardup",
     "stream_ccingest", "stream_state_gate", "stream_index_append",
+    "stream_snapshot_ingest",
     // trains + collects the NB model and runs the stream at construction
     "stream_classify",
     // trains the CG ridge model and runs the stream at construction

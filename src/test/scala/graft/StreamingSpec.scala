@@ -737,4 +737,47 @@ class StreamingSpec extends AnyFunSuite {
       clean.filter(lit(false)), cs, prof, 2L)
     assert(dEmpty.n == 0L && dEmpty.drifted == 0)
   }
+
+  test("SnapshotIngest.commitBatch: versions accrete by link+append, replay is a no-op") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    import graft.streaming.SnapshotIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_ssi_spec_")
+    val snap = s"$root/snap"
+    val b0 = (1L to 50L).map(i => (i, i * 2L)).toDF("doc_id", "n_chars")
+    val b1 = (51L to 80L).map(i => (i, i * 2L)).toDF("doc_id", "n_chars")
+    val v0 = SnapshotIngest.commitBatch(b0, 0L, snap, s"$root/sc",
+      statCols = Seq("doc_id"))
+    assert(v0.contains(0L))
+    val v1 = SnapshotIngest.commitBatch(b1, 1L, snap, s"$root/sc",
+      statCols = Seq("doc_id"))
+    assert(v1.contains(1L))
+    // replays of BOTH already-committed ids are no-ops (a retry after a
+    // crash between publish and checkpoint commit, and a stale restart)
+    assert(SnapshotIngest.commitBatch(b1, 1L, snap, s"$root/sc2",
+      statCols = Seq("doc_id")).isEmpty)
+    assert(SnapshotIngest.commitBatch(b0, 0L, snap, s"$root/sc2",
+      statCols = Seq("doc_id")).isEmpty)
+    assert(Sinks.currentVersion(snap).contains(1L))
+    // v1 = union; v0 pinned intact; v0's files carried into v1 as links
+    val cur = Sinks.readSnapshot(spark, snap, Some(1L))
+    assert(cur("data").count() == 80L)
+    assert(Sinks.readSnapshot(spark, snap, Some(0L))("data").count() == 50L)
+    val v0names = Sinks.committedFilePaths(snap, "data", Some(0L))
+      .map(_.replaceAll(".*/", "")).toSet
+    val v1names = Sinks.committedFilePaths(snap, "data", Some(1L))
+      .map(_.replaceAll(".*/", "")).toSet
+    assert(v0names.subsetOf(v1names) && v1names.size > v0names.size)
+    // stats accreted: one row per (file, column) over v1's whole file set
+    val statFiles = cur("file_stats").select("__file")
+      .as[String].collect().toSet
+    assert(statFiles == v1names)
+    // the batch-id guard survives expiry of old versions
+    assert(Sinks.expireVersions(snap, 1) == Seq(0L))
+    assert(SnapshotIngest.commitBatch(b0, 1L, snap, s"$root/sc3",
+      statCols = Seq("doc_id")).isEmpty)
+    assert(SnapshotIngest.commitBatch(b0.limit(1), 2L, snap, s"$root/sc3",
+      statCols = Seq("doc_id")).contains(2L))
+    assert(Sinks.readSnapshot(spark, snap)("data").count() == 81L)
+  }
 }
