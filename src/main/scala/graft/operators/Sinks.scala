@@ -290,7 +290,8 @@ object Sinks {
     publishSnapshotCore(spark, root,
       tables.map { case (name, (df, keyCol)) =>
         name -> ((keyCol, (staging: java.nio.file.Path) =>
-          df.write.mode(SaveMode.Overwrite).parquet(staging.toString)))
+          df.write.mode(SaveMode.Overwrite).parquet(staging.toString),
+          None))
       })
   }
 
@@ -313,6 +314,40 @@ object Sinks {
     * (r13 advice).
     */
   def publishSnapshotStaged(tables: Map[String, (String, String)],
+      root: String, spark: org.apache.spark.sql.SparkSession): Long =
+    stagedPublish(tables.map { case (n, (d, k)) => n -> ((d, k, None)) },
+      root, spark)
+
+  /** An append-manifest carried contribution: the (n_rows, key_xor)
+    * already committed for the files named in `carriedNames` — see
+    * [[publishSnapshotStagedAppend]].
+    */
+  type CarriedManifest = (Long, Long, Set[String])
+
+  /** [[publishSnapshotStaged]] for APPEND-ASSEMBLED tables — the
+    * commit-cost fix a long-running ingest needs: a staged dir built as
+    * "every committed file hard-linked forward + this batch's new
+    * files" would pay a count+fingerprint scan of the WHOLE accumulated
+    * table at every publish (O(table) per batch — quadratic over a
+    * stream). The key fingerprint is a `bit_xor`, so it merges
+    * file-wise: this variant computes the manifest as the carried
+    * files' ALREADY-COMMITTED (n, xor) ([[commitManifest]]) combined
+    * with a scan of ONLY the files not named in `carriedNames` —
+    * O(batch bytes) per commit. Sound because carried files are
+    * immutable inodes whose contribution was validated when THEIR
+    * commit published (the trust chains commit-to-commit, like an
+    * Iceberg manifest list); the read side ([[readSnapshot]]) still
+    * revalidates the whole table against the merged manifest, so any
+    * break in the chain fails loudly at first read. Tables with
+    * `carried = None` validate by full scan exactly as before.
+    */
+  def publishSnapshotStagedAppend(
+      tables: Map[String, (String, String, Option[CarriedManifest])],
+      root: String, spark: org.apache.spark.sql.SparkSession): Long =
+    stagedPublish(tables, root, spark)
+
+  private def stagedPublish(
+      tables: Map[String, (String, String, Option[CarriedManifest])],
       root: String, spark: org.apache.spark.sql.SparkSession): Long = {
     require(tables.nonEmpty, "publishSnapshotStaged: no tables")
     // srcDir -> the attempt's .staging path its bytes were moved into;
@@ -320,12 +355,12 @@ object Sinks {
     // so restore from whichever of the two exists
     val moved = scala.collection.mutable.Map.empty[String, java.nio.file.Path]
     try publishSnapshotCore(spark, root,
-      tables.map { case (name, (srcDir, keyCol)) =>
+      tables.map { case (name, (srcDir, keyCol, carried)) =>
         name -> ((keyCol, (staging: java.nio.file.Path) => {
           java.nio.file.Files.move(java.nio.file.Paths.get(srcDir), staging,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           moved.synchronized { moved(srcDir) = staging }
-        }))
+        }, carried))
       })
     catch {
       case e: Throwable =>
@@ -343,6 +378,17 @@ object Sinks {
     }
   }
 
+  /** The committed (n_rows, key_xor) of one table — the carried
+    * contribution an append publish merges with its new files' scan.
+    */
+  def commitManifest(root: String, table: String,
+      version: Option[Long] = None): (Long, Long) = {
+    val (v, entries) = commitEntries(root, version)
+    val e = entries.find(_._1 == table).getOrElse(
+      sys.error(s"snapshot $v has no table '$table' under $root"))
+    (e._2, e._3)
+  }
+
   /** Shared commit machinery for [[publishSnapshot]] /
     * [[publishSnapshotStaged]]: per-table `stage` lands the bytes in the
     * attempt's `.staging` path (Spark write or atomic dir move); then —
@@ -352,7 +398,8 @@ object Sinks {
     */
   private def publishSnapshotCore(spark: org.apache.spark.sql.SparkSession,
       root: String,
-      tables: Map[String, (String, java.nio.file.Path => Unit)]): Long = {
+      tables: Map[String, (String, java.nio.file.Path => Unit,
+        Option[CarriedManifest])]): Long = {
     val rootP = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(rootP.resolve("_commits"))
     // next version = past the pointer AND past every commit file: a crash
@@ -381,21 +428,37 @@ object Sinks {
     // below is the only arbiter, and a loser/crash leaves only an inert
     // uniquely-named orphan
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val entries = tables.toSeq.sortBy(_._1).map { case (name, (keyCol, stage)) =>
-      require(name.matches("[A-Za-z0-9_]+"), s"table name: $name")
-      val attempt = s"$name/v=$v-$nonce"
-      val staging = rootP.resolve(s"$attempt.staging")
-      val finalDir = rootP.resolve(attempt)
-      java.nio.file.Files.createDirectories(staging.getParent)
-      stage(staging)
-      val m = spark.read.parquet(staging.toString)
-        .agg(count(lit(1)).cast("long").as("n"),
-          expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)").as("x"))
-        .head()
-      java.nio.file.Files.move(staging, finalDir,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      s""""$name":{"n_rows":${m.getLong(0)},"key_xor":${m.getLong(1)},""" +
-        s""""key_col":"$keyCol","path":"$attempt"}"""
+    val entries = tables.toSeq.sortBy(_._1).map {
+      case (name, (keyCol, stage, carried)) =>
+        require(name.matches("[A-Za-z0-9_]+"), s"table name: $name")
+        val attempt = s"$name/v=$v-$nonce"
+        val staging = rootP.resolve(s"$attempt.staging")
+        val finalDir = rootP.resolve(attempt)
+        java.nio.file.Files.createDirectories(staging.getParent)
+        stage(staging)
+        def scanManifest(paths: Seq[String]): (Long, Long) =
+          if (paths.isEmpty) (0L, 0L)
+          else {
+            val r = spark.read.parquet(paths.sorted: _*)
+              .agg(count(lit(1)).cast("long").as("n"),
+                expr(s"coalesce(bit_xor(${keyFingerprintSql(keyCol)}), 0)")
+                  .as("x")).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        val (n, x) = carried match {
+          case None => scanManifest(Seq(staging.toString))
+          case Some((nPrev, xPrev, carriedNames)) =>
+            // append manifest: carried files contribute their committed
+            // (n, xor) without a rescan; only the new files are scanned
+            val newFiles = parquetFilesIn(staging)
+              .filterNot(p => carriedNames(p.replaceAll(".*/", "")))
+            val (nNew, xNew) = scanManifest(newFiles)
+            (nPrev + nNew, xPrev ^ xNew)
+        }
+        java.nio.file.Files.move(staging, finalDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        s""""$name":{"n_rows":$n,"key_xor":$x,""" +
+          s""""key_col":"$keyCol","path":"$attempt"}"""
     }
     val commit = s"""{"version":$v,"tables":{${entries.mkString(",")}}}"""
     // the arbiter must be CREATE-EXCLUSIVE: POSIX rename(2) — what
@@ -579,7 +642,11 @@ object Sinks {
     val (_, entries) = commitEntries(root, version)
     val e = entries.find(_._1 == table).getOrElse(sys.error(
       s"snapshot has no table '$table' under $root"))
-    val dir = java.nio.file.Paths.get(root, e._5)
+    parquetFilesIn(java.nio.file.Paths.get(root, e._5))
+  }
+
+  /** The data files of one flat table dir (part files only). */
+  private def parquetFilesIn(dir: java.nio.file.Path): Seq[String] = {
     val s = java.nio.file.Files.list(dir)
     try {
       val b = Seq.newBuilder[String]

@@ -31,14 +31,15 @@ import graft.operators.{FileSkipping, Sinks}
   *
   * Scale shape per batch: one validated read of the 1-row `meta` and
   * the metadata-scale `file_stats`, hard links for every carried file,
-  * one write + one sketch pass over the BATCH's bytes. The publish
-  * itself recomputes each staged table's manifest (the s12/s14
-  * validation discipline), so the commit pays one count+fingerprint
-  * scan of the accumulated data — the price of validating what it
-  * publishes. A deployment appending to a 100 TB table swaps that for
-  * per-file manifest entries (the key fingerprint is a bit_xor — it
-  * merges file-wise exactly like the stats sketches); the read-side
-  * validation contract is unchanged.
+  * one write + one sketch pass + one manifest scan over the BATCH's
+  * bytes ONLY — the data table publishes through
+  * [[graft.operators.Sinks.publishSnapshotStagedAppend]], whose merged
+  * manifest (committed carried (n, xor) ⊕ new-files scan; the key
+  * fingerprint is a bit_xor, so it merges file-wise exactly like the
+  * stats sketches) keeps the per-commit cost FLAT as the table grows.
+  * The read side still revalidates the whole table against the merged
+  * manifest, so any break in the commit-to-commit trust chain fails
+  * loudly at first read.
   *
   * Readers pinned at any earlier version are untouched by later
   * batches (snapshot isolation); [[graft.operators.Sinks
@@ -94,9 +95,19 @@ object SnapshotIngest {
     stats.coalesce(1).write.parquet(s"$scratch/b$batchId/stats")
     Seq(batchId).toDF("batch_id").coalesce(1)
       .write.parquet(s"$scratch/b$batchId/meta")
-    Some(Sinks.publishSnapshotStaged(Map(
-      "data" -> ((stage.toString, keyCol)),
-      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file")),
-      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id"))), root, spark))
+    // append-manifest publish: the carried files' (n, xor) comes from
+    // their own committed manifest (bit_xor merges file-wise), so the
+    // commit scans ONLY this batch's bytes — per-batch cost stays flat
+    // as the table grows; the read side still revalidates the whole
+    // table against the merged manifest
+    val carriedManifest = cur.map { v =>
+      val (nPrev, xPrev) = Sinks.commitManifest(root, "data", Some(v))
+      (nPrev, xPrev, carriedNames)
+    }
+    Some(Sinks.publishSnapshotStagedAppend(Map(
+      "data" -> ((stage.toString, keyCol, carriedManifest)),
+      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file", None)),
+      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id", None))),
+      root, spark))
   }
 }

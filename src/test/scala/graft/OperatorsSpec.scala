@@ -812,6 +812,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sinks.readSnapshot(spark, snapRoot, Some(0L))("t").count() == 300L)
   }
 
+  test("publishSnapshotStagedAppend: merged manifest == full recompute; a wrong carried manifest fails at read") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_appub_").toString
+    val snap = s"$root/snap"
+    // v0: full-scan publish
+    (1L to 100L).toDF("doc_id").coalesce(1)
+      .write.parquet(s"$root/st0")
+    val v0 = Sinks.publishSnapshotStaged(Map("t" -> ((s"$root/st0", "doc_id"))),
+      snap, spark)
+    val (n0, x0) = Sinks.commitManifest(snap, "t", Some(v0))
+    assert(n0 == 100L)
+    // v1: carried links + 50 new rows, published with the MERGED manifest
+    // (only the new file is scanned)
+    val carried = Sinks.committedFilePaths(snap, "t", Some(v0))
+    val st1 = java.nio.file.Paths.get(s"$root/st1")
+    java.nio.file.Files.createDirectories(st1)
+    carried.foreach(f => java.nio.file.Files.createLink(
+      st1.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f)))
+    (101L to 150L).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(st1.toString)
+    val carriedNames = carried.map(_.replaceAll(".*/", "")).toSet
+    val v1 = Sinks.publishSnapshotStagedAppend(Map(
+      "t" -> ((st1.toString, "doc_id", Some((n0, x0, carriedNames))))),
+      snap, spark)
+    // the read revalidates the WHOLE table against the merged manifest —
+    // success here means merge == full recompute
+    assert(Sinks.readSnapshot(spark, snap, Some(v1))("t").count() == 150L)
+    val (n1, _) = Sinks.commitManifest(snap, "t", Some(v1))
+    assert(n1 == 150L)
+    // a LYING carried manifest commits (the publish trusts the chain)
+    // but the first validating read fails loudly
+    val st2 = java.nio.file.Paths.get(s"$root/st2")
+    java.nio.file.Files.createDirectories(st2)
+    Sinks.committedFilePaths(snap, "t", Some(v1)).foreach(f =>
+      java.nio.file.Files.createLink(
+        st2.resolve(f.replaceAll(".*/", "")), java.nio.file.Paths.get(f)))
+    val v2 = Sinks.publishSnapshotStagedAppend(Map(
+      "t" -> ((st2.toString, "doc_id",
+        Some((n1 + 7, 12345L, carriedNames))))), snap, spark)
+    intercept[IllegalArgumentException] {
+      Sinks.readSnapshot(spark, snap, Some(v2))
+    }
+    // earlier versions stay readable — the bad commit is isolated
+    assert(Sinks.readSnapshot(spark, snap, Some(v1))("t").count() == 150L)
+  }
+
   test("versionDiff: inverse of applyChangelog; shared inodes never read; self-diff empty") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_vdiff_").toString
