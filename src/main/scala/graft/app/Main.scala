@@ -46,7 +46,7 @@ object Main {
           "[--tx-bertscore [--weights CKPT.safetensors]]\n" +
           "       graft demo --docs PATH [--doc-id N]\n" +
           "       graft curate --docs PATH --out DIR [--langs en,..] " +
-          "[--min-stopword-ratio X] [--jaccard X] [--write-corpus] " +
+          "[--min-stopword-ratio X] [--jaccard X] [--lsh] [--write-corpus] " +
           "[--existing CURATED_PATH] [--funnel]\n" +
           "       graft prep --docs PATH --out DIR [--normalize] " +
           "[--benchmark PATH [--decontam-mode drop|span]] [--ngram N] " +
@@ -687,6 +687,9 @@ object Main {
       val minTok = opts.get("min-tokens").map(_.toLong).getOrElse(5L)
       val maxPunct = opts.get("max-punct-ratio").map(_.toDouble).getOrElse(0.30)
       val jac = opts.get("jaccard").map(_.toDouble).getOrElse(0.5)
+      // --lsh: MinHash-LSH -> verify near-dup stage (the 100 TB operating
+      // point; identical output when banding recall is 1.0 on the corpus)
+      val lsh = opts.contains("lsh")
       // --existing <curated docs>: the daily-increment form — curate only
       // the new batch against the already-curated corpus
       val wantFunnel = opts.contains("funnel")
@@ -700,7 +703,8 @@ object Main {
             keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
             maxPunctRatio = maxPunct, jaccardThreshold = jac,
             existingShingles = opts.get("existing-shingles")
-              .map(spark.read.parquet(_)))
+              .map(spark.read.parquet(_)),
+            lshPrefilter = lsh)
         }
         case None if wantFunnel => timed("curate+funnel") {
           // one pass: the funnel reads the same persisted intermediates,
@@ -708,7 +712,8 @@ object Main {
           val (curated, funnel) = graft.operators.Curation.curateWithFunnel(
             docs,
             keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
-            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+            maxPunctRatio = maxPunct, jaccardThreshold = jac,
+            lshPrefilter = lsh)
           funnelRow = Some(funnel.head())
           curated
         }
@@ -716,7 +721,8 @@ object Main {
           graft.operators.Curation.curate(
             docs,
             keepLangs = langs, minStopwordRatio = minStop, minTokens = minTok,
-            maxPunctRatio = maxPunct, jaccardThreshold = jac)
+            maxPunctRatio = maxPunct, jaccardThreshold = jac,
+            lshPrefilter = lsh)
         }
       }
       timed("write curated")(kept.write.mode("overwrite").parquet(s"$out/curated"))

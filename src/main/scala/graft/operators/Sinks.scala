@@ -576,10 +576,14 @@ object Sinks {
     val shared = fromKeys.map(_._2).toSet intersect toKeys.map(_._2).toSet
     val fromDelta = fromKeys.collect { case (p, k) if !shared(k) => p }
     val toDelta = toKeys.collect { case (p, k) if !shared(k) => p }
-    // schema from the vTo side (the evolution-forward direction); vFrom
-    // files read under it fill absent columns with null, so an ADD
-    // COLUMN evolution diffs as updates on rows whose new column is set
-    val schema = spark.read.parquet(toPaths: _*).schema
+    // schema from the vTo side (the evolution-forward direction), MERGED
+    // across its files — a version whose lifetime crossed an ADD COLUMN
+    // evolution (s21) holds pre- and post-evolution files, and the
+    // default single-footer inference could miss the new column; files
+    // read under the merged schema fill absent columns with null, so an
+    // evolution diffs as updates on rows whose new column is set
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(toPaths: _*).schema
     def readDelta(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(

@@ -310,6 +310,13 @@ class AppSpec extends AnyFunSuite {
     assert(stats.select("doc_id").as[Long].collect().toSet == Set(1L)) // 2 near-dup, 3 German
     val corpus = spark.read.parquet(s"$out/corpus")
     assert(corpus.count() == 1 && corpus.columns.contains("text"))
+    // --lsh routes the near-dup stage through MinHash banding and must
+    // curate identically here (recall 1.0 on this corpus)
+    val outLsh = tmpDir("graft_cur_lsh_out")
+    graft.app.Main.main(Array(
+      "curate", "--docs", s"$dir/docs", "--out", outLsh, "--lsh"))
+    assert(spark.read.parquet(s"$outLsh/curated")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
   test("CLI prep: normalize + decontaminate + split + layout + order tables") {
