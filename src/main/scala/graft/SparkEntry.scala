@@ -3346,6 +3346,91 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S24: OPTIMISTIC CONCURRENT MERGE — the multi-writer commit
+    * protocol ([[graft.operators.Sinks.commitChangelogOptimistic]]):
+    * writers A and B both read base version v0; A commits first; B,
+    * now stale, REBASES — the intervening net change is s22's
+    * versionDiff and B's keys are disjoint, so B re-applies on A's
+    * version and both writers' ops survive. Writer C's changelog
+    * overlaps A's committed keys: the key-granular serializable rule
+    * aborts it loudly (upsert semantics would have silently clobbered
+    * A's update).
+    *
+    * Deterministic bands on `documents`: A updates `doc_id%7=3` in the
+    * low quarter (lang→'xx', n_chars+1000), B deletes `doc_id%11=0` in
+    * the top quarter — disjoint by construction; C re-updates one of
+    * A's keys. FULL oracle: the final table is documents with A's
+    * updates applied and B's deletes removed (count + whole-row
+    * fingerprint in DuckDB); gates: the rebased result ≡ an independent
+    * sequential apply(apply(v0,A),B), C aborts, and the version chain
+    * is exactly v0+2.
+    */
+  private def s24OptimisticMerge(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.Sinks
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s24_")
+    try {
+      val snapRoot = s"$root/snap"
+      val v0 = Sinks.publishSnapshot(Map("data" -> ((docs, "doc_id"))),
+        snapRoot)
+      val chA = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 3L && col("doc_id") * 4 <= m)
+        .select(col("doc_id"), lit("update").as("op"),
+          lit("xx").as("lang"), (col("n_chars") + 1000L).as("n_chars"))
+        .withColumn("seq", lit(1L))
+      val chB = docs
+        .filter(pmod(col("doc_id"), lit(11L)) === 0L &&
+          col("doc_id") * 4 > 3 * m)
+        .select(col("doc_id"), lit("delete").as("op"),
+          col("lang"), col("n_chars"))
+        .withColumn("seq", lit(1L))
+      // A commits from v0
+      val v1 = Sinks.commitChangelogOptimistic(spark, snapRoot, chA,
+        "doc_id", baseVersion = v0)
+      // B commits from the SAME stale base v0 — must rebase through
+      // A's committed diff and land on top of it
+      val v2 = Sinks.commitChangelogOptimistic(spark, snapRoot, chB,
+        "doc_id", baseVersion = v0)
+      // C overlaps A's committed keys — must abort loudly
+      val aKey = chA.agg(min(col("doc_id"))).head().getLong(0)
+      val chC = Seq((aKey, "update", "yy", 1L, 2L))
+        .toDF("doc_id", "op", "lang", "n_chars", "seq")
+      val conflictAborts =
+        try {
+          Sinks.commitChangelogOptimistic(spark, snapRoot, chC,
+            "doc_id", baseVersion = v0)
+          false
+        } catch {
+          case e: RuntimeException
+              if e.getMessage != null &&
+                e.getMessage.contains("conflicting concurrent commit") =>
+            true
+        }
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (n, x) = fp(Sinks.readSnapshot(spark, snapRoot, Some(v2))("data"))
+      val (nSeq, xSeq) = fp(Sinks.applyChangelog(
+        Sinks.applyChangelog(docs, chA, "doc_id"), chB, "doc_id"))
+      Seq((n, x,
+        if (n == nSeq && x == xSeq) 1 else 0,
+        if (conflictAborts) 1 else 0,
+        if (v1 == v0 + 1 && v2 == v0 + 2 &&
+          Sinks.currentVersion(snapRoot).contains(v2)) 1 else 0))
+        .toDF("n_rows", "row_xor", "rebase_merged_both", "conflict_aborts",
+          "version_chain_exact")
+    } finally deleteRecursively(root)
+  }
+
   /** S23: RETENTION — [[graft.operators.Sinks.expireVersions]] closes
     * the version lifecycle: three committed versions of a documents
     * slice (each carrying the previous version's files FORWARD as hard
@@ -6352,6 +6437,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s21_schema_evolution" -> (s21SchemaEvolution(_, _)),
     "s22_version_diff" -> (s22VersionDiff(_, _)),
     "s23_retention" -> (s23Retention(_, _)),
+    "s24_optimistic_merge" -> (s24OptimisticMerge(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "stream_snapshot_ingest" -> (streamSnapshotIngest(_, _)),
@@ -7589,6 +7675,27 @@ SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS payload_xor,
   1 AS roundtrip_ok, 1 AS delta_files_skipped, 1 AS self_diff_empty
 FROM ops GROUP BY op ORDER BY op""",
+    // s24: FULL oracle — the serializable two-writer outcome is
+    // documents with A's band updates and B's band deletes, whatever
+    // order the commits landed; rebase/abort/chain wins are gate
+    // literals
+    "s24_optimistic_merge" -> """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+final AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 3 AND doc_id * 4 <= m THEN 'xx'
+         ELSE lang END AS lang,
+    CASE WHEN doc_id % 7 = 3 AND doc_id * 4 <= m THEN n_chars + 1000
+         ELSE n_chars END AS n_chars
+  FROM documents, mx
+  WHERE NOT (doc_id % 11 = 0 AND doc_id * 4 > 3 * m))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS row_xor,
+  1 AS rebase_merged_both, 1 AS conflict_aborts, 1 AS version_chain_exact
+FROM final""",
     // s23: the post-expiry current read is the full three-band union =
     // all of documents (count + doc_id fingerprint); every lifecycle
     // win (exact expiry set, loud expired read, reclaimed dirs,

@@ -614,6 +614,67 @@ object Sinks {
           lit(vTo).as("seq")): _*)
   }
 
+  /** OPTIMISTIC CONCURRENT MERGE — the multi-writer commit protocol on
+    * top of the snapshot chain: apply `changes` against the table as
+    * read at `baseVersion` and commit as the next version; when OTHER
+    * commits landed since the writer's base, REBASE instead of failing
+    * blindly — the intervening net change is [[versionDiff]], and the
+    * Delta/Iceberg serializable-writer rule applies at KEY granularity:
+    *
+    *   - intervening diff keys ∩ this writer's changed keys = ∅ →
+    *     re-apply on the current version and commit (both writers' ops
+    *     survive, any landing order);
+    *   - overlap → abort LOUDLY. Upsert semantics would otherwise let
+    *     the later writer silently clobber the earlier one's committed
+    *     update — write-write conflicts on a key are a user decision,
+    *     not a tiebreak.
+    *
+    * A writer that loses the commit-link ARBITER race (its chosen
+    * version taken between its read and its publish) retries the whole
+    * read-check-apply loop up to `maxRetries` times — each retry
+    * re-runs conflict detection against the newly-landed commits, so
+    * the final history is serializable however the race lands
+    * (OperatorsSpec pins the three-writer matrix).
+    *
+    * The committed version carries ONLY `table` (the rewrite-publish
+    * form — roots used with this protocol hold one logical table; the
+    * file-granular composed form is the s20 gate's shape). Changed-key
+    * extraction is one distinct projection of the changelog; conflict
+    * detection is a semi-join against the diff of the (delta) files —
+    * metadata + changed bytes, never a table scan.
+    */
+  def commitChangelogOptimistic(spark: org.apache.spark.sql.SparkSession,
+      root: String, changes: DataFrame, keyCol: String, baseVersion: Long,
+      table: String = "data", maxRetries: Int = 3): Long = {
+    var base = baseVersion
+    var retries = 0
+    while (true) {
+      val cur = currentVersion(root).getOrElse(
+        sys.error(s"no committed snapshot under $root"))
+      if (cur != base) {
+        val overlap = versionDiff(spark, root, table, base, cur, keyCol)
+          .select(col(keyCol))
+          .join(changes.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_semi")
+          .limit(1).count()
+        if (overlap > 0) sys.error(
+          s"conflicting concurrent commit between v$base and v$cur: " +
+            s"another writer changed keys this changelog also changes " +
+            s"($keyCol); rebase refused")
+        base = cur
+      }
+      val applied = applyChangelog(
+        readSnapshotTable(spark, root, table, Some(base)), changes, keyCol)
+      try return publishSnapshot(Map(table -> ((applied, keyCol))), root)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Committed file paths of `table` at `version` (absolute) — the
     * metadata an appender needs to carry files forward (hard-link into
     * its next stage) WITHOUT scanning them. The files themselves are

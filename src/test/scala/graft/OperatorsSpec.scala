@@ -919,6 +919,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sinks.versionDiff(spark, snapRoot, "t", v1, v1, "doc_id").isEmpty)
   }
 
+  test("commitChangelogOptimistic: fresh commit, disjoint rebase, overlap abort") {
+    import graft.operators.Sinks
+    val root = java.nio.file.Files.createTempDirectory("graft_ocm_").toString
+    val snap = s"$root/snap"
+    val base = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val v0 = Sinks.publishSnapshot(Map("data" -> ((base, "doc_id"))), snap)
+    val chA = Seq((3L, "update", "A3"), (5L, "delete", ""),
+      (200L, "insert", "A200")).toDF("doc_id", "op", "text")
+      .withColumn("seq", lit(1L))
+    val chB = Seq((50L, "update", "B50"), (60L, "delete", ""))
+      .toDF("doc_id", "op", "text").withColumn("seq", lit(1L))
+    // A: base is current — plain apply-and-commit
+    val v1 = Sinks.commitChangelogOptimistic(spark, snap, chA, "doc_id", v0)
+    assert(v1 == v0 + 1)
+    // B from the STALE base v0: keys disjoint from A's diff → rebases,
+    // both writers' ops in the final table
+    val v2 = Sinks.commitChangelogOptimistic(spark, snap, chB, "doc_id", v0)
+    assert(v2 == v0 + 2)
+    val got = Sinks.readSnapshot(spark, snap, Some(v2))("data")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(3L) == "A3" && got(200L) == "A200" && got(50L) == "B50")
+    assert(!got.contains(5L) && !got.contains(60L) && got.size == 99)
+    // C from v0 touches key 3 (A updated it) and key 70 (untouched):
+    // one overlapping key aborts the WHOLE changelog
+    val chC = Seq((3L, "update", "C3"), (70L, "update", "C70"))
+      .toDF("doc_id", "op", "text").withColumn("seq", lit(1L))
+    val e = intercept[RuntimeException] {
+      Sinks.commitChangelogOptimistic(spark, snap, chC, "doc_id", v0)
+    }
+    assert(e.getMessage.contains("conflicting concurrent commit"))
+    // nothing committed by the abort; a retry from the CURRENT version
+    // succeeds (the user-level resolution path)
+    assert(Sinks.currentVersion(snap).contains(v2))
+    val v3 = Sinks.commitChangelogOptimistic(spark, snap, chC, "doc_id", v2)
+    assert(v3 == v2 + 1)
+    assert(Sinks.readSnapshot(spark, snap)("data")
+      .filter(col("doc_id").isin(3L, 70L))
+      .select("text").as[String].collect().toSet == Set("C3", "C70"))
+  }
+
   test("expireVersions: expired reads loud, survivors' hard links intact, pointer protected") {
     import graft.operators.Sinks
     val root = java.nio.file.Files.createTempDirectory("graft_expire_").toString
