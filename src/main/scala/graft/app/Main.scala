@@ -79,7 +79,9 @@ object Main {
           "       graft snapshot --root DIR (--publish name=dir:key,.. |" +
           " --read name [--out DIR] [--version N] |\n" +
           "          --diff table --from N --to M [--key K] [--out DIR] |" +
-          " --expire KEEP | --vacuum | --current)\n" +
+          " --expire KEEP |\n" +
+          "          --ingest FEED_DIR [--key K] [--stat-cols a,b] |" +
+          " --optimize a,b [--files K] | --vacuum | --current)\n" +
           "         (versioned multi-table commits: --publish MOVES staged" +
           " dirs in atomically; --read validates count+fingerprint" +
           " against the commit before serving)")
@@ -387,6 +389,141 @@ object Main {
         println(s"[graft] expired ${expired.size} version(s)" +
           (if (expired.nonEmpty) ": " + expired.mkString(", ") else "") +
           s"; current ${Sinks.currentVersion(root).getOrElse("-")}")
+      } else if (opts.contains("ingest")) {
+        // EXACTLY-ONCE versioned ingest from a parquet feed dir: every
+        // micro-batch commits as one snapshot version (data + per-file
+        // stats + batch-id meta in one atomic publish). The stream
+        // checkpoint lives under the root, so re-running the command
+        // picks up only NEW feed files; a replayed batch id is a no-op
+        // even across checkpoint loss (the meta guard).
+        val feed = opts("ingest")
+        val key = opts.getOrElse("key", "doc_id")
+        val statCols = opts.get("stat-cols")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(Seq(key))
+        val perBatch = opts.get("files-per-batch").map(_.toInt).getOrElse(1)
+        val schema = spark.read.parquet(feed).schema
+        val stream = graft.streaming.CorpusStreams
+          .readDocStream(spark, feed, schema, perBatch, "*.parquet")
+        val scratch = s"$root/.ingest-scratch"
+        val before = Sinks.currentVersion(root)
+        val committed = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/_ingest_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.streaming.SnapshotIngest
+              .commitBatch(b, id, root, scratch, key, statCols)
+              .foreach(_ => committed.incrementAndGet())
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        deleteTreeIfExists(java.nio.file.Paths.get(scratch))
+        println(s"[graft] ingested ${committed.get()} batch version(s) " +
+          s"from $feed; version ${before.getOrElse("-")} -> " +
+          s"${Sinks.currentVersion(root).getOrElse("-")}")
+      } else if (opts.contains("optimize")) {
+        // nightly OPTIMIZE on a LIVE snapshot root (the s19 loop as a
+        // command): degraded files detected from the CURRENT version's
+        // committed file_stats, only they rewrite Hilbert-clustered,
+        // carried files hard-link, their stats rows carry verbatim and
+        // the rewritten files' rows are replaced — committed as the
+        // next version. Other tables of the commit (e.g. an ingest's
+        // batch-id meta) carry forward at ZERO scan cost via the
+        // append-manifest publish. Readers pinned at the old version
+        // are untouched; the data table revalidates by full scan at
+        // publish (maintenance validates what it rewrote).
+        val cols = opts("optimize").split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty)
+        require(cols.length == 2,
+          s"--optimize needs exactly two long columns: ${opts("optimize")}")
+        import graft.operators.FileSkipping
+        val cur = Sinks.currentVersion(root).getOrElse(
+          sys.error(s"no committed snapshot under $root"))
+        val info = Sinks.commitTableInfo(root, Some(cur))
+        val dataKey = info.find(_._1 == "data").map(_._4).getOrElse(
+          sys.error(s"snapshot $cur has no 'data' table"))
+        require(info.exists(_._1 == "file_stats"),
+          s"snapshot $cur has no 'file_stats' table — " +
+            "OPTIMIZE decides from committed stats")
+        val data = Sinks.readSnapshotTable(spark, root, "data", Some(cur))
+        val stats = Sinks.readSnapshotTable(spark, root, "file_stats",
+          Some(cur))
+        val r = data.agg(min(col(cols(0))).cast("long"),
+          max(col(cols(0))).cast("long"),
+          min(col(cols(1))).cast("long"),
+          max(col(cols(1))).cast("long")).head()
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"snapshot optimize: data is empty or ${cols.mkString("/")} " +
+            "all-null — nothing to cluster")
+        val (aLo, aHi, bLo, bHi) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val planeArea = (aHi - aLo + 1).toDouble * (bHi - bLo + 1).toDouble
+        val detected = FileSkipping
+          .detectUnclustered(stats, cols(0), cols(1), planeArea)
+          .select(col("__file").cast("string")).collect()
+          .map(_.getString(0)).toSet
+        if (detected.isEmpty)
+          println(s"[graft] snapshot optimize: no degraded files at " +
+            s"version $cur — nothing to do")
+        else {
+          def nameOf(p: String): String = p.replaceAll(".*/", "")
+          val paths = Sinks.committedFilePaths(root, "data", Some(cur))
+          val detectedPaths = paths.filter(p => detected(nameOf(p)))
+          val carryPaths = paths.filterNot(p => detected(nameOf(p)))
+          val nonce = java.util.UUID.randomUUID().toString.take(8)
+          val scratch = java.nio.file.Paths.get(s"$root/.opt-$nonce")
+          java.nio.file.Files.createDirectories(scratch)
+          try {
+            val k = opts.get("files").map(_.toInt).getOrElse(4)
+            graft.operators.ZOrder.writeHilbert(
+              spark.read.schema(data.schema)
+                .parquet(detectedPaths.sorted: _*),
+              cols(0), cols(1), aLo, aHi, bLo, bHi, s"$scratch/opt", k)
+            val optPaths = spark.read.parquet(s"$scratch/opt")
+              .inputFiles.map(u => new java.net.URI(u).getPath).toSeq
+            val stage = scratch.resolve("data")
+            java.nio.file.Files.createDirectories(stage)
+            (carryPaths ++ optPaths).foreach { f =>
+              java.nio.file.Files.createLink(stage.resolve(nameOf(f)),
+                java.nio.file.Paths.get(f))
+            }
+            // stat columns self-describe from the committed stats schema
+            val statCols = stats.columns.toSeq.collect {
+              case c if c.startsWith("__min_") => c.stripPrefix("__min_")
+            }
+            stats.filter(!col("__file").isin(detected.toSeq: _*))
+              .unionByName(FileSkipping.fileStats(
+                  spark.read.schema(data.schema)
+                    .parquet(optPaths.sorted: _*), statCols)
+                .withColumn("__file",
+                  regexp_extract(col("__file"), "[^/]+$", 0)))
+              .coalesce(1).write.parquet(s"$scratch/stats")
+            // other tables (ingest meta, ...) carry forward at zero
+            // scan cost: full-carry append manifest
+            val others = info.filterNot(t =>
+              t._1 == "data" || t._1 == "file_stats").map {
+              case (name, n, x, kc) =>
+                val tPaths = Sinks.committedFilePaths(root, name, Some(cur))
+                val tStage = scratch.resolve(name)
+                java.nio.file.Files.createDirectories(tStage)
+                tPaths.foreach { f =>
+                  java.nio.file.Files.createLink(tStage.resolve(nameOf(f)),
+                    java.nio.file.Paths.get(f))
+                }
+                name -> ((tStage.toString, kc,
+                  Some((n, x, tPaths.map(nameOf).toSet))))
+            }.toMap
+            val v = Sinks.publishSnapshotStagedAppend(others ++ Map(
+              "data" -> ((stage.toString, dataKey, None)),
+              "file_stats" -> ((s"$scratch/stats", "__file", None))),
+              root, spark)
+            println(s"[graft] snapshot optimize: ${detectedPaths.size} " +
+              s"degraded file(s) re-clustered (${carryPaths.size} " +
+              s"carried) -> version $v")
+          } finally deleteTreeIfExists(scratch)
+        }
       } else if (opts.contains("vacuum")) {
         val swept = Sinks.vacuumUncommitted(root)
         println(s"[graft] vacuumed ${swept.size} uncommitted attempt " +
@@ -396,7 +533,8 @@ object Main {
           .map(v => s"[graft] current version: $v")
           .getOrElse("[graft] no committed snapshot"))
       } else sys.error(
-        "snapshot: need --publish, --read, --diff, --expire, --vacuum or --current")
+        "snapshot: need --publish, --read, --diff, --expire, --ingest, " +
+        "--optimize, --vacuum or --current")
     } finally if (owned) spark.stop()
   }
 

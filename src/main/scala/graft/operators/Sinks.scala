@@ -389,6 +389,14 @@ object Sinks {
     (e._2, e._3)
   }
 
+  /** Every table entry of a commit as (name, n_rows, key_xor, key_col) —
+    * the metadata a maintenance command needs to rewrite SOME tables of
+    * a version while carrying the rest forward untouched.
+    */
+  def commitTableInfo(root: String, version: Option[Long] = None)
+      : Seq[(String, Long, Long, String)] =
+    commitEntries(root, version)._2.map(e => (e._1, e._2, e._3, e._4))
+
   /** Shared commit machinery for [[publishSnapshot]] /
     * [[publishSnapshotStaged]]: per-table `stage` lands the bytes in the
     * attempt's `.staging` path (Spark write or atomic dir move); then —

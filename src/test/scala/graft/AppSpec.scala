@@ -110,6 +110,60 @@ class AppSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(orphan))
   }
 
+  test("CLI snapshot --ingest / --optimize: versioned feed ingest, then live-table maintenance") {
+    val root = tmpDir("graft_snapingest")
+    val n = 4096
+    val rows = Seq.tabulate(n)(i =>
+      (i.toLong, (i.toLong * 2654435761L) % n)).toDF("a", "b")
+    // a 5-file feed: a 4-tile Hilbert base (cov ~0.25 each) + one
+    // plane-spanning unsorted drop (cov ~1) — comfortably either side
+    // of the adaptive detection cutoff
+    graft.operators.ZOrder.writeHilbert(rows,
+      "a", "b", 0, n - 1, 0, n - 1, s"$root/feed", numFiles = 4)
+    rows.filter(col("a") % 5 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$root/feed")
+    // ingest: one version per feed file, exactly-once across re-runs
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--ingest", s"$root/feed", "--key", "a", "--stat-cols", "a,b"))
+    val vAfter = Sinks.currentVersion(s"$root/snap").get
+    assert(vAfter == 4L, s"5 feed files -> 5 versions, got $vAfter")
+    val total = Sinks.readSnapshot(spark, s"$root/snap")("data").count()
+    assert(total == rows.count() + rows.filter(col("a") % 5 === 0).count())
+    // re-run: checkpoint finds no new files, no new versions
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--ingest", s"$root/feed", "--key", "a", "--stat-cols", "a,b"))
+    assert(Sinks.currentVersion(s"$root/snap").contains(vAfter))
+    // optimize: the unsorted drop is detected from COMMITTED stats and
+    // re-clustered; clustered files carry; meta table carries at zero
+    // scan; rows identical; the pre-maintenance version stays pinned
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--optimize", "a,b", "--files", "4"))
+    val vOpt = Sinks.currentVersion(s"$root/snap").get
+    assert(vOpt == vAfter + 1)
+    val snap = Sinks.readSnapshot(spark, s"$root/snap", Some(vOpt))
+    assert(snap("data").count() == total)
+    assert(snap.contains("meta"), "ingest meta must carry forward")
+    // stats table pins to the new file set exactly
+    import spark.implicits._
+    val statFiles = snap("file_stats").select(col("__file").cast("string"))
+      .as[String].collect().toSet
+    val dataFiles = snap("data").inputFiles
+      .map(u => new java.net.URI(u).getPath.replaceAll(".*/", "")).toSet
+    assert(statFiles == dataFiles)
+    // pinned pre-maintenance version intact
+    assert(Sinks.readSnapshot(spark, s"$root/snap", Some(vAfter))("data")
+      .count() == total)
+    // a second optimize finds nothing to do (version unchanged)
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--optimize", "a,b", "--files", "4"))
+    assert(Sinks.currentVersion(s"$root/snap").contains(vOpt))
+    // and the NEXT ingest still dedups on batch id after maintenance:
+    // the carried meta keeps the guard alive
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--ingest", s"$root/feed", "--key", "a", "--stat-cols", "a,b"))
+    assert(Sinks.currentVersion(s"$root/snap").contains(vOpt))
+  }
+
   test("CLI optimize --recluster: only stats-detected degraded files rewrite") {
     val dir = tmpDir("graft_reclust")
     val n = 4096
