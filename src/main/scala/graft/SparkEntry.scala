@@ -3346,6 +3346,129 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S25: STREAMING CDC INGEST — MERGE INTO as a micro-batch stream
+    * ([[graft.streaming.SnapshotIngest.commitChangelogBatch]]): four
+    * ordered changelog batches commit as four snapshot versions — b0
+    * bootstraps the %4≠3 corpus slice into 8 range-partitioned files,
+    * b1 updates a LOW-quarter band (touches only the files whose
+    * committed `__min_/__max_` ranges cover its keys — the s20
+    * decision, per batch), b2 deletes a TOP-quarter band, b3 is a pure
+    * insert past every file's range (touches nothing — the append
+    * path). Gates: the final version equals one independent sequential
+    * whole-table apply of all four changelogs (count + whole-row
+    * fingerprint — and the same final table is the FULL DuckDB
+    * oracle); the files b1 did NOT touch carry their stats rows
+    * BYTE-identical from v0 to v1 (sketch bytes by md5) — the
+    * file-granular claim, measured; a replayed batch id is a no-op;
+    * the merged stats of the final version equal a from-scratch
+    * ANALYZE; four versions committed.
+    */
+  private def s25CdcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Sinks, TableQuality}
+    import graft.streaming.SnapshotIngest
+    val statCols = Seq("doc_id", "n_chars")
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("graft_s25_")
+    try {
+      val snapRoot = s"$root/snap"
+      // b0 bootstraps the %4≠3 slice (8 range-partitioned files); b1
+      // updates a LOW-quarter band; b2 deletes a TOP-quarter band; b3
+      // is a pure insert past every file's range (touches nothing)
+      val b0 = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+        .select(col("doc_id"), lit("insert").as("op"),
+          col("lang"), col("n_chars")).withColumn("seq", lit(0L))
+      val b1 = docs
+        .filter(pmod(col("doc_id"), lit(7L)) === 3L &&
+          col("doc_id") * 4 <= m && pmod(col("doc_id"), lit(4L)) =!= 3L)
+        .select(col("doc_id"), lit("update").as("op"),
+          lit("xx").as("lang"), (col("n_chars") + 1000L).as("n_chars"))
+        .withColumn("seq", lit(1L))
+      val b2 = docs
+        .filter(pmod(col("doc_id"), lit(11L)) === 0L &&
+          col("doc_id") * 4 > 3 * m)
+        .select(col("doc_id"), lit("delete").as("op"),
+          col("lang"), col("n_chars"))
+        .withColumn("seq", lit(2L))
+      val b3 = spark.range(1, 26)
+        .select((lit(m) + col("id")).as("doc_id"), lit("insert").as("op"),
+          lit("zz").as("lang"), (lit(m) + col("id")).as("n_chars"))
+        .withColumn("seq", lit(3L))
+      val batches = Seq(b0, b1, b2, b3)
+      val versions = batches.zipWithIndex.flatMap { case (b, i) =>
+        SnapshotIngest.commitChangelogBatch(b, i.toLong, snapRoot,
+          s"$root/sc", "doc_id", statCols)
+      }
+      // replay of the last batch id: no-op, pointer untouched
+      val vCur = Sinks.currentVersion(snapRoot).get
+      val replayNoop = SnapshotIngest.commitChangelogBatch(b2, 2L,
+        snapRoot, s"$root/sc2", "doc_id", statCols).isEmpty &&
+        Sinks.currentVersion(snapRoot).contains(vCur)
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val snap = Sinks.readSnapshot(spark, snapRoot, Some(vCur))
+      val (n, x) = fp(snap("data"))
+      // independent sequential whole-table apply
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docs.schema)
+      val (nSeq, xSeq) = fp(batches.foldLeft(empty)(
+        (acc, b) => Sinks.applyChangelog(acc, b, "doc_id")))
+      // untouched-by-b1 stats rows byte-identical v0 -> v1 (the
+      // band-local update must leave every other file's row verbatim)
+      val v1 = versions(0); val v2 = versions(1)
+      val stats1 = Sinks.readSnapshotTable(spark, snapRoot, "file_stats",
+        Some(v1))
+      val stats2 = Sinks.readSnapshotTable(spark, snapRoot, "file_stats",
+        Some(v2))
+      def statsProj(df: DataFrame, keep: Seq[String]): DataFrame = df
+        .filter(col("__file").cast("string").isin(keep: _*))
+        .select((col("__file").cast("string").as("f") :: col("__n") ::
+          statCols.toList.flatMap(c => List(col(s"__nulls_$c"),
+            md5(col(s"__sk_$c")).as(s"h_$c"), col(s"__min_$c"),
+            col(s"__max_$c")))): _*)
+      val files1 = Sinks.committedFilePaths(snapRoot, "data", Some(v1))
+        .map(_.replaceAll(".*/", "")).toSet
+      val files2 = Sinks.committedFilePaths(snapRoot, "data", Some(v2))
+        .map(_.replaceAll(".*/", "")).toSet
+      val sharedNames = (files1 intersect files2).toSeq
+      val a = statsProj(stats2, sharedNames)
+      val bb = statsProj(stats1, sharedNames)
+      val untouchedIdentical = sharedNames.nonEmpty &&
+        a.exceptAll(bb).isEmpty && bb.exceptAll(a).isEmpty
+      // merged stats of the final version == from-scratch ANALYZE
+      val merged = TableQuality.mergeSketches(snap("file_stats"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val recomputed = TableQuality.tableStats(snap("data"), statCols)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5)))).toMap
+      val statsOk = statCols.forall { c =>
+        val (mn, mnn, mndv, mmin, mmax) = merged(c)
+        val (rn, rnn, rndv, rmin, rmax) = recomputed(c)
+        mn == rn && mnn == rnn && mmin == rmin && mmax == rmax &&
+          math.abs(mndv - rndv).toDouble <= 0.1 * rndv
+      }
+      Seq((n, x,
+        if (versions.size == 4) 1 else 0,
+        if (n == nSeq && x == xSeq) 1 else 0,
+        if (untouchedIdentical) 1 else 0,
+        if (replayNoop) 1 else 0,
+        if (statsOk) 1 else 0))
+        .toDF("n_rows", "row_xor", "four_versions", "matches_seq_apply",
+          "untouched_stats_identical", "replay_noop", "stats_current")
+    } finally deleteRecursively(root)
+  }
+
   /** S24: OPTIMISTIC CONCURRENT MERGE — the multi-writer commit
     * protocol ([[graft.operators.Sinks.commitChangelogOptimistic]]):
     * writers A and B both read base version v0; A commits first; B,
@@ -6438,6 +6561,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s22_version_diff" -> (s22VersionDiff(_, _)),
     "s23_retention" -> (s23Retention(_, _)),
     "s24_optimistic_merge" -> (s24OptimisticMerge(_, _)),
+    "s25_cdc_ingest" -> (s25CdcIngest(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "stream_snapshot_ingest" -> (streamSnapshotIngest(_, _)),
@@ -7675,6 +7799,32 @@ SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS payload_xor,
   1 AS roundtrip_ok, 1 AS delta_files_skipped, 1 AS self_diff_empty
 FROM ops GROUP BY op ORDER BY op""",
+    // s25: FULL oracle — the four-batch changelog stream lands on a
+    // pure function of documents: slices %4 in {0,1,2} inserted, the
+    // low-quarter %7=3 band updated, the top-quarter %11=0 band
+    // deleted; structural wins are gate literals
+    "s25_cdc_ingest" -> """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+final AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 3 AND doc_id * 4 <= m THEN 'xx'
+         ELSE lang END AS lang,
+    CASE WHEN doc_id % 7 = 3 AND doc_id * 4 <= m THEN n_chars + 1000
+         ELSE n_chars END AS n_chars
+  FROM documents, mx
+  WHERE doc_id % 4 <> 3
+    AND NOT (doc_id % 11 = 0 AND doc_id * 4 > 3 * m)
+  UNION ALL
+  SELECT m + g.i AS doc_id, 'zz' AS lang, m + g.i AS n_chars
+  FROM mx, generate_series(1, 25) g(i))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS row_xor,
+  1 AS four_versions, 1 AS matches_seq_apply,
+  1 AS untouched_stats_identical, 1 AS replay_noop, 1 AS stats_current
+FROM final""",
     // s24: FULL oracle — the serializable two-writer outcome is
     // documents with A's band updates and B's band deletes, whatever
     // order the commits landed; rebase/abort/chain wins are gate

@@ -110,4 +110,112 @@ object SnapshotIngest {
       "meta" -> ((s"$scratch/b$batchId/meta", "batch_id", None))),
       root, spark))
   }
+
+  /** The CDC twin of [[commitBatch]] — STREAMING MERGE INTO: one
+    * micro-batch of CHANGELOG rows (`keyCol`, `op` ∈
+    * insert|update|delete, payload…, `seq`) committed as a new snapshot
+    * version with the s20 file-granular apply. Touched files are
+    * decided from the CURRENT version's COMMITTED per-file stats by a
+    * broadcast range join of the changed keys against `__min_/__max_`
+    * of `keyCol` (metadata-scale — no data file opened for the
+    * decision); only their rows pass
+    * [[graft.operators.Sinks.applyChangelog]] and rewrite, untouched
+    * files hard-link forward with their stats rows VERBATIM, the
+    * rewritten files re-sketch, and the batch-id `meta` rides the same
+    * atomic commit — replays are exactly-once exactly as in
+    * [[commitBatch]]. The first batch (no current version) bootstraps
+    * the table from the changelog's insert/update payloads.
+    *
+    * The data manifest revalidates by FULL scan at publish: a mutation
+    * batch cannot merge manifests (carried-subset fingerprints are not
+    * tracked per file), so CDC commits cost O(table) validation while
+    * pure appends stay O(batch) through [[commitBatch]] — route
+    * insert-only batches there.
+    */
+  def commitChangelogBatch(changes: DataFrame, batchId: Long, root: String,
+      scratch: String, keyCol: String = "doc_id",
+      statCols: Seq[String] = Seq("doc_id"),
+      bootstrapPartitions: Int = 8): Option[Long] = {
+    require(statCols.contains(keyCol),
+      s"statCols must include $keyCol — the touched-file decision reads " +
+        s"its per-file range")
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val cur = Sinks.currentVersion(root)
+    val last = cur.flatMap { _ =>
+      try Some(Sinks.readSnapshotTable(spark, root, "meta")
+        .agg(max(col("batch_id"))).head().getLong(0))
+      catch {
+        case e: RuntimeException
+            if e.getMessage != null &&
+              e.getMessage.contains("has no table 'meta'") => None
+      }
+    }
+    if (last.exists(_ >= batchId)) return None
+    // an empty micro-batch (heartbeat tick) commits nothing — rewriting
+    // touched files under a no-op changelog would be pure churn
+    if (changes.isEmpty) return None
+    def pathOf(u: String): String = new java.net.URI(u).getPath
+    def nameOf(p: String): String = p.replaceAll(".*/", "")
+    val payload = changes.drop("op", "seq")
+    val stage = java.nio.file.Paths.get(s"$scratch/b$batchId/data")
+    java.nio.file.Files.createDirectories(stage)
+    val (carryPaths, touchedPaths) = cur match {
+      case None => (Seq.empty[String], Seq.empty[String])
+      case Some(v) =>
+        val stats = Sinks.readSnapshotTable(spark, root, "file_stats",
+          Some(v))
+        val touchedNames = stats
+          .join(broadcast(changes.select(col(keyCol).as("__k")).distinct()),
+            col("__k") >= col(s"__min_$keyCol") &&
+              col("__k") <= col(s"__max_$keyCol"), "left_semi")
+          .select(col("__file").cast("string")).collect()
+          .map(_.getString(0)).toSet
+        val paths = Sinks.committedFilePaths(root, "data", Some(v))
+        (paths.filterNot(p => touchedNames(nameOf(p))),
+          paths.filter(p => touchedNames(nameOf(p))))
+    }
+    carryPaths.foreach(f => java.nio.file.Files.createLink(
+      stage.resolve(nameOf(f)), java.nio.file.Paths.get(f)))
+    val base =
+      if (touchedPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          payload.schema)
+      else spark.read.schema(payload.schema).parquet(touchedPaths.sorted: _*)
+    // rewrite parallelism preserves file granularity (one rewritten
+    // file per touched file); the BOOTSTRAP batch range-partitions into
+    // `bootstrapPartitions` files so later band-local mutations touch a
+    // strict subset instead of one monolith
+    val parts =
+      if (cur.isEmpty) math.max(1, bootstrapPartitions)
+      else math.max(1, touchedPaths.size)
+    Sinks.applyChangelog(base, changes, keyCol)
+      .repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("append").parquet(stage.toString)
+    val carriedNames = carryPaths.map(nameOf).toSet
+    val rwPaths = spark.read.parquet(stage.toString)
+      .inputFiles.map(pathOf).filterNot(p => carriedNames(nameOf(p))).toSeq
+    val newStats = FileSkipping.fileStats(
+        spark.read.schema(payload.schema).parquet(rwPaths.sorted: _*),
+        statCols)
+      .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+    val stats = cur
+      .map { v =>
+        val touchedNameSet = touchedPaths.map(nameOf).toSet
+        Sinks.readSnapshotTable(spark, root, "file_stats", Some(v))
+          .filter(!col("__file").cast("string")
+            .isin(touchedNameSet.toSeq: _*))
+          .unionByName(newStats)
+      }
+      .getOrElse(newStats)
+    stats.coalesce(1).write.parquet(s"$scratch/b$batchId/stats")
+    Seq(batchId).toDF("batch_id").coalesce(1)
+      .write.parquet(s"$scratch/b$batchId/meta")
+    Some(Sinks.publishSnapshotStaged(Map(
+      "data" -> ((stage.toString, keyCol)),
+      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file")),
+      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id"))), root, spark))
+  }
 }
