@@ -489,16 +489,23 @@ object Main {
               java.nio.file.Files.createLink(stage.resolve(nameOf(f)),
                 java.nio.file.Paths.get(f))
             }
-            // stat columns self-describe from the committed stats schema
+            // stat columns self-describe from the committed stats schema;
+            // a table whose rows carry the per-file key fingerprint
+            // (__keyxor) keeps it on the rewritten files too — the CDC
+            // ingest's flat-manifest commits depend on it
             val statCols = stats.columns.toSeq.collect {
               case c if c.startsWith("__min_") => c.stripPrefix("__min_")
             }
-            stats.filter(!col("__file").isin(detected.toSeq: _*))
-              .unionByName(FileSkipping.fileStats(
-                  spark.read.schema(data.schema)
-                    .parquet(optPaths.sorted: _*), statCols)
+            val optRead = spark.read.schema(data.schema)
+              .parquet(optPaths.sorted: _*)
+            val optStats =
+              (if (stats.columns.contains("__keyxor"))
+                FileSkipping.fileStatsKeyed(optRead, statCols, dataKey)
+              else FileSkipping.fileStats(optRead, statCols))
                 .withColumn("__file",
-                  regexp_extract(col("__file"), "[^/]+$", 0)))
+                  regexp_extract(col("__file"), "[^/]+$", 0))
+            stats.filter(!col("__file").isin(detected.toSeq: _*))
+              .unionByName(optStats, allowMissingColumns = true)
               .coalesce(1).write.parquet(s"$scratch/stats")
             // other tables (ingest meta, ...) carry forward at zero
             // scan cost: full-carry append manifest

@@ -30,6 +30,29 @@ object FileSkipping {
     TableQuality.partitionStats(
       df.withColumn("__file", input_file_name()), "__file", cols)
 
+  /** [[fileStats]] plus a per-file KEY FINGERPRINT column `__keyxor`
+    * (the [[Sinks.keyFingerprintSql]] bit_xor over `keyCol`, per file)
+    * — the column that makes a MUTATION commit's manifest mergeable:
+    * a CDC publish whose carried files have per-file (n, xor) rows can
+    * compute the table manifest as Σ__n ⊕ ⊕__keyxor over the carried
+    * rows plus a scan of only the rewritten files
+    * ([[graft.streaming.SnapshotIngest.commitChangelogBatch]]), the
+    * same flat-cost trick [[Sinks.publishSnapshotStagedAppend]] plays
+    * for appends — there with the whole-table manifest, here at file
+    * granularity because a mutation carries an arbitrary SUBSET
+    * forward. Downstream stats consumers (mergeSketches,
+    * detectUnclustered, pruning) ignore the extra column.
+    */
+  def fileStatsKeyed(df: DataFrame, cols: Seq[String],
+      keyCol: String): DataFrame = {
+    val withFile = df.withColumn("__file", input_file_name())
+    val xors = withFile.groupBy(col("__file"))
+      .agg(expr("coalesce(bit_xor(" +
+        s"${Sinks.keyFingerprintSql(keyCol)}), 0)").as("__keyxor"))
+    TableQuality.partitionStats(withFile, "__file", cols)
+      .join(xors, Seq("__file"))
+  }
+
   /** A pruning predicate over one column, decided from the per-file stats
     * row alone. Pruning is a SUPERSET guarantee: a kept file may still
     * hold non-matching rows (the caller applies the row predicate on

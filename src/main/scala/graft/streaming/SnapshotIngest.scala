@@ -84,13 +84,16 @@ object SnapshotIngest {
     val carriedNames = carried.map(nameOf).toSet
     val newPaths = spark.read.parquet(stage.toString)
       .inputFiles.map(pathOf).filterNot(p => carriedNames(nameOf(p))).toSeq
-    val newStats = FileSkipping.fileStats(
+    val newStats = FileSkipping.fileStatsKeyed(
         spark.read.schema(batch.schema).parquet(newPaths.sorted: _*),
-        statCols)
+        statCols, keyCol)
       .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+    // allowMissingColumns: a root whose earlier versions predate the
+    // per-file __keyxor column keeps working (their rows carry null —
+    // the CDC manifest merge detects that and falls back to a scan)
     val stats = cur
       .map(v => Sinks.readSnapshotTable(spark, root, "file_stats", Some(v))
-        .unionByName(newStats))
+        .unionByName(newStats, allowMissingColumns = true))
       .getOrElse(newStats)
     stats.coalesce(1).write.parquet(s"$scratch/b$batchId/stats")
     Seq(batchId).toDF("batch_id").coalesce(1)
@@ -126,11 +129,15 @@ object SnapshotIngest {
     * [[commitBatch]]. The first batch (no current version) bootstraps
     * the table from the changelog's insert/update payloads.
     *
-    * The data manifest revalidates by FULL scan at publish: a mutation
-    * batch cannot merge manifests (carried-subset fingerprints are not
-    * tracked per file), so CDC commits cost O(table) validation while
-    * pure appends stay O(batch) through [[commitBatch]] — route
-    * insert-only batches there.
+    * The data manifest MERGES here too: the stats table carries a
+    * per-file key fingerprint ([[graft.operators.FileSkipping
+    * .fileStatsKeyed]]'s `__keyxor`), so the carried subset contributes
+    * Σ__n ⊕ ⊕__keyxor from its stats rows and only the REWRITTEN files
+    * scan at publish — a mutation commit costs O(changed bytes), the
+    * same flat cost as the append path. A root whose carried stats rows
+    * predate the fingerprint column degrades to a full-scan manifest
+    * (never a guess); the read side revalidates the whole table either
+    * way.
     */
   def commitChangelogBatch(changes: DataFrame, batchId: Long, root: String,
       scratch: String, keyCol: String = "doc_id",
@@ -160,8 +167,12 @@ object SnapshotIngest {
     val payload = changes.drop("op", "seq")
     val stage = java.nio.file.Paths.get(s"$scratch/b$batchId/data")
     java.nio.file.Files.createDirectories(stage)
-    val (carryPaths, touchedPaths) = cur match {
-      case None => (Seq.empty[String], Seq.empty[String])
+    // carried manifest contribution: Σ__n ⊕ ⊕__keyxor over the carried
+    // files' stats rows — None when any carried row predates the
+    // __keyxor column (degrade to a full-scan manifest, never guess)
+    val (carryPaths, touchedPaths, carriedManifest) = cur match {
+      case None => (Seq.empty[String], Seq.empty[String],
+        Option.empty[(Long, Long)])
       case Some(v) =>
         val stats = Sinks.readSnapshotTable(spark, root, "file_stats",
           Some(v))
@@ -172,8 +183,20 @@ object SnapshotIngest {
           .select(col("__file").cast("string")).collect()
           .map(_.getString(0)).toSet
         val paths = Sinks.committedFilePaths(root, "data", Some(v))
-        (paths.filterNot(p => touchedNames(nameOf(p))),
-          paths.filter(p => touchedNames(nameOf(p))))
+        val carried = paths.filterNot(p => touchedNames(nameOf(p)))
+        val manifest =
+          if (!stats.columns.contains("__keyxor")) None
+          else {
+            val rows = stats
+              .filter(col("__file").cast("string")
+                .isin(carried.map(nameOf): _*))
+              .select(col("__n"), col("__keyxor")).collect()
+            if (rows.exists(_.isNullAt(1))) None
+            else Some(rows.foldLeft((0L, 0L)) { case ((n, x), r) =>
+              (n + r.getLong(0), x ^ r.getLong(1))
+            })
+          }
+        (carried, paths.filter(p => touchedNames(nameOf(p))), manifest)
     }
     carryPaths.foreach(f => java.nio.file.Files.createLink(
       stage.resolve(nameOf(f)), java.nio.file.Paths.get(f)))
@@ -197,9 +220,9 @@ object SnapshotIngest {
     val carriedNames = carryPaths.map(nameOf).toSet
     val rwPaths = spark.read.parquet(stage.toString)
       .inputFiles.map(pathOf).filterNot(p => carriedNames(nameOf(p))).toSeq
-    val newStats = FileSkipping.fileStats(
+    val newStats = FileSkipping.fileStatsKeyed(
         spark.read.schema(payload.schema).parquet(rwPaths.sorted: _*),
-        statCols)
+        statCols, keyCol)
       .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
     val stats = cur
       .map { v =>
@@ -207,15 +230,21 @@ object SnapshotIngest {
         Sinks.readSnapshotTable(spark, root, "file_stats", Some(v))
           .filter(!col("__file").cast("string")
             .isin(touchedNameSet.toSeq: _*))
-          .unionByName(newStats)
+          .unionByName(newStats, allowMissingColumns = true)
       }
       .getOrElse(newStats)
     stats.coalesce(1).write.parquet(s"$scratch/b$batchId/stats")
     Seq(batchId).toDF("batch_id").coalesce(1)
       .write.parquet(s"$scratch/b$batchId/meta")
-    Some(Sinks.publishSnapshotStaged(Map(
-      "data" -> ((stage.toString, keyCol)),
-      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file")),
-      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id"))), root, spark))
+    // with per-file fingerprints the mutation commit's data manifest
+    // MERGES too (carried Σn/⊕xor + scan of the rewritten files only) —
+    // O(changed bytes), the same flat cost as the append path; a root
+    // whose carried rows predate __keyxor degrades to a full scan
+    Some(Sinks.publishSnapshotStagedAppend(Map(
+      "data" -> ((stage.toString, keyCol,
+        carriedManifest.map { case (n, x) => (n, x, carriedNames) })),
+      "file_stats" -> ((s"$scratch/b$batchId/stats", "__file", None)),
+      "meta" -> ((s"$scratch/b$batchId/meta", "batch_id", None))),
+      root, spark))
   }
 }

@@ -780,4 +780,54 @@ class StreamingSpec extends AnyFunSuite {
       statCols = Seq("doc_id")).contains(2L))
     assert(Sinks.readSnapshot(spark, snap)("data").count() == 81L)
   }
+
+  test("commitChangelogBatch: file-granular apply, flat merged manifest, replay no-op") {
+    import spark.implicits._
+    import graft.operators.Sinks
+    import graft.streaming.SnapshotIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcb_")
+    val snap = s"$root/snap"
+    def ch(rows: Seq[(Long, String, String)], seq: Long) =
+      rows.toDF("doc_id", "op", "text").withColumn("seq", lit(seq))
+    // bootstrap 1..100 into 4 range files
+    val b0 = ch((1L to 100L).map(i => (i, "insert", s"t$i")), 0L)
+    val v0 = SnapshotIngest.commitChangelogBatch(b0, 0L, snap, s"$root/s0",
+      "doc_id", Seq("doc_id"), bootstrapPartitions = 4)
+    assert(v0.contains(0L))
+    assert(Sinks.committedFilePaths(snap, "data", Some(0L)).size == 4)
+    // band-local mutation: keys 1-10 only — exactly one file touched,
+    // three carried; the commit manifest merges (carried xors + one
+    // rewritten file scan) and the validating read proves it
+    val b1 = ch(Seq((3L, "update", "T3"), (7L, "delete", "")), 1L)
+    val v1 = SnapshotIngest.commitChangelogBatch(b1, 1L, snap, s"$root/s1",
+      "doc_id", Seq("doc_id"))
+    assert(v1.contains(1L))
+    val f0 = Sinks.committedFilePaths(snap, "data", Some(0L))
+      .map(_.replaceAll(".*/", "")).toSet
+    val f1 = Sinks.committedFilePaths(snap, "data", Some(1L))
+      .map(_.replaceAll(".*/", "")).toSet
+    assert((f0 intersect f1).size == 3,
+      s"band-local mutation must carry 3 of 4 files: ${f0 intersect f1}")
+    val got = Sinks.readSnapshot(spark, snap, Some(1L))("data")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.size == 99 && got(3L) == "T3" && !got.contains(7L))
+    // pure insert past every range: all files carry, manifest merges
+    val b2 = ch(Seq((200L, "insert", "t200")), 2L)
+    assert(SnapshotIngest.commitChangelogBatch(b2, 2L, snap, s"$root/s2",
+      "doc_id", Seq("doc_id")).contains(2L))
+    val f2 = Sinks.committedFilePaths(snap, "data", Some(2L))
+      .map(_.replaceAll(".*/", "")).toSet
+    assert(f1.subsetOf(f2) && f2.size == f1.size + 1)
+    assert(Sinks.readSnapshot(spark, snap)("data").count() == 100L)
+    // replays of every committed id are no-ops
+    assert(SnapshotIngest.commitChangelogBatch(b1, 1L, snap, s"$root/s3",
+      "doc_id", Seq("doc_id")).isEmpty)
+    assert(SnapshotIngest.commitChangelogBatch(b2, 2L, snap, s"$root/s3",
+      "doc_id", Seq("doc_id")).isEmpty)
+    // empty heartbeat batch commits nothing
+    assert(SnapshotIngest.commitChangelogBatch(
+      ch(Seq.empty, 3L), 3L, snap, s"$root/s3", "doc_id",
+      Seq("doc_id")).isEmpty)
+    assert(Sinks.currentVersion(snap).contains(2L))
+  }
 }
