@@ -3346,6 +3346,133 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
+  /** S26: VERSIONED COMPACTION WITH ZERO RE-SKETCH
+    * ([[graft.operators.Sinks.compactSnapshotVersion]]): five ingest
+    * batches land documents as five versions (one 60% file + four 10%
+    * slivers); compaction with a 30%-of-corpus threshold concatenates
+    * exactly the four slivers into one file and commits the next
+    * version where (a) the compacted file's stats row is the MERGE of
+    * its inputs' rows (count/nulls/min/max exact, HLL union, keyxor
+    * fold — the bytes were moved, never re-sketched), (b) the carried
+    * big file's stats row is byte-identical, (c) the data manifest
+    * merged (only the sliver bytes scanned at publish — and the
+    * validating read proves the merged manifest against the whole
+    * table). Gates: rows ≡ documents (FULL oracle), file count 5 → 2,
+    * merged row ≡ a fresh re-sketch of the compacted file (exact
+    * fields verbatim, union-sketch ndv ≤ 10%), carried row
+    * byte-identical, pinned pre-compaction version intact, and a
+    * second compaction is a no-op (nothing left under the threshold).
+    */
+  private def s26CompactVersioned(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import graft.operators.{FileSkipping, Sinks, TableQuality}
+    import graft.streaming.SnapshotIngest
+    val statCols = Seq("doc_id", "n_chars")
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val total = docs.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_s26_")
+    try {
+      val snapRoot = s"$root/snap"
+      val slices = Seq(
+        pmod(col("doc_id"), lit(5L)) <= 2L,
+        pmod(col("doc_id"), lit(5L)) === 3L &&
+          pmod(col("doc_id"), lit(2L)) === 0L,
+        pmod(col("doc_id"), lit(5L)) === 3L &&
+          pmod(col("doc_id"), lit(2L)) === 1L,
+        pmod(col("doc_id"), lit(5L)) === 4L &&
+          pmod(col("doc_id"), lit(2L)) === 0L,
+        pmod(col("doc_id"), lit(5L)) === 4L &&
+          pmod(col("doc_id"), lit(2L)) === 1L)
+      slices.zipWithIndex.foreach { case (pred, i) =>
+        SnapshotIngest.commitBatch(docs.filter(pred).coalesce(1),
+          i.toLong, snapRoot, s"$root/sc", "doc_id", statCols)
+      }
+      val vPre = Sinks.currentVersion(snapRoot).get
+      val filesPre = Sinks.committedFilePaths(snapRoot, "data", Some(vPre))
+      def fp(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr("coalesce(bit_xor(cast(conv(substring(md5(concat_ws(':', " +
+            "cast(doc_id as string), lang, cast(n_chars as string))), " +
+            "1, 15), 16, 10) as bigint)), 0)").as("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nPre, xPre) = fp(Sinks.readSnapshot(spark, snapRoot,
+        Some(vPre))("data"))
+      // ---- compact: threshold 30% of corpus catches the four slivers
+      val v = Sinks.compactSnapshotVersion(spark, snapRoot,
+        maxRows = math.max(2L, (total * 3) / 10)).getOrElse(
+        sys.error("compaction found nothing to do"))
+      val snap = Sinks.readSnapshot(spark, snapRoot, Some(v))
+      val (n, x) = fp(snap("data"))
+      val filesPost = Sinks.committedFilePaths(snapRoot, "data", Some(v))
+      val compactedName = filesPost.map(_.replaceAll(".*/", ""))
+        .filterNot(filesPre.map(_.replaceAll(".*/", "")).toSet).head
+      // merged stats row vs a FRESH re-sketch of the compacted file
+      val compactedPath = filesPost
+        .find(_.endsWith(compactedName)).get
+      val fresh = FileSkipping.fileStatsKeyed(
+          spark.read.schema(docs.schema).parquet(compactedPath),
+          statCols, "doc_id")
+        .withColumn("__file", regexp_extract(col("__file"), "[^/]+$", 0))
+      val mergedRow = snap("file_stats")
+        .filter(col("__file").cast("string") === compactedName)
+      def proj(df: DataFrame): Map[String, (Long, String, String, Long)] = {
+        val r = df.head()
+        statCols.map(c => c -> ((
+          r.getAs[Long](s"__nulls_$c"),
+          String.valueOf(r.getAs[Any](s"__min_$c")),
+          String.valueOf(r.getAs[Any](s"__max_$c")),
+          r.getAs[Long]("__n")))).toMap
+      }
+      val (pm, pf) = (proj(mergedRow), proj(fresh))
+      def ndvOf(df: DataFrame, c: String): Double = df
+        .agg(expr(s"cast(hll_sketch_estimate(" +
+          s"hll_union_agg(__sk_$c, true)) as double)"))
+        .head().getDouble(0)
+      val keyxorOk = mergedRow.head().getAs[Long]("__keyxor") ==
+        fresh.head().getAs[Long]("__keyxor")
+      val mergeOk = keyxorOk && statCols.forall { c =>
+        pm(c)._1 == pf(c)._1 && pm(c)._2 == pf(c)._2 &&
+          pm(c)._3 == pf(c)._3 && pm(c)._4 == pf(c)._4 &&
+          math.abs(ndvOf(mergedRow, c) - ndvOf(fresh, c)) <=
+            0.1 * ndvOf(fresh, c)
+      }
+      // carried big file's stats row byte-identical across the commit
+      val bigName = filesPre.map(_.replaceAll(".*/", ""))
+        .filter(filesPost.map(_.replaceAll(".*/", "")).toSet).toSeq
+      def carriedProj(df: DataFrame): DataFrame = df
+        .filter(col("__file").cast("string").isin(bigName: _*))
+        .select((col("__file").cast("string").as("f") :: col("__n") ::
+          statCols.toList.flatMap(c => List(col(s"__nulls_$c"),
+            md5(col(s"__sk_$c")).as(s"h_$c"), col(s"__min_$c"),
+            col(s"__max_$c")))): _*)
+      val preStats = Sinks.readSnapshotTable(spark, snapRoot,
+        "file_stats", Some(vPre))
+      val a = carriedProj(snap("file_stats"))
+      val b = carriedProj(preStats)
+      val carriedIdentical = bigName.nonEmpty &&
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      // pinned pre-compaction version intact
+      val (nP2, xP2) = fp(Sinks.readSnapshot(spark, snapRoot,
+        Some(vPre))("data"))
+      val secondNoop = Sinks.compactSnapshotVersion(spark, snapRoot,
+        maxRows = math.max(2L, (total * 3) / 10)).isEmpty
+      Seq((n, x,
+        if (filesPre.size == 5 && filesPost.size == 2) 1 else 0,
+        if (n == nPre && x == xPre) 1 else 0,
+        if (mergeOk) 1 else 0,
+        if (carriedIdentical) 1 else 0,
+        if (nP2 == nPre && xP2 == xPre) 1 else 0,
+        if (secondNoop) 1 else 0))
+        .toDF("n_rows", "row_xor", "files_5_to_2", "rows_identical",
+          "merged_row_matches_resketch", "carried_stats_identical",
+          "pinned_intact", "second_compact_noop")
+    } finally deleteRecursively(root)
+  }
+
   /** S25: STREAMING CDC INGEST — MERGE INTO as a micro-batch stream
     * ([[graft.streaming.SnapshotIngest.commitChangelogBatch]]): four
     * ordered changelog batches commit as four snapshot versions — b0
@@ -6562,6 +6689,7 @@ FROM m ORDER BY doc_id, summarizer""")
     "s23_retention" -> (s23Retention(_, _)),
     "s24_optimistic_merge" -> (s24OptimisticMerge(_, _)),
     "s25_cdc_ingest" -> (s25CdcIngest(_, _)),
+    "s26_compact_versioned" -> (s26CompactVersioned(_, _)),
     "stream_dq" -> (streamDq(_, _)),
     "stream_stats" -> (streamStats(_, _)),
     "stream_snapshot_ingest" -> (streamSnapshotIngest(_, _)),
@@ -7799,6 +7927,19 @@ SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
     AS payload_xor,
   1 AS roundtrip_ok, 1 AS delta_files_skipped, 1 AS self_diff_empty
 FROM ops GROUP BY op ORDER BY op""",
+    // s26: the compacted current version is ALL of documents (count +
+    // whole-row fingerprint); the zero-re-sketch and manifest-merge
+    // wins are gate literals
+    "s26_compact_versioned" -> """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COALESCE(bit_xor(CAST(('0x' || substr(md5(
+    CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+    CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)), 0) AS BIGINT)
+    AS row_xor,
+  1 AS files_5_to_2, 1 AS rows_identical,
+  1 AS merged_row_matches_resketch, 1 AS carried_stats_identical,
+  1 AS pinned_intact, 1 AS second_compact_noop
+FROM documents""",
     // s25: FULL oracle — the four-batch changelog stream lands on a
     // pure function of documents: slices %4 in {0,1,2} inserted, the
     // low-quarter %7=3 band updated, the top-quarter %11=0 band

@@ -81,7 +81,8 @@ object Main {
           "          --diff table --from N --to M [--key K] [--out DIR] |" +
           " --expire KEEP |\n" +
           "          --ingest FEED_DIR [--key K] [--stat-cols a,b] |" +
-          " --optimize a,b [--files K] | --vacuum | --current)\n" +
+          " --optimize a,b [--files K] | --compact ROWS |" +
+          " --vacuum | --current)\n" +
           "         (versioned multi-table commits: --publish MOVES staged" +
           " dirs in atomically; --read validates count+fingerprint" +
           " against the commit before serving)")
@@ -531,6 +532,21 @@ object Main {
               s"carried) -> version $v")
           } finally deleteTreeIfExists(scratch)
         }
+      } else if (opts.contains("compact")) {
+        // versioned small-file compaction with ZERO re-sketch: decision
+        // from committed stats, the compacted file's stats row is the
+        // sketch-MERGE of its inputs' rows, carried files + other
+        // tables hard-link at zero scan; the publish scans only the
+        // moved sliver bytes
+        val maxRows = opts("compact").toLong
+        Sinks.compactSnapshotVersion(spark, root, maxRows) match {
+          case Some(v) => println(
+            s"[graft] snapshot compact: slivers under $maxRows rows " +
+              s"merged -> version $v")
+          case None => println(
+            s"[graft] snapshot compact: fewer than two files under " +
+              s"$maxRows rows — nothing to do")
+        }
       } else if (opts.contains("vacuum")) {
         val swept = Sinks.vacuumUncommitted(root)
         println(s"[graft] vacuumed ${swept.size} uncommitted attempt " +
@@ -541,7 +557,7 @@ object Main {
           .getOrElse("[graft] no committed snapshot"))
       } else sys.error(
         "snapshot: need --publish, --read, --diff, --expire, --ingest, " +
-        "--optimize, --vacuum or --current")
+        "--optimize, --compact, --vacuum or --current")
     } finally if (owned) spark.stop()
   }
 

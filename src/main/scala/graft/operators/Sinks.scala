@@ -389,6 +389,118 @@ object Sinks {
     (e._2, e._3)
   }
 
+  /** VERSIONED COMPACTION WITH ZERO RE-SKETCH — the small-files
+    * maintenance pass committed under the snapshot discipline: files
+    * whose committed stats row says `__n < maxRows` are concatenated
+    * into ONE file and the result is the next version. Three costs are
+    * metadata where a naive compactor pays data scans:
+    *
+    *   - the DECISION reads stats rows, never a file listing or footer
+    *     (the s17 rule);
+    *   - the compacted file's STATS ROW is the
+    *     [[TableQuality.mergeStatRows]] merge of its inputs' rows —
+    *     count/nulls summed, typed min/max folded, HLL sketches
+    *     UNIONED, the per-file key fingerprint xor-folded — the bytes
+    *     are moved, never re-sketched;
+    *   - the data MANIFEST merges: carried files contribute their
+    *     stats rows' Σ__n ⊕ ⊕__keyxor, so the publish scans only the
+    *     compacted sliver bytes (degrading to a full scan when the
+    *     stats predate `__keyxor`).
+    *
+    * Untouched files hard-link forward with their stats rows VERBATIM;
+    * every other table of the commit (an ingest's batch-id `meta`)
+    * carries at zero scan cost; readers pinned at the pre-compaction
+    * version are untouched. Returns None when fewer than two files are
+    * under the threshold (nothing to gain). Same stop-the-writers rule
+    * as every maintenance pass.
+    */
+  def compactSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String, maxRows: Long, table: String = "data",
+      statsTable: String = "file_stats"): Option[Long] = {
+    require(maxRows >= 1, s"maxRows must be >= 1: $maxRows")
+    val cur = currentVersion(root).getOrElse(
+      sys.error(s"no committed snapshot under $root"))
+    val info = commitTableInfo(root, Some(cur))
+    val keyCol = info.find(_._1 == table).map(_._4).getOrElse(
+      sys.error(s"snapshot $cur has no '$table' table"))
+    require(info.exists(_._1 == statsTable),
+      s"snapshot $cur has no '$statsTable' table — compaction decides " +
+        "from committed stats")
+    val stats = readSnapshotTable(spark, root, statsTable, Some(cur))
+    val statCols = stats.columns.toSeq.collect {
+      case c if c.startsWith("__min_") => c.stripPrefix("__min_")
+    }
+    val smallNames = stats.filter(col("__n") < maxRows)
+      .select(col("__file").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    if (smallNames.size < 2) return None
+    def nameOf(p: String): String = p.replaceAll(".*/", "")
+    val paths = committedFilePaths(root, table, Some(cur))
+    val smallPaths = paths.filter(p => smallNames(nameOf(p)))
+    val carryPaths = paths.filterNot(p => smallNames(nameOf(p)))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = java.nio.file.Paths.get(s"$root/.compact-$nonce")
+    java.nio.file.Files.createDirectories(scratch)
+    try {
+      spark.read.parquet(smallPaths.sorted: _*)
+        .coalesce(1).write.parquet(s"$scratch/c")
+      val newPath = spark.read.parquet(s"$scratch/c")
+        .inputFiles.map(u => new java.net.URI(u).getPath).head
+      val stage = scratch.resolve(table)
+      java.nio.file.Files.createDirectories(stage)
+      (carryPaths :+ newPath).foreach { f =>
+        java.nio.file.Files.createLink(stage.resolve(nameOf(f)),
+          java.nio.file.Paths.get(f))
+      }
+      val smallSeq = smallNames.toSeq
+      val mergedRow = graft.operators.TableQuality.mergeStatRows(
+          stats.filter(col("__file").cast("string").isin(smallSeq: _*)),
+          statCols)
+        .withColumn("__file", lit(nameOf(newPath)))
+      stats.filter(!col("__file").cast("string").isin(smallSeq: _*))
+        .unionByName(mergedRow, allowMissingColumns = true)
+        .coalesce(1).write.parquet(s"$scratch/stats")
+      // carried-manifest contribution from the stats rows (metadata) —
+      // the compacted sliver is the only thing the publish scans
+      val carriedManifest =
+        if (!stats.columns.contains("__keyxor")) None
+        else {
+          val carryNameSeq = carryPaths.map(nameOf)
+          val rows = stats
+            .filter(col("__file").cast("string").isin(carryNameSeq: _*))
+            .select(col("__n"), col("__keyxor")).collect()
+          if (rows.exists(_.isNullAt(1))) None
+          else Some(rows.foldLeft((0L, 0L)) { case ((n, x), r) =>
+            (n + r.getLong(0), x ^ r.getLong(1))
+          } match { case (n, x) => (n, x, carryPaths.map(nameOf).toSet) })
+        }
+      val others = info.filterNot(t =>
+        t._1 == table || t._1 == statsTable).map {
+        case (name, n, x, kc) =>
+          val tPaths = committedFilePaths(root, name, Some(cur))
+          val tStage = scratch.resolve(name)
+          java.nio.file.Files.createDirectories(tStage)
+          tPaths.foreach { f =>
+            java.nio.file.Files.createLink(tStage.resolve(nameOf(f)),
+              java.nio.file.Paths.get(f))
+          }
+          name -> ((tStage.toString, kc,
+            Some((n, x, tPaths.map(nameOf).toSet))))
+      }.toMap
+      Some(publishSnapshotStagedAppend(others ++ Map(
+        table -> ((stage.toString, keyCol, carriedManifest)),
+        statsTable -> ((s"$scratch/stats", "__file", None))), root, spark))
+    } finally {
+      // reclaim whatever the publish did not consume
+      if (java.nio.file.Files.exists(scratch)) {
+        val s = java.nio.file.Files.walk(scratch)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
+  }
+
   /** Every table entry of a commit as (name, n_rows, key_xor, key_col) —
     * the metadata a maintenance command needs to rewrite SOME tables of
     * a version while carrying the rest forward untouched.

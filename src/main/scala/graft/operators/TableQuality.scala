@@ -320,6 +320,34 @@ object TableQuality {
     * relative error, gated like s16b). The merge itself touches only the
     * stats rows — metadata scale — never the data.
     */
+  /** Merge several per-partition stats ROWS into ONE wide row with the
+    * sketch kept AS a sketch (`hll_union_agg` binary, still union-able
+    * downstream) — the compaction maintenance unit: the stats row of a
+    * file built by concatenating others is the MERGE of their rows —
+    * count/nulls by SUM, typed min/max by MIN/MAX, sketches by HLL
+    * union, the per-file key fingerprint (when present) by bit_xor —
+    * so compaction never re-sketches the bytes it moves
+    * ([[graft.operators.Sinks.compactSnapshotVersion]]). Contrast
+    * [[mergeSketches]], which REPORTS the merged estimate and is not
+    * re-mergeable.
+    */
+  def mergeStatRows(parts: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "mergeStatRows: no columns")
+    cols.foreach(validName(_, "column name"))
+    val xor =
+      if (parts.columns.contains("__keyxor"))
+        Seq(expr("coalesce(bit_xor(__keyxor), 0)").as("__keyxor"))
+      else Seq.empty
+    val aggs = (sum(col("__n")).as("__n") +: cols.flatMap { c =>
+      Seq(
+        sum(col(s"__nulls_$c")).as(s"__nulls_$c"),
+        hll_union_agg(col(s"__sk_$c"), lit(true)).as(s"__sk_$c"),
+        min(col(s"__min_$c")).as(s"__min_$c"),
+        max(col(s"__max_$c")).as(s"__max_$c"))
+    }) ++ xor
+    parts.agg(aggs.head, aggs.tail: _*)
+  }
+
   def mergeSketches(parts: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "mergeSketches: no columns")
     cols.foreach(validName(_, "column name"))

@@ -162,6 +162,18 @@ class AppSpec extends AnyFunSuite {
     graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
       "--ingest", s"$root/feed", "--key", "a", "--stat-cols", "a,b"))
     assert(Sinks.currentVersion(s"$root/snap").contains(vOpt))
+    // --compact: the four re-clustered quarter files are slivers next
+    // to the carried base; a threshold above their size merges them
+    // into one file as the next version, rows identical, meta intact
+    val preFiles = Sinks.committedFilePaths(s"$root/snap", "data").size
+    graft.app.Main.main(Array("snapshot", "--root", s"$root/snap",
+      "--compact", (n / 2).toString))
+    val vComp = Sinks.currentVersion(s"$root/snap").get
+    assert(vComp == vOpt + 1)
+    val postSnap = Sinks.readSnapshot(spark, s"$root/snap", Some(vComp))
+    assert(postSnap("data").count() == total)
+    assert(postSnap.contains("meta"))
+    assert(Sinks.committedFilePaths(s"$root/snap", "data").size < preFiles)
   }
 
   test("CLI optimize --recluster: only stats-detected degraded files rewrite") {

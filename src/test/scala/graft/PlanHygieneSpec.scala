@@ -120,7 +120,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "s17_stats_compaction", "s18_snapshot_pruned_read",
     "s19_optimize_versioned", "s20_cdc_versioned_stats",
     "s21_schema_evolution", "s22_version_diff", "s23_retention",
-    "s24_optimistic_merge", "s25_cdc_ingest",
+    "s24_optimistic_merge", "s25_cdc_ingest", "s26_compact_versioned",
     // pipe_curation_snap commits its snapshot + stats at construction
     // and returns a Materialize-truncated frame (the scratch root is
     // reclaimed before return) — no lazy plan to audit
