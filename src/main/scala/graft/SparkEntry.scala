@@ -5711,12 +5711,30 @@ object SparkEntry {
     } finally deleteRecursively(root)
   }
 
-  /** Recursive temp-scratch delete (walk stream closed; deepest-first). */
+  /** Recursive temp-scratch delete (walk stream closed; deepest-first).
+    * Retried: a just-stopped stream's state-store maintenance thread can
+    * recreate files between the walk snapshot and the deletes
+    * (DirectoryNotEmptyException); the scratch is /tmp-local, so the last
+    * attempt is best-effort rather than failing the query it cleans up
+    * after.
+    */
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(root)
-    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally s.close()
+    def sweep(): Unit = {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+    var attempts = 3
+    while (attempts > 0 && java.nio.file.Files.exists(root)) {
+      attempts -= 1
+      try sweep()
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException
+            if attempts > 0 => Thread.sleep(50L)
+        case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      }
+    }
   }
 
   /** TA18s: train-batch / score-STREAM domain classification — the
