@@ -1855,8 +1855,8 @@ object SparkEntry {
     */
   private def cls1CgWeights(spark: SparkSession, dir: String): DataFrame = {
     val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
-    val w = graft.operators.LinearModel.trainCgRidge(
-      graft.operators.LinearModel.hashedPresence(pl, ClsK),
+    val w = graft.operators.LinearModel.trainCgRidgeArrays(
+      graft.operators.LinearModel.hashedPresenceArrays(pl, ClsK),
       pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
       ClsK)
     graft.operators.LinearModel.weightsDf(spark, w)
@@ -1870,12 +1870,13 @@ object SparkEntry {
     */
   private def cls1CgScores(spark: SparkSession, dir: String): DataFrame = {
     val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
-    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
-    val w = graft.operators.LinearModel.trainCgRidge(feats,
+    val feats = graft.operators.LinearModel.hashedPresenceArrays(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidgeArrays(feats,
       pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
       ClsK)
     val tst = pl.filter(col("doc_id") % 2 === 1)
-    graft.operators.LinearModel.score(feats, tst.select(col("doc_id")), w)
+    graft.operators.LinearModel
+      .scoreArrays(feats.filter(col("doc_id") % 2 === 1), w)
       .join(tst.select(col("doc_id"), col("y").cast("int").as("label")),
         Seq("doc_id"))
       .select(col("doc_id"), round(col("score"), 6).as("score"),
@@ -1889,12 +1890,13 @@ object SparkEntry {
     */
   private def cls1CgEval(spark: SparkSession, dir: String): DataFrame = {
     val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
-    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
-    val w = graft.operators.LinearModel.trainCgRidge(feats,
+    val feats = graft.operators.LinearModel.hashedPresenceArrays(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidgeArrays(feats,
       pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
       ClsK)
     val tst = pl.filter(col("doc_id") % 2 === 1)
-    graft.operators.LinearModel.score(feats, tst.select(col("doc_id")), w)
+    graft.operators.LinearModel
+      .scoreArrays(feats.filter(col("doc_id") % 2 === 1), w)
       .join(tst.select(col("doc_id"), col("y")), Seq("doc_id"))
       .agg(count(lit(1)).as("n_test"),
         sum(((col("score") >= 0.0) === (col("y") > 0.0)).cast("long"))
@@ -1918,12 +1920,12 @@ object SparkEntry {
       : DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val pl = plantedQualityDocs(docs)
-    val feats = graft.operators.LinearModel.hashedPresence(pl, ClsK)
-    val w = graft.operators.LinearModel.trainCgRidge(feats,
+    val feats = graft.operators.LinearModel.hashedPresenceArrays(pl, ClsK)
+    val w = graft.operators.LinearModel.trainCgRidgeArrays(feats,
       pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
       ClsK)
     val kept = graft.operators.LinearModel
-      .score(feats, pl.select(col("doc_id")), w)
+      .scoreArrays(feats, w)
       .filter(col("pred") === 1)
       .join(pl.select(col("doc_id"), col("text")), Seq("doc_id"))
     Dedup.dedupedCorpus(kept)
@@ -4645,19 +4647,28 @@ object SparkEntry {
     val shortlist = Similarity.bruteForceTopK(
       docs.select(col("vec_id"), col("embedding")),
       queries.select(col("query_id"), col("embedding")), 20)
-    val crossF1 = udf { (q: String, d: String) =>
-      graft.core.BertScore.greedyMatch(
-        txTrainedModel.encode(q), txTrainedModel.encode(d))._3
+    // the query set is BOUNDED (~10-20 ids at any scale, see qMod), so
+    // encode each query ONCE on the driver and ship the contextual
+    // vectors in the closure — the per-pair UDF was re-running the same
+    // query forward for every one of its 20 candidates (20x the stage-2
+    // query-side model cost for identical bits; guide §1.2 "don't compute
+    // things you throw away"). Doc-side forwards stay per pair: the
+    // candidate lists barely overlap, and shipping token-level encodings
+    // through a join would shuffle far more bytes than it saves.
+    val qEnc: Map[Long, Array[Array[Float]]] =
+      queries.select(col("query_id"), col("q_text")).collect()
+        .map(r => r.getLong(0) -> txTrainedModel.encode(r.getString(1)))
+        .toMap
+    val crossF1 = udf { (qid: Long, d: String) =>
+      graft.core.BertScore.greedyMatch(qEnc(qid), txTrainedModel.encode(d))._3
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cross_f1").desc, col("vec_id").asc)
     shortlist
       .join(docs.select(col("vec_id"), col("text").as("d_text")), "vec_id")
-      .join(broadcast(queries.select(col("query_id"), col("q_text"))),
-        "query_id")
       .select(col("query_id"), col("vec_id"),
         col("cosine"), col("rank").as("bi_rank"),
-        r4(crossF1(col("q_text"), col("d_text"))).as("cross_f1"))
+        r4(crossF1(col("query_id"), col("d_text"))).as("cross_f1"))
       .withColumn("rank", row_number().over(w))
   }
 
@@ -5797,8 +5808,8 @@ object SparkEntry {
     val docs = graft.streaming.CorpusStreams
       .readDocStream(spark, base, schema, maxFilesPerTrigger = 4096, glob)
     val pl = plantedQualityDocs(tbl(spark, dir, "documents"))
-    val w = graft.operators.LinearModel.trainCgRidge(
-      graft.operators.LinearModel.hashedPresence(pl, ClsK),
+    val w = graft.operators.LinearModel.trainCgRidgeArrays(
+      graft.operators.LinearModel.hashedPresenceArrays(pl, ClsK),
       pl.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("y")),
       ClsK)
     val scorer = graft.operators.LinearModel.localScorer(w)

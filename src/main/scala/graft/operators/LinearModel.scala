@@ -58,6 +58,54 @@ object LinearModel {
       .distinct()
   }
 
+  /** [[hashedPresence]] as one per-doc DISTINCT bucket ARRAY — the same
+    * bucket values from the same token stream, but map-only: the
+    * explode + corpus-wide distinct shuffle becomes array_distinct over
+    * each row's own tokens. Every per-doc consumer (training's q pass,
+    * serving's weight sum) is an exact decimal fold over the array, so
+    * the row form and the array form are value-identical; the array form
+    * removes one full-corpus shuffle per pass (guide §2.4).
+    */
+  def hashedPresenceArrays(docs: DataFrame, k: Int, textCol: String = "text")
+      : DataFrame = {
+    require(k >= 2 && k <= (1 << 20), s"bucket count out of range: $k")
+    docs.select(col("doc_id"),
+      array_distinct(transform(
+        split(lower(trim(col(textCol))), "\\s+"),
+        t => (conv(substring(md5(concat(lit("b:"), t)), 1, 15), 16, 10)
+          .cast("long") % k).cast("int"))).as("bs"))
+  }
+
+  /** The decimal(38,10)-grid weight sum over a per-doc bucket array, as a
+    * single codegen expression with no Exchange — bit-identical to
+    * exactSum over the exploded rows. The grid ride is INTEGER: each
+    * weight is pre-rounded on the driver to its decimal(38,10) UNSCALED
+    * long (HALF_UP — the exact cast exactSum applies per input row, the
+    * dotDec convention), the fold adds longs (exact, and immune to
+    * Spark's decimal-Add precision-loss rescale, which would quietly move
+    * (38,10)+(38,10) onto a (38,9) grid), and the final unscaled→double
+    * division is correctly rounded — identical bits to
+    * decimal(38,10).cast(double) while |sum| < 2^53, which the magnitude
+    * guard enforces. The bias is added after in double, matching the row
+    * form's `+ p(k)`; a null `bs` (null text) folds as the empty bucket
+    * set — the row form's missing-doc left-join fill (score = bias).
+    */
+  private def foldWeights(bs: Column, weights: Array[Double]): Column = {
+    val k = weights.length - 1
+    val unscaled: Array[Long] = weights.take(k).map(v =>
+      new java.math.BigDecimal(v)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+    val bound = (1L << 52) / math.max(1, k)
+    require(unscaled.forall(u => math.abs(u) <= bound),
+      s"foldWeights: weight magnitude exceeds the exact-long fold bound " +
+        s"(max |w| ~ ${bound / 1e10} at k=$k)")
+    val wArr: Column = array(unscaled.map(lit(_)): _*)
+    (aggregate(coalesce(bs, array().cast("array<int>")), lit(0L),
+      (acc, b) => acc + element_at(wArr, b + 1))
+      .cast("double") / lit(1.0e10)) + weights(k)
+  }
+
   /** Driver-side dot product on the decimal(38,10) grid — each elementwise
     * product rounds to 10 decimal places (HALF_UP, the Spark cast-to-
     * decimal convention exactSum rides), then sums exactly. Mirrors the
@@ -153,6 +201,85 @@ object LinearModel {
     w
   }
 
+  /** [[trainCgRidge]] on the [[hashedPresenceArrays]] form — the SAME CG
+    * recurrence on the SAME decimal(38,10) grid (weights come out
+    * bit-identical; LinearModelSpec pins it), restructured so each
+    * iteration is ONE map-side-aggregated job instead of two actions over
+    * shuffled joins (guide §1.2/§2.4):
+    *
+    *  - the training table materializes ONCE as one row per labeled doc
+    *    (bucket array + y) — no corpus-wide explode+distinct, no per-
+    *    iteration re-join of features with labels;
+    *  - q_d = Σ_{j∈d} p_j + bias is a per-row decimal fold (map-only);
+    *  - the k bucket cells AND the bias cell of s = Xᵀq/n come from one
+    *    groupBy over the exploded cells — partial aggregation reduces
+    *    each partition to ≤ k+1 rows before the only Exchange, so the
+    *    shuffle is metadata-scale at any corpus size;
+    *  - b = Xᵀy/n and n ride the same one-pass shape (sum + count per
+    *    cell, divided on the driver by the identical IEEE division the
+    *    row form applies inside the agg).
+    */
+  def trainCgRidgeArrays(featsArr: DataFrame, labels: DataFrame, k: Int,
+      iterations: Int = 8, lambda: Double = 0.01): Array[Double] = {
+    require(iterations >= 1 && iterations <= 64, s"iterations: $iterations")
+    require(lambda >= 0.0, s"lambda: $lambda")
+    val spark = featsArr.sparkSession
+    import spark.implicits._
+    // one row per LABELED doc; a label with no feature row trains as an
+    // empty bucket set (q = p_bias), the row form's left-join fill
+    val f = Materialize(labels
+      .select(col("doc_id"), col("y").cast("double").as("y"))
+      .join(featsArr.select(col("doc_id"), col("bs")), Seq("doc_id"), "left")
+      .select(coalesce(col("bs"), array().cast("array<int>")).as("bs"),
+        col("y")))
+
+    // cells 0..k-1 = Σ y over docs containing the bucket; cell k (bias,
+    // present once per doc) = Σ y over all docs and carries n = doc count
+    val bCells = f
+      .select(explode(concat(col("bs"), array(lit(k)))).as("cell"), col("y"))
+      .groupBy(col("cell"))
+      .agg(exactSum(col("y")).as("s"), count(lit(1)).as("c"))
+      .as[(Int, Double, Long)].collect()
+    val n = bCells.collectFirst { case (c, _, cnt) if c == k => cnt }
+      .getOrElse(0L).toDouble
+    require(n > 0, "trainCgRidgeArrays: empty label set")
+    val bMap = bCells.map { case (c, s, _) => c -> s / n }.toMap
+    val b = Array.tabulate(k + 1)(j => bMap.getOrElse(j, 0.0))
+
+    val w = new Array[Double](k + 1)
+    val r = b.clone()
+    val p = b.clone()
+    var rr = dotDec(r, r)
+    for (_ <- 0 until iterations) {
+      // q per doc (map-only fold), then every cell of s in one aggregate:
+      // buckets get Σ q over containing docs, the bias cell Σ q over ALL
+      val sCells = f
+        .select(col("bs"), foldWeights(col("bs"), p).as("q"))
+        .select(explode(concat(col("bs"), array(lit(k)))).as("cell"),
+          col("q"))
+        .groupBy(col("cell"))
+        .agg((exactSum(col("q")) / n).as("v"))
+        .as[(Int, Double)].collect().toMap
+      val s = Array.tabulate(k + 1)(j =>
+        sCells.getOrElse(j, 0.0) + lambda * p(j))
+      val ps = dotDec(p, s)
+      val alpha = if (ps == 0.0) 0.0 else rr / ps
+      var j = 0
+      while (j <= k) {
+        w(j) = w(j) + alpha * p(j)
+        r(j) = r(j) - alpha * s(j)
+        j += 1
+      }
+      val rr2 = dotDec(r, r)
+      val beta = if (rr == 0.0) 0.0 else rr2 / rr
+      rr = rr2
+      j = 0
+      while (j <= k) { p(j) = r(j) + beta * p(j); j += 1 }
+    }
+    f.unpersist(blocking = false)
+    w
+  }
+
   /** Model as a DataFrame: (feature, weight) with feature k = the bias —
     * the persistable/inspectable form.
     */
@@ -192,6 +319,18 @@ object LinearModel {
       acc.doubleValue + weights(k)
     }
   }
+
+  /** [[score]] on the [[hashedPresenceArrays]] form: (doc_id, score, pred)
+    * with the identical decimal-grid sum, but MAP-ONLY — the per-doc
+    * groupBy Exchange and the docIds join disappear because the doc's
+    * buckets already sit on its own row (guide §2.4). Callers filter
+    * `featsArr` to the doc set they want scored.
+    */
+  def scoreArrays(featsArr: DataFrame, w: Array[Double]): DataFrame =
+    featsArr
+      .select(col("doc_id"), foldWeights(col("bs"), w).as("score"))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= 0.0).cast("int").as("pred"))
 
   /** Score docs with a trained weight vector: (doc_id, score, pred) where
     * score = Σ_{j∈d} w_j + bias (the training pass' exact decimal sum) and

@@ -130,6 +130,34 @@ class LinearModelSpec extends AnyFunSuite {
     }
   }
 
+  test("array-form trainer and scorer are bit-identical to the row form") {
+    // hostile shapes on purpose: empty text (one "" token), repeated
+    // tokens (array_distinct vs corpus distinct), multi-space runs,
+    // unicode, a labeled doc with NULL text (bs = null -> bias exactly)
+    val docs = (planted ++ Seq(
+      (100L, "", -1.0), (101L, "dup dup dup   dup", 1.0),
+      (102L, "  pad  ded  ", -1.0), (103L, "émoji 🚀 émoji", 1.0),
+      (104L, null.asInstanceOf[String], -1.0)))
+      .toDF("doc_id", "text", "y")
+    val labels = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("y"))
+    val rowsW = LinearModel.trainCgRidge(
+      LinearModel.hashedPresence(docs, K), labels, K)
+    val arrF = LinearModel.hashedPresenceArrays(docs, K)
+    val arrW = LinearModel.trainCgRidgeArrays(arrF, labels, K)
+    assert(rowsW.toSeq == arrW.toSeq) // bit-identical, not approximately
+
+    val rowsScore = LinearModel
+      .score(LinearModel.hashedPresence(docs, K),
+        docs.select(col("doc_id")), rowsW)
+      .select(col("doc_id"), col("score"), col("pred"))
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    val arrScore = LinearModel.scoreArrays(arrF, arrW)
+      .select(col("doc_id"), col("score"), col("pred"))
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    assert(rowsScore.toSeq == arrScore.toSeq)
+  }
+
   test("dotDec quantizes to the decimal(38,10) grid") {
     val a = Array(1.0, 2.0)
     val b = Array(1e-11, 1.0) // first product rounds to 0 on the grid
