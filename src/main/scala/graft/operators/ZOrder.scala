@@ -185,28 +185,31 @@ object ZOrder {
       bits: Int = 16, outCol: String = "h"): DataFrame = {
     require(bits >= 1 && bits <= 20, s"bits: $bits")
     val n = 1L << bits
-    var cur = df
-      .withColumn("__hx", scaled(col(aCol), aLo, aHi, bits))
-      .withColumn("__hy", scaled(col(bCol), bLo, bHi, bits))
-      .withColumn(outCol, lit(0L))
+    val passthrough = df.columns.map(col).toSeq
+    var cur = df.select(passthrough ++ Seq(
+      scaled(col(aCol), aLo, aHi, bits).as("__hx"),
+      scaled(col(bCol), bLo, bHi, bits).as("__hy"),
+      lit(0L).as(outCol)): _*)
+    // one SELECT per bit step, not five withColumns: each withColumn
+    // re-analyzes the whole accumulated plan, so the per-step quintet
+    // cost the driver O(bits² · cols) analysis passes (measured: seconds
+    // of pure planning per Hilbert write at bits=16, paid TWICE by a
+    // range-partitioned write — boundary sampling plans the child again).
+    // The physical plan is unchanged: the same 16 chained Projects whose
+    // multi-referenced CaseWhens CollapseProject correctly keeps layered.
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
       val rx = col("__hx").bitwiseAND(lit(s)) > 0
       val ry = col("__hy").bitwiseAND(lit(s)) > 0
       val quad = when(rx && ry, 2L).when(rx, 3L).when(ry, 1L).otherwise(0L)
-      cur = cur
-        .withColumn(outCol, col(outCol) + lit(s * s) * quad)
-        .withColumn("__hx2",
-          when(!ry, when(rx, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
-            .otherwise(col("__hx")))
-        .withColumn("__hy2",
-          when(!ry, when(rx, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
-            .otherwise(col("__hy")))
-        .withColumn("__hx", col("__hx2"))
-        .withColumn("__hy", col("__hy2"))
-        .drop("__hx2", "__hy2")
+      cur = cur.select(passthrough ++ Seq(
+        when(!ry, when(rx, lit(n - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")).as("__hx"),
+        when(!ry, when(rx, lit(n - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")).as("__hy"),
+        (col(outCol) + lit(s * s) * quad).as(outCol)): _*)
     }
-    cur.drop("__hx", "__hy")
+    cur.select(passthrough :+ col(outCol): _*)
   }
 
   /** Fixed-width HILBERT-bucket stats — the oracle-checkable form of the
