@@ -227,17 +227,32 @@ object TableQuality {
       approxNdv: Boolean, rsd: Double): DataFrame = {
     require(cols.nonEmpty, "tableStats: no columns")
     cols.foreach(validName(_, "column name"))
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+    // TWO aggregation passes on purpose. min/max over a STRING column has
+    // an immutable agg buffer, and an aggregate with no
+    // TypedImperativeAggregate falls all the way back to SortAggregate —
+    // mixed into the exact-NDV pass that means FULLY SORTING the
+    // (cols+1)x-Expanded table by the 6-column distinct key (measured:
+    // the one job was ~85% of s16's wall at sf0.1). Split, the NDV pass
+    // keeps pure long buffers (HashAggregate over the Expand, no Sort)
+    // and the min/max pass is a global single-group agg — SortAggregate
+    // still, but with no grouping key there is nothing to sort: one
+    // streaming pass with map-side partials. Two scans beat one sorted
+    // 6x Expand at any scale; the crossJoin glues two 1-row frames.
+    val ndvAggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       val ndv =
         if (approxNdv) approx_count_distinct(col(c), rsd)
         else count_distinct(col(c))
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        ndv.as(s"__ndv_$c"),
+        ndv.as(s"__ndv_$c"))
+    }
+    val mmAggs = cols.flatMap { c =>
+      Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    stackStats(df.agg(aggs.head, aggs.tail: _*), cols)
+    stackStats(df.agg(ndvAggs.head, ndvAggs.tail: _*)
+      .crossJoin(df.agg(mmAggs.head, mmAggs.tail: _*)), cols)
   }
 
   /** Render the wide one-row stats frame (`__n`, and per column
