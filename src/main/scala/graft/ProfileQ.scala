@@ -28,6 +28,8 @@ object ProfileQ {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val lastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -37,6 +39,18 @@ object ProfileQ {
         if (gap >= 0.3)
           println(f"[prof]   (driver gap $gap%6.2fs before job ${js.jobId})")
         starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val sec = (for {
+          s <- si.submissionTime; e <- si.completionTime
+        } yield (e - s) / 1e3).getOrElse(0.0)
+        cpuNs.addAndGet(si.taskMetrics.executorCpuTime)
+        runMs.addAndGet(si.taskMetrics.executorRunTime)
+        if (sec >= 0.3)
+          println(f"[prof]     stage ${si.stageId}%4d  $sec%7.2fs  " +
+            f"${si.numTasks}%4d tasks  ${si.name.take(90)}")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         lastEnd.set(System.nanoTime())
@@ -55,8 +69,12 @@ object ProfileQ {
       println(f"[prof] $name construction: $tBuild%.2fs")
       val t1 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
+      // small settle so late stage-completed events land in this query's bucket
+      Thread.sleep(200)
       println(f"[prof] $name force: ${(System.nanoTime() - t1) / 1e9}%.2fs " +
-        f"total ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        f"total ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        f"taskCpu ${cpuNs.getAndSet(0L) / 1e9}%.2fs " +
+        f"taskRun ${runMs.getAndSet(0L) / 1e3}%.2fs")
     }
     spark.stop()
   }

@@ -19,8 +19,37 @@ import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Table reader with INPUT-SKEW protection (guide §2.5): the driver's
+    * test tables are single parquet files with one row group, so every
+    * query's pre-Exchange stage — where the CPU-heavy text/hash chains
+    * live — would otherwise run as ONE task whatever the core count
+    * (profiled: 6+ s single-task stages on a 32-core session). An
+    * unsplittable input is repartitioned right after the read; the
+    * round-robin assignment is retry-deterministic (sortBeforeRepartition
+    * is on) and every registered computation is partition-order
+    * independent by the repo's exactSum/min-keeper discipline. SCALE:
+    * adaptive, not tuned to local[32] — a table that already scans with
+    * >= cores partitions (any real large layout) passes through
+    * untouched, and the threshold derives from the session's own
+    * parallelism. The spread key is a deterministic full-row xxhash64,
+    * NOT round-robin: RoundRobinPartitioning pays a local sort of the
+    * whole row per partition for retry determinism
+    * (sortBeforeRepartition — measured ~10x the query's own CPU on the
+    * flagship aggregate), while a hash of the row is retry-deterministic
+    * for free and spreads exactly as well.
+    */
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val cores = spark.sparkContext.defaultParallelism
+    // don't bother spreading the tiny dimension tables (nation/region/...):
+    // they broadcast anyway and the exchange would be pure overhead
+    val bytes = try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Long.MaxValue }
+    if (bytes >= 32 * 1024 && df.rdd.getNumPartitions < cores)
+      df.repartition(cores, xxhash64(df.columns.map(col): _*))
+    else df
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -4365,7 +4394,6 @@ object SparkEntry {
       col("doc_id"),
       array_join(slice(toks, 1, 20), " ").as("gen"),
       array_join(slice(toks, 11, 30), " ").as("ref"))
-      .repartition(spark.sparkContext.defaultParallelism)
     graft.eval.Metrics.bertScoreContextual(pairs, txModel)
       .orderBy(col("doc_id"))
   }
@@ -4392,7 +4420,6 @@ object SparkEntry {
   private def txDocEmb(spark: SparkSession, dir: String): DataFrame = {
     val embedUdf = udf((t: String) => txModel.embed(t))
     tbl(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").as("vec_id"), embedUdf(col("text")).as("embedding"))
   }
 
@@ -4599,7 +4626,6 @@ object SparkEntry {
   private def txTrainedDocEmb(spark: SparkSession, dir: String): DataFrame = {
     val embedUdf = udf((t: String) => txTrainedModel.embed(t))
     tbl(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").as("vec_id"), col("text"),
         embedUdf(col("text")).as("embedding"))
   }
@@ -6268,7 +6294,6 @@ object SparkEntry {
       col("doc_id"),
       (lit(16) + pmod(col("doc_id"), lit(13)) * 4).cast("int").as("w"),
       (lit(16) + pmod(col("doc_id"), lit(7)) * 4).cast("int").as("h"))
-      .repartition(spark.sparkContext.defaultParallelism)
     Multimodal.codecRoundtripFused(JdkMedia.withRenderedPng(dims, "w", "h"),
         24, 18, JdkMedia.JdkMediaDecoder)
       .orderBy(col("doc_id"))
@@ -6310,7 +6335,6 @@ object SparkEntry {
       col("doc_id"),
       (lit(256) + pmod(col("doc_id"), lit(512))).cast("int").as("nf"),
       (lit(2) + pmod(col("doc_id"), lit(7))).cast("int").as("p"))
-      .repartition(spark.sparkContext.defaultParallelism)
     JdkMedia.audioSignalFeatures(
         JdkMedia.withRenderedWavSquare(dims, "nf", "p", sampleRate = 8000))
       .orderBy(col("doc_id"))
@@ -6380,7 +6404,6 @@ object SparkEntry {
     val mmr = udf((t: String) =>
       graft.llm.MmrSummarizer.summarize(if (t == null) "" else t, budget))
     tbl(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         mmr(repunct(col("text"),
           (lit(5) + pmod(col("doc_id"), lit(4))).cast("int"))).as("summary"))
@@ -6408,7 +6431,6 @@ object SparkEntry {
         graft.llm.IdentitySummarizer.summarize(t2, budget))
     })
     tbl(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), length(trim(col("text"))).as("src_len"),
         both(repunct(col("text"),
           (lit(5) + pmod(col("doc_id"), lit(4))).cast("int"))).as("g"))

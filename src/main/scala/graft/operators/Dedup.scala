@@ -470,8 +470,16 @@ object Dedup {
       bCol: String = "doc_b", maxIterations: Int = 50,
       smallGraphEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // both edge directions from ONE pass over `pairs`: the old
+    // union-with-swapped form duplicated the (un-cached) pairs subtree in
+    // the plan, so the whole candidate/verify stage upstream ran TWICE —
+    // profiled as two concurrent full near-dup jobs per curation pass.
+    // explode emits (a,b) and (b,a) per row instead; same edge set.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Small-graph fast path: after candidate filtering the EDGE set is

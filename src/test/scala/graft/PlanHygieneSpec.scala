@@ -152,6 +152,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // ss10 = the one-row mean-vector broadcast (centering) + ss1's
     // broadcast-query scan over the centered table
     "ss10_centered_topk",
+    // s16 family: tableStats crossJoins its TWO one-row aggregate frames
+    // (the NDV pass hash-aggregates, min/max runs separately so string
+    // buffers don't drag the Expanded table into SortAggregate — r14
+    // optimization); a 1-row x 1-row BNLJ by construction
+    "s16_table_stats", "s16b_stats_gate", "s16c_stats_incremental",
     "ss2_lsh_topk", "dd6_embedding_pairs", "qz2_topk_quant", "qz3_recall",
     "ta11_logprob",
     // one-row corpus-stats scalar broadcast (the ta11 shape)
